@@ -1,0 +1,38 @@
+"""Test environment: force an 8-device virtual CPU platform.
+
+Must run before anything imports jax — multi-chip sharding tests run on a
+virtual CPU mesh (real multi-chip hardware is not available in CI), and
+Pallas kernels run in interpreter mode on CPU.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def splits():
+    """Small synthetic dataset shared across the suite."""
+    from tpu21cmvae.data import synthetic_dataset
+
+    return synthetic_dataset(n_train=512, n_val=128, n_test=128, seed=7)
+
+
+@pytest.fixture(scope="session")
+def normalizer(splits):
+    from tpu21cmvae.ops.transforms import Normalizer
+
+    return Normalizer.from_data(splits.par_train, splits.signal_train)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)

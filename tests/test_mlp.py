@@ -1,0 +1,79 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu21cmvae.ops.mlp import (
+    count_params,
+    init_mlp,
+    mlp_apply,
+    mlp_sizes,
+)
+from tpu21cmvae.utils.config import DirectEmulatorConfig
+
+
+def _numpy_forward(params, x, relu_hidden=True):
+    """Independent NumPy forward pass for parity checks."""
+    h = np.asarray(x, dtype=np.float64)
+    for i, layer in enumerate(params):
+        h = h @ np.asarray(layer["w"], dtype=np.float64) + np.asarray(
+            layer["b"], dtype=np.float64
+        )
+        if relu_hidden and i < len(params) - 1:
+            h = np.maximum(h, 0.0)
+    return h
+
+
+def test_shapes_and_param_count():
+    # flagship architecture: 371,907 params (reference
+    # sample_notebook.ipynb cell 3 output; emulator.py:196)
+    cfg = DirectEmulatorConfig()
+    params = init_mlp(jax.random.key(0), cfg.mlp().sizes)
+    assert mlp_sizes(params) == (7, 288, 352, 288, 224, 451)
+    assert count_params(params) == 371907
+    assert cfg.mlp().n_params == 371907
+
+
+def test_forward_parity_with_numpy():
+    params = init_mlp(jax.random.key(1), (7, 32, 16, 451))
+    x = jax.random.normal(jax.random.key(2), (10, 7))
+    got = np.asarray(mlp_apply(params, x))
+    expected = _numpy_forward(params, np.asarray(x))
+    assert np.allclose(got, expected, atol=1e-4)
+
+
+def test_final_layer_is_linear():
+    # output layer has no activation (reference emulator.py:45-46) —
+    # with zero hidden layers the MLP is exactly affine.
+    params = init_mlp(jax.random.key(3), (7, 451))
+    x = jnp.ones((3, 7)) * -100.0  # would be zeroed by a ReLU output
+    out = mlp_apply(params, x)
+    assert np.any(np.asarray(out) < 0)
+
+
+def test_glorot_limits():
+    params = init_mlp(jax.random.key(4), (100, 200))
+    w = np.asarray(params[0]["w"])
+    limit = np.sqrt(6.0 / 300.0)
+    assert w.min() >= -limit and w.max() <= limit
+    # uniform(-l, l) has std l/sqrt(3)
+    assert np.isclose(w.std(), limit / np.sqrt(3), rtol=0.1)
+    assert np.allclose(np.asarray(params[0]["b"]), 0.0)
+
+
+def test_bad_activation_raises():
+    params = init_mlp(jax.random.key(5), (4, 8, 2))
+    with pytest.raises(ValueError):
+        mlp_apply(params, jnp.ones((1, 4)), activation="not_a_thing")
+
+
+def test_grad_flows():
+    params = init_mlp(jax.random.key(6), (7, 16, 451))
+    x = jnp.ones((4, 7))
+
+    def loss(p):
+        return jnp.mean(mlp_apply(p, x) ** 2)
+
+    grads = jax.grad(loss)(params)
+    norms = [float(jnp.abs(g["w"]).max()) for g in grads]
+    assert all(n > 0 for n in norms)

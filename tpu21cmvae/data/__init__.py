@@ -1,0 +1,7 @@
+from tpu21cmvae.data.dataset import (  # noqa: F401
+    DATASET_URL,
+    DataSplits,
+    download_dataset,
+    load_dataset,
+)
+from tpu21cmvae.data.synthetic import synthetic_dataset, synthetic_signals  # noqa: F401

@@ -1,0 +1,86 @@
+"""Explicit, lazy dataset handling for the 21cmGEM training set.
+
+The reference downloads ~300 MB from Zenodo and loads six arrays into
+module globals *at import time* (reference ``__init__.py:8-16``,
+``emulator.py:198-204``). Here nothing happens at import: call
+:func:`download_dataset` once (or point :func:`load_dataset` at an
+existing file).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import NamedTuple
+
+import numpy as np
+
+DATASET_URL = (
+    "https://zenodo.org/record/5084114/files/dataset_21cmVAE.h5?download=1"
+)
+"""Zenodo record for the 21cmGEM train/val/test splits
+(reference ``__init__.py:12-14``)."""
+
+_KEYS = (
+    "par_train",
+    "par_val",
+    "par_test",
+    "signal_train",
+    "signal_val",
+    "signal_test",
+)
+
+
+class DataSplits(NamedTuple):
+    """The six arrays of the 21cmGEM dataset (h5 keys at reference
+    ``emulator.py:199-204``). Signals are in mK over 451 bins, z=5-50."""
+
+    par_train: np.ndarray
+    par_val: np.ndarray
+    par_test: np.ndarray
+    signal_train: np.ndarray
+    signal_val: np.ndarray
+    signal_test: np.ndarray
+
+    @property
+    def n_params(self) -> int:
+        return self.par_train.shape[-1]
+
+    @property
+    def n_bins(self) -> int:
+        return self.signal_train.shape[-1]
+
+
+def load_dataset(path: str) -> DataSplits:
+    """Read the six splits from an HDF5 file into host memory."""
+    import h5py
+
+    with h5py.File(path, "r") as hf:
+        return DataSplits(*(np.asarray(hf[k]) for k in _KEYS))
+
+
+def download_dataset(
+    dest: str, url: str = DATASET_URL, overwrite: bool = False
+) -> str:
+    """Fetch the dataset to ``dest`` (atomic write; skipped if present).
+
+    Requires network access; import of ``requests`` is deferred so the
+    package works fully offline with :mod:`tpu21cmvae.data.synthetic`.
+    """
+    if os.path.exists(dest) and not overwrite:
+        return dest
+    import requests
+
+    r = requests.get(url, timeout=600)
+    r.raise_for_status()
+    d = os.path.dirname(os.path.abspath(dest)) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".part")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(r.content)
+        os.replace(tmp, dest)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return dest

@@ -1,0 +1,335 @@
+"""Autoencoder-based emulator family.
+
+Capability parity with the reference's ``AutoEncoder`` +
+``AutoEncoderEmulator`` (reference ``emulator.py:445-518, 528-842``):
+a deterministic signal autoencoder (451 → latent 9 → 451) trained on the
+relative-MSE reconstruction loss, plus a params→latent MLP trained with
+plain MSE against frozen-encoder latents, composed with the decoder for
+prediction (Appendix A of Bye et al. 2022).
+
+TPU-first differences: encoder/decoder/emulator are three weight pytrees
+with one pure apply each; both training stages run the jitted epoch loop;
+prediction is a single fused device call; everything checkpoints with the
+Normalizer bundled.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu21cmvae.data.dataset import DataSplits
+from tpu21cmvae.models.checkpoint import load_checkpoint, save_checkpoint
+from tpu21cmvae.models.direct import _resolve_axes, PAR_LABELS
+from tpu21cmvae.models.io_keras import load_keras_mlp
+from tpu21cmvae.ops.losses import mse, relative_mse
+from tpu21cmvae.ops.mlp import init_mlp, mlp_apply, mlp_sizes
+from tpu21cmvae.ops.transforms import Normalizer, par_transform, preproc, unpreproc
+from tpu21cmvae.train.loop import fit
+from tpu21cmvae.utils.config import (
+    AE_EMULATOR_TRAIN_DEFAULT,
+    AE_TRAIN_DEFAULT,
+    AutoEncoderConfig,
+    TrainConfig,
+)
+from tpu21cmvae.utils.metrics import error
+
+
+class AutoEncoder:
+    """Deterministic signal autoencoder: encoder ∘ decoder over
+    standardized signals (reference ``emulator.py:445-518``)."""
+
+    def __init__(
+        self,
+        config: AutoEncoderConfig = AutoEncoderConfig(),
+        *,
+        enc_params=None,
+        dec_params=None,
+        seed: int = 0,
+    ):
+        self.config = config
+        k_enc, k_dec = jax.random.split(jax.random.key(seed))
+        self.enc_params = enc_params if enc_params is not None else init_mlp(
+            k_enc, config.encoder().sizes
+        )
+        self.dec_params = dec_params if dec_params is not None else init_mlp(
+            k_dec, config.decoder().sizes
+        )
+
+    def encode(self, params, x):
+        return mlp_apply(params["enc"], x, self.config.activation)
+
+    def decode(self, params, z):
+        return mlp_apply(params["dec"], z, self.config.activation)
+
+    def apply(self, params, x):
+        """Reconstruction = decode(encode(x)) (reference
+        ``emulator.py:502-518``)."""
+        return self.decode(params, self.encode(params, x))
+
+    @property
+    def params(self):
+        return {"enc": self.enc_params, "dec": self.dec_params}
+
+    @params.setter
+    def params(self, value):
+        self.enc_params = value["enc"]
+        self.dec_params = value["dec"]
+
+
+class AutoEncoderEmulator:
+    """Two-stage autoencoder-based emulator (reference
+    ``emulator.py:528-842``)."""
+
+    par_labels = PAR_LABELS
+
+    def __init__(
+        self,
+        data: Optional[DataSplits] = None,
+        *,
+        config: AutoEncoderConfig = AutoEncoderConfig(),
+        normalizer: Optional[Normalizer] = None,
+        enc_params=None,
+        dec_params=None,
+        em_params=None,
+        redshifts=None,
+        frequencies=None,
+        seed: int = 0,
+    ):
+        if normalizer is None:
+            if data is None:
+                raise ValueError(
+                    "Provide `data` (to compute normalization constants) or "
+                    "an explicit `normalizer`."
+                )
+            normalizer = Normalizer.from_data(data.par_train, data.signal_train)
+        self.data = data
+        self.config = config
+        self.normalizer = normalizer
+        self.redshifts, self.frequencies = _resolve_axes(redshifts, frequencies)
+        self.autoencoder = AutoEncoder(
+            config, enc_params=enc_params, dec_params=dec_params, seed=seed
+        )
+        self.em_params = em_params if em_params is not None else init_mlp(
+            jax.random.key(seed + 1), config.emulator().sizes
+        )
+        self.history = None
+        self._build_jits()
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_keras_h5(
+        cls,
+        emulator_path: str,
+        encoder_path: str,
+        decoder_path: str,
+        data: Optional[DataSplits] = None,
+        normalizer: Optional[Normalizer] = None,
+        **kwargs,
+    ) -> "AutoEncoderEmulator":
+        """Import the reference's three pretrained h5 files
+        (reference ``emulator.py:667-699``)."""
+        em = load_keras_mlp(emulator_path)
+        enc = load_keras_mlp(encoder_path)
+        dec = load_keras_mlp(decoder_path)
+        enc_sizes, dec_sizes, em_sizes = mlp_sizes(enc), mlp_sizes(dec), mlp_sizes(em)
+        cfg = AutoEncoderConfig(
+            n_params=em_sizes[0],
+            n_bins=enc_sizes[0],
+            latent_dim=enc_sizes[-1],
+            enc_hidden_dims=tuple(enc_sizes[1:-1]),
+            dec_hidden_dims=tuple(dec_sizes[1:-1]),
+            em_hidden_dims=tuple(em_sizes[1:-1]),
+        )
+        return cls(
+            data,
+            config=cfg,
+            normalizer=normalizer,
+            enc_params=enc,
+            dec_params=dec,
+            em_params=em,
+            **kwargs,
+        )
+
+    def save(self, path: str) -> str:
+        meta = {
+            "kind": "AutoEncoderEmulator",
+            "n_params": self.config.n_params,
+            "n_bins": self.config.n_bins,
+            "latent_dim": self.config.latent_dim,
+            "enc_hidden_dims": list(self.config.enc_hidden_dims),
+            "dec_hidden_dims": list(self.config.dec_hidden_dims),
+            "em_hidden_dims": list(self.config.em_hidden_dims),
+            "activation": self.config.activation,
+        }
+        tree = {
+            "enc": self.autoencoder.enc_params,
+            "dec": self.autoencoder.dec_params,
+            "em": self.em_params,
+            "normalizer": self.normalizer,
+        }
+        return save_checkpoint(path, tree, meta)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, data: Optional[DataSplits] = None):
+        _, meta = load_checkpoint(path)
+        cfg = AutoEncoderConfig(
+            n_params=meta["n_params"],
+            n_bins=meta["n_bins"],
+            latent_dim=meta["latent_dim"],
+            enc_hidden_dims=tuple(meta["enc_hidden_dims"]),
+            dec_hidden_dims=tuple(meta["dec_hidden_dims"]),
+            em_hidden_dims=tuple(meta["em_hidden_dims"]),
+            activation=meta.get("activation", "relu"),
+        )
+        template = {
+            "enc": init_mlp(jax.random.key(0), cfg.encoder().sizes),
+            "dec": init_mlp(jax.random.key(0), cfg.decoder().sizes),
+            "em": init_mlp(jax.random.key(0), cfg.emulator().sizes),
+            "normalizer": Normalizer(
+                signal_mean=jnp.zeros(cfg.n_bins),
+                signal_std=jnp.zeros(()),
+                par_min=jnp.zeros(cfg.n_params),
+                par_max=jnp.zeros(cfg.n_params),
+            ),
+        }
+        tree, _ = load_checkpoint(path, like=template)
+        tree = jax.tree_util.tree_map(jnp.asarray, tree)
+        return cls(
+            data,
+            config=cfg,
+            normalizer=tree["normalizer"],
+            enc_params=tree["enc"],
+            dec_params=tree["dec"],
+            em_params=tree["em"],
+        )
+
+    # -- inference ---------------------------------------------------------
+
+    def _build_jits(self):
+        norm = self.normalizer
+        act = self.config.activation
+
+        @jax.jit
+        def predict(em_params, dec_params, raw_params):
+            x = par_transform(raw_params, norm)
+            z = mlp_apply(em_params, x, act)
+            y = mlp_apply(dec_params, z, act)
+            return unpreproc(y, norm)
+
+        @jax.jit
+        def reconstruct(enc_params, dec_params, signals):
+            y = preproc(signals, norm)
+            z = mlp_apply(enc_params, y, act)
+            rec = mlp_apply(dec_params, z, act)
+            return unpreproc(rec, norm)
+
+        self._predict_jit = predict
+        self._reconstruct_jit = reconstruct
+
+    def predict(self, params) -> np.ndarray:
+        """par_transform → emulator → decoder → unpreproc in one device
+        call (reference ``emulator.py:770-795``); squeezes a single row."""
+        raw = jnp.atleast_2d(jnp.asarray(params, jnp.float32))
+        pred = np.asarray(
+            self._predict_jit(self.em_params, self.autoencoder.dec_params, raw)
+        )
+        return pred[0] if pred.shape[0] == 1 else pred
+
+    def reconstruct(self, signals) -> np.ndarray:
+        """Pure autoencoder round trip on raw (mK) signals."""
+        sig = jnp.atleast_2d(jnp.asarray(signals, jnp.float32))
+        rec = np.asarray(
+            self._reconstruct_jit(
+                self.autoencoder.enc_params, self.autoencoder.dec_params, sig
+            )
+        )
+        return rec[0] if rec.shape[0] == 1 else rec
+
+    # -- training ----------------------------------------------------------
+
+    def train(
+        self,
+        epochs: Optional[int] = None,
+        ae_train_config: Optional[TrainConfig] = None,
+        em_train_config: Optional[TrainConfig] = None,
+        verbose: bool = False,
+    ) -> Tuple[list, list, list, list]:
+        """Stage A: autoencoder on standardized signals (relative-MSE);
+        Stage B: params→latent MLP on frozen-encoder latents (MSE) —
+        reference ``emulator.py:701-768``. Returns
+        ``(ae_loss, ae_val_loss, loss, val_loss)``."""
+        if self.data is None:
+            raise ValueError("No dataset attached; construct with `data=`.")
+        ae_cfg = ae_train_config or AE_TRAIN_DEFAULT
+        em_cfg = em_train_config or AE_EMULATOR_TRAIN_DEFAULT
+        if epochs is not None:
+            ae_cfg = dataclasses.replace(ae_cfg, epochs=epochs)
+            em_cfg = dataclasses.replace(em_cfg, epochs=epochs)
+
+        norm = self.normalizer
+        act = self.config.activation
+        scaled_mean = norm.scaled_mean
+        y_train = preproc(jnp.asarray(self.data.signal_train, jnp.float32), norm)
+        y_val = preproc(jnp.asarray(self.data.signal_val, jnp.float32), norm)
+
+        ae = self.autoencoder
+
+        def ae_loss_fn(params, x, y):
+            return relative_mse(y, ae.apply(params, x), scaled_mean)
+
+        ae_params, _, ae_hist = fit(
+            ae.params, ae_loss_fn, y_train, y_train, y_val, y_val, ae_cfg,
+            verbose=verbose,
+        )
+        ae.params = ae_params
+
+        # Stage B: freeze the encoder, use its latents as labels
+        # (reference emulator.py:753-754).
+        encode = jax.jit(lambda s: mlp_apply(ae_params["enc"], s, act))
+        z_train = encode(y_train)
+        z_val = encode(y_val)
+        x_train = par_transform(jnp.asarray(self.data.par_train, jnp.float32), norm)
+        x_val = par_transform(jnp.asarray(self.data.par_val, jnp.float32), norm)
+
+        def em_loss_fn(params, x, y):
+            return mse(y, mlp_apply(params, x, act))
+
+        self.em_params, _, em_hist = fit(
+            self.em_params, em_loss_fn, x_train, z_train, x_val, z_val, em_cfg,
+            verbose=verbose,
+        )
+        self.history = {"autoencoder": ae_hist, "emulator": em_hist}
+        return ae_hist.loss, ae_hist.val_loss, em_hist.loss, em_hist.val_loss
+
+    # -- evaluation --------------------------------------------------------
+
+    def test_error(
+        self,
+        use_autoencoder: bool = False,
+        relative: bool = True,
+        flow=None,
+        fhigh=None,
+    ) -> np.ndarray:
+        """Test-set error of the emulator pipeline, or of the pure
+        autoencoder reconstruction when ``use_autoencoder=True``
+        (reference ``emulator.py:797-842``)."""
+        if self.data is None:
+            raise ValueError("No dataset attached; construct with `data=`.")
+        if use_autoencoder:
+            pred = self.reconstruct(self.data.signal_test)
+        else:
+            pred = self.predict(self.data.par_test)
+        return error(
+            self.data.signal_test,
+            pred,
+            relative=relative,
+            nu_arr=self.frequencies,
+            flow=flow,
+            fhigh=fhigh,
+        )

@@ -1,0 +1,252 @@
+"""The flagship direct emulator: 7 astrophysical parameters → δT(z).
+
+Capability parity with the reference's ``DirectEmulator``
+(reference ``emulator.py:207-442``) redesigned TPU-first:
+
+* the model is a weights pytree + a single pure prediction function
+  ``unpreproc ∘ mlp ∘ par_transform`` with all normalization constants
+  folded in — jitted once, vmapped over the batch, shardable over a
+  device mesh (SURVEY.md §3.3);
+* ``save`` is implemented (reference raises ``NotImplementedError``,
+  ``emulator.py:441-442``) and checkpoints bundle the Normalizer so
+  inference needs no training data;
+* training is the jit-compiled epoch loop of
+  :mod:`tpu21cmvae.train.loop` with the reference's exact recipe as the
+  default preset.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu21cmvae.data.dataset import DataSplits
+from tpu21cmvae.models.checkpoint import load_checkpoint, save_checkpoint
+from tpu21cmvae.models.io_keras import load_keras_mlp
+from tpu21cmvae.ops.losses import relative_mse
+from tpu21cmvae.ops.mlp import init_mlp, mlp_apply, mlp_sizes
+from tpu21cmvae.ops.transforms import Normalizer, par_transform, preproc, unpreproc
+from tpu21cmvae.train.loop import fit
+from tpu21cmvae.utils.config import (
+    DIRECT_TRAIN_DEFAULT,
+    DirectEmulatorConfig,
+    TrainConfig,
+)
+from tpu21cmvae.utils.frequency import (
+    default_redshifts,
+    freq2redshift,
+    redshift2freq,
+)
+from tpu21cmvae.utils.metrics import error
+
+PAR_LABELS = ["fstar", "Vc", "fx", "tau", "alpha", "nu_min", "Rmfp"]
+
+
+def _resolve_axes(redshifts, frequencies):
+    """Reference axis logic (``emulator.py:311-317``): derive whichever of
+    (redshifts, frequencies) is missing from the other."""
+    if redshifts is None and frequencies is None:
+        redshifts = default_redshifts()
+    if frequencies is None and redshifts is not None:
+        frequencies = redshift2freq(redshifts)
+    elif redshifts is None and frequencies is not None:
+        redshifts = freq2redshift(frequencies)
+    return np.asarray(redshifts), np.asarray(frequencies)
+
+
+class DirectEmulator:
+    """Params → signal dense MLP emulator (the "21cmVAE" headline model:
+    7 → 288 → 352 → 288 → 224 → 451, ReLU hidden, linear out)."""
+
+    par_labels = PAR_LABELS
+
+    def __init__(
+        self,
+        data: Optional[DataSplits] = None,
+        *,
+        config: DirectEmulatorConfig = DirectEmulatorConfig(),
+        normalizer: Optional[Normalizer] = None,
+        params=None,
+        redshifts=None,
+        frequencies=None,
+        seed: int = 0,
+    ):
+        if normalizer is None:
+            if data is None:
+                raise ValueError(
+                    "Provide `data` (to compute normalization constants) or "
+                    "an explicit `normalizer`."
+                )
+            normalizer = Normalizer.from_data(data.par_train, data.signal_train)
+        self.data = data
+        self.config = config
+        self.normalizer = normalizer
+        self.redshifts, self.frequencies = _resolve_axes(redshifts, frequencies)
+        if params is None:
+            params = init_mlp(jax.random.key(seed), config.mlp().sizes)
+        self.params = params
+        self.history = None
+        self._predict_jit = self._build_predict()
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_keras_h5(
+        cls,
+        path: str,
+        data: Optional[DataSplits] = None,
+        normalizer: Optional[Normalizer] = None,
+        **kwargs,
+    ) -> "DirectEmulator":
+        """Import the reference's pretrained ``models/emulator.h5``
+        (reference ``emulator.py:319-337``). The normalization constants
+        are NOT in the h5 — supply the dataset or a Normalizer."""
+        params = load_keras_mlp(path)
+        sizes = mlp_sizes(params)
+        cfg = DirectEmulatorConfig(
+            n_params=sizes[0], n_bins=sizes[-1], hidden_dims=tuple(sizes[1:-1])
+        )
+        return cls(data, config=cfg, normalizer=normalizer, params=params, **kwargs)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, data: Optional[DataSplits] = None) -> "DirectEmulator":
+        """Restore a model saved with :meth:`save` — weights AND
+        normalization constants, no training data needed."""
+        flat, meta = load_checkpoint(path)
+        cfg = DirectEmulatorConfig(
+            n_params=meta["n_params"],
+            n_bins=meta["n_bins"],
+            hidden_dims=tuple(meta["hidden_dims"]),
+            activation=meta.get("activation", "relu"),
+        )
+        template = {
+            "params": init_mlp(jax.random.key(0), cfg.mlp().sizes),
+            "normalizer": Normalizer(
+                signal_mean=jnp.zeros(meta["n_bins"]),
+                signal_std=jnp.zeros(()),
+                par_min=jnp.zeros(meta["n_params"]),
+                par_max=jnp.zeros(meta["n_params"]),
+            ),
+        }
+        tree, _ = load_checkpoint(path, like=template)
+        tree = jax.tree_util.tree_map(jnp.asarray, tree)
+        return cls(
+            data,
+            config=cfg,
+            normalizer=tree["normalizer"],
+            params=tree["params"],
+            redshifts=np.asarray(meta["redshifts"]) if "redshifts" in meta else None,
+        )
+
+    def save(self, path: str) -> str:
+        """Save weights + normalizer + architecture metadata atomically."""
+        meta = {
+            "kind": "DirectEmulator",
+            "n_params": self.config.n_params,
+            "n_bins": self.config.n_bins,
+            "hidden_dims": list(self.config.hidden_dims),
+            "activation": self.config.activation,
+            "redshifts": [float(z) for z in self.redshifts],
+        }
+        return save_checkpoint(
+            path, {"params": self.params, "normalizer": self.normalizer}, meta
+        )
+
+    # -- inference ---------------------------------------------------------
+
+    def _build_predict(self):
+        norm = self.normalizer
+        activation = self.config.activation
+
+        @jax.jit
+        def predict(params, raw_params):
+            x = par_transform(raw_params, norm)
+            y = mlp_apply(params, x, activation)
+            return unpreproc(y, norm)
+
+        return predict
+
+    def predict_fn(self):
+        """The raw jitted pure function ``(weights, raw_params) → signals``
+        — the building block for sharded mega-batch inference
+        (:mod:`tpu21cmvae.parallel`) and benchmarking."""
+        return self._predict_jit
+
+    def predict(self, params) -> np.ndarray:
+        """Emulate global signal(s) from raw astrophysical parameters.
+
+        Accepts a single 7-vector or an (n, 7) batch; a single row is
+        squeezed to shape (451,) (reference ``emulator.py:383-407``).
+        """
+        raw = jnp.atleast_2d(jnp.asarray(params, jnp.float32))
+        pred = np.asarray(self._predict_jit(self.params, raw))
+        return pred[0] if pred.shape[0] == 1 else pred
+
+    # -- training ----------------------------------------------------------
+
+    def loss_fn(self):
+        """Per-sample relative-MSE loss over the forward pass, with the
+        amplitude constant folded (SURVEY.md §3.2)."""
+        norm = self.normalizer
+        activation = self.config.activation
+        scaled_mean = norm.scaled_mean
+
+        def loss(params, x, y):
+            return relative_mse(y, mlp_apply(params, x, activation), scaled_mean)
+
+        return loss
+
+    def train(
+        self,
+        epochs: Optional[int] = None,
+        train_config: Optional[TrainConfig] = None,
+        verbose: bool = False,
+    ) -> Tuple[list, list]:
+        """Train on the attached dataset with the reference recipe
+        (Adam lr=0.01, batch 256, EarlyStopping + ReduceLROnPlateau —
+        ``Training.ipynb`` cells 4-5). Returns ``(loss, val_loss)`` per
+        epoch, mirroring the reference's return (``emulator.py:379-381``);
+        the full record lands in ``self.history``."""
+        if self.data is None:
+            raise ValueError("No dataset attached; construct with `data=`.")
+        cfg = train_config or DIRECT_TRAIN_DEFAULT
+        if epochs is not None:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, epochs=epochs)
+        norm = self.normalizer
+        x_train = par_transform(jnp.asarray(self.data.par_train, jnp.float32), norm)
+        x_val = par_transform(jnp.asarray(self.data.par_val, jnp.float32), norm)
+        y_train = preproc(jnp.asarray(self.data.signal_train, jnp.float32), norm)
+        y_val = preproc(jnp.asarray(self.data.signal_val, jnp.float32), norm)
+        self.params, _, self.history = fit(
+            self.params,
+            self.loss_fn(),
+            x_train,
+            y_train,
+            x_val,
+            y_val,
+            cfg,
+            verbose=verbose,
+        )
+        return self.history.loss, self.history.val_loss
+
+    # -- evaluation --------------------------------------------------------
+
+    def test_error(
+        self, relative: bool = True, flow=None, fhigh=None
+    ) -> np.ndarray:
+        """Per-signal test-set error (reference ``emulator.py:409-439``)."""
+        if self.data is None:
+            raise ValueError("No dataset attached; construct with `data=`.")
+        return error(
+            self.data.signal_test,
+            self.predict(self.data.par_test),
+            relative=relative,
+            nu_arr=self.frequencies,
+            flow=flow,
+            fhigh=fhigh,
+        )

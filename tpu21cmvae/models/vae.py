@@ -1,0 +1,351 @@
+"""Variational autoencoder emulator family.
+
+The reference repo is *named* 21cmVAE and advertises an interpretable
+latent space (``README.rst:11``), but the v3.1.0 snapshot ships only a
+deterministic autoencoder — no sampling layer, no KL term
+(reference ``emulator.py:445-518``; loss at ``:739-747``). This module
+restores the variational capability as a first-class model family:
+
+* encoder trunk → (z_mean, z_logvar) heads;
+* reparameterized sampling ``z = mu + exp(logvar/2)·ε`` with explicit
+  PRNG keys (pure, reproducible — no hidden RNG state);
+* loss = relative-MSE reconstruction + β·KL(q(z|x) ‖ N(0,I));
+* latent-traversal utilities for the parameter-importance analysis the
+  paper performs with the latent space.
+
+Deterministic prediction uses z_mean (no sampling), so the VAE emulator
+has the same single-device-call inference path as the other families.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu21cmvae.data.dataset import DataSplits
+from tpu21cmvae.models.checkpoint import load_checkpoint, save_checkpoint
+from tpu21cmvae.models.direct import PAR_LABELS, _resolve_axes
+from tpu21cmvae.ops.losses import kl_divergence, mse, relative_mse
+from tpu21cmvae.ops.mlp import init_mlp, mlp_apply, resolve_activation
+from tpu21cmvae.ops.transforms import Normalizer, par_transform, preproc, unpreproc
+from tpu21cmvae.train.loop import fit
+from tpu21cmvae.utils.config import (
+    AE_EMULATOR_TRAIN_DEFAULT,
+    AE_TRAIN_DEFAULT,
+    TrainConfig,
+    VAEConfig,
+)
+from tpu21cmvae.utils.metrics import error
+
+
+def _init_head(key, in_dim, out_dim):
+    from tpu21cmvae.ops.mlp import glorot_uniform_init
+
+    return {
+        "w": glorot_uniform_init(key, in_dim, out_dim),
+        "b": jnp.zeros((out_dim,), jnp.float32),
+    }
+
+
+class VAE:
+    """Signal VAE over standardized signals.
+
+    Parameter pytree: ``{"trunk": mlp, "mu": head, "logvar": head,
+    "dec": mlp}``. The trunk applies the activation after every layer
+    (heads are linear), the decoder matches the reference decoder shape.
+    """
+
+    def __init__(self, config: VAEConfig = VAEConfig(), *, params=None, seed: int = 0):
+        self.config = config
+        if params is None:
+            k_trunk, k_mu, k_lv, k_dec = jax.random.split(jax.random.key(seed), 4)
+            trunk_sizes = (config.n_bins, *config.enc_hidden_dims)
+            trunk_width = trunk_sizes[-1]
+            params = {
+                # init_mlp builds (in, *hidden, out); trunk output is the
+                # last hidden width, all layers activated in apply.
+                "trunk": init_mlp(k_trunk, trunk_sizes)
+                if len(trunk_sizes) > 1
+                else (),
+                "mu": _init_head(k_mu, trunk_width, config.latent_dim),
+                "logvar": _init_head(k_lv, trunk_width, config.latent_dim),
+                "dec": init_mlp(k_dec, config.decoder().sizes),
+            }
+        self.params = params
+
+    # pure functions -------------------------------------------------------
+
+    def encode(self, params, x) -> Tuple[jax.Array, jax.Array]:
+        act = resolve_activation(self.config.activation)
+        hi = jax.lax.Precision.HIGHEST  # see ops.mlp.mlp_apply on precision
+        h = x
+        for layer in params["trunk"]:
+            h = act(jnp.matmul(h, layer["w"], precision=hi) + layer["b"])
+        mu = jnp.matmul(h, params["mu"]["w"], precision=hi) + params["mu"]["b"]
+        logvar = (
+            jnp.matmul(h, params["logvar"]["w"], precision=hi)
+            + params["logvar"]["b"]
+        )
+        return mu, logvar
+
+    def reparameterize(self, key, mu, logvar) -> jax.Array:
+        eps = jax.random.normal(key, mu.shape, mu.dtype)
+        return mu + jnp.exp(0.5 * logvar) * eps
+
+    def decode(self, params, z) -> jax.Array:
+        return mlp_apply(params["dec"], z, self.config.activation)
+
+    def apply(self, params, x, key=None):
+        """Reconstruction. With a key: sample the posterior; without:
+        decode the posterior mean (deterministic)."""
+        mu, logvar = self.encode(params, x)
+        z = mu if key is None else self.reparameterize(key, mu, logvar)
+        return self.decode(params, z), mu, logvar
+
+    def loss_fn(self):
+        """Per-sample β-ELBO on standardized signals; signature matches
+        the training loop's ``stochastic=True`` mode."""
+        beta = self.config.beta
+
+        def loss(params, x, y, key, scaled_mean):
+            recon, mu, logvar = self.apply(params, x, key)
+            return relative_mse(y, recon, scaled_mean) + beta * kl_divergence(
+                mu, logvar
+            )
+
+        return loss
+
+
+class VAEEmulator:
+    """Two-stage VAE-based emulator: VAE on signals, then a params→z_mean
+    MLP; prediction = decoder(emulator(params)). The variational analogue
+    of :class:`~tpu21cmvae.models.autoencoder.AutoEncoderEmulator`."""
+
+    par_labels = PAR_LABELS
+
+    def __init__(
+        self,
+        data: Optional[DataSplits] = None,
+        *,
+        config: VAEConfig = VAEConfig(),
+        normalizer: Optional[Normalizer] = None,
+        vae_params=None,
+        em_params=None,
+        redshifts=None,
+        frequencies=None,
+        seed: int = 0,
+    ):
+        if normalizer is None:
+            if data is None:
+                raise ValueError(
+                    "Provide `data` (to compute normalization constants) or "
+                    "an explicit `normalizer`."
+                )
+            normalizer = Normalizer.from_data(data.par_train, data.signal_train)
+        self.data = data
+        self.config = config
+        self.normalizer = normalizer
+        self.redshifts, self.frequencies = _resolve_axes(redshifts, frequencies)
+        self.vae = VAE(config, params=vae_params, seed=seed)
+        self.em_params = em_params if em_params is not None else init_mlp(
+            jax.random.key(seed + 1), config.emulator().sizes
+        )
+        self.history = None
+        self._build_jits()
+
+    def _build_jits(self):
+        norm = self.normalizer
+        act = self.config.activation
+        vae = self.vae
+
+        @jax.jit
+        def predict(em_params, vae_params, raw_params):
+            x = par_transform(raw_params, norm)
+            z = mlp_apply(em_params, x, act)
+            y = vae.decode(vae_params, z)
+            return unpreproc(y, norm)
+
+        @jax.jit
+        def reconstruct(vae_params, signals):
+            y = preproc(signals, norm)
+            rec, _, _ = vae.apply(vae_params, y, key=None)
+            return unpreproc(rec, norm)
+
+        self._predict_jit = predict
+        self._reconstruct_jit = reconstruct
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, path: str) -> str:
+        meta = {
+            "kind": "VAEEmulator",
+            "n_params": self.config.n_params,
+            "n_bins": self.config.n_bins,
+            "latent_dim": self.config.latent_dim,
+            "enc_hidden_dims": list(self.config.enc_hidden_dims),
+            "dec_hidden_dims": list(self.config.dec_hidden_dims),
+            "em_hidden_dims": list(self.config.em_hidden_dims),
+            "activation": self.config.activation,
+            "beta": self.config.beta,
+        }
+        tree = {
+            "vae": self.vae.params,
+            "em": self.em_params,
+            "normalizer": self.normalizer,
+        }
+        return save_checkpoint(path, tree, meta)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, data: Optional[DataSplits] = None):
+        _, meta = load_checkpoint(path)
+        cfg = VAEConfig(
+            n_params=meta["n_params"],
+            n_bins=meta["n_bins"],
+            latent_dim=meta["latent_dim"],
+            enc_hidden_dims=tuple(meta["enc_hidden_dims"]),
+            dec_hidden_dims=tuple(meta["dec_hidden_dims"]),
+            em_hidden_dims=tuple(meta["em_hidden_dims"]),
+            activation=meta.get("activation", "relu"),
+            beta=meta.get("beta", 1.0),
+        )
+        template = {
+            "vae": VAE(cfg, seed=0).params,
+            "em": init_mlp(jax.random.key(0), cfg.emulator().sizes),
+            "normalizer": Normalizer(
+                signal_mean=jnp.zeros(cfg.n_bins),
+                signal_std=jnp.zeros(()),
+                par_min=jnp.zeros(cfg.n_params),
+                par_max=jnp.zeros(cfg.n_params),
+            ),
+        }
+        tree, _ = load_checkpoint(path, like=template)
+        tree = jax.tree_util.tree_map(jnp.asarray, tree)
+        return cls(
+            data,
+            config=cfg,
+            normalizer=tree["normalizer"],
+            vae_params=tree["vae"],
+            em_params=tree["em"],
+        )
+
+    # -- inference ----------------------------------------------------------
+
+    def predict(self, params) -> np.ndarray:
+        raw = jnp.atleast_2d(jnp.asarray(params, jnp.float32))
+        pred = np.asarray(self._predict_jit(self.em_params, self.vae.params, raw))
+        return pred[0] if pred.shape[0] == 1 else pred
+
+    def reconstruct(self, signals) -> np.ndarray:
+        sig = jnp.atleast_2d(jnp.asarray(signals, jnp.float32))
+        rec = np.asarray(self._reconstruct_jit(self.vae.params, sig))
+        return rec[0] if rec.shape[0] == 1 else rec
+
+    def sample_signals(self, key, n: int) -> np.ndarray:
+        """Draw n signals from the prior: z ~ N(0, I) → decoder → mK."""
+        z = jax.random.normal(key, (n, self.config.latent_dim))
+        y = self.vae.decode(self.vae.params, z)
+        return np.asarray(unpreproc(y, self.normalizer))
+
+    def latent_traversal(
+        self, dim: int, values, base_params=None
+    ) -> np.ndarray:
+        """Decode signals along one latent dimension — the latent-space
+        interpretability analysis the reference paper performs.
+
+        ``base_params``: raw astrophysical parameters whose posterior mean
+        anchors the other latent dims (defaults to the origin).
+        """
+        values = jnp.asarray(values, jnp.float32)
+        if base_params is not None:
+            x = par_transform(
+                jnp.atleast_2d(jnp.asarray(base_params, jnp.float32)),
+                self.normalizer,
+            )
+            sig = mlp_apply(self.em_params, x, self.config.activation)
+            base = sig[0]
+        else:
+            base = jnp.zeros((self.config.latent_dim,), jnp.float32)
+        z = jnp.tile(base, (len(values), 1)).at[:, dim].set(values)
+        y = self.vae.decode(self.vae.params, z)
+        return np.asarray(unpreproc(y, self.normalizer))
+
+    # -- training -----------------------------------------------------------
+
+    def train(
+        self,
+        epochs: Optional[int] = None,
+        vae_train_config: Optional[TrainConfig] = None,
+        em_train_config: Optional[TrainConfig] = None,
+        verbose: bool = False,
+    ) -> Tuple[list, list, list, list]:
+        """Stage A: VAE with reconstruction + β·KL (stochastic loss, fresh
+        key per batch); Stage B: params→z_mean MLP with MSE. Returns
+        ``(vae_loss, vae_val_loss, loss, val_loss)``."""
+        if self.data is None:
+            raise ValueError("No dataset attached; construct with `data=`.")
+        vae_cfg = vae_train_config or AE_TRAIN_DEFAULT
+        em_cfg = em_train_config or AE_EMULATOR_TRAIN_DEFAULT
+        if epochs is not None:
+            vae_cfg = dataclasses.replace(vae_cfg, epochs=epochs)
+            em_cfg = dataclasses.replace(em_cfg, epochs=epochs)
+
+        norm = self.normalizer
+        act = self.config.activation
+        scaled_mean = norm.scaled_mean
+        y_train = preproc(jnp.asarray(self.data.signal_train, jnp.float32), norm)
+        y_val = preproc(jnp.asarray(self.data.signal_val, jnp.float32), norm)
+
+        base_loss = self.vae.loss_fn()
+
+        def vae_loss_fn(params, x, y, key):
+            return base_loss(params, x, y, key, scaled_mean)
+
+        vae_params, _, vae_hist = fit(
+            self.vae.params, vae_loss_fn, y_train, y_train, y_val, y_val,
+            vae_cfg, stochastic=True, verbose=verbose,
+        )
+        self.vae.params = vae_params
+
+        encode = jax.jit(lambda s: self.vae.encode(vae_params, s)[0])
+        z_train = encode(y_train)
+        z_val = encode(y_val)
+        x_train = par_transform(jnp.asarray(self.data.par_train, jnp.float32), norm)
+        x_val = par_transform(jnp.asarray(self.data.par_val, jnp.float32), norm)
+
+        def em_loss_fn(params, x, y):
+            return mse(y, mlp_apply(params, x, act))
+
+        self.em_params, _, em_hist = fit(
+            self.em_params, em_loss_fn, x_train, z_train, x_val, z_val, em_cfg,
+            verbose=verbose,
+        )
+        self.history = {"vae": vae_hist, "emulator": em_hist}
+        return vae_hist.loss, vae_hist.val_loss, em_hist.loss, em_hist.val_loss
+
+    # -- evaluation ----------------------------------------------------------
+
+    def test_error(
+        self,
+        use_vae: bool = False,
+        relative: bool = True,
+        flow=None,
+        fhigh=None,
+    ) -> np.ndarray:
+        if self.data is None:
+            raise ValueError("No dataset attached; construct with `data=`.")
+        if use_vae:
+            pred = self.reconstruct(self.data.signal_test)
+        else:
+            pred = self.predict(self.data.par_test)
+        return error(
+            self.data.signal_test,
+            pred,
+            relative=relative,
+            nu_arr=self.frequencies,
+            flow=flow,
+            fhigh=fhigh,
+        )

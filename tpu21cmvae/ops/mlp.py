@@ -1,0 +1,100 @@
+"""Dense-MLP core: weights as a pytree + a pure apply function.
+
+Replaces the reference's Keras ``Sequential`` builder ``_gen_model``
+(reference ``emulator.py:12-48``). Weights use the Keras kernel layout
+``(in_dim, out_dim)`` so the shipped pretrained ``.h5`` files import
+without transposition, and initialization matches Keras Dense defaults
+(Glorot-uniform kernels, zero biases) so retraining dynamics are
+comparable.
+
+The parameter pytree is a tuple of ``{"w": (in, out), "b": (out,)}`` layer
+dicts — trivially shardable, checkpointable, and differentiable.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+MLPParams = Tuple[dict, ...]
+
+_ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+    "gelu": jax.nn.gelu,
+    "elu": jax.nn.elu,
+    "softplus": jax.nn.softplus,
+    "linear": lambda x: x,
+}
+
+
+def resolve_activation(activation: Union[str, Callable]) -> Callable:
+    """Accepts a name (Keras-style, reference ``emulator.py:25-27``) or a
+    callable."""
+    if callable(activation):
+        return activation
+    try:
+        return _ACTIVATIONS[activation]
+    except KeyError:
+        raise ValueError(
+            f"Unknown activation {activation!r}; one of {sorted(_ACTIVATIONS)} "
+            "or a callable."
+        ) from None
+
+
+def glorot_uniform_init(key: jax.Array, in_dim: int, out_dim: int, dtype=jnp.float32):
+    """Keras Dense default kernel init: U(-limit, limit),
+    limit = sqrt(6 / (fan_in + fan_out))."""
+    limit = (6.0 / (in_dim + out_dim)) ** 0.5
+    return jax.random.uniform(
+        key, (in_dim, out_dim), dtype=dtype, minval=-limit, maxval=limit
+    )
+
+
+def init_mlp(key: jax.Array, sizes: Sequence[int], dtype=jnp.float32) -> MLPParams:
+    """Initialize an MLP with layer widths ``sizes = (in, *hidden, out)``."""
+    keys = jax.random.split(key, len(sizes) - 1)
+    return tuple(
+        {
+            "w": glorot_uniform_init(k, d_in, d_out, dtype),
+            "b": jnp.zeros((d_out,), dtype=dtype),
+        }
+        for k, d_in, d_out in zip(keys, sizes[:-1], sizes[1:])
+    )
+
+
+def mlp_apply(
+    params: MLPParams,
+    x: jax.Array,
+    activation: Union[str, Callable] = "relu",
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Forward pass: ``activation`` after every layer except the last,
+    which is linear (matching ``_gen_model``'s output layer,
+    reference ``emulator.py:45-46``).
+
+    ``precision`` defaults to HIGHEST: this JAX build's default matmul
+    precision truncates f32 inputs to bf16-class products, which costs
+    ~3 decimal digits — fatal for the 0.34 % accuracy contract. The
+    emulator is HBM-bound, not MXU-bound, so full-precision passes are
+    effectively free here.
+    """
+    act = resolve_activation(activation)
+    for i, layer in enumerate(params):
+        x = jnp.matmul(x, layer["w"], precision=precision) + layer["b"]
+        if i < len(params) - 1:
+            x = act(x)
+    return x
+
+
+def mlp_sizes(params: MLPParams) -> Tuple[int, ...]:
+    """Recover layer widths from a parameter pytree."""
+    return (params[0]["w"].shape[0], *(layer["w"].shape[1] for layer in params))
+
+
+def count_params(params) -> int:
+    """Total number of scalar parameters in any pytree."""
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))

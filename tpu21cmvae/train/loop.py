@@ -1,0 +1,226 @@
+"""jit-compiled training loop: one device call per epoch.
+
+Replaces the reference's Keras ``Model.fit`` path
+(reference ``emulator.py:369-378``) with a TPU-first design:
+
+* the whole dataset lives on device; each epoch is ONE jitted call that
+  shuffles (``jax.random.permutation``), then ``lax.scan``s over batches
+  of 256 (reference batch size, ``emulator.py:372``) running
+  value_and_grad + Adam per step;
+* the ragged last batch is handled with a static pad + per-sample weight
+  mask, so shapes stay static and the epoch loss is the exact
+  sample-weighted mean Keras reports;
+* the learning rate is a traced scalar argument — ReduceLROnPlateau
+  adjusts it between epochs without recompilation;
+* validation loss is a second jitted call on the full split;
+* EarlyStopping / ReduceLROnPlateau run host-side between epochs with
+  Keras-exact semantics (:mod:`tpu21cmvae.train.callbacks`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu21cmvae.train.adam import adam_init, adam_update
+from tpu21cmvae.train.callbacks import EarlyStopping, ReduceLROnPlateau
+from tpu21cmvae.utils.config import TrainConfig
+
+LossFn = Callable[..., jax.Array]  # (params, x, y) -> per-sample losses
+
+
+@dataclasses.dataclass
+class History:
+    """Per-epoch training record (superset of the Keras ``History`` dict
+    the reference returns, ``emulator.py:379-381``)."""
+
+    loss: List[float] = dataclasses.field(default_factory=list)
+    val_loss: List[float] = dataclasses.field(default_factory=list)
+    lr: List[float] = dataclasses.field(default_factory=list)
+    epoch_time_s: List[float] = dataclasses.field(default_factory=list)
+    stopped_epoch: Optional[int] = None
+    best_epoch: Optional[int] = None
+
+    def as_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def _make_epoch_fn(loss_fn: LossFn, cfg: TrainConfig, n: int, stochastic: bool):
+    """Build the jitted one-epoch function for a dataset of n samples.
+
+    Not donated: EarlyStopping keeps a reference to the best epoch's
+    params pytree, and donating would invalidate those buffers.
+    """
+    bs = cfg.batch_size
+    nb = -(-n // bs)  # ceil
+    padded = nb * bs
+
+    def epoch(params, opt_state, lr, key, x, y):
+        shuffle_key, loss_key = jax.random.split(key)
+        perm = jax.random.permutation(shuffle_key, n)
+        perm = jnp.concatenate([perm, jnp.zeros((padded - n,), perm.dtype)])
+        weights = (jnp.arange(padded) < n).astype(x.dtype)
+        xb = x[perm].reshape(nb, bs, *x.shape[1:])
+        yb = y[perm].reshape(nb, bs, *y.shape[1:])
+        wb = weights.reshape(nb, bs)
+
+        def step(carry, batch):
+            params, opt_state, total = carry
+            bx, by, bw, i = batch
+            count = jnp.sum(bw)
+
+            def batch_loss(p):
+                if stochastic:
+                    per_sample = loss_fn(p, bx, by, jax.random.fold_in(loss_key, i))
+                else:
+                    per_sample = loss_fn(p, bx, by)
+                return jnp.sum(per_sample * bw) / count
+
+            loss_val, grads = jax.value_and_grad(batch_loss)(params)
+            params, opt_state = adam_update(
+                grads,
+                params,
+                opt_state,
+                lr,
+                beta_1=cfg.beta_1,
+                beta_2=cfg.beta_2,
+                epsilon=cfg.epsilon,
+            )
+            return (params, opt_state, total + loss_val * count), None
+
+        (params, opt_state, total), _ = jax.lax.scan(
+            step,
+            (params, opt_state, jnp.zeros((), x.dtype)),
+            (xb, yb, wb, jnp.arange(nb)),
+        )
+        return params, opt_state, total / n
+
+    return jax.jit(epoch)
+
+
+def _make_eval_fn(loss_fn: LossFn, stochastic: bool, seed: int):
+    """Validation loss; stochastic losses use a fixed key so the monitor
+    the callbacks watch is deterministic across epochs."""
+    eval_key = jax.random.key(seed ^ 0x5EED)
+
+    @jax.jit
+    def evaluate(params, x, y):
+        if stochastic:
+            return jnp.mean(loss_fn(params, x, y, eval_key))
+        return jnp.mean(loss_fn(params, x, y))
+
+    return evaluate
+
+
+def fit(
+    params,
+    loss_fn: LossFn,
+    x_train,
+    y_train,
+    x_val,
+    y_val,
+    cfg: TrainConfig,
+    *,
+    opt_state=None,
+    stochastic: bool = False,
+    verbose: bool = False,
+    epoch_callback: Optional[Callable] = None,
+):
+    """Train ``params`` to minimize the mean of ``loss_fn`` per-sample
+    losses. Returns ``(params, opt_state, History)``.
+
+    ``loss_fn(params, x, y) -> (batch,)`` per-sample losses — the direct
+    emulator passes relative-MSE over the MLP, the AE stages pass their
+    own (SURVEY.md §3.2/§3.4). With ``stochastic=True`` the signature is
+    ``loss_fn(params, x, y, key)`` and each batch gets a fresh PRNG key
+    (used by the VAE's reparameterization sampling).
+    """
+    x_train = jnp.asarray(x_train, jnp.float32)
+    y_train = jnp.asarray(y_train, jnp.float32)
+    x_val = jnp.asarray(x_val, jnp.float32)
+    y_val = jnp.asarray(y_val, jnp.float32)
+    n = x_train.shape[0]
+
+    epoch_fn = _make_epoch_fn(loss_fn, cfg, n, stochastic)
+    eval_fn = _make_eval_fn(loss_fn, stochastic, cfg.seed)
+
+    if opt_state is None:
+        opt_state = adam_init(params)
+    early: Optional[EarlyStopping] = None
+    if cfg.early_stop_patience is not None:
+        early = EarlyStopping(
+            patience=cfg.early_stop_patience,
+            min_delta=cfg.early_stop_min_delta,
+            restore_best_weights=cfg.restore_best_weights,
+        )
+    plateau: Optional[ReduceLROnPlateau] = None
+    if cfg.plateau_patience is not None:
+        plateau = ReduceLROnPlateau(
+            patience=cfg.plateau_patience,
+            factor=cfg.plateau_factor,
+            min_delta=cfg.plateau_min_delta,
+            min_lr=cfg.plateau_min_lr,
+        )
+
+    history = History()
+    lr = float(cfg.learning_rate)
+    key = jax.random.key(cfg.seed)
+    progress = _progress_bar(cfg.epochs) if verbose else None
+
+    for epoch in range(cfg.epochs):
+        t0 = time.perf_counter()
+        key, sub = jax.random.split(key)
+        params, opt_state, train_loss = epoch_fn(
+            params, opt_state, jnp.float32(lr), sub, x_train, y_train
+        )
+        val_loss = float(eval_fn(params, x_val, y_val))
+        train_loss = float(train_loss)
+        history.loss.append(train_loss)
+        history.val_loss.append(val_loss)
+        history.lr.append(lr)
+        history.epoch_time_s.append(time.perf_counter() - t0)
+
+        if progress is not None:
+            progress.set_postfix(loss=train_loss, val_loss=val_loss, lr=lr)
+            progress.update(1)
+        if epoch_callback is not None:
+            epoch_callback(epoch, params, opt_state, history)
+
+        stop = False
+        if early is not None:
+            stop = early.update(epoch, val_loss, params)
+        if plateau is not None:
+            lr = plateau.update(val_loss, lr)
+        if stop:
+            history.stopped_epoch = epoch
+            break
+
+    if early is not None:
+        params = early.final_weights(params)
+        history.best_epoch = early.best_epoch
+    if progress is not None:
+        progress.close()
+    return params, opt_state, history
+
+
+def _progress_bar(total):
+    try:
+        from tqdm import tqdm
+
+        return tqdm(total=total, desc="train", leave=False)
+    except ImportError:  # pragma: no cover
+        return None
+
+
+def make_mlp_loss(apply_fn: Callable, per_sample_loss: Callable) -> LossFn:
+    """Compose a forward function and a per-sample loss into the
+    ``loss_fn`` signature :func:`fit` expects."""
+
+    def loss_fn(params, x, y):
+        return per_sample_loss(y, apply_fn(params, x))
+
+    return loss_fn
