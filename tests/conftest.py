@@ -7,12 +7,21 @@ Pallas kernels run in interpreter mode on CPU.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force-override: the ambient environment pins JAX_PLATFORMS to the real
+# TPU tunnel and a sitecustomize hook re-registers it at interpreter
+# startup; the test suite always runs on the virtual CPU mesh, so set the
+# env AND the jax config (backends initialize lazily — updating the
+# config before first device use wins).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

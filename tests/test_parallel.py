@@ -1,0 +1,110 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu21cmvae.models.direct import DirectEmulator
+from tpu21cmvae.ops.mlp import init_mlp, mlp_apply
+from tpu21cmvae.parallel import (
+    ShardedEmulator,
+    dp_fit,
+    make_dp_train_step,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from tpu21cmvae.train.adam import adam_init
+from tpu21cmvae.train.loop import fit
+from tpu21cmvae.utils.config import TrainConfig
+
+
+def test_virtual_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8, (
+        "conftest must provide 8 virtual CPU devices"
+    )
+
+
+def test_sharded_predict_matches_single_device(splits):
+    em = DirectEmulator(splits, seed=3)
+    sharded = ShardedEmulator.for_model(em)
+    raw = splits.par_test[:64]
+    got = sharded(raw)
+    expected = em.predict(raw)
+    assert got.shape == expected.shape
+    assert np.allclose(got, expected, atol=1e-5)
+
+
+def test_sharded_predict_pads_ragged_batches(splits):
+    em = DirectEmulator(splits, seed=3)
+    sharded = ShardedEmulator.for_model(em)
+    for n in (1, 7, 8, 13, 100):
+        got = sharded(splits.par_test[:n])
+        assert got.shape == ((451,) if n == 1 else (n, 451))
+        # ragged sizes bucket to powers of two — same compiled program
+    got1 = sharded(splits.par_test[0])
+    assert got1.shape == (451,)
+    assert np.allclose(got1, em.predict(splits.par_test[0]), atol=1e-5)
+
+
+def test_dp_train_step_matches_single_device(splits, normalizer):
+    mesh = make_mesh()
+    cfg = TrainConfig()
+    params = init_mlp(jax.random.key(0), (7, 32, 451))
+
+    def loss_fn(p, x, y):
+        return jnp.mean((mlp_apply(p, x) - y) ** 2, axis=-1)
+
+    from tpu21cmvae.ops.transforms import par_transform, preproc
+
+    x = par_transform(jnp.asarray(splits.par_train[:64], jnp.float32), normalizer)
+    y = preproc(jnp.asarray(splits.signal_train[:64], jnp.float32), normalizer)
+
+    # single-device step
+    from tpu21cmvae.train.adam import adam_update
+
+    def single_step(p, s, lr, bx, by):
+        lv, g = jax.value_and_grad(lambda q: jnp.mean(loss_fn(q, bx, by)))(p)
+        p, s = adam_update(g, p, s, lr)
+        return p, s, lv
+
+    p1, s1, l1 = single_step(params, adam_init(params), jnp.float32(0.01), x, y)
+
+    dp_step = make_dp_train_step(loss_fn, cfg, mesh)
+    p2, s2, l2 = dp_step(
+        replicate(params, mesh),
+        replicate(adam_init(params), mesh),
+        jnp.float32(0.01),
+        shard_batch(x, mesh),
+        shard_batch(y, mesh),
+    )
+    assert np.allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)
+    ):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_fit_matches_single_device_fit(splits, normalizer):
+    from tpu21cmvae.ops.transforms import par_transform, preproc
+
+    mesh = make_mesh()
+    cfg = TrainConfig(epochs=3, early_stop_patience=None, plateau_patience=None)
+    params = init_mlp(jax.random.key(1), (7, 16, 451))
+
+    def loss_fn(p, x, y):
+        return jnp.mean((mlp_apply(p, x) - y) ** 2, axis=-1)
+
+    x = par_transform(jnp.asarray(splits.par_train[:256], jnp.float32), normalizer)
+    y = preproc(jnp.asarray(splits.signal_train[:256], jnp.float32), normalizer)
+    xv = par_transform(jnp.asarray(splits.par_val[:64], jnp.float32), normalizer)
+    yv = preproc(jnp.asarray(splits.signal_val[:64], jnp.float32), normalizer)
+
+    p_single, _, h_single = fit(params, loss_fn, x, y, xv, yv, cfg)
+    p_dp, _, h_dp = dp_fit(params, loss_fn, x, y, xv, yv, cfg, mesh)
+    # same permutations (same cfg.seed) → same trajectories up to
+    # reduction-order float noise
+    assert np.allclose(h_single.loss, h_dp.loss, rtol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_single), jax.tree_util.tree_leaves(p_dp)
+    ):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
