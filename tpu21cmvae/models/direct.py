@@ -157,23 +157,36 @@ class DirectEmulator:
 
     # -- inference ---------------------------------------------------------
 
-    def _build_predict(self):
+    def _build_predict(self, precision=jax.lax.Precision.HIGHEST):
         norm = self.normalizer
         activation = self.config.activation
 
         @jax.jit
         def predict(params, raw_params):
             x = par_transform(raw_params, norm)
-            y = mlp_apply(params, x, activation)
+            y = mlp_apply(params, x, activation, precision=precision)
             return unpreproc(y, norm)
 
         return predict
 
-    def predict_fn(self):
+    def predict_fn(self, precision=None):
         """The raw jitted pure function ``(weights, raw_params) → signals``
         — the building block for sharded mega-batch inference
-        (:mod:`tpu21cmvae.parallel`) and benchmarking."""
-        return self._predict_jit
+        (:mod:`tpu21cmvae.parallel`) and benchmarking.
+
+        ``precision``: matmul tier. Default (None) is the HIGHEST-precision
+        contract path (exact f32 — 6 bf16 MXU passes on TPU).
+        ``jax.lax.Precision.HIGH`` is the safe turbo tier: 3-pass bf16x3
+        matmuls with f32 accumulation, ~1.7× faster and within ~1e-4
+        relative-to-amplitude of the contract path on trained weights
+        (≈3 % of the 0.34 % accuracy budget; measured on v5e).
+        ``Precision.DEFAULT`` (single-pass bf16) is another ~2.5× faster
+        but degrades to ~1.4e-2 on trained weights — outside the accuracy
+        contract; bench.py's trained-model gate rejects it.
+        """
+        if precision is None:
+            return self._predict_jit
+        return self._build_predict(precision)
 
     def predict(self, params) -> np.ndarray:
         """Emulate global signal(s) from raw astrophysical parameters.

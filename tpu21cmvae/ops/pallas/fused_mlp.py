@@ -1,0 +1,263 @@
+"""Fused whole-network emulator forward pass as one Pallas TPU kernel.
+
+The flagship inference chain is ``par_transform → 5-layer MLP → unpreproc``
+(reference call stack: ``emulator.py:383-407``; SURVEY.md §3.3). All three
+stages collapse into a single kernel here:
+
+* the affine part of ``par_transform`` (map the log-space training range
+  onto [-1, 1]) is **folded into the first layer's weights** — an affine
+  map feeding a linear layer is just a different linear layer;
+* ``unpreproc`` (× global std, + per-bin mean) is **folded into the last
+  (linear) layer's weights** the same way;
+* only the non-linear log10/clamp on the first three parameter columns
+  (reference ``preprocess.py:74-76``) remains as elementwise work.
+
+So the kernel body is: log-clamp → matmul/bias/ReLU ×4 → matmul/bias.
+All weights (~1.8 MB padded f32 for the 372k-param flagship) live in VMEM
+for the whole grid; the batch streams through in row tiles, double-
+buffered by the Pallas pipeline. The MXU sees five back-to-back matmuls
+per tile with zero HBM traffic for intermediates.
+
+On non-TPU backends the kernel runs in interpreter mode (slow, exact) so
+parity tests run everywhere; production dispatch goes through
+:func:`make_fused_emulate`, which the benchmark compares against the XLA
+path and uses only if faster.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu21cmvae.ops.mlp import MLPParams
+from tpu21cmvae.ops.transforms import _FX_CLAMP, _N_LOG_COLS, Normalizer
+from tpu21cmvae.utils.config import DirectEmulatorConfig
+
+DEFAULT_BLOCK_ROWS = 1024
+
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def resolve_precision(precision) -> jax.lax.Precision:
+    """Matmul precision tier. On TPU f32 matmuls decompose into bf16 MXU
+    passes: DEFAULT=1, HIGH=3 (bf16x3), HIGHEST=6 (exact f32; the
+    contract tier used by the XLA reference path).
+
+    Accuracy caution (measured on v5e): on *trained* weights — which have
+    far more cancellation than random init — single-pass bf16 is ~1.4e-2
+    relative-to-amplitude, outside the 0.34 % contract; bf16x3 is ~1e-4
+    (safe). Mosaic's dot lowering supports only DEFAULT and HIGHEST, so a
+    HIGH-class fused kernel would need a manual hi/lo bf16x3
+    decomposition; the XLA HIGH path covers that tier today.
+    """
+    if isinstance(precision, str):
+        return _PRECISIONS[precision.lower()]
+    return precision
+
+
+def fold_emulator_constants(params: MLPParams, norm: Normalizer) -> MLPParams:
+    """Fold the normalization constants into the first/last layer weights.
+
+    ``par_transform``'s affine stage is ``x ↦ a·x_log + c`` with per-column
+    ``a = 2/(max−min)``, ``c = −(max+min)/(max−min)`` (reference
+    ``preprocess.py:100-108``); feeding a linear layer ``x@W + b`` this is
+    ``x_log @ (a[:,None]·W) + (c@W + b)``. ``unpreproc`` is
+    ``y ↦ y·std + mean`` (reference ``preprocess.py:27-46``) after a
+    *linear* output layer, so ``W' = W·std``, ``b' = b·std + mean``.
+
+    Cheap (runs on the small weight arrays under jit, re-folded per call),
+    and exact: the folded network computes bit-identically structured
+    matmuls, just with different constants.
+    """
+    a = 2.0 / (norm.par_max - norm.par_min)
+    c = -(norm.par_max + norm.par_min) / (norm.par_max - norm.par_min)
+    first, *mid, last = params
+    first = {
+        "w": a[:, None] * first["w"],
+        "b": c @ first["w"] + first["b"],
+    }
+    last = {
+        "w": last["w"] * norm.signal_std,
+        "b": last["b"] * norm.signal_std + norm.signal_mean,
+    }
+    return (first, *mid, last)
+
+
+def _log_clamp(x: jax.Array) -> jax.Array:
+    """log10 on columns 0..2 with the ``fx == 0 → 1e-6`` clamp
+    (reference ``preprocess.py:74-76``); other columns pass through."""
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    is_log = col < _N_LOG_COLS
+    is_fx = col == _N_LOG_COLS - 1
+    clamped = jnp.where(is_fx & (x == 0.0), _FX_CLAMP, x)
+    return jnp.where(is_log, jnp.log10(jnp.where(is_log, clamped, 1.0)), x)
+
+
+def _mlp_kernel(n_layers: int, log_clamp_input: bool, precision, bf16_acts, *refs):
+    """Kernel body: [log-clamp] → (matmul+bias, ReLU)ⁿ⁻¹ → matmul+bias.
+
+    ``refs`` = (x_ref, w_0, b_0, …, w_{n-1}, b_{n-1}, out_ref). Biases are
+    (1, out) so every operand is ≥2-D (TPU tiling). Accumulation is always
+    f32 (``preferred_element_type``); ``precision`` picks the number of
+    bf16 MXU passes per f32 matmul (see :func:`resolve_precision`). With
+    ``bf16_acts`` the activations are cast to bf16 before each matmul
+    (weights are already bf16 in VMEM) — native single-pass MXU feed with
+    f32 accumulators.
+    """
+    x_ref, *wb, out_ref = refs
+    h = x_ref[:]
+    if log_clamp_input:
+        h = _log_clamp(h)
+    for i in range(n_layers):
+        w, b = wb[2 * i][:], wb[2 * i + 1][:]
+        if bf16_acts:
+            h = h.astype(jnp.bfloat16)
+        h = (
+            jnp.dot(
+                h,
+                w,
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            + b
+        )
+        if i < n_layers - 1:
+            h = jnp.maximum(h, 0.0)
+    out_ref[:] = h
+
+
+def _should_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def make_fused_mlp(
+    sizes: Sequence[int],
+    *,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    log_clamp_input: bool = False,
+    interpret: Optional[bool] = None,
+    precision="highest",
+    weight_dtype=jnp.float32,
+):
+    """Build ``fn(params, x) → y``: the whole MLP as one Pallas kernel.
+
+    ``sizes = (in, *hidden, out)``; ReLU hidden activations, linear output
+    (the only architecture the emulator families use — reference
+    ``emulator.py:12-48``). The batch is tiled in ``block_rows`` chunks;
+    weights and biases are unblocked VMEM residents. Arbitrary batch
+    sizes are padded up to a tile boundary with ones (safe under the log
+    transform) and sliced back.
+
+    ``weight_dtype=jnp.bfloat16`` pre-casts weights once on the host side
+    of the call and feeds the MXU native bf16 operands (activations cast
+    in-kernel, f32 accumulation, f32 biases/outputs) — the fastest tier,
+    with ~4e-4 relative-to-amplitude error like DEFAULT precision.
+    """
+    sizes = tuple(int(s) for s in sizes)
+    n_layers = len(sizes) - 1
+    in_dim, out_dim = sizes[0], sizes[-1]
+    if interpret is None:
+        interpret = _should_interpret()
+    bf16_acts = weight_dtype == jnp.bfloat16
+
+    kernel = functools.partial(
+        _mlp_kernel,
+        n_layers,
+        log_clamp_input,
+        resolve_precision(precision),
+        bf16_acts,
+    )
+    flops_per_row = 2 * sum(a * b for a, b in zip(sizes[:-1], sizes[1:]))
+    weight_bytes = 4 * sum((a + 1) * b for a, b in zip(sizes[:-1], sizes[1:]))
+
+    wb_specs = []
+    for _ in range(n_layers):
+        wb_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # w
+        wb_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # b
+
+    def call(params: MLPParams, x: jax.Array) -> jax.Array:
+        n = x.shape[0]
+        nb = pl.cdiv(n, block_rows)
+        padded = nb * block_rows
+        if padded != n:
+            x = jnp.pad(x, ((0, padded - n), (0, 0)), constant_values=1.0)
+        flat = []
+        for layer in params:
+            flat.append(layer["w"].astype(weight_dtype))
+            flat.append(layer["b"].reshape(1, -1).astype(jnp.float32))
+        out = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(
+                    (block_rows, in_dim),
+                    lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                *wb_specs,
+            ],
+            out_specs=pl.BlockSpec(
+                (block_rows, out_dim),
+                lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((padded, out_dim), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=padded * flops_per_row,
+                bytes_accessed=4 * padded * (in_dim + out_dim) + weight_bytes,
+                transcendentals=padded * in_dim if log_clamp_input else 0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",) if interpret else ("parallel",),
+            ),
+            interpret=interpret,
+        )(x, *flat)
+        return out[:n] if padded != n else out
+
+    return call
+
+
+def make_fused_emulate(
+    config: DirectEmulatorConfig,
+    norm: Normalizer,
+    *,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    interpret: Optional[bool] = None,
+    precision="highest",
+    weight_dtype=jnp.float32,
+):
+    """Fused flagship inference: ``(params, raw_params) → signals`` in mK.
+
+    Drop-in for the XLA path built by ``DirectEmulator.predict_fn()``
+    (same signature, same unfolded ``params`` pytree): the normalization
+    constants are folded into the weights under jit, then the single
+    fused kernel runs the whole chain. Jit the result for dispatch.
+    """
+    if config.activation != "relu":  # kernel hard-codes ReLU hidden layers
+        raise NotImplementedError(
+            "Fused kernel supports the reference's relu MLPs only; got "
+            f"activation={config.activation!r}"
+        )
+    mlp = make_fused_mlp(
+        config.mlp().sizes,
+        block_rows=block_rows,
+        log_clamp_input=True,
+        interpret=interpret,
+        precision=precision,
+        weight_dtype=weight_dtype,
+    )
+
+    def emulate(params: MLPParams, raw_params: jax.Array) -> jax.Array:
+        folded = fold_emulator_constants(params, norm)
+        return mlp(folded, raw_params.astype(jnp.float32))
+
+    return emulate
