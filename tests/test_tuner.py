@@ -1,0 +1,101 @@
+"""Tuner tests: small random searches on the synthetic dataset.
+
+The reference's tuner is advertised but absent (reference ``README.rst:13``,
+``.gitignore:14``), so there is no reference test to mirror; these pin the
+search contract: deterministic sampling, ranked results, dedup of repeated
+architectures, and a retrainable winner.
+"""
+
+import dataclasses
+
+import numpy as np
+
+from tpu21cmvae.tuner import (
+    LatentSearchSpace,
+    SearchSpace,
+    TuneResult,
+    retrain_best,
+    tune_autoencoder,
+    tune_direct,
+)
+from tpu21cmvae.utils.config import DirectEmulatorConfig, TrainConfig
+
+FAST = TrainConfig(
+    epochs=8, early_stop_patience=None, plateau_patience=None, learning_rate=0.005
+)
+
+
+def test_search_space_sampling():
+    space = SearchSpace(min_layers=2, max_layers=4, width_choices=(32, 64))
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        dims = space.sample(rng)
+        assert 2 <= len(dims) <= 4
+        assert all(w in (32, 64) for w in dims)
+
+
+def test_tune_direct_ranks_trials(splits):
+    res = tune_direct(
+        splits,
+        n_trials=3,
+        space=SearchSpace(min_layers=1, max_layers=2, width_choices=(24, 32, 48)),
+        train_config=FAST,
+        seed=0,
+    )
+    assert isinstance(res, TuneResult)
+    assert 1 <= len(res.trials) <= 3  # dedup may drop repeats
+    errs = [t.val_error for t in res.trials]
+    assert errs == sorted(errs)
+    assert all(np.isfinite(e) for e in errs)
+    best = res.best
+    assert isinstance(best.config, DirectEmulatorConfig)
+    assert best.n_params > 0 and best.epochs_ran == FAST.epochs
+    assert "val_err" in res.leaderboard()
+
+
+def test_tune_is_deterministic(splits):
+    kw = dict(
+        n_trials=2,
+        space=SearchSpace(min_layers=1, max_layers=1, width_choices=(24, 40)),
+        train_config=FAST,
+        seed=3,
+    )
+    a = tune_direct(splits, **kw)
+    b = tune_direct(splits, **kw)
+    assert [t.config for t in a.trials] == [t.config for t in b.trials]
+    assert np.allclose(
+        [t.val_error for t in a.trials], [t.val_error for t in b.trials]
+    )
+
+
+def test_retrain_best_direct(splits):
+    res = tune_direct(
+        splits,
+        n_trials=1,
+        space=SearchSpace(min_layers=1, max_layers=1, width_choices=(32,)),
+        train_config=FAST,
+        seed=1,
+    )
+    model = retrain_best(
+        res, splits, train_config=dataclasses.replace(FAST, epochs=4)
+    )
+    assert model.config == res.best.config
+    pred = model.predict(splits.par_test[:3])
+    assert pred.shape == (3, splits.n_bins)
+
+
+def test_tune_autoencoder_runs(splits):
+    res = tune_autoencoder(
+        splits,
+        n_trials=2,
+        space=LatentSearchSpace(
+            min_layers=1, max_layers=1, width_choices=(32,), latent_choices=(4, 6)
+        ),
+        em_space=SearchSpace(min_layers=1, max_layers=1, width_choices=(24,)),
+        ae_train_config=FAST,
+        em_train_config=FAST,
+        seed=0,
+    )
+    assert len(res.trials) >= 1
+    assert all(np.isfinite(t.val_error) for t in res.trials)
+    assert res.best.config.latent_dim in (4, 6)

@@ -217,12 +217,22 @@ class DirectEmulator:
         epochs: Optional[int] = None,
         train_config: Optional[TrainConfig] = None,
         verbose: bool = False,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 10,
+        resume: bool = False,
+        epoch_callback=None,
     ) -> Tuple[list, list]:
         """Train on the attached dataset with the reference recipe
         (Adam lr=0.01, batch 256, EarlyStopping + ReduceLROnPlateau —
         ``Training.ipynb`` cells 4-5). Returns ``(loss, val_loss)`` per
         epoch, mirroring the reference's return (``emulator.py:379-381``);
-        the full record lands in ``self.history``."""
+        the full record lands in ``self.history``.
+
+        ``checkpoint_dir``/``resume`` enable preemption-safe training:
+        full state (weights, Adam moments, LR position, early-stopping
+        monitor, history) checkpoints atomically every
+        ``checkpoint_every`` epochs and a restarted job picks up where it
+        left off (see :func:`tpu21cmvae.train.loop.fit`)."""
         if self.data is None:
             raise ValueError("No dataset attached; construct with `data=`.")
         cfg = train_config or DIRECT_TRAIN_DEFAULT
@@ -244,6 +254,10 @@ class DirectEmulator:
             y_val,
             cfg,
             verbose=verbose,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
+            resume=resume,
+            epoch_callback=epoch_callback,
         )
         return self.history.loss, self.history.val_loss
 

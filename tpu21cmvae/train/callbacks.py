@@ -68,6 +68,24 @@ class EarlyStopping:
             return self.best_weights
         return params
 
+    def state(self) -> dict:
+        """JSON-serializable monitor state for checkpoint/resume
+        (``best_weights`` is a pytree — checkpointed separately)."""
+        return {
+            "best": self.best,
+            "best_epoch": self.best_epoch,
+            "wait": self.wait,
+            "stopped_epoch": self.stopped_epoch,
+        }
+
+    def restore(self, state: dict, best_weights=None) -> None:
+        self.best = state["best"]
+        self.best_epoch = state["best_epoch"]
+        self.wait = state["wait"]
+        self.stopped_epoch = state["stopped_epoch"]
+        if best_weights is not None:
+            self.best_weights = best_weights
+
 
 class ReduceLROnPlateau:
     """min-mode Keras ReduceLROnPlateau on a scalar monitor (val_loss)."""
@@ -109,3 +127,16 @@ class ReduceLROnPlateau:
                 self.cooldown_counter = self.cooldown
                 self.wait = 0
         return lr
+
+    def state(self) -> dict:
+        """JSON-serializable monitor state for checkpoint/resume."""
+        return {
+            "best": self.best,
+            "wait": self.wait,
+            "cooldown_counter": self.cooldown_counter,
+        }
+
+    def restore(self, state: dict) -> None:
+        self.best = state["best"]
+        self.wait = state["wait"]
+        self.cooldown_counter = state["cooldown_counter"]

@@ -14,7 +14,16 @@ Replaces the reference's Keras ``Model.fit`` path
   adjusts it between epochs without recompilation;
 * validation loss is a second jitted call on the full split;
 * EarlyStopping / ReduceLROnPlateau run host-side between epochs with
-  Keras-exact semantics (:mod:`tpu21cmvae.train.callbacks`).
+  Keras-exact semantics (:mod:`tpu21cmvae.train.callbacks`);
+* optional checkpoint/resume: with ``checkpoint_dir`` the loop
+  atomically saves params + optimizer state + best-so-far weights +
+  epoch/lr/callback/history state every N epochs, and
+  ``resume=True`` continues a preempted run from the latest checkpoint
+  with identical dynamics (the per-epoch shuffle keys are re-derived
+  from the seed, so a resumed run shuffles exactly as the original
+  would have). The reference has nothing comparable — its ``save`` is
+  ``NotImplementedError`` (reference ``emulator.py:441-442``) and
+  training state lives only in the Keras process (SURVEY.md §5).
 """
 
 from __future__ import annotations
@@ -129,6 +138,9 @@ def fit(
     stochastic: bool = False,
     verbose: bool = False,
     epoch_callback: Optional[Callable] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 10,
+    resume: bool = False,
 ):
     """Train ``params`` to minimize the mean of ``loss_fn`` per-sample
     losses. Returns ``(params, opt_state, History)``.
@@ -138,6 +150,12 @@ def fit(
     own (SURVEY.md §3.2/§3.4). With ``stochastic=True`` the signature is
     ``loss_fn(params, x, y, key)`` and each batch gets a fresh PRNG key
     (used by the VAE's reparameterization sampling).
+
+    With ``checkpoint_dir`` the full training state is saved atomically
+    every ``checkpoint_every`` epochs (and at the end); ``resume=True``
+    restores the latest checkpoint from that directory (if any) and
+    continues — params, optimizer moments, LR schedule position, early-
+    stopping monitor, best-so-far weights, and history all carry over.
     """
     x_train = jnp.asarray(x_train, jnp.float32)
     y_train = jnp.asarray(y_train, jnp.float32)
@@ -169,9 +187,56 @@ def fit(
     history = History()
     lr = float(cfg.learning_rate)
     key = jax.random.key(cfg.seed)
+    start_epoch = 0
+
+    if resume and checkpoint_dir is not None:
+        restored = _load_latest_train_checkpoint(
+            checkpoint_dir, params, opt_state
+        )
+        if restored is not None:
+            tree, meta = restored
+            params, opt_state = tree["params"], tree["opt_state"]
+            start_epoch = meta["epoch"] + 1
+            lr = meta["lr"]
+            h = meta["history"]
+            for k in ("loss", "val_loss", "lr", "epoch_time_s"):
+                setattr(history, k, list(h[k]))
+            history.stopped_epoch = h.get("stopped_epoch")
+            history.best_epoch = h.get("best_epoch")
+            if early is not None and meta.get("early") is not None:
+                early.restore(
+                    meta["early"],
+                    tree["best_weights"] if meta.get("has_best") else None,
+                )
+            if plateau is not None and meta.get("plateau") is not None:
+                plateau.restore(meta["plateau"])
+            # Re-derive the per-epoch shuffle keys the original run would
+            # have used for the completed epochs.
+            for _ in range(start_epoch):
+                key, _ = jax.random.split(key)
+            if history.stopped_epoch is not None:
+                # run already early-stopped; nothing left to train
+                if early is not None:
+                    params = early.final_weights(params)
+                return params, opt_state, history
+
+    def _save_ckpt(epoch):
+        best = early.best_weights if early is not None else None
+        _save_train_checkpoint(
+            checkpoint_dir,
+            epoch,
+            params,
+            opt_state,
+            best,
+            lr,
+            history,
+            early,
+            plateau,
+        )
+
     progress = _progress_bar(cfg.epochs) if verbose else None
 
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         t0 = time.perf_counter()
         key, sub = jax.random.split(key)
         params, opt_state, train_loss = epoch_fn(
@@ -197,6 +262,11 @@ def fit(
             lr = plateau.update(val_loss, lr)
         if stop:
             history.stopped_epoch = epoch
+        if checkpoint_dir is not None and (
+            stop or epoch == cfg.epochs - 1 or (epoch + 1) % checkpoint_every == 0
+        ):
+            _save_ckpt(epoch)
+        if stop:
             break
 
     if early is not None:
@@ -205,6 +275,73 @@ def fit(
     if progress is not None:
         progress.close()
     return params, opt_state, history
+
+
+# -- checkpoint/resume helpers --------------------------------------------
+
+
+def _save_train_checkpoint(
+    ckpt_dir, epoch, params, opt_state, best_weights, lr, history, early, plateau
+):
+    """Atomic full-training-state checkpoint: ``ckpt_dir/ckpt_NNNNNN.npz``."""
+    import os
+
+    from tpu21cmvae.models.checkpoint import save_checkpoint
+
+    tree = {
+        "params": params,
+        "opt_state": opt_state,
+        # placeholder keeps the tree structure static for reloading
+        "best_weights": best_weights if best_weights is not None else params,
+    }
+    meta = {
+        "epoch": epoch,
+        "lr": lr,
+        "history": {
+            "loss": history.loss,
+            "val_loss": history.val_loss,
+            "lr": history.lr,
+            "epoch_time_s": history.epoch_time_s,
+            "stopped_epoch": history.stopped_epoch,
+            "best_epoch": history.best_epoch,
+        },
+        "early": early.state() if early is not None else None,
+        "has_best": best_weights is not None,
+        "plateau": plateau.state() if plateau is not None else None,
+    }
+    save_checkpoint(os.path.join(ckpt_dir, f"ckpt_{epoch:06d}.npz"), tree, meta)
+
+
+def latest_checkpoint(ckpt_dir) -> Optional[str]:
+    """Path of the newest ``ckpt_NNNNNN.npz`` in a directory, or None."""
+    import os
+
+    if not os.path.isdir(ckpt_dir):
+        return None
+    names = sorted(
+        n
+        for n in os.listdir(ckpt_dir)
+        if n.startswith("ckpt_") and n.endswith(".npz")
+    )
+    return os.path.join(ckpt_dir, names[-1]) if names else None
+
+
+def _load_latest_train_checkpoint(ckpt_dir, params, opt_state):
+    import jax.numpy as jnp
+
+    from tpu21cmvae.models.checkpoint import load_checkpoint
+
+    path = latest_checkpoint(ckpt_dir)
+    if path is None:
+        return None
+    template = {"params": params, "opt_state": opt_state, "best_weights": params}
+    tree, meta = load_checkpoint(path, like=template)
+    tree = jax.tree_util.tree_map(jnp.asarray, tree)
+    # the int32 step counter must stay integral after the numpy round trip
+    tree["opt_state"] = tree["opt_state"]._replace(
+        step=jnp.asarray(tree["opt_state"].step, jnp.int32)
+    )
+    return tree, meta
 
 
 def _progress_bar(total):

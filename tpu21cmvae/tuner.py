@@ -1,0 +1,250 @@
+"""Hyperparameter tuner: architecture search for the emulator families.
+
+The reference advertises a tuner ("modules for hyperparameter tuning",
+reference ``README.rst:13``) used in Bye et al. 2022 to find the
+7→288→352→288→224→451 flagship architecture, but the file is gitignored
+and absent from the v3.1.0 snapshot (reference ``.gitignore:14``). This
+module restores the capability, designed for TPU throughput:
+
+* random search over hidden-layer stacks (layer count × width choices),
+  scored by mean relative validation error — the paper's figure of merit
+  (reference ``emulator.py:53-54``);
+* short-budget trials with early stopping; every trial runs the same
+  jit-compiled epoch loop, and architectures with identical layer shapes
+  hit XLA's compilation cache, so the search is dominated by step time,
+  not retracing;
+* width choices default to multiples of 32 — all MXU-tile friendly on
+  the 128-lane axis after padding, and matching the granularity the
+  reference's published architectures use (288/352/224…);
+* deterministic: one root seed fans out per-trial init/shuffle keys.
+
+``tune_direct`` searches the params→signal MLP; ``tune_autoencoder``
+searches (latent_dim, encoder/decoder stacks) for the AE family;
+``retrain_best`` then trains the winner with the full reference recipe.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tpu21cmvae.data.dataset import DataSplits
+from tpu21cmvae.utils.config import (
+    AutoEncoderConfig,
+    DirectEmulatorConfig,
+    TrainConfig,
+)
+from tpu21cmvae.utils.metrics import error
+
+#: Short-budget trial recipe: the reference training recipe
+#: (Training.ipynb cells 4-5) cut down for search throughput.
+TRIAL_TRAIN_DEFAULT = TrainConfig(
+    epochs=80,
+    early_stop_patience=10,
+    plateau_patience=4,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchSpace:
+    """Architecture search space for a dense MLP stack."""
+
+    min_layers: int = 2
+    max_layers: int = 5
+    width_choices: Tuple[int, ...] = (64, 96, 128, 160, 192, 224, 256, 288, 320, 352)
+
+    def sample(self, rng: np.random.Generator) -> Tuple[int, ...]:
+        n = int(rng.integers(self.min_layers, self.max_layers + 1))
+        return tuple(int(w) for w in rng.choice(self.width_choices, size=n))
+
+
+@dataclasses.dataclass(frozen=True)
+class LatentSearchSpace(SearchSpace):
+    """AE search space: hidden stacks plus the latent bottleneck width."""
+
+    min_layers: int = 1
+    max_layers: int = 3
+    latent_choices: Tuple[int, ...] = (5, 7, 9, 11, 13)
+
+    def sample_latent(self, rng: np.random.Generator) -> int:
+        return int(rng.choice(self.latent_choices))
+
+
+@dataclasses.dataclass
+class Trial:
+    """One evaluated architecture."""
+
+    config: object  # DirectEmulatorConfig or AutoEncoderConfig
+    val_error: float  # mean relative RMSE (%) on the validation split
+    val_loss: float
+    epochs_ran: int
+    wall_time_s: float
+    n_params: int
+
+    def describe(self) -> str:
+        return (
+            f"{self.config!r}: val_err={self.val_error:.4f}% "
+            f"({self.n_params} params, {self.epochs_ran} epochs, "
+            f"{self.wall_time_s:.1f}s)"
+        )
+
+
+@dataclasses.dataclass
+class TuneResult:
+    """All trials, best first."""
+
+    trials: List[Trial]
+
+    @property
+    def best(self) -> Trial:
+        return self.trials[0]
+
+    def leaderboard(self, k: int = 10) -> str:
+        return "\n".join(t.describe() for t in self.trials[:k])
+
+
+def _run_trials(
+    n_trials: int,
+    sample_config: Callable[[np.random.Generator], object],
+    evaluate: Callable[[object, int], Tuple[float, float, int, int]],
+    seed: int,
+    verbose: bool,
+) -> TuneResult:
+    rng = np.random.default_rng(seed)
+    trials: List[Trial] = []
+    seen = set()
+    for i in range(n_trials):
+        cfg = sample_config(rng)
+        if cfg in seen:  # configs are frozen dataclasses → hashable
+            continue
+        seen.add(cfg)
+        t0 = time.perf_counter()
+        val_error, val_loss, epochs_ran, n_params = evaluate(cfg, seed + i + 1)
+        trial = Trial(
+            config=cfg,
+            val_error=val_error,
+            val_loss=val_loss,
+            epochs_ran=epochs_ran,
+            wall_time_s=time.perf_counter() - t0,
+            n_params=n_params,
+        )
+        trials.append(trial)
+        if verbose:
+            print(f"[tune {i + 1}/{n_trials}] {trial.describe()}", flush=True)
+    trials.sort(key=lambda t: t.val_error)
+    return TuneResult(trials)
+
+
+def tune_direct(
+    data: DataSplits,
+    n_trials: int = 20,
+    space: SearchSpace = SearchSpace(),
+    train_config: TrainConfig = TRIAL_TRAIN_DEFAULT,
+    seed: int = 0,
+    verbose: bool = False,
+) -> TuneResult:
+    """Random search over direct-emulator hidden stacks.
+
+    Scores each architecture by mean relative RMSE (%) on the validation
+    split — the paper's figure of merit (Eq. 1; reference
+    ``emulator.py:133-134``), computed on real-unit (mK) predictions.
+    """
+    from tpu21cmvae.models.direct import DirectEmulator
+
+    n_params_in = data.n_params
+    n_bins = data.n_bins
+
+    def sample(rng):
+        return DirectEmulatorConfig(
+            n_params=n_params_in, n_bins=n_bins, hidden_dims=space.sample(rng)
+        )
+
+    def evaluate(cfg, trial_seed):
+        model = DirectEmulator(data, config=cfg, seed=trial_seed)
+        cfg_train = dataclasses.replace(train_config, seed=trial_seed)
+        _, val_losses = model.train(train_config=cfg_train)
+        val_err = float(
+            np.mean(error(data.signal_val, model.predict(data.par_val)))
+        )
+        return (
+            val_err,
+            float(min(val_losses)),
+            len(val_losses),
+            cfg.mlp().n_params,
+        )
+
+    return _run_trials(n_trials, sample, evaluate, seed, verbose)
+
+
+def tune_autoencoder(
+    data: DataSplits,
+    n_trials: int = 20,
+    space: LatentSearchSpace = LatentSearchSpace(),
+    em_space: SearchSpace = SearchSpace(),
+    ae_train_config: Optional[TrainConfig] = None,
+    em_train_config: Optional[TrainConfig] = None,
+    seed: int = 0,
+    verbose: bool = False,
+) -> TuneResult:
+    """Random search for the AE-based emulator: latent width, encoder /
+    decoder stacks, and the params→latent stack (reference architecture
+    at ``emulator.py:521-525``). Scored end-to-end (params → decoder →
+    mK) on the validation split."""
+    import dataclasses as dc
+
+    from tpu21cmvae.models.autoencoder import AutoEncoderEmulator
+
+    short = dc.replace(TRIAL_TRAIN_DEFAULT, learning_rate=1e-3, plateau_factor=0.9)
+    ae_cfg_t = ae_train_config or short
+    em_cfg_t = em_train_config or dc.replace(short, learning_rate=1e-2)
+
+    def sample(rng):
+        return AutoEncoderConfig(
+            n_params=data.n_params,
+            n_bins=data.n_bins,
+            latent_dim=space.sample_latent(rng),
+            enc_hidden_dims=space.sample(rng),
+            dec_hidden_dims=space.sample(rng),
+            em_hidden_dims=em_space.sample(rng),
+        )
+
+    def evaluate(cfg, trial_seed):
+        model = AutoEncoderEmulator(data, config=cfg, seed=trial_seed)
+        _, _, _, em_val = model.train(
+            ae_train_config=dc.replace(ae_cfg_t, seed=trial_seed),
+            em_train_config=dc.replace(em_cfg_t, seed=trial_seed),
+        )
+        val_err = float(
+            np.mean(error(data.signal_val, model.predict(data.par_val)))
+        )
+        n_par = (
+            cfg.encoder().n_params + cfg.decoder().n_params + cfg.emulator().n_params
+        )
+        return val_err, float(min(em_val)), len(em_val), n_par
+
+    return _run_trials(n_trials, sample, evaluate, seed, verbose)
+
+
+def retrain_best(
+    result: TuneResult,
+    data: DataSplits,
+    train_config: Optional[TrainConfig] = None,
+    seed: int = 0,
+):
+    """Train the winning architecture with the full reference recipe
+    (350-epoch direct / 250-epoch AE defaults) and return the model."""
+    cfg = result.best.config
+    if isinstance(cfg, DirectEmulatorConfig):
+        from tpu21cmvae.models.direct import DirectEmulator
+
+        model = DirectEmulator(data, config=cfg, seed=seed)
+        model.train(train_config=train_config)
+        return model
+    from tpu21cmvae.models.autoencoder import AutoEncoderEmulator
+
+    model = AutoEncoderEmulator(data, config=cfg, seed=seed)
+    model.train()
+    return model
