@@ -108,3 +108,32 @@ def test_dp_fit_matches_single_device_fit(splits, normalizer):
         jax.tree_util.tree_leaves(p_single), jax.tree_util.tree_leaves(p_dp)
     ):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_sharded_emulator_ae_and_vae_families(splits):
+    """ShardedEmulator.for_model works for every family via predict_fn +
+    params (mesh-sharded mega-batch inference is family-agnostic)."""
+    import numpy as np
+
+    from tpu21cmvae.models.autoencoder import AutoEncoderEmulator
+    from tpu21cmvae.models.vae import VAEEmulator
+    from tpu21cmvae.parallel import ShardedEmulator
+    from tpu21cmvae.utils.config import AutoEncoderConfig, VAEConfig
+
+    small_ae = AutoEncoderConfig(
+        latent_dim=4, enc_hidden_dims=(32,), dec_hidden_dims=(32,),
+        em_hidden_dims=(24,),
+    )
+    small_vae = VAEConfig(
+        latent_dim=4, enc_hidden_dims=(32,), dec_hidden_dims=(32,),
+        em_hidden_dims=(24,),
+    )
+    for model in (
+        AutoEncoderEmulator(splits, config=small_ae),
+        VAEEmulator(splits, config=small_vae),
+    ):
+        sharded = ShardedEmulator.for_model(model)
+        raw = np.asarray(splits.par_test[:33], np.float32)
+        out = sharded(raw)
+        assert out.shape == (33, splits.n_bins)
+        np.testing.assert_allclose(out, model.predict(raw), rtol=1e-5, atol=1e-4)

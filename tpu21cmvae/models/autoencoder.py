@@ -232,6 +232,24 @@ class AutoEncoderEmulator:
         self._predict_jit = predict
         self._reconstruct_jit = reconstruct
 
+    def predict_fn(self):
+        """Pure jitted ``(weights, raw_params) → signals`` with weights
+        packed as ``{"em": ..., "dec": ...}`` — the same contract
+        :class:`~tpu21cmvae.parallel.inference.ShardedEmulator` consumes
+        for mesh-sharded mega-batch inference."""
+        inner = self._predict_jit
+
+        @jax.jit
+        def predict(weights, raw_params):
+            return inner(weights["em"], weights["dec"], raw_params)
+
+        return predict
+
+    @property
+    def params(self):
+        """Weights pytree for :meth:`predict_fn` (emulator + decoder)."""
+        return {"em": self.em_params, "dec": self.autoencoder.dec_params}
+
     def predict(self, params) -> np.ndarray:
         """par_transform → emulator → decoder → unpreproc in one device
         call (reference ``emulator.py:770-795``); squeezes a single row."""

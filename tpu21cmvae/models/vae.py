@@ -178,6 +178,23 @@ class VAEEmulator:
         self._predict_jit = predict
         self._reconstruct_jit = reconstruct
 
+    def predict_fn(self):
+        """Pure jitted ``(weights, raw_params) → signals`` with weights
+        packed as ``{"em": ..., "vae": ...}`` — the ShardedEmulator
+        contract (see :class:`tpu21cmvae.parallel.inference.ShardedEmulator`)."""
+        inner = self._predict_jit
+
+        @jax.jit
+        def predict(weights, raw_params):
+            return inner(weights["em"], weights["vae"], raw_params)
+
+        return predict
+
+    @property
+    def params(self):
+        """Weights pytree for :meth:`predict_fn` (emulator + VAE)."""
+        return {"em": self.em_params, "vae": self.vae.params}
+
     # -- persistence --------------------------------------------------------
 
     def save(self, path: str) -> str:

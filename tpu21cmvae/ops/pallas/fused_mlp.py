@@ -22,6 +22,16 @@ On non-TPU backends the kernel runs in interpreter mode (slow, exact) so
 parity tests run everywhere; production dispatch goes through
 :func:`make_fused_emulate`, which the benchmark compares against the XLA
 path and uses only if faster.
+
+Measured verdict (v5e, 1M-row batches, amortized pipelined timing): the
+fused kernel at single-pass bf16 runs ~16 ms vs XLA's ~10 ms at the same
+precision and ~20 ms at the safe bf16x3 tier. This workload is
+**MXU-pass-bound, not HBM-bound** (forcing bf16 inter-layer storage on
+the XLA path made it *slower*), so the kernel's fusion advantage —
+keeping inter-layer activations out of HBM — buys nothing here, and
+XLA's batched matmul scheduling wins. The kernel therefore ships as the
+native-layer capability (benchmarked and parity-gated, auto-selected
+only when fastest); the production fast path is the XLA bf16x3 tier.
 """
 
 from __future__ import annotations
