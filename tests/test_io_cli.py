@@ -1,0 +1,93 @@
+"""Round-trip tests for Keras-h5 export, dataset writing, and the CLI."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+
+def test_keras_h5_roundtrip(tmp_path):
+    from tpu21cmvae.models.io_keras import load_keras_mlp, save_keras_mlp
+    from tpu21cmvae.ops.mlp import init_mlp, mlp_sizes
+
+    params = init_mlp(jax.random.key(0), (7, 24, 16, 451))
+    path = str(tmp_path / "m.h5")
+    save_keras_mlp(path, params)
+    back = load_keras_mlp(path)
+    assert mlp_sizes(back) == (7, 24, 16, 451)
+    for a, b in zip(params, back):
+        np.testing.assert_array_equal(np.asarray(a["w"]), np.asarray(b["w"]))
+        np.testing.assert_array_equal(np.asarray(a["b"]), np.asarray(b["b"]))
+
+
+def test_keras_h5_matches_reference_layout(tmp_path):
+    """The written file must carry the same structural markers our reader
+    relies on in the reference's shipped files."""
+    import h5py
+
+    from tpu21cmvae.models.io_keras import save_keras_mlp
+    from tpu21cmvae.ops.mlp import init_mlp
+
+    path = str(tmp_path / "m.h5")
+    save_keras_mlp(path, init_mlp(jax.random.key(1), (4, 8, 3)))
+    from tpu21cmvae.models.io_keras import _decode
+
+    with h5py.File(path) as f:
+        g = f["model_weights"]
+        assert _decode(g.attrs["layer_names"]) == ["dense", "dense_1"]
+        assert _decode(g["dense"].attrs["weight_names"]) == [
+            "dense/kernel:0",
+            "dense/bias:0",
+        ]
+        assert g["dense"]["dense"]["kernel:0"].shape == (4, 8)
+
+
+def test_dataset_save_load_roundtrip(tmp_path, splits):
+    from tpu21cmvae.data.dataset import load_dataset, save_dataset
+
+    path = str(tmp_path / "ds.h5")
+    save_dataset(splits, path)
+    back = load_dataset(path)
+    for a, b in zip(splits, back):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_default_cache_path_env(monkeypatch, tmp_path):
+    from tpu21cmvae.data.dataset import default_cache_path
+
+    monkeypatch.setenv("TPU21CMVAE_CACHE", str(tmp_path))
+    assert default_cache_path() == str(tmp_path / "dataset_21cmVAE.h5")
+
+
+def test_cli_train_evaluate_predict(tmp_path, splits, capsys):
+    from tpu21cmvae.__main__ import main
+    from tpu21cmvae.data.dataset import save_dataset
+
+    ds = str(tmp_path / "ds.h5")
+    save_dataset(splits, ds)
+    model = str(tmp_path / "model.npz")
+
+    main(["train", "direct", "--dataset", ds, "--epochs", "3", "--out", model])
+    out = capsys.readouterr().out
+    assert "test error" in out and "saved" in out
+
+    main(["evaluate", model, "--dataset", ds])
+    out = capsys.readouterr().out
+    assert "relative" in out and "absolute" in out
+
+    params_file = str(tmp_path / "p.npy")
+    np.save(params_file, np.asarray(splits.par_test[:5], np.float32))
+    sig_file = str(tmp_path / "s.npy")
+    main(["predict", model, params_file, "--out", sig_file])
+    sigs = np.load(sig_file)
+    assert sigs.shape == (5, splits.n_bins)
+
+
+def test_cli_tune(tmp_path, splits, capsys):
+    from tpu21cmvae.__main__ import main
+    from tpu21cmvae.data.dataset import save_dataset
+
+    ds = str(tmp_path / "ds.h5")
+    save_dataset(splits, ds)
+    main(["tune", "--dataset", ds, "--trials", "1"])
+    assert "val_err" in capsys.readouterr().out

@@ -1,0 +1,158 @@
+"""Command-line interface: ``python -m tpu21cmvae <command>``.
+
+The reference has no CLI — every workflow lives in notebook cells
+(SURVEY.md §1). These subcommands cover the full lifecycle headless:
+
+    download   fetch the 21cmGEM dataset to the local cache
+    train      train a model family (direct / ae / vae) and save it
+    evaluate   test-set error table for a saved model
+    predict    emulate signals for parameter rows from a .npy/.csv file
+    tune       architecture search
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _get_data(args):
+    from tpu21cmvae.data import load_dataset, synthetic_dataset
+    from tpu21cmvae.data.dataset import ensure_dataset
+
+    if getattr(args, "dataset", None):
+        return load_dataset(args.dataset)
+    if getattr(args, "download", False):
+        return ensure_dataset()
+    return synthetic_dataset(n_train=4096, n_val=512, n_test=512, seed=0)
+
+
+def cmd_download(args):
+    from tpu21cmvae.data.dataset import default_cache_path, download_dataset
+
+    dest = args.out or default_cache_path()
+    print(f"downloading to {dest} ...")
+    download_dataset(dest)
+    print("done")
+
+
+def cmd_train(args):
+    import dataclasses
+
+    from tpu21cmvae import AutoEncoderEmulator, DirectEmulator, VAEEmulator
+    from tpu21cmvae.utils.config import DIRECT_TRAIN_DEFAULT
+
+    data = _get_data(args)
+    if args.family == "direct":
+        model = DirectEmulator(data)
+        cfg = DIRECT_TRAIN_DEFAULT
+        if args.epochs:
+            cfg = dataclasses.replace(cfg, epochs=args.epochs)
+        model.train(
+            train_config=cfg,
+            verbose=True,
+            checkpoint_dir=args.checkpoint_dir,
+            resume=args.checkpoint_dir is not None,
+        )
+    else:
+        cls = AutoEncoderEmulator if args.family == "ae" else VAEEmulator
+        model = cls(data)
+        model.train(epochs=args.epochs, verbose=True)
+    err = model.test_error()
+    print(f"test error: mean {err.mean():.4f}% median {np.median(err):.4f}%")
+    model.save(args.out)
+    print(f"saved {args.out}")
+
+
+def _load_model(path, data=None):
+    from tpu21cmvae import AutoEncoderEmulator, DirectEmulator, VAEEmulator
+    from tpu21cmvae.models.checkpoint import load_checkpoint
+
+    _, meta = load_checkpoint(path)
+    kind = meta.get("kind", "DirectEmulator")
+    cls = {
+        "DirectEmulator": DirectEmulator,
+        "AutoEncoderEmulator": AutoEncoderEmulator,
+        "VAEEmulator": VAEEmulator,
+    }[kind]
+    return cls.from_checkpoint(path, data)
+
+
+def cmd_evaluate(args):
+    data = _get_data(args)
+    model = _load_model(args.model, data)
+    for relative, unit in ((True, "%"), (False, "mK")):
+        err = model.test_error(relative=relative)
+        print(
+            f"{'relative' if relative else 'absolute'}: "
+            f"mean {err.mean():.4f}{unit} median {np.median(err):.4f}{unit} "
+            f"max {err.max():.4f}{unit}"
+        )
+
+
+def cmd_predict(args):
+    model = _load_model(args.model)
+    raw = (
+        np.loadtxt(args.params, delimiter=",")
+        if args.params.endswith(".csv")
+        else np.load(args.params)
+    )
+    pred = model.predict(raw)
+    np.save(args.out, pred)
+    print(f"emulated {np.atleast_2d(pred).shape[0]} signal(s) → {args.out}")
+
+
+def cmd_tune(args):
+    from tpu21cmvae.tuner import tune_autoencoder, tune_direct
+
+    data = _get_data(args)
+    tune = tune_direct if args.family == "direct" else tune_autoencoder
+    result = tune(data, n_trials=args.trials, verbose=True)
+    print(result.leaderboard())
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="tpu21cmvae", description=__doc__)
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("download", help="fetch the 21cmGEM dataset")
+    p.add_argument("--out")
+    p.set_defaults(fn=cmd_download)
+
+    p = sub.add_parser("train", help="train a model family")
+    p.add_argument("family", choices=["direct", "ae", "vae"])
+    p.add_argument("--dataset")
+    p.add_argument("--download", action="store_true",
+                   help="use the real dataset (fetch to cache if needed)")
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--out", default="model.npz")
+    p.add_argument("--checkpoint-dir")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("evaluate", help="test-set error of a saved model")
+    p.add_argument("model")
+    p.add_argument("--dataset")
+    p.add_argument("--download", action="store_true")
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("predict", help="emulate signals from parameter rows")
+    p.add_argument("model")
+    p.add_argument("params", help=".npy or .csv of (n, 7) parameter rows")
+    p.add_argument("--out", default="signals.npy")
+    p.set_defaults(fn=cmd_predict)
+
+    p = sub.add_parser("tune", help="architecture search")
+    p.add_argument("--family", choices=["direct", "ae"], default="direct")
+    p.add_argument("--trials", type=int, default=10)
+    p.add_argument("--dataset")
+    p.add_argument("--download", action="store_true")
+    p.set_defaults(fn=cmd_tune)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -84,3 +84,43 @@ def download_dataset(
         if os.path.exists(tmp):
             os.unlink(tmp)
     return dest
+
+
+def save_dataset(splits: DataSplits, path: str) -> str:
+    """Write splits to HDF5 with the reference's key layout (readable by
+    both :func:`load_dataset` and the reference's module-level loader at
+    reference ``emulator.py:198-204``). Atomic like the downloader."""
+    import h5py
+
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".part")
+    os.close(fd)
+    try:
+        with h5py.File(tmp, "w") as hf:
+            for key, arr in zip(_KEYS, splits):
+                hf.create_dataset(key, data=np.asarray(arr))
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path
+
+
+def default_cache_path() -> str:
+    """``$TPU21CMVAE_CACHE`` or ``~/.cache/tpu21cmvae/dataset_21cmVAE.h5``."""
+    root = os.environ.get(
+        "TPU21CMVAE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "tpu21cmvae"),
+    )
+    return os.path.join(root, "dataset_21cmVAE.h5")
+
+
+def ensure_dataset(path: str = None) -> DataSplits:
+    """Load the 21cmGEM dataset, downloading it to the cache first if
+    needed — the explicit, lazy equivalent of the reference's import-time
+    bootstrap (reference ``__init__.py:8-16``)."""
+    path = path or default_cache_path()
+    if not os.path.exists(path):
+        download_dataset(path)
+    return load_dataset(path)

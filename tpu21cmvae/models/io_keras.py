@@ -1,4 +1,4 @@
-"""Importer for the reference's pretrained Keras ``.h5`` weight files.
+"""Import/export for the reference's pretrained Keras ``.h5`` weight files.
 
 The reference ships four pretrained models under
 ``VeryAccurateEmulator/models/autoencoder_based_emulator/`` (plus
@@ -11,6 +11,12 @@ which is also ours (:mod:`tpu21cmvae.ops.mlp`), so no transposition.
 Layout (verified against the shipped files):
 ``model_weights/<layer>/<layer>/{kernel:0, bias:0}`` with layer ordering
 recorded in the group attributes ``layer_names`` / ``weight_names``.
+
+:func:`save_keras_mlp` writes the same layout back, so models trained
+here can travel the other direction — a reference user's
+``tf.keras.models.load_model(..., custom loss)`` workflow (reference
+``emulator.py:319-337``) can consume weights via
+``Model.load_weights``; no TensorFlow is required on this side.
 """
 
 from __future__ import annotations
@@ -76,3 +82,34 @@ def load_keras_mlp(path: str, dtype=jnp.float32) -> MLPParams:
         prev_out = w.shape[1]
         params.append({"w": jnp.asarray(w, dtype), "b": jnp.asarray(b, dtype)})
     return tuple(params)
+
+
+def save_keras_mlp(path: str, params: MLPParams, name: str = "sequential") -> str:
+    """Write an MLP pytree as a Keras-2.x-style HDF5 weights file.
+
+    Produces the ``model_weights/<layer>/<layer>/{kernel:0, bias:0}``
+    layout with ``layer_names``/``weight_names`` attributes — readable by
+    :func:`load_keras_mlp` and by Keras' ``Model.load_weights`` on a
+    matching ``Sequential`` of Dense layers (the reference's builder,
+    reference ``emulator.py:12-48``). Kernels are already stored in the
+    Keras ``(in, out)`` layout, so no transposition happens.
+    """
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        g = f.create_group("model_weights")
+        layer_names = []
+        for i, layer in enumerate(params):
+            lname = "dense" if i == 0 else f"dense_{i}"
+            layer_names.append(lname)
+            lg = g.create_group(lname).create_group(lname)
+            lg.create_dataset("kernel:0", data=np.asarray(layer["w"], np.float32))
+            lg.create_dataset("bias:0", data=np.asarray(layer["b"], np.float32))
+            g[lname].attrs["weight_names"] = [
+                f"{lname}/kernel:0".encode(),
+                f"{lname}/bias:0".encode(),
+            ]
+        g.attrs["layer_names"] = [n.encode() for n in layer_names]
+        g.attrs["backend"] = b"tensorflow"
+        f.attrs["keras_version"] = b"2.7.0"
+    return path
