@@ -57,3 +57,32 @@ def test_band_without_nu_raises():
     x = np.zeros((2, 451))
     with pytest.raises(ValueError):
         error(x, x, flow=50.0)
+
+
+def test_error_jnp_matches_host_version():
+    import jax
+    import jax.numpy as jnp
+
+    from tpu21cmvae.utils.metrics import band_mask, error, error_jnp
+    from tpu21cmvae.utils.frequency import default_frequencies
+
+    rng = np.random.default_rng(5)
+    true = rng.normal(0, 50, (12, 451))
+    pred = true + rng.normal(0, 1, (12, 451))
+    nu = default_frequencies()
+
+    for relative in (True, False):
+        host = error(true, pred, relative=relative)
+        dev = np.asarray(jax.jit(
+            lambda t, p: error_jnp(t, p, relative=relative)
+        )(jnp.asarray(true), jnp.asarray(pred)))
+        np.testing.assert_allclose(dev, host, rtol=1e-5)
+
+    mask = band_mask(nu, flow=50.0, fhigh=100.0)
+    host = error(true, pred, relative=True, nu_arr=nu, flow=50.0, fhigh=100.0)
+    dev = np.asarray(error_jnp(jnp.asarray(true), jnp.asarray(pred), mask=mask))
+    np.testing.assert_allclose(dev, host, rtol=1e-5)
+
+    # flow=0 is a valid bound in both versions (reference quirk fixed)
+    m0 = band_mask(nu, flow=0.0)
+    assert m0.all()

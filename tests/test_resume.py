@@ -137,3 +137,38 @@ def test_model_train_checkpoint_kwargs(tmp_path, splits):
     cfg = TrainConfig(epochs=3, early_stop_patience=None, plateau_patience=None)
     model.train(train_config=cfg, checkpoint_dir=ckpt)
     assert latest_checkpoint(ckpt) is not None
+
+def test_ae_two_stage_checkpoint_resume(tmp_path, splits):
+    """A restart after stage A completed resumes stage A as a no-op and
+    stage B from its checkpoint, matching the uninterrupted two-stage run."""
+    from tpu21cmvae.models.autoencoder import AutoEncoderEmulator
+    from tpu21cmvae.utils.config import AutoEncoderConfig
+
+    small = AutoEncoderConfig(
+        latent_dim=4, enc_hidden_dims=(24,), dec_hidden_dims=(24,),
+        em_hidden_dims=(16,),
+    )
+    cfg = TrainConfig(
+        epochs=4, batch_size=64, learning_rate=1e-3,
+        early_stop_patience=None, plateau_patience=None,
+    )
+
+    a = AutoEncoderEmulator(splits, config=small, seed=0)
+    a.train(ae_train_config=cfg, em_train_config=cfg)
+
+    ckpt = str(tmp_path / "ck")
+    b = AutoEncoderEmulator(splits, config=small, seed=0)
+    b.train(ae_train_config=cfg, em_train_config=cfg, checkpoint_dir=ckpt)
+    assert os.path.isdir(os.path.join(ckpt, "stage_ae"))
+    assert os.path.isdir(os.path.join(ckpt, "stage_em"))
+
+    # fresh model resumes entirely from checkpoints: same final state
+    c = AutoEncoderEmulator(splits, config=small, seed=0)
+    c.train(
+        ae_train_config=cfg, em_train_config=cfg,
+        checkpoint_dir=ckpt, resume=True,
+    )
+    np.testing.assert_allclose(
+        c.predict(splits.par_test[:5]), a.predict(splits.par_test[:5]),
+        rtol=1e-5, atol=1e-4,
+    )

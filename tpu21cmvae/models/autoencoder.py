@@ -277,11 +277,19 @@ class AutoEncoderEmulator:
         ae_train_config: Optional[TrainConfig] = None,
         em_train_config: Optional[TrainConfig] = None,
         verbose: bool = False,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 10,
+        resume: bool = False,
     ) -> Tuple[list, list, list, list]:
         """Stage A: autoencoder on standardized signals (relative-MSE);
         Stage B: params→latent MLP on frozen-encoder latents (MSE) —
         reference ``emulator.py:701-768``. Returns
-        ``(ae_loss, ae_val_loss, loss, val_loss)``."""
+        ``(ae_loss, ae_val_loss, loss, val_loss)``.
+
+        ``checkpoint_dir``/``resume``: preemption-safe training; each
+        stage checkpoints into its own subdirectory (``stage_ae`` /
+        ``stage_em``) so a restarted job resumes inside whichever stage
+        it was preempted in (stage A resumes as a no-op once complete)."""
         if self.data is None:
             raise ValueError("No dataset attached; construct with `data=`.")
         ae_cfg = ae_train_config or AE_TRAIN_DEFAULT
@@ -301,9 +309,17 @@ class AutoEncoderEmulator:
         def ae_loss_fn(params, x, y):
             return relative_mse(y, ae.apply(params, x), scaled_mean)
 
+        import os
+
+        ck = lambda stage: (
+            os.path.join(checkpoint_dir, stage) if checkpoint_dir else None
+        )
         ae_params, _, ae_hist = fit(
             ae.params, ae_loss_fn, y_train, y_train, y_val, y_val, ae_cfg,
             verbose=verbose,
+            checkpoint_dir=ck("stage_ae"),
+            checkpoint_every=checkpoint_every,
+            resume=resume,
         )
         ae.params = ae_params
 
@@ -321,6 +337,9 @@ class AutoEncoderEmulator:
         self.em_params, _, em_hist = fit(
             self.em_params, em_loss_fn, x_train, z_train, x_val, z_val, em_cfg,
             verbose=verbose,
+            checkpoint_dir=ck("stage_em"),
+            checkpoint_every=checkpoint_every,
+            resume=resume,
         )
         self.history = {"autoencoder": ae_hist, "emulator": em_hist}
         return ae_hist.loss, ae_hist.val_loss, em_hist.loss, em_hist.val_loss

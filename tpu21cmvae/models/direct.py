@@ -221,6 +221,7 @@ class DirectEmulator:
         checkpoint_every: int = 10,
         resume: bool = False,
         epoch_callback=None,
+        device_loop: bool = False,
     ) -> Tuple[list, list]:
         """Train on the attached dataset with the reference recipe
         (Adam lr=0.01, batch 256, EarlyStopping + ReduceLROnPlateau —
@@ -232,7 +233,13 @@ class DirectEmulator:
         full state (weights, Adam moments, LR position, early-stopping
         monitor, history) checkpoints atomically every
         ``checkpoint_every`` epochs and a restarted job picks up where it
-        left off (see :func:`tpu21cmvae.train.loop.fit`)."""
+        left off (see :func:`tpu21cmvae.train.loop.fit`).
+
+        ``device_loop=True`` runs the whole training as ONE XLA program
+        (:func:`tpu21cmvae.train.scan.fit_scan`): callbacks execute on
+        device and there are zero per-epoch host syncs — bit-compatible
+        histories, much faster when dispatch latency matters. Mutually
+        exclusive with checkpointing/callbacks/verbose."""
         if self.data is None:
             raise ValueError("No dataset attached; construct with `data=`.")
         cfg = train_config or DIRECT_TRAIN_DEFAULT
@@ -245,6 +252,18 @@ class DirectEmulator:
         x_val = par_transform(jnp.asarray(self.data.par_val, jnp.float32), norm)
         y_train = preproc(jnp.asarray(self.data.signal_train, jnp.float32), norm)
         y_val = preproc(jnp.asarray(self.data.signal_val, jnp.float32), norm)
+        if device_loop:
+            if checkpoint_dir is not None or epoch_callback is not None:
+                raise ValueError(
+                    "device_loop=True runs without host hooks; drop "
+                    "checkpoint_dir/epoch_callback or use the host loop."
+                )
+            from tpu21cmvae.train.scan import fit_scan
+
+            self.params, _, self.history = fit_scan(
+                self.params, self.loss_fn(), x_train, y_train, x_val, y_val, cfg
+            )
+            return self.history.loss, self.history.val_loss
         self.params, _, self.history = fit(
             self.params,
             self.loss_fn(),

@@ -298,10 +298,16 @@ class VAEEmulator:
         vae_train_config: Optional[TrainConfig] = None,
         em_train_config: Optional[TrainConfig] = None,
         verbose: bool = False,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 10,
+        resume: bool = False,
     ) -> Tuple[list, list, list, list]:
         """Stage A: VAE with reconstruction + β·KL (stochastic loss, fresh
         key per batch); Stage B: params→z_mean MLP with MSE. Returns
-        ``(vae_loss, vae_val_loss, loss, val_loss)``."""
+        ``(vae_loss, vae_val_loss, loss, val_loss)``.
+
+        ``checkpoint_dir``/``resume``: per-stage preemption-safe
+        checkpoints (``stage_vae`` / ``stage_em`` subdirectories)."""
         if self.data is None:
             raise ValueError("No dataset attached; construct with `data=`.")
         vae_cfg = vae_train_config or AE_TRAIN_DEFAULT
@@ -321,9 +327,17 @@ class VAEEmulator:
         def vae_loss_fn(params, x, y, key):
             return base_loss(params, x, y, key, scaled_mean)
 
+        import os
+
+        ck = lambda stage: (
+            os.path.join(checkpoint_dir, stage) if checkpoint_dir else None
+        )
         vae_params, _, vae_hist = fit(
             self.vae.params, vae_loss_fn, y_train, y_train, y_val, y_val,
             vae_cfg, stochastic=True, verbose=verbose,
+            checkpoint_dir=ck("stage_vae"),
+            checkpoint_every=checkpoint_every,
+            resume=resume,
         )
         self.vae.params = vae_params
 
@@ -339,6 +353,9 @@ class VAEEmulator:
         self.em_params, _, em_hist = fit(
             self.em_params, em_loss_fn, x_train, z_train, x_val, z_val, em_cfg,
             verbose=verbose,
+            checkpoint_dir=ck("stage_em"),
+            checkpoint_every=checkpoint_every,
+            resume=resume,
         )
         self.history = {"vae": vae_hist, "emulator": em_hist}
         return vae_hist.loss, vae_hist.val_loss, em_hist.loss, em_hist.val_loss

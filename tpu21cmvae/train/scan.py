@@ -1,0 +1,216 @@
+"""Device-resident training: the ENTIRE run is one XLA program.
+
+:func:`tpu21cmvae.train.loop.fit` follows Keras' shape — one device call
+per epoch, callbacks on host (reference ``Model.fit`` semantics,
+``emulator.py:369-378``). That costs two host↔device syncs per epoch,
+which dominates wall time whenever dispatch latency is nontrivial
+(remote-attached TPUs; measured ~4 s/epoch through a tunnel vs ~10 ms of
+actual compute).
+
+:func:`fit_scan` is the TPU-first alternative: a ``lax.scan`` over
+epochs whose carry holds everything the host loop tracked — parameters,
+Adam moments, learning rate, EarlyStopping monitor (best value / wait /
+best-so-far weights), ReduceLROnPlateau monitor — with the stop decision
+as a carried flag that turns later epochs into no-ops via ``lax.cond``.
+One dispatch trains to completion; per-epoch (loss, val_loss, lr) come
+back as arrays.
+
+Semantics parity: the shuffle-key derivation, batch padding/weighting,
+Adam update, and both callback state machines are the same computations
+as the host path, so ``fit_scan`` and ``fit`` produce bit-identical
+histories on the same inputs (pinned by ``tests/test_scan_fit.py``).
+Checkpoint/resume and live metrics streaming need the host loop — use
+``fit`` when you need those; ``fit_scan`` when you need speed.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu21cmvae.train.adam import adam_init, adam_update
+from tpu21cmvae.train.loop import History, LossFn
+from tpu21cmvae.utils.config import TrainConfig
+
+
+def fit_scan(
+    params,
+    loss_fn: LossFn,
+    x_train,
+    y_train,
+    x_val,
+    y_val,
+    cfg: TrainConfig,
+    *,
+    opt_state=None,
+    stochastic: bool = False,
+):
+    """Train entirely on device; returns ``(params, opt_state, History)``.
+
+    Same contract as :func:`~tpu21cmvae.train.loop.fit` minus the host
+    hooks (``verbose``/``epoch_callback``/checkpointing).
+    """
+    x_train = jnp.asarray(x_train, jnp.float32)
+    y_train = jnp.asarray(y_train, jnp.float32)
+    x_val = jnp.asarray(x_val, jnp.float32)
+    y_val = jnp.asarray(y_val, jnp.float32)
+    n = x_train.shape[0]
+    bs = cfg.batch_size
+    nb = -(-n // bs)
+    padded = nb * bs
+
+    if opt_state is None:
+        opt_state = adam_init(params)
+
+    use_early = cfg.early_stop_patience is not None
+    use_plateau = cfg.plateau_patience is not None
+    eval_key = jax.random.key(cfg.seed ^ 0x5EED)  # match loop._make_eval_fn
+
+    def run_epoch(params, opt_state, lr, shuffle_key, loss_key):
+        perm = jax.random.permutation(shuffle_key, n)
+        perm = jnp.concatenate([perm, jnp.zeros((padded - n,), perm.dtype)])
+        weights = (jnp.arange(padded) < n).astype(x_train.dtype)
+        xb = x_train[perm].reshape(nb, bs, *x_train.shape[1:])
+        yb = y_train[perm].reshape(nb, bs, *y_train.shape[1:])
+        wb = weights.reshape(nb, bs)
+
+        def step(carry, batch):
+            params, opt_state, total = carry
+            bx, by, bw, i = batch
+            count = jnp.sum(bw)
+
+            def batch_loss(p):
+                if stochastic:
+                    per_sample = loss_fn(p, bx, by, jax.random.fold_in(loss_key, i))
+                else:
+                    per_sample = loss_fn(p, bx, by)
+                return jnp.sum(per_sample * bw) / count
+
+            loss_val, grads = jax.value_and_grad(batch_loss)(params)
+            params, opt_state = adam_update(
+                grads, params, opt_state, lr,
+                beta_1=cfg.beta_1, beta_2=cfg.beta_2, epsilon=cfg.epsilon,
+            )
+            return (params, opt_state, total + loss_val * count), None
+
+        (params, opt_state, total), _ = jax.lax.scan(
+            step,
+            (params, opt_state, jnp.zeros((), x_train.dtype)),
+            (xb, yb, wb, jnp.arange(nb)),
+        )
+        return params, opt_state, total / n
+
+    def evaluate(params):
+        if stochastic:
+            return jnp.mean(loss_fn(params, x_val, y_val, eval_key))
+        return jnp.mean(loss_fn(params, x_val, y_val))
+
+    def epoch_body(carry, epoch):
+        (params, opt_state, lr, key, es_best, es_wait, es_best_epoch,
+         best_params, pl_best, pl_wait, stopped_at) = carry
+        # identical key derivation to loop.fit: split the root key per
+        # epoch, then split the epoch key into (shuffle, loss) keys
+        key, sub = jax.random.split(key)
+        shuffle_key, loss_key = jax.random.split(sub)
+        active = stopped_at < 0
+
+        def do_epoch(operand):
+            params, opt_state, lr = operand
+            new_params, new_opt, train_loss = run_epoch(
+                params, opt_state, lr, shuffle_key, loss_key
+            )
+            val_loss = evaluate(new_params)
+            return new_params, new_opt, train_loss, val_loss
+
+        def skip_epoch(operand):
+            params, opt_state, _ = operand
+            return params, opt_state, jnp.float32(jnp.nan), jnp.float32(jnp.nan)
+
+        params, opt_state, train_loss, val_loss = jax.lax.cond(
+            active, do_epoch, skip_epoch, (params, opt_state, lr)
+        )
+        lr_used = lr  # the host loop records the lr the epoch ran with
+
+        # EarlyStopping (min mode): improvement iff val < best - min_delta
+        if use_early:
+            improved = active & (val_loss < es_best - cfg.early_stop_min_delta)
+            es_best = jnp.where(improved, val_loss, es_best)
+            es_best_epoch = jnp.where(improved, epoch, es_best_epoch)
+            best_params = jax.tree_util.tree_map(
+                lambda b, p: jnp.where(improved, p, b), best_params, params
+            )
+            es_wait = jnp.where(improved, 0, jnp.where(active, es_wait + 1, es_wait))
+            stop_now = active & (es_wait >= cfg.early_stop_patience)
+            stopped_at = jnp.where(stop_now, epoch, stopped_at)
+
+        # ReduceLROnPlateau (min mode, cooldown 0)
+        if use_plateau:
+            pl_improved = active & (val_loss < pl_best - cfg.plateau_min_delta)
+            pl_best = jnp.where(pl_improved, val_loss, pl_best)
+            pl_wait = jnp.where(
+                pl_improved, 0, jnp.where(active, pl_wait + 1, pl_wait)
+            )
+            reduce_now = (
+                active & (pl_wait >= cfg.plateau_patience) & (lr > cfg.plateau_min_lr)
+            )
+            lr = jnp.where(
+                reduce_now,
+                jnp.maximum(lr * cfg.plateau_factor, cfg.plateau_min_lr),
+                lr,
+            )
+            pl_wait = jnp.where(reduce_now, 0, pl_wait)
+
+        carry = (params, opt_state, lr, key, es_best, es_wait, es_best_epoch,
+                 best_params, pl_best, pl_wait, stopped_at)
+        return carry, (train_loss, val_loss, lr_used)
+
+    @jax.jit
+    def train_all(params, opt_state):
+        init = (
+            params,
+            opt_state,
+            jnp.float32(cfg.learning_rate),
+            jax.random.key(cfg.seed),
+            jnp.float32(jnp.inf),          # es_best
+            jnp.int32(0),                  # es_wait
+            jnp.int32(-1),                 # es_best_epoch
+            params,                        # best_params
+            jnp.float32(jnp.inf),          # pl_best
+            jnp.int32(0),                  # pl_wait
+            jnp.int32(-1),                 # stopped_at (-1 = running)
+        )
+        carry, (losses, val_losses, lrs) = jax.lax.scan(
+            epoch_body, init, jnp.arange(cfg.epochs)
+        )
+        (params, opt_state, _, _, _, _, es_best_epoch, best_params, _, _,
+         stopped_at) = carry
+        if use_early and cfg.restore_best_weights:
+            # Keras restores best weights only when stopping triggered
+            restore = stopped_at >= 0
+            params = jax.tree_util.tree_map(
+                lambda p, b: jnp.where(restore, b, p), params, best_params
+            )
+        return params, opt_state, losses, val_losses, lrs, stopped_at, es_best_epoch
+
+    params, opt_state, losses, val_losses, lrs, stopped_at, best_epoch = (
+        train_all(params, opt_state)
+    )
+    # ONE host sync for the whole run:
+    losses = np.asarray(losses)
+    val_losses = np.asarray(val_losses)
+    lrs = np.asarray(lrs)
+    stopped_at = int(stopped_at)
+    n_ran = cfg.epochs if stopped_at < 0 else stopped_at + 1
+
+    history = History(
+        loss=[float(v) for v in losses[:n_ran]],
+        val_loss=[float(v) for v in val_losses[:n_ran]],
+        lr=[float(v) for v in lrs[:n_ran]],
+        epoch_time_s=[],
+        stopped_epoch=None if stopped_at < 0 else stopped_at,
+        best_epoch=int(best_epoch) if use_early and int(best_epoch) >= 0 else None,
+    )
+    return params, opt_state, history

@@ -82,3 +82,41 @@ def error(
     if relative:
         err = err / np.max(np.abs(true_signal), axis=1) * 100.0
     return err[0] if squeeze else err
+
+
+def band_mask(nu_arr, flow=None, fhigh=None) -> np.ndarray:
+    """Boolean frequency-band mask (inclusive bounds; ``flow=0`` valid)."""
+    nu_arr = np.asarray(nu_arr)
+    mask = np.ones(nu_arr.shape, dtype=bool)
+    if flow is not None:
+        mask &= nu_arr >= flow
+    if fhigh is not None:
+        mask &= nu_arr <= fhigh
+    return mask
+
+
+def error_jnp(true_signal, pred_signal, relative: bool = True, mask=None):
+    """Traceable (jit/vmap/grad-safe) version of :func:`error` for
+    on-device evaluation inside jitted pipelines (sharded eval, tuner
+    loops, differentiable metrics).
+
+    ``mask``: optional (bins,) boolean/0-1 band mask from
+    :func:`band_mask` (static under jit). Returns per-signal errors with
+    the same semantics as :func:`error`.
+    """
+    import jax.numpy as jnp
+
+    true_signal = jnp.atleast_2d(true_signal)
+    pred_signal = jnp.atleast_2d(pred_signal)
+    if mask is not None:
+        w = jnp.asarray(mask, true_signal.dtype)
+        n = jnp.sum(w)
+        sq = (pred_signal - true_signal) ** 2 * w
+        err = jnp.sqrt(jnp.sum(sq, axis=1) / n)
+        amp = jnp.max(jnp.abs(true_signal) * w, axis=1)
+    else:
+        err = jnp.sqrt(jnp.mean((pred_signal - true_signal) ** 2, axis=1))
+        amp = jnp.max(jnp.abs(true_signal), axis=1)
+    if relative:
+        err = err / amp * 100.0
+    return err
