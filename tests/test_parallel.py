@@ -137,3 +137,44 @@ def test_sharded_emulator_ae_and_vae_families(splits):
         out = sharded(raw)
         assert out.shape == (33, splits.n_bins)
         np.testing.assert_allclose(out, model.predict(raw), rtol=1e-5, atol=1e-4)
+
+
+def test_dp_fit_scan_multichip(splits, normalizer):
+    """Device-resident DP training over the virtual 8-device mesh matches
+    the single-device scan trainer."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu21cmvae.ops.losses import relative_mse
+    from tpu21cmvae.ops.mlp import init_mlp, mlp_apply
+    from tpu21cmvae.ops.transforms import par_transform, preproc
+    from tpu21cmvae.parallel.mesh import make_mesh
+    from tpu21cmvae.parallel.train_dp import dp_fit_scan
+    from tpu21cmvae.train.scan import fit_scan
+    from tpu21cmvae.utils.config import TrainConfig
+
+    params = init_mlp(jax.random.key(0), (7, 16, splits.n_bins))
+    sm = normalizer.scaled_mean
+
+    def loss_fn(p, x, y):
+        return relative_mse(y, mlp_apply(p, x), sm)
+
+    x = par_transform(jnp.asarray(splits.par_train[:256], jnp.float32), normalizer)
+    y = preproc(jnp.asarray(splits.signal_train[:256], jnp.float32), normalizer)
+    xv = par_transform(jnp.asarray(splits.par_val[:64], jnp.float32), normalizer)
+    yv = preproc(jnp.asarray(splits.signal_val[:64], jnp.float32), normalizer)
+    cfg = TrainConfig(
+        epochs=3, batch_size=64, learning_rate=0.003,
+        early_stop_patience=None, plateau_patience=None,
+    )
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    p_dp, _, h_dp = dp_fit_scan(params, loss_fn, x, y, xv, yv, cfg, mesh)
+    p_1, _, h_1 = fit_scan(params, loss_fn, x, y, xv, yv, cfg)
+    np.testing.assert_allclose(h_dp.loss, h_1.loss, rtol=1e-5)
+    for la, lb in zip(p_dp, p_1):
+        np.testing.assert_allclose(
+            np.asarray(la["w"]), np.asarray(lb["w"]), rtol=1e-5, atol=1e-6
+        )

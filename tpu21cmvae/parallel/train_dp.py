@@ -98,3 +98,47 @@ def dp_fit(
         stochastic=stochastic,
         verbose=verbose,
     )
+
+
+def dp_fit_scan(
+    params,
+    loss_fn,
+    x_train,
+    y_train,
+    x_val,
+    y_val,
+    cfg: TrainConfig,
+    mesh: Mesh,
+    *,
+    opt_state=None,
+    stochastic: bool = False,
+):
+    """Data-parallel, device-resident training: the whole run is ONE XLA
+    program over the mesh (:func:`tpu21cmvae.train.scan.fit_scan` with
+    the dataset batch-sharded and params/optimizer replicated).
+
+    The per-epoch permutation is global, so batch re-sharding rides XLA
+    collectives over ICI; gradients all-reduce via the shardings as in
+    :func:`make_dp_train_step`. Semantics (shuffles, callbacks,
+    histories) are identical to the single-device path.
+    """
+    from tpu21cmvae.train.scan import fit_scan
+
+    params = replicate(params, mesh)
+    if opt_state is None:
+        opt_state = replicate(adam_init(params), mesh)
+    x_train = shard_batch(jnp.asarray(x_train, jnp.float32), mesh)
+    y_train = shard_batch(jnp.asarray(y_train, jnp.float32), mesh)
+    x_val = shard_batch(jnp.asarray(x_val, jnp.float32), mesh)
+    y_val = shard_batch(jnp.asarray(y_val, jnp.float32), mesh)
+    return fit_scan(
+        params,
+        loss_fn,
+        x_train,
+        y_train,
+        x_val,
+        y_val,
+        cfg,
+        opt_state=opt_state,
+        stochastic=stochastic,
+    )

@@ -21,6 +21,18 @@ as the host path, so ``fit_scan`` and ``fit`` produce bit-identical
 histories on the same inputs (pinned by ``tests/test_scan_fit.py``).
 Checkpoint/resume and live metrics streaming need the host loop — use
 ``fit`` when you need those; ``fit_scan`` when you need speed.
+
+Measured device time at reference scale (flagship model, 26,888 training
+rows, batch 256 → 106 steps/epoch, v5e): ~7.5 ms/epoch inside the
+compiled program — the full 350-epoch published recipe is ~2.6 s of
+device compute (the reference trains for minutes on CPU). Dependent
+per-epoch dispatches through a remote link cost ~100 ms each, which is
+exactly what this one-program design removes.
+
+Caveat: the jitted program closes over the dataset and the loss, so each
+``fit_scan`` call traces fresh; XLA's compilation cache makes repeated
+same-shape runs cheap, but for many small runs in one process (e.g. the
+tuner) the per-call trace is the overhead to watch.
 """
 
 from __future__ import annotations
