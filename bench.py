@@ -58,8 +58,11 @@ def _build():
 
     data = synthetic_dataset(n_train=2048, n_val=256, n_test=64, seed=0)
     model = DirectEmulator(data)
+    # device_loop: the whole training is one device call — avoids per-
+    # epoch dispatch latency dominating bench wall time on remote links
     model.train(
-        train_config=TrainConfig(epochs=TRAIN_EPOCHS, early_stop_patience=None)
+        train_config=TrainConfig(epochs=TRAIN_EPOCHS, early_stop_patience=None),
+        device_loop=True,
     )
     rng = np.random.default_rng(0)
     raw = synthetic_params(BATCH, rng).astype(np.float32)

@@ -46,9 +46,10 @@ def run_direct(args):
     cfg = dataclasses.replace(DIRECT_TRAIN_DEFAULT, epochs=args.epochs)
     model.train(
         train_config=cfg,
-        verbose=True,
+        verbose=not args.device_loop,
         checkpoint_dir=args.checkpoint_dir,
         resume=args.checkpoint_dir is not None,
+        device_loop=args.device_loop,
     )
     report(model.test_error(), "direct")
     if args.save:
@@ -100,6 +101,8 @@ def main():
     ap.add_argument("--beta", type=float, default=1.0, help="VAE KL weight")
     ap.add_argument("--save", help="save trained model checkpoint (.npz)")
     ap.add_argument("--checkpoint-dir", help="periodic checkpoints + resume (direct)")
+    ap.add_argument("--device-loop", action="store_true",
+                    help="train as ONE XLA program (no per-epoch host syncs)")
     args = ap.parse_args()
     {"direct": run_direct, "ae": run_ae, "vae": run_vae}[args.family](args)
 

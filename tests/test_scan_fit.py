@@ -112,3 +112,43 @@ def test_scan_device_loop_in_model(splits):
     loss, val_loss = model.train(train_config=cfg, device_loop=True)
     assert len(loss) == 3
     assert model.history.epoch_time_s == []  # no per-epoch host timing
+
+
+def test_ae_vae_device_loop(splits):
+    """Both two-stage families train through the scan path."""
+    from tpu21cmvae.models.autoencoder import AutoEncoderEmulator
+    from tpu21cmvae.models.vae import VAEEmulator
+    from tpu21cmvae.utils.config import AutoEncoderConfig, VAEConfig
+
+    cfg = dataclasses.replace(BASE, epochs=2)
+    ae = AutoEncoderEmulator(
+        splits,
+        config=AutoEncoderConfig(
+            latent_dim=4, enc_hidden_dims=(16,), dec_hidden_dims=(16,),
+            em_hidden_dims=(12,),
+        ),
+    )
+    out = ae.train(ae_train_config=cfg, em_train_config=cfg, device_loop=True)
+    assert all(len(h) == 2 for h in out)
+
+    vae = VAEEmulator(
+        splits,
+        config=VAEConfig(
+            latent_dim=4, enc_hidden_dims=(16,), dec_hidden_dims=(16,),
+            em_hidden_dims=(12,),
+        ),
+    )
+    out = vae.train(vae_train_config=cfg, em_train_config=cfg, device_loop=True)
+    assert all(len(h) == 2 for h in out)
+
+
+def test_tuner_device_loop(splits):
+    from tpu21cmvae.tuner import SearchSpace, tune_direct
+
+    res = tune_direct(
+        splits, n_trials=1,
+        space=SearchSpace(min_layers=1, max_layers=1, width_choices=(16,)),
+        train_config=dataclasses.replace(BASE, epochs=2),
+        device_loop=True,
+    )
+    assert np.isfinite(res.best.val_error)

@@ -280,6 +280,7 @@ class AutoEncoderEmulator:
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 10,
         resume: bool = False,
+        device_loop: bool = False,
     ) -> Tuple[list, list, list, list]:
         """Stage A: autoencoder on standardized signals (relative-MSE);
         Stage B: params→latent MLP on frozen-encoder latents (MSE) —
@@ -314,12 +315,24 @@ class AutoEncoderEmulator:
         ck = lambda stage: (
             os.path.join(checkpoint_dir, stage) if checkpoint_dir else None
         )
-        ae_params, _, ae_hist = fit(
+        if device_loop:
+            if checkpoint_dir is not None:
+                raise ValueError(
+                    "device_loop=True runs without host hooks; drop "
+                    "checkpoint_dir or use the host loop."
+                )
+            from tpu21cmvae.train.scan import fit_scan as _fit
+            fit_kw = {}
+        else:
+            _fit = fit
+            fit_kw = dict(
+                verbose=verbose,
+                checkpoint_every=checkpoint_every,
+                resume=resume,
+            )
+        ae_params, _, ae_hist = _fit(
             ae.params, ae_loss_fn, y_train, y_train, y_val, y_val, ae_cfg,
-            verbose=verbose,
-            checkpoint_dir=ck("stage_ae"),
-            checkpoint_every=checkpoint_every,
-            resume=resume,
+            **({**fit_kw, "checkpoint_dir": ck("stage_ae")} if fit_kw else {}),
         )
         ae.params = ae_params
 
@@ -334,12 +347,9 @@ class AutoEncoderEmulator:
         def em_loss_fn(params, x, y):
             return mse(y, mlp_apply(params, x, act))
 
-        self.em_params, _, em_hist = fit(
+        self.em_params, _, em_hist = _fit(
             self.em_params, em_loss_fn, x_train, z_train, x_val, z_val, em_cfg,
-            verbose=verbose,
-            checkpoint_dir=ck("stage_em"),
-            checkpoint_every=checkpoint_every,
-            resume=resume,
+            **({**fit_kw, "checkpoint_dir": ck("stage_em")} if fit_kw else {}),
         )
         self.history = {"autoencoder": ae_hist, "emulator": em_hist}
         return ae_hist.loss, ae_hist.val_loss, em_hist.loss, em_hist.val_loss

@@ -301,6 +301,7 @@ class VAEEmulator:
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 10,
         resume: bool = False,
+        device_loop: bool = False,
     ) -> Tuple[list, list, list, list]:
         """Stage A: VAE with reconstruction + β·KL (stochastic loss, fresh
         key per batch); Stage B: params→z_mean MLP with MSE. Returns
@@ -332,12 +333,25 @@ class VAEEmulator:
         ck = lambda stage: (
             os.path.join(checkpoint_dir, stage) if checkpoint_dir else None
         )
-        vae_params, _, vae_hist = fit(
+        if device_loop:
+            if checkpoint_dir is not None:
+                raise ValueError(
+                    "device_loop=True runs without host hooks; drop "
+                    "checkpoint_dir or use the host loop."
+                )
+            from tpu21cmvae.train.scan import fit_scan as _fit
+            fit_kw = {}
+        else:
+            _fit = fit
+            fit_kw = dict(
+                verbose=verbose,
+                checkpoint_every=checkpoint_every,
+                resume=resume,
+            )
+        vae_params, _, vae_hist = _fit(
             self.vae.params, vae_loss_fn, y_train, y_train, y_val, y_val,
-            vae_cfg, stochastic=True, verbose=verbose,
-            checkpoint_dir=ck("stage_vae"),
-            checkpoint_every=checkpoint_every,
-            resume=resume,
+            vae_cfg, stochastic=True,
+            **({**fit_kw, "checkpoint_dir": ck("stage_vae")} if fit_kw else {}),
         )
         self.vae.params = vae_params
 
@@ -350,12 +364,9 @@ class VAEEmulator:
         def em_loss_fn(params, x, y):
             return mse(y, mlp_apply(params, x, act))
 
-        self.em_params, _, em_hist = fit(
+        self.em_params, _, em_hist = _fit(
             self.em_params, em_loss_fn, x_train, z_train, x_val, z_val, em_cfg,
-            verbose=verbose,
-            checkpoint_dir=ck("stage_em"),
-            checkpoint_every=checkpoint_every,
-            resume=resume,
+            **({**fit_kw, "checkpoint_dir": ck("stage_em")} if fit_kw else {}),
         )
         self.history = {"vae": vae_hist, "emulator": em_hist}
         return vae_hist.loss, vae_hist.val_loss, em_hist.loss, em_hist.val_loss

@@ -29,10 +29,11 @@ device compute (the reference trains for minutes on CPU). Dependent
 per-epoch dispatches through a remote link cost ~100 ms each, which is
 exactly what this one-program design removes.
 
-Caveat: the jitted program closes over the dataset and the loss, so each
-``fit_scan`` call traces fresh; XLA's compilation cache makes repeated
-same-shape runs cheap, but for many small runs in one process (e.g. the
-tuner) the per-call trace is the overhead to watch.
+Caveat: the dataset is passed as jit arguments (not baked into the
+program as constants), but the loss is a closure, so each ``fit_scan``
+call traces fresh; XLA's compilation cache makes repeated same-shape
+runs cheap, and for many small runs in one process (e.g. the tuner) the
+per-call trace is the overhead to watch.
 """
 
 from __future__ import annotations
@@ -81,7 +82,10 @@ def fit_scan(
     use_plateau = cfg.plateau_patience is not None
     eval_key = jax.random.key(cfg.seed ^ 0x5EED)  # match loop._make_eval_fn
 
-    def run_epoch(params, opt_state, lr, shuffle_key, loss_key):
+    # The dataset is threaded through as jit ARGUMENTS (not closed over):
+    # closing over it would embed ~n×bins×4 bytes of constants in the
+    # compiled program — slower compiles and a duplicate HBM copy.
+    def run_epoch(x_train, y_train, params, opt_state, lr, shuffle_key, loss_key):
         perm = jax.random.permutation(shuffle_key, n)
         perm = jnp.concatenate([perm, jnp.zeros((padded - n,), perm.dtype)])
         weights = (jnp.arange(padded) < n).astype(x_train.dtype)
@@ -115,12 +119,13 @@ def fit_scan(
         )
         return params, opt_state, total / n
 
-    def evaluate(params):
+    def evaluate(x_val, y_val, params):
         if stochastic:
             return jnp.mean(loss_fn(params, x_val, y_val, eval_key))
         return jnp.mean(loss_fn(params, x_val, y_val))
 
-    def epoch_body(carry, epoch):
+    def epoch_body(data, carry, epoch):
+        x_train, y_train, x_val, y_val = data
         (params, opt_state, lr, key, es_best, es_wait, es_best_epoch,
          best_params, pl_best, pl_wait, stopped_at) = carry
         # identical key derivation to loop.fit: split the root key per
@@ -132,9 +137,9 @@ def fit_scan(
         def do_epoch(operand):
             params, opt_state, lr = operand
             new_params, new_opt, train_loss = run_epoch(
-                params, opt_state, lr, shuffle_key, loss_key
+                x_train, y_train, params, opt_state, lr, shuffle_key, loss_key
             )
-            val_loss = evaluate(new_params)
+            val_loss = evaluate(x_val, y_val, new_params)
             return new_params, new_opt, train_loss, val_loss
 
         def skip_epoch(operand):
@@ -179,8 +184,11 @@ def fit_scan(
                  best_params, pl_best, pl_wait, stopped_at)
         return carry, (train_loss, val_loss, lr_used)
 
+    import functools
+
     @jax.jit
-    def train_all(params, opt_state):
+    def train_all(params, opt_state, x_train, y_train, x_val, y_val):
+        body = functools.partial(epoch_body, (x_train, y_train, x_val, y_val))
         init = (
             params,
             opt_state,
@@ -195,7 +203,7 @@ def fit_scan(
             jnp.int32(-1),                 # stopped_at (-1 = running)
         )
         carry, (losses, val_losses, lrs) = jax.lax.scan(
-            epoch_body, init, jnp.arange(cfg.epochs)
+            body, init, jnp.arange(cfg.epochs)
         )
         (params, opt_state, _, _, _, _, es_best_epoch, best_params, _, _,
          stopped_at) = carry
@@ -208,7 +216,7 @@ def fit_scan(
         return params, opt_state, losses, val_losses, lrs, stopped_at, es_best_epoch
 
     params, opt_state, losses, val_losses, lrs, stopped_at, best_epoch = (
-        train_all(params, opt_state)
+        train_all(params, opt_state, x_train, y_train, x_val, y_val)
     )
     # ONE host sync for the whole run:
     losses = np.asarray(losses)

@@ -145,6 +145,7 @@ def tune_direct(
     train_config: TrainConfig = TRIAL_TRAIN_DEFAULT,
     seed: int = 0,
     verbose: bool = False,
+    device_loop: bool = False,
 ) -> TuneResult:
     """Random search over direct-emulator hidden stacks.
 
@@ -165,7 +166,9 @@ def tune_direct(
     def evaluate(cfg, trial_seed):
         model = DirectEmulator(data, config=cfg, seed=trial_seed)
         cfg_train = dataclasses.replace(train_config, seed=trial_seed)
-        _, val_losses = model.train(train_config=cfg_train)
+        _, val_losses = model.train(
+            train_config=cfg_train, device_loop=device_loop
+        )
         val_err = float(
             np.mean(error(data.signal_val, model.predict(data.par_val)))
         )
