@@ -1,12 +1,10 @@
 """Tests for the profiling/timing and metrics-logging subsystems
 (SURVEY.md §5: the reference has neither — these pin the replacements)."""
 
-import json
 import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import pytest
 
 from tpu21cmvae.train.loop import fit

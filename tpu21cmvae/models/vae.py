@@ -323,10 +323,20 @@ class VAEEmulator:
         y_train = preproc(jnp.asarray(self.data.signal_train, jnp.float32), norm)
         y_val = preproc(jnp.asarray(self.data.signal_val, jnp.float32), norm)
 
-        base_loss = self.vae.loss_fn()
+        vae = self.vae
+        beta = self.config.beta
+        anneal = max(0, int(self.config.kl_anneal_epochs))
 
-        def vae_loss_fn(params, x, y, key):
-            return base_loss(params, x, y, key, scaled_mean)
+        def vae_loss_fn(params, x, y, key, epoch):
+            """β-ELBO with linear KL warm-up: β_t = β·min(1, (t+1)/T)
+            (posterior-collapse mitigation; see VAEConfig)."""
+            recon, mu, logvar = vae.apply(params, x, key)
+            scale = (
+                jnp.minimum(1.0, (epoch + 1.0) / anneal) if anneal > 0 else 1.0
+            )
+            return relative_mse(y, recon, scaled_mean) + (
+                beta * scale
+            ) * kl_divergence(mu, logvar)
 
         import os
 
@@ -350,7 +360,7 @@ class VAEEmulator:
             )
         vae_params, _, vae_hist = _fit(
             self.vae.params, vae_loss_fn, y_train, y_train, y_val, y_val,
-            vae_cfg, stochastic=True,
+            vae_cfg, stochastic=True, pass_epoch=True,
             **({**fit_kw, "checkpoint_dir": ck("stage_vae")} if fit_kw else {}),
         )
         self.vae.params = vae_params

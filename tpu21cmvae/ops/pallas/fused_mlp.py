@@ -37,7 +37,7 @@ only when fastest); the production fast path is the XLA bf16x3 tier.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

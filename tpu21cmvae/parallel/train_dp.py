@@ -14,7 +14,7 @@ train step for custom loops and the multi-chip dry run.
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
@@ -112,6 +112,7 @@ def dp_fit_scan(
     *,
     opt_state=None,
     stochastic: bool = False,
+    pass_epoch: bool = False,
 ):
     """Data-parallel, device-resident training: the whole run is ONE XLA
     program over the mesh (:func:`tpu21cmvae.train.scan.fit_scan` with
@@ -141,4 +142,5 @@ def dp_fit_scan(
         cfg,
         opt_state=opt_state,
         stochastic=stochastic,
+        pass_epoch=pass_epoch,
     )

@@ -58,7 +58,10 @@ class History:
         return dataclasses.asdict(self)
 
 
-def _make_epoch_fn(loss_fn: LossFn, cfg: TrainConfig, n: int, stochastic: bool):
+def _make_epoch_fn(
+    loss_fn: LossFn, cfg: TrainConfig, n: int, stochastic: bool,
+    pass_epoch: bool = False,
+):
     """Build the jitted one-epoch function for a dataset of n samples.
 
     Not donated: EarlyStopping keeps a reference to the best epoch's
@@ -68,7 +71,7 @@ def _make_epoch_fn(loss_fn: LossFn, cfg: TrainConfig, n: int, stochastic: bool):
     nb = -(-n // bs)  # ceil
     padded = nb * bs
 
-    def epoch(params, opt_state, lr, key, x, y):
+    def epoch(params, opt_state, lr, key, x, y, epoch_idx):
         shuffle_key, loss_key = jax.random.split(key)
         perm = jax.random.permutation(shuffle_key, n)
         perm = jnp.concatenate([perm, jnp.zeros((padded - n,), perm.dtype)])
@@ -83,10 +86,13 @@ def _make_epoch_fn(loss_fn: LossFn, cfg: TrainConfig, n: int, stochastic: bool):
             count = jnp.sum(bw)
 
             def batch_loss(p):
+                extra = (epoch_idx,) if pass_epoch else ()
                 if stochastic:
-                    per_sample = loss_fn(p, bx, by, jax.random.fold_in(loss_key, i))
+                    per_sample = loss_fn(
+                        p, bx, by, jax.random.fold_in(loss_key, i), *extra
+                    )
                 else:
-                    per_sample = loss_fn(p, bx, by)
+                    per_sample = loss_fn(p, bx, by, *extra)
                 return jnp.sum(per_sample * bw) / count
 
             loss_val, grads = jax.value_and_grad(batch_loss)(params)
@@ -111,16 +117,19 @@ def _make_epoch_fn(loss_fn: LossFn, cfg: TrainConfig, n: int, stochastic: bool):
     return jax.jit(epoch)
 
 
-def _make_eval_fn(loss_fn: LossFn, stochastic: bool, seed: int):
+def _make_eval_fn(
+    loss_fn: LossFn, stochastic: bool, seed: int, pass_epoch: bool = False
+):
     """Validation loss; stochastic losses use a fixed key so the monitor
     the callbacks watch is deterministic across epochs."""
     eval_key = jax.random.key(seed ^ 0x5EED)
 
     @jax.jit
-    def evaluate(params, x, y):
+    def evaluate(params, x, y, epoch_idx):
+        extra = (epoch_idx,) if pass_epoch else ()
         if stochastic:
-            return jnp.mean(loss_fn(params, x, y, eval_key))
-        return jnp.mean(loss_fn(params, x, y))
+            return jnp.mean(loss_fn(params, x, y, eval_key, *extra))
+        return jnp.mean(loss_fn(params, x, y, *extra))
 
     return evaluate
 
@@ -136,6 +145,7 @@ def fit(
     *,
     opt_state=None,
     stochastic: bool = False,
+    pass_epoch: bool = False,
     verbose: bool = False,
     epoch_callback: Optional[Callable] = None,
     checkpoint_dir: Optional[str] = None,
@@ -149,7 +159,9 @@ def fit(
     emulator passes relative-MSE over the MLP, the AE stages pass their
     own (SURVEY.md §3.2/§3.4). With ``stochastic=True`` the signature is
     ``loss_fn(params, x, y, key)`` and each batch gets a fresh PRNG key
-    (used by the VAE's reparameterization sampling).
+    (used by the VAE's reparameterization sampling). With
+    ``pass_epoch=True`` the (traced) epoch index is appended as a final
+    argument — the hook schedule-dependent losses (KL warm-up) use.
 
     With ``checkpoint_dir`` the full training state is saved atomically
     every ``checkpoint_every`` epochs (and at the end); ``resume=True``
@@ -163,8 +175,8 @@ def fit(
     y_val = jnp.asarray(y_val, jnp.float32)
     n = x_train.shape[0]
 
-    epoch_fn = _make_epoch_fn(loss_fn, cfg, n, stochastic)
-    eval_fn = _make_eval_fn(loss_fn, stochastic, cfg.seed)
+    epoch_fn = _make_epoch_fn(loss_fn, cfg, n, stochastic, pass_epoch)
+    eval_fn = _make_eval_fn(loss_fn, stochastic, cfg.seed, pass_epoch)
 
     if opt_state is None:
         opt_state = adam_init(params)
@@ -240,9 +252,10 @@ def fit(
         t0 = time.perf_counter()
         key, sub = jax.random.split(key)
         params, opt_state, train_loss = epoch_fn(
-            params, opt_state, jnp.float32(lr), sub, x_train, y_train
+            params, opt_state, jnp.float32(lr), sub, x_train, y_train,
+            jnp.int32(epoch),
         )
-        val_loss = float(eval_fn(params, x_val, y_val))
+        val_loss = float(eval_fn(params, x_val, y_val, jnp.int32(epoch)))
         train_loss = float(train_loss)
         history.loss.append(train_loss)
         history.val_loss.append(val_loss)

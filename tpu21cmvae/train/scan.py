@@ -38,7 +38,7 @@ per-call trace is the overhead to watch.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +60,7 @@ def fit_scan(
     *,
     opt_state=None,
     stochastic: bool = False,
+    pass_epoch: bool = False,
 ):
     """Train entirely on device; returns ``(params, opt_state, History)``.
 
@@ -85,7 +86,8 @@ def fit_scan(
     # The dataset is threaded through as jit ARGUMENTS (not closed over):
     # closing over it would embed ~n×bins×4 bytes of constants in the
     # compiled program — slower compiles and a duplicate HBM copy.
-    def run_epoch(x_train, y_train, params, opt_state, lr, shuffle_key, loss_key):
+    def run_epoch(x_train, y_train, params, opt_state, lr, shuffle_key,
+                  loss_key, epoch_idx):
         perm = jax.random.permutation(shuffle_key, n)
         perm = jnp.concatenate([perm, jnp.zeros((padded - n,), perm.dtype)])
         weights = (jnp.arange(padded) < n).astype(x_train.dtype)
@@ -99,10 +101,13 @@ def fit_scan(
             count = jnp.sum(bw)
 
             def batch_loss(p):
+                extra = (epoch_idx,) if pass_epoch else ()
                 if stochastic:
-                    per_sample = loss_fn(p, bx, by, jax.random.fold_in(loss_key, i))
+                    per_sample = loss_fn(
+                        p, bx, by, jax.random.fold_in(loss_key, i), *extra
+                    )
                 else:
-                    per_sample = loss_fn(p, bx, by)
+                    per_sample = loss_fn(p, bx, by, *extra)
                 return jnp.sum(per_sample * bw) / count
 
             loss_val, grads = jax.value_and_grad(batch_loss)(params)
@@ -119,10 +124,11 @@ def fit_scan(
         )
         return params, opt_state, total / n
 
-    def evaluate(x_val, y_val, params):
+    def evaluate(x_val, y_val, params, epoch_idx):
+        extra = (epoch_idx,) if pass_epoch else ()
         if stochastic:
-            return jnp.mean(loss_fn(params, x_val, y_val, eval_key))
-        return jnp.mean(loss_fn(params, x_val, y_val))
+            return jnp.mean(loss_fn(params, x_val, y_val, eval_key, *extra))
+        return jnp.mean(loss_fn(params, x_val, y_val, *extra))
 
     def epoch_body(data, carry, epoch):
         x_train, y_train, x_val, y_val = data
@@ -137,9 +143,10 @@ def fit_scan(
         def do_epoch(operand):
             params, opt_state, lr = operand
             new_params, new_opt, train_loss = run_epoch(
-                x_train, y_train, params, opt_state, lr, shuffle_key, loss_key
+                x_train, y_train, params, opt_state, lr, shuffle_key,
+                loss_key, epoch,
             )
-            val_loss = evaluate(x_val, y_val, new_params)
+            val_loss = evaluate(x_val, y_val, new_params, epoch)
             return new_params, new_opt, train_loss, val_loss
 
         def skip_epoch(operand):

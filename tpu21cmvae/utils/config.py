@@ -76,10 +76,20 @@ class VAEConfig(AutoEncoderConfig):
     The VAE is named by the reference repo ("21cmVAE", interpretable latent
     space per ``README.rst:11``) but has no code in the v3.1.0 snapshot —
     its ``AutoEncoder`` is deterministic (reference ``emulator.py:445-518``).
-    ``beta`` scales the KL term (beta=1 is the classic ELBO).
+
+    ``beta`` scales the KL term (beta=1 is the classic ELBO). The
+    reconstruction term here is the per-bin-averaged relative MSE
+    (O(1e-4) once trained), so an un-scaled KL dominates and collapses
+    the posterior. Measured sweep (synthetic set, 80 epochs): beta ≥ 0.1
+    → 0/9 active latents, ~24 % error; beta=1e-3 → 3/9 active, ~2.8 %;
+    beta=1e-4 with a 50-epoch warm-up → 9/9 active, ~1.2 %. The default
+    pairs that small beta with a linear KL warm-up over
+    ``kl_anneal_epochs`` epochs (0 disables annealing), the standard
+    posterior-collapse mitigation.
     """
 
-    beta: float = 1.0
+    beta: float = 1e-4
+    kl_anneal_epochs: int = 50
 
 
 @dataclasses.dataclass(frozen=True)
