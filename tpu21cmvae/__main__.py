@@ -26,6 +26,11 @@ def _get_data(args):
         return load_dataset(args.dataset)
     if getattr(args, "download", False):
         return ensure_dataset()
+    print(
+        "WARNING: no --dataset/--download given — using the built-in "
+        "SYNTHETIC dataset. Results are not 21cmGEM numbers.",
+        file=sys.stderr,
+    )
     return synthetic_dataset(n_train=4096, n_val=512, n_test=512, seed=0)
 
 
@@ -59,7 +64,12 @@ def cmd_train(args):
     else:
         cls = AutoEncoderEmulator if args.family == "ae" else VAEEmulator
         model = cls(data)
-        model.train(epochs=args.epochs, verbose=True)
+        model.train(
+            epochs=args.epochs,
+            verbose=True,
+            checkpoint_dir=args.checkpoint_dir,
+            resume=args.checkpoint_dir is not None,
+        )
     err = model.test_error()
     print(f"test error: mean {err.mean():.4f}% median {np.median(err):.4f}%")
     model.save(args.out)

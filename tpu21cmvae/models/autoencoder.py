@@ -23,7 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu21cmvae.data.dataset import DataSplits
-from tpu21cmvae.models.checkpoint import load_checkpoint, save_checkpoint
+from tpu21cmvae.models.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+    unflatten_like,
+)
 from tpu21cmvae.models.direct import _resolve_axes, PAR_LABELS
 from tpu21cmvae.models.io_keras import load_keras_mlp
 from tpu21cmvae.ops.losses import mse, relative_mse
@@ -166,6 +170,7 @@ class AutoEncoderEmulator:
             "dec_hidden_dims": list(self.config.dec_hidden_dims),
             "em_hidden_dims": list(self.config.em_hidden_dims),
             "activation": self.config.activation,
+            "redshifts": [float(z) for z in self.redshifts],
         }
         tree = {
             "enc": self.autoencoder.enc_params,
@@ -177,7 +182,7 @@ class AutoEncoderEmulator:
 
     @classmethod
     def from_checkpoint(cls, path: str, data: Optional[DataSplits] = None):
-        _, meta = load_checkpoint(path)
+        leaves, meta = load_checkpoint(path)
         cfg = AutoEncoderConfig(
             n_params=meta["n_params"],
             n_bins=meta["n_bins"],
@@ -198,7 +203,7 @@ class AutoEncoderEmulator:
                 par_max=jnp.zeros(cfg.n_params),
             ),
         }
-        tree, _ = load_checkpoint(path, like=template)
+        tree = unflatten_like(template, leaves, source=path)
         tree = jax.tree_util.tree_map(jnp.asarray, tree)
         return cls(
             data,
@@ -207,6 +212,7 @@ class AutoEncoderEmulator:
             enc_params=tree["enc"],
             dec_params=tree["dec"],
             em_params=tree["em"],
+            redshifts=np.asarray(meta["redshifts"]) if "redshifts" in meta else None,
         )
 
     # -- inference ---------------------------------------------------------

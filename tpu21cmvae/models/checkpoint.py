@@ -76,3 +76,15 @@ def load_checkpoint(path: str, like=None) -> Tuple[Any, dict]:
     else:
         tree = leaves
     return tree, header["metadata"]
+
+
+def unflatten_like(template, leaves, source: str = "checkpoint"):
+    """Rebuild a pytree with ``template``'s structure from a flat leaf
+    list (one :func:`load_checkpoint` read, no second file parse)."""
+    treedef = jax.tree_util.tree_structure(template)
+    if treedef.num_leaves != len(leaves):
+        raise ValueError(
+            f"{source} has {len(leaves)} leaves; template has "
+            f"{treedef.num_leaves}"
+        )
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -24,7 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu21cmvae.data.dataset import DataSplits
-from tpu21cmvae.models.checkpoint import load_checkpoint, save_checkpoint
+from tpu21cmvae.models.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+    unflatten_like,
+)
 from tpu21cmvae.models.io_keras import load_keras_mlp
 from tpu21cmvae.ops.losses import relative_mse
 from tpu21cmvae.ops.mlp import init_mlp, mlp_apply, mlp_sizes
@@ -115,7 +119,7 @@ class DirectEmulator:
     def from_checkpoint(cls, path: str, data: Optional[DataSplits] = None) -> "DirectEmulator":
         """Restore a model saved with :meth:`save` — weights AND
         normalization constants, no training data needed."""
-        flat, meta = load_checkpoint(path)
+        leaves, meta = load_checkpoint(path)
         cfg = DirectEmulatorConfig(
             n_params=meta["n_params"],
             n_bins=meta["n_bins"],
@@ -131,7 +135,7 @@ class DirectEmulator:
                 par_max=jnp.zeros(meta["n_params"]),
             ),
         }
-        tree, _ = load_checkpoint(path, like=template)
+        tree = unflatten_like(template, leaves, source=path)
         tree = jax.tree_util.tree_map(jnp.asarray, tree)
         return cls(
             data,

@@ -27,7 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu21cmvae.data.dataset import DataSplits
-from tpu21cmvae.models.checkpoint import load_checkpoint, save_checkpoint
+from tpu21cmvae.models.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+    unflatten_like,
+)
 from tpu21cmvae.models.direct import PAR_LABELS, _resolve_axes
 from tpu21cmvae.ops.losses import kl_divergence, mse, relative_mse
 from tpu21cmvae.ops.mlp import init_mlp, mlp_apply, resolve_activation
@@ -106,12 +110,16 @@ class VAE:
         z = mu if key is None else self.reparameterize(key, mu, logvar)
         return self.decode(params, z), mu, logvar
 
-    def loss_fn(self):
-        """Per-sample β-ELBO on standardized signals; signature matches
-        the training loop's ``stochastic=True`` mode."""
+    def loss_fn(self, scaled_mean):
+        """Per-sample β-ELBO on standardized signals (constant β, no
+        warm-up). The returned ``loss(params, x, y, key)`` matches the
+        training loops' ``stochastic=True`` signature exactly;
+        ``scaled_mean`` comes from the Normalizer
+        (:attr:`~tpu21cmvae.ops.transforms.Normalizer.scaled_mean`).
+        ``VAEEmulator.train`` builds its own annealed variant."""
         beta = self.config.beta
 
-        def loss(params, x, y, key, scaled_mean):
+        def loss(params, x, y, key):
             recon, mu, logvar = self.apply(params, x, key)
             return relative_mse(y, recon, scaled_mean) + beta * kl_divergence(
                 mu, logvar
@@ -208,6 +216,8 @@ class VAEEmulator:
             "em_hidden_dims": list(self.config.em_hidden_dims),
             "activation": self.config.activation,
             "beta": self.config.beta,
+            "kl_anneal_epochs": self.config.kl_anneal_epochs,
+            "redshifts": [float(z) for z in self.redshifts],
         }
         tree = {
             "vae": self.vae.params,
@@ -218,7 +228,7 @@ class VAEEmulator:
 
     @classmethod
     def from_checkpoint(cls, path: str, data: Optional[DataSplits] = None):
-        _, meta = load_checkpoint(path)
+        leaves, meta = load_checkpoint(path)
         cfg = VAEConfig(
             n_params=meta["n_params"],
             n_bins=meta["n_bins"],
@@ -228,6 +238,7 @@ class VAEEmulator:
             em_hidden_dims=tuple(meta["em_hidden_dims"]),
             activation=meta.get("activation", "relu"),
             beta=meta.get("beta", 1.0),
+            kl_anneal_epochs=meta.get("kl_anneal_epochs", 0),
         )
         template = {
             "vae": VAE(cfg, seed=0).params,
@@ -239,7 +250,7 @@ class VAEEmulator:
                 par_max=jnp.zeros(cfg.n_params),
             ),
         }
-        tree, _ = load_checkpoint(path, like=template)
+        tree = unflatten_like(template, leaves, source=path)
         tree = jax.tree_util.tree_map(jnp.asarray, tree)
         return cls(
             data,
@@ -247,6 +258,7 @@ class VAEEmulator:
             normalizer=tree["normalizer"],
             vae_params=tree["vae"],
             em_params=tree["em"],
+            redshifts=np.asarray(meta["redshifts"]) if "redshifts" in meta else None,
         )
 
     # -- inference ----------------------------------------------------------

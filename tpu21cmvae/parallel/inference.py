@@ -48,9 +48,13 @@ class ShardedEmulator:
         mesh: Optional[Mesh] = None,
         min_quantum: int = 8,
     ):
+        import math
+
         self.mesh = mesh if mesh is not None else make_mesh()
         n_dev = self.mesh.devices.size
-        self.quantum = max(min_quantum, n_dev)
+        # every bucket must divide evenly across the mesh — lcm, not max,
+        # so non-power-of-two meshes (3, 5, 6 devices, …) shard cleanly
+        self.quantum = math.lcm(min_quantum, n_dev)
         self._data_sharding = batch_sharding(self.mesh)
         self._repl = replicated_sharding(self.mesh)
         self.params = jax.device_put(params, self._repl)

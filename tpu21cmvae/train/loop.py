@@ -255,7 +255,11 @@ def fit(
             params, opt_state, jnp.float32(lr), sub, x_train, y_train,
             jnp.int32(epoch),
         )
-        val_loss = float(eval_fn(params, x_val, y_val, jnp.int32(epoch)))
+        # schedule-dependent losses (pass_epoch) are monitored at their
+        # FINAL-epoch objective so the callback monitor stays stationary
+        # during warm-ups (a KL-annealed val loss would otherwise grow by
+        # schedule alone and defeat EarlyStopping/ReduceLROnPlateau)
+        val_loss = float(eval_fn(params, x_val, y_val, jnp.int32(cfg.epochs - 1)))
         train_loss = float(train_loss)
         history.loss.append(train_loss)
         history.val_loss.append(val_loss)

@@ -146,7 +146,9 @@ def fit_scan(
                 x_train, y_train, params, opt_state, lr, shuffle_key,
                 loss_key, epoch,
             )
-            val_loss = evaluate(x_val, y_val, new_params, epoch)
+            # monitor at the final-epoch objective (stationary under
+            # schedule-dependent losses; mirrors loop.fit)
+            val_loss = evaluate(x_val, y_val, new_params, cfg.epochs - 1)
             return new_params, new_opt, train_loss, val_loss
 
         def skip_epoch(operand):

@@ -134,7 +134,8 @@ def _run_trials(
         trials.append(trial)
         if verbose:
             print(f"[tune {i + 1}/{n_trials}] {trial.describe()}", flush=True)
-    trials.sort(key=lambda t: t.val_error)
+    # diverged trials (NaN val_error) sort last, never win
+    trials.sort(key=lambda t: (not np.isfinite(t.val_error), t.val_error))
     return TuneResult(trials)
 
 

@@ -63,18 +63,14 @@ def error(
             "No frequency array is given, cannot compute error in the "
             "specified frequency band."
         )
-    squeeze = pred_signal.ndim == 1
-    if squeeze:
-        pred_signal = pred_signal[None, :]
-        true_signal = true_signal[None, :]
+    # promote each side independently: a squeezed single-row prediction
+    # against a (1, bins) truth must still reduce over the bin axis
+    squeeze = pred_signal.ndim == 1 and true_signal.ndim == 1
+    pred_signal = np.atleast_2d(pred_signal)
+    true_signal = np.atleast_2d(true_signal)
 
     if band:
-        nu_arr = np.asarray(nu_arr)
-        mask = np.ones(nu_arr.shape, dtype=bool)
-        if flow is not None:
-            mask &= nu_arr >= flow
-        if fhigh is not None:
-            mask &= nu_arr <= fhigh
+        mask = band_mask(nu_arr, flow, fhigh)
         pred_signal = pred_signal[:, mask]
         true_signal = true_signal[:, mask]
 
