@@ -77,3 +77,37 @@ def test_grad_flows():
     grads = jax.grad(loss)(params)
     norms = [float(jnp.abs(g["w"]).max()) for g in grads]
     assert all(n > 0 for n in norms)
+
+
+def test_adam_matches_keras_reference():
+    """Our Adam reproduces the TF/Keras update rule exactly: lr_t =
+    lr*sqrt(1-b2^t)/(1-b1^t), p -= lr_t * m / (sqrt(v) + eps) — epsilon
+    OUTSIDE the bias-corrected sqrt (optax puts it inside v_hat). Ten
+    steps against an independent float64 NumPy implementation."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu21cmvae.train.adam import adam_init, adam_update
+
+    rng = np.random.default_rng(0)
+    p0 = rng.standard_normal((4, 3)).astype(np.float32)
+    params = {"w": jnp.asarray(p0)}
+    state = adam_init(params)
+    lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-7
+
+    ref_p = p0.astype(np.float64)
+    ref_m = np.zeros_like(ref_p)
+    ref_v = np.zeros_like(ref_p)
+    for step in range(1, 11):
+        g = rng.standard_normal(ref_p.shape).astype(np.float32)
+        params, state = adam_update(
+            {"w": jnp.asarray(g)}, params, state, jnp.float32(lr),
+            beta_1=b1, beta_2=b2, epsilon=eps,
+        )
+        g64 = g.astype(np.float64)
+        ref_m = b1 * ref_m + (1 - b1) * g64
+        ref_v = b2 * ref_v + (1 - b2) * g64 * g64
+        lr_t = lr * np.sqrt(1 - b2**step) / (1 - b1**step)
+        ref_p = ref_p - lr_t * ref_m / (np.sqrt(ref_v) + eps)
+    np.testing.assert_allclose(np.asarray(params["w"]), ref_p, rtol=1e-4, atol=1e-6)
+    assert int(state.step) == 10
