@@ -23,6 +23,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# opt-in numerical tripwire for CI (SURVEY.md §5: the functional
+# replacement for sanitizer tooling): TPU21CMVAE_DEBUG_NANS=1 makes any
+# NaN produced under jit raise instead of propagating
+if os.environ.get("TPU21CMVAE_DEBUG_NANS") == "1":
+    jax.config.update("jax_debug_nans", True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

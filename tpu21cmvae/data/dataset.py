@@ -71,14 +71,17 @@ def download_dataset(
         return dest
     import requests
 
-    r = requests.get(url, timeout=600)
-    r.raise_for_status()
     d = os.path.dirname(os.path.abspath(dest)) or "."
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".part")
     try:
-        with os.fdopen(fd, "wb") as f:
-            f.write(r.content)
+        # stream in 8 MB chunks — the file is ~300 MB; buffering it whole
+        # in a requests Response wastes RAM and retries poorly
+        with requests.get(url, timeout=600, stream=True) as r:
+            r.raise_for_status()
+            with os.fdopen(fd, "wb") as f:
+                for chunk in r.iter_content(chunk_size=8 << 20):
+                    f.write(chunk)
         os.replace(tmp, dest)
     finally:
         if os.path.exists(tmp):

@@ -63,6 +63,12 @@ def load_checkpoint(path: str, like=None) -> Tuple[Any, dict]:
     """
     with np.load(path) as data:
         header = json.loads(bytes(data["__header__"]).decode())
+        version = header.get("format_version")
+        if version != _FORMAT_VERSION:
+            raise ValueError(
+                f"Checkpoint {path!r} has format_version {version!r}; this "
+                f"build reads version {_FORMAT_VERSION}"
+            )
         n = header["n_leaves"]
         leaves = [data[f"leaf_{i}"] for i in range(n)]
     if like is not None:
