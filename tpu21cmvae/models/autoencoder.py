@@ -32,7 +32,13 @@ from tpu21cmvae.models.direct import _resolve_axes, PAR_LABELS
 from tpu21cmvae.models.io_keras import load_keras_mlp
 from tpu21cmvae.ops.losses import mse, relative_mse
 from tpu21cmvae.ops.mlp import init_mlp, mlp_apply, mlp_sizes
-from tpu21cmvae.ops.transforms import Normalizer, par_transform, preproc, unpreproc
+from tpu21cmvae.ops.transforms import (
+    Normalizer,
+    par_transform,
+    preproc,
+    resolve_normalizer,
+    unpreproc,
+)
 from tpu21cmvae.train.loop import fit
 from tpu21cmvae.utils.config import (
     AE_EMULATOR_TRAIN_DEFAULT,
@@ -41,6 +47,41 @@ from tpu21cmvae.utils.config import (
     TrainConfig,
 )
 from tpu21cmvae.utils.metrics import error
+
+
+def _make_stage_runner(device_loop, verbose, checkpoint_dir,
+                       checkpoint_every, resume):
+    """One training-stage entry for the two-stage families: the host loop
+    with per-stage checkpoint subdirectories, or the device-resident scan
+    trainer (which has no host hooks)."""
+    import os
+
+    if device_loop:
+        if checkpoint_dir is not None:
+            raise ValueError(
+                "device_loop=True runs without host hooks; drop "
+                "checkpoint_dir or use the host loop."
+            )
+        from tpu21cmvae.train.scan import fit_scan
+
+        def run_stage(stage, *args, **kw):
+            return fit_scan(*args, **kw)
+
+    else:
+
+        def run_stage(stage, *args, **kw):
+            return fit(
+                *args,
+                verbose=verbose,
+                checkpoint_dir=(
+                    os.path.join(checkpoint_dir, stage) if checkpoint_dir else None
+                ),
+                checkpoint_every=checkpoint_every,
+                resume=resume,
+                **kw,
+            )
+
+    return run_stage
 
 
 class AutoEncoder:
@@ -104,13 +145,7 @@ class AutoEncoderEmulator:
         frequencies=None,
         seed: int = 0,
     ):
-        if normalizer is None:
-            if data is None:
-                raise ValueError(
-                    "Provide `data` (to compute normalization constants) or "
-                    "an explicit `normalizer`."
-                )
-            normalizer = Normalizer.from_data(data.par_train, data.signal_train)
+        normalizer = resolve_normalizer(data, normalizer)
         self.data = data
         self.config = config
         self.normalizer = normalizer
@@ -196,12 +231,7 @@ class AutoEncoderEmulator:
             "enc": init_mlp(jax.random.key(0), cfg.encoder().sizes),
             "dec": init_mlp(jax.random.key(0), cfg.decoder().sizes),
             "em": init_mlp(jax.random.key(0), cfg.emulator().sizes),
-            "normalizer": Normalizer(
-                signal_mean=jnp.zeros(cfg.n_bins),
-                signal_std=jnp.zeros(()),
-                par_min=jnp.zeros(cfg.n_params),
-                par_max=jnp.zeros(cfg.n_params),
-            ),
+            "normalizer": Normalizer.template(cfg.n_bins, cfg.n_params),
         }
         tree = unflatten_like(template, leaves, source=path)
         tree = jax.tree_util.tree_map(jnp.asarray, tree)
@@ -316,29 +346,12 @@ class AutoEncoderEmulator:
         def ae_loss_fn(params, x, y):
             return relative_mse(y, ae.apply(params, x), scaled_mean)
 
-        import os
-
-        ck = lambda stage: (
-            os.path.join(checkpoint_dir, stage) if checkpoint_dir else None
+        run_stage = _make_stage_runner(
+            device_loop, verbose, checkpoint_dir, checkpoint_every, resume
         )
-        if device_loop:
-            if checkpoint_dir is not None:
-                raise ValueError(
-                    "device_loop=True runs without host hooks; drop "
-                    "checkpoint_dir or use the host loop."
-                )
-            from tpu21cmvae.train.scan import fit_scan as _fit
-            fit_kw = {}
-        else:
-            _fit = fit
-            fit_kw = dict(
-                verbose=verbose,
-                checkpoint_every=checkpoint_every,
-                resume=resume,
-            )
-        ae_params, _, ae_hist = _fit(
-            ae.params, ae_loss_fn, y_train, y_train, y_val, y_val, ae_cfg,
-            **({**fit_kw, "checkpoint_dir": ck("stage_ae")} if fit_kw else {}),
+        ae_params, _, ae_hist = run_stage(
+            "stage_ae", ae.params, ae_loss_fn, y_train, y_train, y_val, y_val,
+            ae_cfg,
         )
         ae.params = ae_params
 
@@ -353,9 +366,9 @@ class AutoEncoderEmulator:
         def em_loss_fn(params, x, y):
             return mse(y, mlp_apply(params, x, act))
 
-        self.em_params, _, em_hist = _fit(
-            self.em_params, em_loss_fn, x_train, z_train, x_val, z_val, em_cfg,
-            **({**fit_kw, "checkpoint_dir": ck("stage_em")} if fit_kw else {}),
+        self.em_params, _, em_hist = run_stage(
+            "stage_em", self.em_params, em_loss_fn, x_train, z_train, x_val,
+            z_val, em_cfg,
         )
         self.history = {"autoencoder": ae_hist, "emulator": em_hist}
         return ae_hist.loss, ae_hist.val_loss, em_hist.loss, em_hist.val_loss

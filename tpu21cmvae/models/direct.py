@@ -32,7 +32,13 @@ from tpu21cmvae.models.checkpoint import (
 from tpu21cmvae.models.io_keras import load_keras_mlp
 from tpu21cmvae.ops.losses import relative_mse
 from tpu21cmvae.ops.mlp import init_mlp, mlp_apply, mlp_sizes
-from tpu21cmvae.ops.transforms import Normalizer, par_transform, preproc, unpreproc
+from tpu21cmvae.ops.transforms import (
+    Normalizer,
+    par_transform,
+    preproc,
+    resolve_normalizer,
+    unpreproc,
+)
 from tpu21cmvae.train.loop import fit
 from tpu21cmvae.utils.config import (
     DIRECT_TRAIN_DEFAULT,
@@ -78,13 +84,7 @@ class DirectEmulator:
         frequencies=None,
         seed: int = 0,
     ):
-        if normalizer is None:
-            if data is None:
-                raise ValueError(
-                    "Provide `data` (to compute normalization constants) or "
-                    "an explicit `normalizer`."
-                )
-            normalizer = Normalizer.from_data(data.par_train, data.signal_train)
+        normalizer = resolve_normalizer(data, normalizer)
         self.data = data
         self.config = config
         self.normalizer = normalizer
@@ -128,12 +128,7 @@ class DirectEmulator:
         )
         template = {
             "params": init_mlp(jax.random.key(0), cfg.mlp().sizes),
-            "normalizer": Normalizer(
-                signal_mean=jnp.zeros(meta["n_bins"]),
-                signal_std=jnp.zeros(()),
-                par_min=jnp.zeros(meta["n_params"]),
-                par_max=jnp.zeros(meta["n_params"]),
-            ),
+            "normalizer": Normalizer.template(meta["n_bins"], meta["n_params"]),
         }
         tree = unflatten_like(template, leaves, source=path)
         tree = jax.tree_util.tree_map(jnp.asarray, tree)

@@ -32,11 +32,17 @@ from tpu21cmvae.models.checkpoint import (
     save_checkpoint,
     unflatten_like,
 )
+from tpu21cmvae.models.autoencoder import _make_stage_runner
 from tpu21cmvae.models.direct import PAR_LABELS, _resolve_axes
 from tpu21cmvae.ops.losses import kl_divergence, mse, relative_mse
 from tpu21cmvae.ops.mlp import init_mlp, mlp_apply, resolve_activation
-from tpu21cmvae.ops.transforms import Normalizer, par_transform, preproc, unpreproc
-from tpu21cmvae.train.loop import fit
+from tpu21cmvae.ops.transforms import (
+    Normalizer,
+    par_transform,
+    preproc,
+    resolve_normalizer,
+    unpreproc,
+)
 from tpu21cmvae.utils.config import (
     AE_EMULATOR_TRAIN_DEFAULT,
     AE_TRAIN_DEFAULT,
@@ -147,13 +153,7 @@ class VAEEmulator:
         frequencies=None,
         seed: int = 0,
     ):
-        if normalizer is None:
-            if data is None:
-                raise ValueError(
-                    "Provide `data` (to compute normalization constants) or "
-                    "an explicit `normalizer`."
-                )
-            normalizer = Normalizer.from_data(data.par_train, data.signal_train)
+        normalizer = resolve_normalizer(data, normalizer)
         self.data = data
         self.config = config
         self.normalizer = normalizer
@@ -243,12 +243,7 @@ class VAEEmulator:
         template = {
             "vae": VAE(cfg, seed=0).params,
             "em": init_mlp(jax.random.key(0), cfg.emulator().sizes),
-            "normalizer": Normalizer(
-                signal_mean=jnp.zeros(cfg.n_bins),
-                signal_std=jnp.zeros(()),
-                par_min=jnp.zeros(cfg.n_params),
-                par_max=jnp.zeros(cfg.n_params),
-            ),
+            "normalizer": Normalizer.template(cfg.n_bins, cfg.n_params),
         }
         tree = unflatten_like(template, leaves, source=path)
         tree = jax.tree_util.tree_map(jnp.asarray, tree)
@@ -350,30 +345,12 @@ class VAEEmulator:
                 beta * scale
             ) * kl_divergence(mu, logvar)
 
-        import os
-
-        ck = lambda stage: (
-            os.path.join(checkpoint_dir, stage) if checkpoint_dir else None
+        run_stage = _make_stage_runner(
+            device_loop, verbose, checkpoint_dir, checkpoint_every, resume
         )
-        if device_loop:
-            if checkpoint_dir is not None:
-                raise ValueError(
-                    "device_loop=True runs without host hooks; drop "
-                    "checkpoint_dir or use the host loop."
-                )
-            from tpu21cmvae.train.scan import fit_scan as _fit
-            fit_kw = {}
-        else:
-            _fit = fit
-            fit_kw = dict(
-                verbose=verbose,
-                checkpoint_every=checkpoint_every,
-                resume=resume,
-            )
-        vae_params, _, vae_hist = _fit(
-            self.vae.params, vae_loss_fn, y_train, y_train, y_val, y_val,
-            vae_cfg, stochastic=True, pass_epoch=True,
-            **({**fit_kw, "checkpoint_dir": ck("stage_vae")} if fit_kw else {}),
+        vae_params, _, vae_hist = run_stage(
+            "stage_vae", self.vae.params, vae_loss_fn, y_train, y_train,
+            y_val, y_val, vae_cfg, stochastic=True, pass_epoch=True,
         )
         self.vae.params = vae_params
 
@@ -386,9 +363,9 @@ class VAEEmulator:
         def em_loss_fn(params, x, y):
             return mse(y, mlp_apply(params, x, act))
 
-        self.em_params, _, em_hist = _fit(
-            self.em_params, em_loss_fn, x_train, z_train, x_val, z_val, em_cfg,
-            **({**fit_kw, "checkpoint_dir": ck("stage_em")} if fit_kw else {}),
+        self.em_params, _, em_hist = run_stage(
+            "stage_em", self.em_params, em_loss_fn, x_train, z_train, x_val,
+            z_val, em_cfg,
         )
         self.history = {"vae": vae_hist, "emulator": em_hist}
         return vae_hist.loss, vae_hist.val_loss, em_hist.loss, em_hist.val_loss

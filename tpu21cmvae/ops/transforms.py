@@ -59,6 +59,17 @@ class Normalizer:
             par_max=jnp.asarray(logp.max(axis=0), dtype=dtype),
         )
 
+    @classmethod
+    def template(cls, n_bins: int, n_params: int) -> "Normalizer":
+        """Zero-filled Normalizer with the right leaf shapes — the pytree
+        template checkpoint loaders unflatten into."""
+        return cls(
+            signal_mean=jnp.zeros(n_bins),
+            signal_std=jnp.zeros(()),
+            par_min=jnp.zeros(n_params),
+            par_max=jnp.zeros(n_params),
+        )
+
     @property
     def scaled_mean(self) -> jax.Array:
         """signal_mean / signal_std — the constant the relative-MSE loss
@@ -103,3 +114,17 @@ def par_transform(params: jax.Array, norm: Normalizer) -> jax.Array:
     clamped = jnp.where(is_fx & (params == 0.0), _FX_CLAMP, params)
     logged = jnp.where(is_log, jnp.log10(jnp.where(is_log, clamped, 1.0)), clamped)
     return 2.0 * (logged - norm.par_min) / (norm.par_max - norm.par_min) - 1.0
+
+
+def resolve_normalizer(data, normalizer) -> Normalizer:
+    """The constructor contract shared by every model family: an explicit
+    Normalizer wins; otherwise compute one from the training split; with
+    neither, fail loudly."""
+    if normalizer is not None:
+        return normalizer
+    if data is None:
+        raise ValueError(
+            "Provide `data` (to compute normalization constants) or an "
+            "explicit `normalizer`."
+        )
+    return Normalizer.from_data(data.par_train, data.signal_train)

@@ -40,6 +40,8 @@ from __future__ import annotations
 
 
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -192,8 +194,6 @@ def fit_scan(
         carry = (params, opt_state, lr, key, es_best, es_wait, es_best_epoch,
                  best_params, pl_best, pl_wait, stopped_at)
         return carry, (train_loss, val_loss, lr_used)
-
-    import functools
 
     @jax.jit
     def train_all(params, opt_state, x_train, y_train, x_val, y_val):

@@ -197,13 +197,13 @@ def tune_autoencoder(
     decoder stacks, and the params→latent stack (reference architecture
     at ``emulator.py:521-525``). Scored end-to-end (params → decoder →
     mK) on the validation split."""
-    import dataclasses as dc
-
     from tpu21cmvae.models.autoencoder import AutoEncoderEmulator
 
-    short = dc.replace(TRIAL_TRAIN_DEFAULT, learning_rate=1e-3, plateau_factor=0.9)
+    short = dataclasses.replace(
+        TRIAL_TRAIN_DEFAULT, learning_rate=1e-3, plateau_factor=0.9
+    )
     ae_cfg_t = ae_train_config or short
-    em_cfg_t = em_train_config or dc.replace(short, learning_rate=1e-2)
+    em_cfg_t = em_train_config or dataclasses.replace(short, learning_rate=1e-2)
 
     def sample(rng):
         return AutoEncoderConfig(
@@ -218,8 +218,8 @@ def tune_autoencoder(
     def evaluate(cfg, trial_seed):
         model = AutoEncoderEmulator(data, config=cfg, seed=trial_seed)
         _, _, _, em_val = model.train(
-            ae_train_config=dc.replace(ae_cfg_t, seed=trial_seed),
-            em_train_config=dc.replace(em_cfg_t, seed=trial_seed),
+            ae_train_config=dataclasses.replace(ae_cfg_t, seed=trial_seed),
+            em_train_config=dataclasses.replace(em_cfg_t, seed=trial_seed),
         )
         val_err = float(
             np.mean(error(data.signal_val, model.predict(data.par_val)))
