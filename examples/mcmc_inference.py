@@ -28,7 +28,6 @@ import numpy as np
 from tpu21cmvae import DirectEmulator
 from tpu21cmvae.data import synthetic_dataset
 from tpu21cmvae.data.synthetic import PAR_RANGES, synthetic_params
-from tpu21cmvae.parallel import ShardedEmulator
 from tpu21cmvae.utils.config import TrainConfig
 
 
@@ -42,11 +41,12 @@ def main():
     data = synthetic_dataset(n_train=4096, n_val=512, n_test=512, seed=0)
     model = DirectEmulator(data)
     print("training the forward model...")
-    model.train(train_config=TrainConfig(epochs=args.train_epochs))
+    model.train(train_config=TrainConfig(epochs=args.train_epochs), device_loop=True)
 
-    # Sharded batched inference: works on 1 chip, scales to a pod slice.
-    sharded = ShardedEmulator.for_model(model)
-    print(f"mesh: {sharded.mesh.devices.size} device(s)")
+    from tpu21cmvae.parallel.mesh import make_mesh, replicate, shard_batch
+
+    mesh = make_mesh()
+    print(f"mesh: {mesh.devices.size} device(s)")
 
     # Synthetic observation: the signal of a known parameter vector + noise.
     truth = data.par_test[0]
@@ -56,14 +56,17 @@ def main():
 
     lo = jnp.asarray(PAR_RANGES[:, 0], jnp.float32)
     hi = jnp.asarray(PAR_RANGES[:, 1], jnp.float32)
-    predict = sharded._fn  # (params, raw) -> signals, batch-sharded
-    weights = sharded.params
+    # Inside a jitted scan, use the RAW predict function and let the
+    # walkers' sharding propagate — a sharding-CONSTRAINED jit nested in
+    # the scan forces per-step relayouts (measured 25× slower). The safe
+    # turbo precision tier (bf16x3) is plenty for a likelihood.
+    predict = model.predict_fn(precision=jax.lax.Precision.HIGH)
+    weights = replicate(model.params, mesh)
 
     def log_like(raw):
         pred = predict(weights, raw)
         return -0.5 * jnp.sum((pred - obs) ** 2, axis=-1) / noise_var
 
-    @jax.jit
     def mh_step(state, key):
         walkers, logp = state
         k1, k2 = jax.random.split(key)
@@ -79,16 +82,25 @@ def main():
         logp = jnp.where(accept, logp_prop, logp)
         return (walkers, logp), jnp.mean(accept)
 
+    @jax.jit
+    def run_chain(state, keys):
+        # the WHOLE chain is one device program — per-step host dispatch
+        # would dominate wall time (dependent round trips); lax.scan
+        # keeps the sampler on-chip end to end
+        return jax.lax.scan(mh_step, state, keys)
+
     rng = np.random.default_rng(0)
-    walkers = jnp.asarray(synthetic_params(args.walkers, rng), jnp.float32)
+    walkers = shard_batch(
+        jnp.asarray(synthetic_params(args.walkers, rng), jnp.float32), mesh
+    )
     state = (walkers, log_like(walkers))
 
     print(f"running {args.steps} MH steps × {args.walkers} walkers...")
     keys = jax.random.split(jax.random.key(0), args.steps)
+    state, rates = run_chain(state, keys)  # compile + run
+    jax.block_until_ready(state)
     t0 = time.perf_counter()
-    rates = []
-    for key in keys:
-        state, rate = mh_step(state, key)
+    state, rates = run_chain(state, keys)
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
     evals = args.steps * args.walkers

@@ -172,3 +172,21 @@ def test_ae_two_stage_checkpoint_resume(tmp_path, splits):
         c.predict(splits.par_test[:5]), a.predict(splits.par_test[:5]),
         rtol=1e-5, atol=1e-4,
     )
+
+
+def test_checkpoint_rotation(tmp_path, splits, normalizer):
+    """Only the newest `checkpoint_keep` files survive; resume still works
+    from the newest one."""
+    params, loss_fn, x, y, xv, yv = _setup(splits, normalizer)
+    ckpt = str(tmp_path / "ck")
+    cfg = dataclasses.replace(CFG8, epochs=6)
+    fit(
+        params, loss_fn, x, y, xv, yv, cfg,
+        checkpoint_dir=ckpt, checkpoint_every=1, checkpoint_keep=2,
+    )
+    names = sorted(os.listdir(ckpt))
+    assert names == ["ckpt_000004.npz", "ckpt_000005.npz"]
+    pb, _, hb = fit(
+        params, loss_fn, x, y, xv, yv, cfg, checkpoint_dir=ckpt, resume=True
+    )
+    assert len(hb.loss) == 6  # restored complete history, no-op continue

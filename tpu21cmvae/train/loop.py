@@ -150,6 +150,7 @@ def fit(
     epoch_callback: Optional[Callable] = None,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 10,
+    checkpoint_keep: Optional[int] = 3,
     resume: bool = False,
 ):
     """Train ``params`` to minimize the mean of ``loss_fn`` per-sample
@@ -168,6 +169,9 @@ def fit(
     restores the latest checkpoint from that directory (if any) and
     continues — params, optimizer moments, LR schedule position, early-
     stopping monitor, best-so-far weights, and history all carry over.
+    Only the newest ``checkpoint_keep`` files are retained (None keeps
+    all) — each holds params + optimizer + best weights, so rotation
+    bounds disk use on long runs.
     """
     x_train = jnp.asarray(x_train, jnp.float32)
     y_train = jnp.asarray(y_train, jnp.float32)
@@ -244,6 +248,7 @@ def fit(
             history,
             early,
             plateau,
+            keep=checkpoint_keep,
         )
 
     progress = _progress_bar(cfg.epochs) if verbose else None
@@ -298,9 +303,11 @@ def fit(
 
 
 def _save_train_checkpoint(
-    ckpt_dir, epoch, params, opt_state, best_weights, lr, history, early, plateau
+    ckpt_dir, epoch, params, opt_state, best_weights, lr, history, early,
+    plateau, keep=None,
 ):
-    """Atomic full-training-state checkpoint: ``ckpt_dir/ckpt_NNNNNN.npz``."""
+    """Atomic full-training-state checkpoint: ``ckpt_dir/ckpt_NNNNNN.npz``;
+    prunes all but the newest ``keep`` files afterwards."""
     import os
 
     from tpu21cmvae.models.checkpoint import save_checkpoint
@@ -327,6 +334,14 @@ def _save_train_checkpoint(
         "plateau": plateau.state() if plateau is not None else None,
     }
     save_checkpoint(os.path.join(ckpt_dir, f"ckpt_{epoch:06d}.npz"), tree, meta)
+    if keep is not None:
+        names = sorted(
+            n
+            for n in os.listdir(ckpt_dir)
+            if n.startswith("ckpt_") and n.endswith(".npz")
+        )
+        for stale in names[:-keep]:
+            os.unlink(os.path.join(ckpt_dir, stale))
 
 
 def latest_checkpoint(ckpt_dir) -> Optional[str]:
