@@ -41,3 +41,47 @@ def test_kl_positive_and_grows():
     assert kl1 > 0 and kl2 > kl1
     # analytic: KL = 0.5 * sum(mu^2) when logvar = 0
     assert np.isclose(kl1, 0.5 * 9.0)
+
+
+def test_history_as_dict_roundtrips():
+    from tpu21cmvae.train.loop import History
+
+    h = History(loss=[1.0, 0.5], val_loss=[0.9, 0.6], lr=[0.01, 0.01],
+                epoch_time_s=[0.1, 0.1], stopped_epoch=1, best_epoch=1)
+    d = h.as_dict()
+    assert d["loss"] == [1.0, 0.5] and d["stopped_epoch"] == 1
+
+
+def test_keras_h5_loader_rejects_weightless_file(tmp_path):
+    import h5py
+    import pytest
+
+    from tpu21cmvae.models.io_keras import load_keras_mlp
+
+    path = str(tmp_path / "empty.h5")
+    with h5py.File(path, "w") as f:
+        f.create_group("model_weights")
+    with pytest.raises(ValueError, match="No weight-bearing layers"):
+        load_keras_mlp(path)
+
+
+def test_checkpoint_rejects_future_format(tmp_path):
+    import json
+
+    import numpy as np
+    import pytest
+
+    from tpu21cmvae.models.checkpoint import load_checkpoint, save_checkpoint
+
+    path = str(tmp_path / "c.npz")
+    save_checkpoint(path, {"a": np.ones(3)})
+    # rewrite the header with a bumped version
+    data = dict(np.load(path))
+    header = json.loads(bytes(data["__header__"]).decode())
+    header["format_version"] = 999
+    data["__header__"] = np.frombuffer(
+        json.dumps(header).encode(), dtype=np.uint8
+    )
+    np.savez(path, **data)
+    with pytest.raises(ValueError, match="format_version"):
+        load_checkpoint(path)

@@ -178,3 +178,26 @@ def test_dp_fit_scan_multichip(splits, normalizer):
         np.testing.assert_allclose(
             np.asarray(la["w"]), np.asarray(lb["w"]), rtol=1e-5, atol=1e-6
         )
+
+
+def test_sharded_emulator_device_call(splits):
+    """Zero-copy device path: no padding, batch divisible by mesh size."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu21cmvae.models.direct import DirectEmulator
+    from tpu21cmvae.parallel import ShardedEmulator
+    from tpu21cmvae.parallel.mesh import shard_batch
+    from tpu21cmvae.utils.config import DirectEmulatorConfig
+
+    model = DirectEmulator(splits, config=DirectEmulatorConfig(hidden_dims=(16,)))
+    sharded = ShardedEmulator.for_model(model)
+    raw = shard_batch(
+        jnp.asarray(splits.par_test[:16], jnp.float32), sharded.mesh
+    )
+    out = sharded.device_call(raw)
+    assert isinstance(out, jax.Array) and out.shape == (16, splits.n_bins)
+    np.testing.assert_allclose(
+        np.asarray(out), model.predict(splits.par_test[:16]), rtol=1e-5, atol=1e-4
+    )
