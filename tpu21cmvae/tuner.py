@@ -192,6 +192,7 @@ def tune_autoencoder(
     em_train_config: Optional[TrainConfig] = None,
     seed: int = 0,
     verbose: bool = False,
+    device_loop: bool = False,
 ) -> TuneResult:
     """Random search for the AE-based emulator: latent width, encoder /
     decoder stacks, and the params→latent stack (reference architecture
@@ -220,6 +221,7 @@ def tune_autoencoder(
         _, _, _, em_val = model.train(
             ae_train_config=dataclasses.replace(ae_cfg_t, seed=trial_seed),
             em_train_config=dataclasses.replace(em_cfg_t, seed=trial_seed),
+            device_loop=device_loop,
         )
         val_err = float(
             np.mean(error(data.signal_val, model.predict(data.par_val)))
