@@ -38,7 +38,7 @@ from tpu21cmvae.utils.frequency import (  # noqa: F401
     default_redshifts,
     default_frequencies,
 )
-from tpu21cmvae.utils.metrics import error  # noqa: F401
+from tpu21cmvae.utils.metrics import band_mask, error, error_jnp  # noqa: F401
 from tpu21cmvae.ops.transforms import (  # noqa: F401
     Normalizer,
     preproc,
@@ -48,6 +48,18 @@ from tpu21cmvae.ops.transforms import (  # noqa: F401
 from tpu21cmvae.models.direct import DirectEmulator  # noqa: F401
 from tpu21cmvae.models.autoencoder import AutoEncoder, AutoEncoderEmulator  # noqa: F401
 from tpu21cmvae.models.vae import VAE, VAEEmulator  # noqa: F401
+from tpu21cmvae.utils.config import (  # noqa: F401
+    AE_EMULATOR_TRAIN_DEFAULT,
+    AE_EMULATOR_TRAIN_STRONG,
+    AE_TRAIN_DEFAULT,
+    AE_TRAIN_STRONG,
+    DIRECT_TRAIN_DEFAULT,
+    DIRECT_TRAIN_STRONG,
+    AutoEncoderConfig,
+    DirectEmulatorConfig,
+    TrainConfig,
+    VAEConfig,
+)
 
 PAR_LABELS = ["fstar", "Vc", "fx", "tau", "alpha", "nu_min", "Rmfp"]
 """Names of the 7 astrophysical parameters, in input-column order
