@@ -128,3 +128,113 @@ def test_eval_monitor_uses_final_epoch_objective(splits, normalizer):
     # train loss sees the warm-up spike in epochs 0-1; val never does
     assert hist.loss[0] > 500 and hist.loss[2] < 500
     assert all(v < 500 for v in hist.val_loss)
+
+
+def test_fused_emulate_single_row_and_no_hidden(splits, normalizer):
+    """1-D parameter input promotes to one row; a zero-hidden-layer MLP
+    folds both normalizations onto its single layer."""
+    from tpu21cmvae.models.direct import DirectEmulator
+    from tpu21cmvae.ops.pallas.fused_mlp import make_fused_emulate
+    from tpu21cmvae.utils.config import DirectEmulatorConfig
+
+    cfg = DirectEmulatorConfig(hidden_dims=())
+    model = DirectEmulator(splits, config=cfg)
+    fused = make_fused_emulate(cfg, model.normalizer, block_rows=8, interpret=True)
+    one = fused(model.params, jnp.asarray(splits.par_test[0], jnp.float32))
+    assert one.shape == (1, splits.n_bins)
+    want = model.predict(splits.par_test[0])
+    np.testing.assert_allclose(np.asarray(one[0]), want, rtol=1e-4, atol=5e-3)
+
+
+def test_scan_no_improvement_keeps_last_params(splits, normalizer):
+    """Early stop with zero improving epochs must NOT restore the initial
+    weights (host-loop semantics: best_weights stays unset → last params
+    stand)."""
+    from tpu21cmvae.ops.mlp import init_mlp, mlp_apply
+    from tpu21cmvae.ops.transforms import par_transform, preproc
+    from tpu21cmvae.train.loop import fit
+    from tpu21cmvae.train.scan import fit_scan
+
+    params = init_mlp(jax.random.key(0), (7, 16, splits.n_bins))
+    sm = normalizer.scaled_mean
+
+    def loss_fn(p, x, y):
+        from tpu21cmvae.ops.losses import relative_mse
+
+        return relative_mse(y, mlp_apply(p, x), sm)
+
+    def nan_loss_fn(p, x, y):
+        return loss_fn(p, x, y) * jnp.nan  # diverged run: monitor is NaN
+
+    x = par_transform(jnp.asarray(splits.par_train[:64], jnp.float32), normalizer)
+    y = preproc(jnp.asarray(splits.signal_train[:64], jnp.float32), normalizer)
+    cfg = TrainConfig(
+        epochs=6, batch_size=32, early_stop_patience=2, plateau_patience=None,
+    )
+    pa, _, ha = fit(params, nan_loss_fn, x, y, x, y, cfg)
+    pb, _, hb = fit_scan(params, nan_loss_fn, x, y, x, y, cfg)
+    # NaN never improves the monitor → stop at `patience` epochs, and the
+    # LAST params stand in both paths (no best weights to restore); before
+    # the fix the scan path restored the untouched initial weights.
+    assert ha.stopped_epoch == hb.stopped_epoch == 1
+    assert ha.best_epoch is None and hb.best_epoch is None
+    for la, lb, l0 in zip(pa, pb, params):
+        a, b = np.asarray(la["w"]), np.asarray(lb["w"])
+        np.testing.assert_allclose(a, b, rtol=1e-6, equal_nan=True)
+        assert not np.array_equal(b, np.asarray(l0["w"]))
+
+
+def test_dp_fit_forwards_pass_epoch(splits, normalizer):
+    from tpu21cmvae.ops.mlp import init_mlp, mlp_apply
+    from tpu21cmvae.ops.losses import relative_mse
+    from tpu21cmvae.ops.transforms import par_transform, preproc
+    from tpu21cmvae.parallel.mesh import make_mesh
+    from tpu21cmvae.parallel.train_dp import dp_fit
+
+    params = init_mlp(jax.random.key(0), (7, 8, splits.n_bins))
+    sm = normalizer.scaled_mean
+
+    def loss_fn(p, x, y, epoch):
+        return relative_mse(y, mlp_apply(p, x), sm) + 0.0 * epoch
+
+    x = par_transform(jnp.asarray(splits.par_train[:64], jnp.float32), normalizer)
+    y = preproc(jnp.asarray(splits.signal_train[:64], jnp.float32), normalizer)
+    cfg = TrainConfig(epochs=2, batch_size=32, early_stop_patience=None,
+                      plateau_patience=None)
+    _, _, hist = dp_fit(params, loss_fn, x, y, x, y, cfg, make_mesh(),
+                        pass_epoch=True)
+    assert len(hist.loss) == 2
+
+
+def test_tuner_resamples_duplicates():
+    """A small space should be swept, not silently truncated by
+    duplicate draws."""
+    from tpu21cmvae.tuner import _run_trials
+
+    pool = ["a", "b", "a", "a", "b", "c"]
+
+    def sample(rng):
+        return pool[int(rng.integers(0, len(pool)))]
+
+    res = _run_trials(3, sample, lambda cfg, seed: (1.0, 0.0, 1, 1),
+                      seed=0, verbose=False)
+    assert len({t.config for t in res.trials}) == len(res.trials) == 3
+
+
+def test_retrain_best_ae_honors_config(splits):
+    import dataclasses
+
+    from tpu21cmvae.tuner import LatentSearchSpace, SearchSpace, retrain_best, tune_autoencoder
+
+    fast = TrainConfig(epochs=2, batch_size=64, learning_rate=1e-3,
+                       early_stop_patience=None, plateau_patience=None)
+    res = tune_autoencoder(
+        splits, n_trials=1,
+        space=LatentSearchSpace(min_layers=1, max_layers=1,
+                                width_choices=(16,), latent_choices=(4,)),
+        em_space=SearchSpace(min_layers=1, max_layers=1, width_choices=(12,)),
+        ae_train_config=fast, em_train_config=fast, seed=0,
+    )
+    model = retrain_best(res, splits,
+                         train_config=dataclasses.replace(fast, epochs=3))
+    assert len(model.history["autoencoder"].loss) == 3  # config honored

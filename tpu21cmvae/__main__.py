@@ -78,10 +78,9 @@ def cmd_train(args):
 
 def _load_model(path, data=None):
     from tpu21cmvae import AutoEncoderEmulator, DirectEmulator, VAEEmulator
-    from tpu21cmvae.models.checkpoint import load_checkpoint
+    from tpu21cmvae.models.checkpoint import read_checkpoint_meta
 
-    _, meta = load_checkpoint(path)
-    kind = meta.get("kind", "DirectEmulator")
+    kind = read_checkpoint_meta(path).get("kind", "DirectEmulator")
     cls = {
         "DirectEmulator": DirectEmulator,
         "AutoEncoderEmulator": AutoEncoderEmulator,

@@ -84,6 +84,14 @@ def load_checkpoint(path: str, like=None) -> Tuple[Any, dict]:
     return tree, header["metadata"]
 
 
+def read_checkpoint_meta(path: str) -> dict:
+    """Read only the metadata header (the weight arrays in the npz are
+    lazy — this does not materialize them)."""
+    with np.load(path) as data:
+        header = json.loads(bytes(data["__header__"]).decode())
+    return header["metadata"]
+
+
 def unflatten_like(template, leaves, source: str = "checkpoint"):
     """Rebuild a pytree with ``template``'s structure from a flat leaf
     list (one :func:`load_checkpoint` read, no second file parse)."""

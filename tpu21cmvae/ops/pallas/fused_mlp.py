@@ -90,6 +90,13 @@ def fold_emulator_constants(params: MLPParams, norm: Normalizer) -> MLPParams:
     """
     a = 2.0 / (norm.par_max - norm.par_min)
     c = -(norm.par_max + norm.par_min) / (norm.par_max - norm.par_min)
+    if len(params) == 1:  # no hidden layers: both folds land on one layer
+        (only,) = params
+        w = a[:, None] * only["w"]
+        b = c @ only["w"] + only["b"]
+        return (
+            {"w": w * norm.signal_std, "b": b * norm.signal_std + norm.signal_mean},
+        )
     first, *mid, last = params
     first = {
         "w": a[:, None] * first["w"],
@@ -187,7 +194,10 @@ def make_fused_mlp(
         bf16_acts,
     )
     flops_per_row = 2 * sum(a * b for a, b in zip(sizes[:-1], sizes[1:]))
-    weight_bytes = 4 * sum((a + 1) * b for a, b in zip(sizes[:-1], sizes[1:]))
+    wbytes = jnp.dtype(weight_dtype).itemsize
+    weight_bytes = wbytes * sum(
+        (a + 1) * b for a, b in zip(sizes[:-1], sizes[1:])
+    )
 
     wb_specs = []
     for _ in range(n_layers):
@@ -195,6 +205,8 @@ def make_fused_mlp(
         wb_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # b
 
     def call(params: MLPParams, x: jax.Array) -> jax.Array:
+        if x.ndim == 1:  # single draw → one row (same as the XLA path)
+            x = x[None, :]
         n = x.shape[0]
         nb = pl.cdiv(n, block_rows)
         padded = nb * block_rows
@@ -224,7 +236,9 @@ def make_fused_mlp(
             cost_estimate=pl.CostEstimate(
                 flops=padded * flops_per_row,
                 bytes_accessed=4 * padded * (in_dim + out_dim) + weight_bytes,
-                transcendentals=padded * in_dim if log_clamp_input else 0,
+                transcendentals=(
+                    padded * _N_LOG_COLS if log_clamp_input else 0
+                ),
             ),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",) if interpret else ("parallel",),

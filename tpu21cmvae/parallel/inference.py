@@ -67,8 +67,9 @@ class ShardedEmulator:
     @classmethod
     def for_model(cls, model, mesh: Optional[Mesh] = None, **kwargs):
         """Build from any model exposing ``predict_fn()`` + ``params``
-        (DirectEmulator today; works for any (weights, raw)→signal fn)."""
-        # use the un-jitted composition: re-jit with shardings here
+        (all three families; works for any (weights, raw)→signal fn)."""
+        # predict_fn() is already jitted; wrapping it in the sharded jit
+        # here just inlines it — XLA sees one program with the shardings
         return cls(model.predict_fn(), model.params, mesh=mesh, **kwargs)
 
     def __call__(self, raw_params) -> np.ndarray:

@@ -73,7 +73,9 @@ def dp_fit(
     *,
     opt_state=None,
     stochastic: bool = False,
+    pass_epoch: bool = False,
     verbose: bool = False,
+    **fit_kwargs,
 ):
     """Data-parallel :func:`~tpu21cmvae.train.loop.fit`: places the data
     batch-sharded and params/opt-state replicated before entering the
@@ -96,7 +98,9 @@ def dp_fit(
         cfg,
         opt_state=opt_state,
         stochastic=stochastic,
+        pass_epoch=pass_epoch,
         verbose=verbose,
+        **fit_kwargs,
     )
 
 

@@ -293,7 +293,10 @@ def fit(
 
     if early is not None:
         params = early.final_weights(params)
-        history.best_epoch = early.best_epoch
+        # None (not -1) when no epoch ever improved, matching fit_scan
+        history.best_epoch = (
+            early.best_epoch if early.best_epoch >= 0 else None
+        )
     if progress is not None:
         progress.close()
     return params, opt_state, history

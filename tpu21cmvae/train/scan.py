@@ -83,6 +83,9 @@ def fit_scan(
 
     use_early = cfg.early_stop_patience is not None
     use_plateau = cfg.plateau_patience is not None
+    # Keras callbacks take |min_delta| (callbacks.py); match exactly
+    es_min_delta = abs(cfg.early_stop_min_delta)
+    pl_min_delta = abs(cfg.plateau_min_delta)
     eval_key = jax.random.key(cfg.seed ^ 0x5EED)  # match loop._make_eval_fn
 
     # The dataset is threaded through as jit ARGUMENTS (not closed over):
@@ -164,7 +167,7 @@ def fit_scan(
 
         # EarlyStopping (min mode): improvement iff val < best - min_delta
         if use_early:
-            improved = active & (val_loss < es_best - cfg.early_stop_min_delta)
+            improved = active & (val_loss < es_best - es_min_delta)
             es_best = jnp.where(improved, val_loss, es_best)
             es_best_epoch = jnp.where(improved, epoch, es_best_epoch)
             best_params = jax.tree_util.tree_map(
@@ -176,7 +179,7 @@ def fit_scan(
 
         # ReduceLROnPlateau (min mode, cooldown 0)
         if use_plateau:
-            pl_improved = active & (val_loss < pl_best - cfg.plateau_min_delta)
+            pl_improved = active & (val_loss < pl_best - pl_min_delta)
             pl_best = jnp.where(pl_improved, val_loss, pl_best)
             pl_wait = jnp.where(
                 pl_improved, 0, jnp.where(active, pl_wait + 1, pl_wait)
@@ -217,8 +220,10 @@ def fit_scan(
         (params, opt_state, _, _, _, _, es_best_epoch, best_params, _, _,
          stopped_at) = carry
         if use_early and cfg.restore_best_weights:
-            # Keras restores best weights only when stopping triggered
-            restore = stopped_at >= 0
+            # Keras restores best weights only when stopping triggered AND
+            # some epoch actually improved (host path: best_weights stays
+            # None otherwise and the last params stand — callbacks.py)
+            restore = (stopped_at >= 0) & (es_best_epoch >= 0)
             params = jax.tree_util.tree_map(
                 lambda p, b: jnp.where(restore, b, p), params, best_params
             )

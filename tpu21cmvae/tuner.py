@@ -117,9 +117,20 @@ def _run_trials(
     trials: List[Trial] = []
     seen = set()
     for i in range(n_trials):
+        # resample on duplicates (configs are frozen dataclasses →
+        # hashable); a small space can exhaust — stop loudly, not short
         cfg = sample_config(rng)
-        if cfg in seen:  # configs are frozen dataclasses → hashable
-            continue
+        attempts = 1
+        while cfg in seen and attempts < 50:
+            cfg = sample_config(rng)
+            attempts += 1
+        if cfg in seen:
+            if verbose:
+                print(
+                    f"[tune] search space exhausted after {len(trials)} "
+                    f"unique architectures; stopping early", flush=True
+                )
+            break
         seen.add(cfg)
         t0 = time.perf_counter()
         val_error, val_loss, epochs_ran, n_params = evaluate(cfg, seed + i + 1)
@@ -252,5 +263,6 @@ def retrain_best(
     from tpu21cmvae.models.autoencoder import AutoEncoderEmulator
 
     model = AutoEncoderEmulator(data, config=cfg, seed=seed)
-    model.train()
+    # one recipe supplied → apply to both stages; None keeps the defaults
+    model.train(ae_train_config=train_config, em_train_config=train_config)
     return model
