@@ -22,6 +22,7 @@ from tpu21cmvae.tuner import (
     retrain_best,
     tune_autoencoder,
     tune_direct,
+    tune_direct_halving,
 )
 
 
@@ -32,6 +33,8 @@ def main():
     ap.add_argument("--dataset", help="path to dataset_21cmVAE.h5 (else synthetic)")
     ap.add_argument("--retrain", action="store_true",
                     help="retrain the winner with the full recipe")
+    ap.add_argument("--halving", action="store_true",
+                    help="successive halving instead of plain random search")
     args = ap.parse_args()
 
     data = (
@@ -41,9 +44,14 @@ def main():
     )
 
     if args.family == "direct":
-        result = tune_direct(
-            data, n_trials=args.trials, space=SearchSpace(), verbose=True
-        )
+        if args.halving:
+            result = tune_direct_halving(
+                data, n_initial=args.trials, verbose=True
+            )
+        else:
+            result = tune_direct(
+                data, n_trials=args.trials, space=SearchSpace(), verbose=True
+            )
     else:
         result = tune_autoencoder(
             data, n_trials=args.trials, space=LatentSearchSpace(), verbose=True

@@ -99,3 +99,38 @@ def test_tune_autoencoder_runs(splits):
     assert len(res.trials) >= 1
     assert all(np.isfinite(t.val_error) for t in res.trials)
     assert res.best.config.latent_dim in (4, 6)
+
+
+def test_tune_direct_halving(splits):
+    from tpu21cmvae.tuner import tune_direct_halving
+
+    res = tune_direct_halving(
+        splits,
+        n_initial=4,
+        rungs=2,
+        eta=2,
+        rung_epochs=3,
+        space=SearchSpace(min_layers=1, max_layers=2, width_choices=(16, 24, 32)),
+        train_config=FAST,
+        seed=0,
+    )
+    # 4 start, halved once → 2 finalists, each trained 2 rungs = 6 epochs
+    assert len(res.trials) == 2
+    assert all(t.epochs_ran == 6 for t in res.trials)
+    errs = [t.val_error for t in res.trials]
+    assert errs == sorted(errs) and np.isfinite(errs).all()
+
+
+def test_tune_direct_halving_deterministic(splits):
+    from tpu21cmvae.tuner import tune_direct_halving
+
+    kw = dict(
+        n_initial=3, rungs=2, eta=2, rung_epochs=2,
+        space=SearchSpace(min_layers=1, max_layers=1, width_choices=(16, 24, 32)),
+        train_config=FAST, seed=5,
+    )
+    a = tune_direct_halving(splits, **kw)
+    b = tune_direct_halving(splits, **kw)
+    assert [t.config for t in a.trials] == [t.config for t in b.trials]
+    assert np.allclose([t.val_error for t in a.trials],
+                       [t.val_error for t in b.trials])

@@ -266,3 +266,125 @@ def retrain_best(
     # one recipe supplied → apply to both stages; None keeps the defaults
     model.train(ae_train_config=train_config, em_train_config=train_config)
     return model
+
+
+def tune_direct_halving(
+    data: DataSplits,
+    n_initial: int = 16,
+    rungs: int = 3,
+    eta: int = 2,
+    rung_epochs: int = 20,
+    space: SearchSpace = SearchSpace(),
+    train_config: TrainConfig = TRIAL_TRAIN_DEFAULT,
+    seed: int = 0,
+    verbose: bool = False,
+) -> TuneResult:
+    """Successive-halving architecture search for the direct emulator.
+
+    Classic synchronous SHA: start ``n_initial`` random architectures,
+    train each ``rung_epochs`` epochs, keep the best ``1/eta`` fraction,
+    and CONTINUE the survivors (parameters and Adam moments carry over
+    between rungs — no retraining from scratch) for another rung, for
+    ``rungs`` rounds. Spends most of the budget on promising
+    architectures, unlike plain random search which trains every sample
+    to the full trial budget.
+
+    Scores by mean relative validation error (%); returns a
+    :class:`TuneResult` whose trials carry each survivor's total epochs.
+    """
+    import jax
+
+    from tpu21cmvae.models.direct import DirectEmulator
+    from tpu21cmvae.ops.losses import relative_mse
+    from tpu21cmvae.ops.mlp import init_mlp, mlp_apply
+    from tpu21cmvae.ops.transforms import (
+        Normalizer,
+        par_transform,
+        preproc,
+        unpreproc,
+    )
+    from tpu21cmvae.train.loop import fit
+
+    rng = np.random.default_rng(seed)
+    norm = Normalizer.from_data(data.par_train, data.signal_train)
+    sm = norm.scaled_mean
+    x_train = par_transform(np.asarray(data.par_train, np.float32), norm)
+    y_train = preproc(np.asarray(data.signal_train, np.float32), norm)
+    x_val = par_transform(np.asarray(data.par_val, np.float32), norm)
+    y_val = preproc(np.asarray(data.signal_val, np.float32), norm)
+
+    # disable the monitors inside a rung: SHA's rung boundary is the
+    # early-stopping mechanism; the LR schedule still applies per-rung
+    rung_cfg = dataclasses.replace(
+        train_config,
+        epochs=rung_epochs,
+        early_stop_patience=None,
+    )
+
+    # sample unique architectures
+    seen, configs = set(), []
+    while len(configs) < n_initial:
+        dims = space.sample(rng)
+        if dims not in seen:
+            seen.add(dims)
+            configs.append(
+                DirectEmulatorConfig(
+                    n_params=data.n_params, n_bins=data.n_bins, hidden_dims=dims
+                )
+            )
+        elif len(seen) >= n_initial * 50:
+            break
+
+    def make_loss(cfg):
+        act = cfg.activation
+
+        def loss_fn(p, bx, by):
+            return relative_mse(by, mlp_apply(p, bx, act), sm)
+
+        return loss_fn
+
+    survivors = []
+    for k, cfg in enumerate(configs):
+        params = init_mlp(jax.random.key(seed + k + 1), cfg.mlp().sizes)
+        survivors.append(
+            {"cfg": cfg, "params": params, "opt": None, "epochs": 0, "t0": time.perf_counter()}
+        )
+
+    for rung in range(rungs):
+        for s in survivors:
+            s["params"], s["opt"], hist = fit(
+                s["params"], make_loss(s["cfg"]), x_train, y_train,
+                x_val, y_val, rung_cfg, opt_state=s["opt"],
+            )
+            s["epochs"] += len(hist.loss)
+            pred = unpreproc(
+                mlp_apply(s["params"], x_val, s["cfg"].activation), norm
+            )
+            s["val_err"] = float(
+                np.mean(error(np.asarray(data.signal_val), np.asarray(pred)))
+            )
+        survivors.sort(key=lambda s: (not np.isfinite(s["val_err"]), s["val_err"]))
+        if verbose:
+            print(
+                f"[sha rung {rung + 1}/{rungs}] best "
+                f"{survivors[0]['val_err']:.4f}% "
+                f"{survivors[0]['cfg'].hidden_dims} "
+                f"({len(survivors)} candidates)",
+                flush=True,
+            )
+        if rung < rungs - 1:
+            survivors = survivors[: max(1, len(survivors) // eta)]
+
+    trials = [
+        Trial(
+            config=s["cfg"],
+            val_error=s["val_err"],
+            val_loss=float("nan"),
+            epochs_ran=s["epochs"],
+            wall_time_s=time.perf_counter() - s["t0"],
+            n_params=s["cfg"].mlp().n_params,
+        )
+        for s in survivors
+    ]
+    trials.sort(key=lambda t: (not np.isfinite(t.val_error), t.val_error))
+    return TuneResult(trials)
