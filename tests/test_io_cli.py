@@ -91,3 +91,32 @@ def test_cli_tune(tmp_path, splits, capsys):
     save_dataset(splits, ds)
     main(["tune", "--dataset", ds, "--trials", "1"])
     assert "val_err" in capsys.readouterr().out
+
+
+def test_load_model_dispatches_all_families(tmp_path, splits):
+    from tpu21cmvae.models import load_model
+    from tpu21cmvae.models.autoencoder import AutoEncoderEmulator
+    from tpu21cmvae.models.direct import DirectEmulator
+    from tpu21cmvae.models.vae import VAEEmulator
+    from tpu21cmvae.utils.config import (
+        AutoEncoderConfig,
+        DirectEmulatorConfig,
+        VAEConfig,
+    )
+
+    small = dict(latent_dim=4, enc_hidden_dims=(16,), dec_hidden_dims=(16,),
+                 em_hidden_dims=(12,))
+    models = [
+        DirectEmulator(splits, config=DirectEmulatorConfig(hidden_dims=(16,))),
+        AutoEncoderEmulator(splits, config=AutoEncoderConfig(**small)),
+        VAEEmulator(splits, config=VAEConfig(**small)),
+    ]
+    for i, m in enumerate(models):
+        p = str(tmp_path / f"m{i}.npz")
+        m.save(p)
+        back = load_model(p)
+        assert type(back) is type(m)
+        np.testing.assert_allclose(
+            back.predict(splits.par_test[:3]), m.predict(splits.par_test[:3]),
+            rtol=1e-5, atol=1e-4,
+        )

@@ -77,16 +77,9 @@ def cmd_train(args):
 
 
 def _load_model(path, data=None):
-    from tpu21cmvae import AutoEncoderEmulator, DirectEmulator, VAEEmulator
-    from tpu21cmvae.models.checkpoint import read_checkpoint_meta
+    from tpu21cmvae.models import load_model
 
-    kind = read_checkpoint_meta(path).get("kind", "DirectEmulator")
-    cls = {
-        "DirectEmulator": DirectEmulator,
-        "AutoEncoderEmulator": AutoEncoderEmulator,
-        "VAEEmulator": VAEEmulator,
-    }[kind]
-    return cls.from_checkpoint(path, data)
+    return load_model(path, data)
 
 
 def cmd_evaluate(args):

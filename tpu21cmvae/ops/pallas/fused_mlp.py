@@ -177,7 +177,9 @@ def make_fused_mlp(
     ``weight_dtype=jnp.bfloat16`` pre-casts weights once on the host side
     of the call and feeds the MXU native bf16 operands (activations cast
     in-kernel, f32 accumulation, f32 biases/outputs) — the fastest tier,
-    with ~4e-4 relative-to-amplitude error like DEFAULT precision.
+    with the same accuracy class as DEFAULT precision (~1.4e-2
+    relative-to-amplitude on trained weights — outside the 0.34 %
+    contract; see :func:`resolve_precision`).
     """
     sizes = tuple(int(s) for s in sizes)
     n_layers = len(sizes) - 1
