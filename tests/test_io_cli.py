@@ -120,3 +120,37 @@ def test_load_model_dispatches_all_families(tmp_path, splits):
             back.predict(splits.par_test[:3]), m.predict(splits.par_test[:3]),
             rtol=1e-5, atol=1e-4,
         )
+
+
+def test_cli_export_h5(tmp_path, splits, capsys):
+    from tpu21cmvae.__main__ import main
+    from tpu21cmvae.models.direct import DirectEmulator
+    from tpu21cmvae.models.io_keras import load_keras_mlp
+    from tpu21cmvae.ops.mlp import mlp_sizes
+    from tpu21cmvae.utils.config import DirectEmulatorConfig
+
+    model = DirectEmulator(splits, config=DirectEmulatorConfig(hidden_dims=(16,)))
+    ckpt = str(tmp_path / "m.npz")
+    model.save(ckpt)
+    out = str(tmp_path / "m.h5")
+    main(["export-h5", ckpt, "--out", out])
+    assert "wrote" in capsys.readouterr().out
+    back = load_keras_mlp(out)
+    assert mlp_sizes(back) == (7, 16, splits.n_bins)
+
+    # two-stage family exports one file per stage MLP
+    from tpu21cmvae.models.autoencoder import AutoEncoderEmulator
+    from tpu21cmvae.utils.config import AutoEncoderConfig
+
+    ae = AutoEncoderEmulator(
+        splits,
+        config=AutoEncoderConfig(latent_dim=4, enc_hidden_dims=(16,),
+                                 dec_hidden_dims=(16,), em_hidden_dims=(12,)),
+    )
+    ckpt = str(tmp_path / "ae.npz")
+    ae.save(ckpt)
+    main(["export-h5", ckpt, "--out", str(tmp_path / "ae.h5")])
+    for stage, sizes in (("em", (7, 12, 4)), ("enc", (451, 16, 4)),
+                         ("dec", (4, 16, 451))):
+        back = load_keras_mlp(str(tmp_path / f"ae_{stage}.h5"))
+        assert mlp_sizes(back) == sizes

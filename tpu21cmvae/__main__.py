@@ -8,6 +8,7 @@ The reference has no CLI — every workflow lives in notebook cells
     evaluate   test-set error table for a saved model
     predict    emulate signals for parameter rows from a .npy/.csv file
     tune       architecture search
+    export-h5  write a saved model's MLP weights as Keras-layout HDF5
 """
 
 from __future__ import annotations
@@ -106,6 +107,31 @@ def cmd_predict(args):
     print(f"emulated {np.atleast_2d(pred).shape[0]} signal(s) → {args.out}")
 
 
+def cmd_export_h5(args):
+    from tpu21cmvae.models.io_keras import save_keras_mlp
+
+    model = _load_model(args.model)
+    if not hasattr(model, "params") or not isinstance(model.params, tuple):
+        # two-stage families: export each stage MLP as its own file
+        import os
+
+        base, _ = os.path.splitext(args.out)
+        parts = (
+            {"em": model.em_params,
+             "dec": model.autoencoder.dec_params,
+             "enc": model.autoencoder.enc_params}
+            if hasattr(model, "autoencoder")
+            else {"em": model.em_params, "dec": model.vae.params["dec"]}
+        )
+        for name, params in parts.items():
+            path = f"{base}_{name}.h5"
+            save_keras_mlp(path, params)
+            print(f"wrote {path}")
+    else:
+        save_keras_mlp(args.out, model.params)
+        print(f"wrote {args.out}")
+
+
 def cmd_tune(args):
     from tpu21cmvae.tuner import tune_autoencoder, tune_direct
 
@@ -144,6 +170,12 @@ def main(argv=None):
     p.add_argument("params", help=".npy or .csv of (n, 7) parameter rows")
     p.add_argument("--out", default="signals.npy")
     p.set_defaults(fn=cmd_predict)
+
+    p = sub.add_parser("export-h5",
+                       help="export a saved model as Keras-layout HDF5")
+    p.add_argument("model")
+    p.add_argument("--out", default="model.h5")
+    p.set_defaults(fn=cmd_export_h5)
 
     p = sub.add_parser("tune", help="architecture search")
     p.add_argument("--family", choices=["direct", "ae"], default="direct")
