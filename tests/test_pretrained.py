@@ -1,0 +1,60 @@
+"""Golden tests against the SHIPPED pretrained checkpoints.
+
+The reference's accuracy tests load its shipped artifacts + the Zenodo
+dataset at import time and so cannot run offline (reference
+``tests/test_emulator.py:50-52``); here both the artifacts
+(``pretrained/``) and the dataset (deterministic synthetic surrogate)
+live in the repo, so the golden numbers are asserted in every CI run.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DIRECT = os.path.join(REPO, "pretrained", "direct_synthetic.npz")
+AE = os.path.join(REPO, "pretrained", "ae_synthetic.npz")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(DIRECT), reason="pretrained artifacts not present"
+)
+
+
+@pytest.fixture(scope="module")
+def refdata():
+    from tpu21cmvae.data import synthetic_dataset
+
+    # the exact split the artifacts were trained on (seeded, deterministic)
+    return synthetic_dataset(n_train=26888, n_val=1704, n_test=1704, seed=0)
+
+
+def test_pretrained_direct_golden(refdata):
+    from tpu21cmvae.models import load_model
+
+    em = load_model(DIRECT, refdata)
+    err = em.test_error()
+    assert err.mean() < 0.20  # trained to 0.159 %
+    assert np.median(err) < 0.20
+    assert err.max() < 3.0
+    one = em.predict(refdata.par_test[0])
+    assert one.shape == (451,)
+
+
+def test_pretrained_ae_golden(refdata):
+    from tpu21cmvae.models import load_model
+
+    ae = load_model(AE, refdata)
+    err = ae.test_error()
+    rec = ae.test_error(use_autoencoder=True)
+    assert err.mean() < 0.25  # trained to 0.180 %
+    assert rec.mean() < 0.20  # reconstruction trained to 0.125 %
+
+
+def test_pretrained_needs_no_training_data():
+    """The bundled Normalizer makes inference self-contained."""
+    from tpu21cmvae.models import load_model
+
+    em = load_model(DIRECT)  # no dataset attached
+    sig = em.predict([0.05, 16.5, 1.0, 0.06, 1.3, 2.0, 30.0])
+    assert sig.shape == (451,) and np.isfinite(sig).all()
