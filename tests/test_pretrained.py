@@ -58,3 +58,16 @@ def test_pretrained_needs_no_training_data():
     em = load_model(DIRECT)  # no dataset attached
     sig = em.predict([0.05, 16.5, 1.0, 0.06, 1.3, 2.0, 30.0])
     assert sig.shape == (451,) and np.isfinite(sig).all()
+
+
+def test_pretrained_vae_golden(refdata):
+    from tpu21cmvae.models import load_model
+
+    vae = load_model(
+        os.path.join(REPO, "pretrained", "vae_synthetic.npz"), refdata
+    )
+    err = vae.test_error()
+    assert err.mean() < 0.9  # trained to 0.690 %
+    # the interpretable latent space is usable out of the box
+    curves = vae.latent_traversal(dim=0, values=np.linspace(-2, 2, 5))
+    assert curves.shape == (5, 451) and np.isfinite(curves).all()
