@@ -9,6 +9,7 @@ published-accuracy workflow.
 
 Usage:
     python examples/quickstart.py                     # synthetic, offline
+    python examples/quickstart.py --pretrained        # shipped checkpoint, no training
     python examples/quickstart.py --dataset /path/to/dataset_21cmVAE.h5
     python examples/quickstart.py --checkpoint model.npz   # reuse a model
 """
@@ -29,8 +30,15 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dataset", help="path to dataset_21cmVAE.h5 (else synthetic)")
     ap.add_argument("--checkpoint", help="load/save model checkpoint (.npz)")
+    ap.add_argument("--pretrained", action="store_true",
+                    help="use the shipped pretrained/direct_synthetic.npz")
     ap.add_argument("--epochs", type=int, default=60)
     args = ap.parse_args()
+    if args.pretrained and not args.checkpoint:
+        args.checkpoint = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "pretrained", "direct_synthetic.npz",
+        )
 
     data = (
         load_dataset(args.dataset)

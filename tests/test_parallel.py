@@ -201,3 +201,20 @@ def test_sharded_emulator_device_call(splits):
     np.testing.assert_allclose(
         np.asarray(out), model.predict(splits.par_test[:16]), rtol=1e-5, atol=1e-4
     )
+
+
+def test_sharded_emulator_warmup_precompiles(splits):
+    """warmup() covers the buckets later calls hit — results stay correct
+    across several batch sizes."""
+    import numpy as np
+
+    from tpu21cmvae.models.direct import DirectEmulator
+    from tpu21cmvae.parallel import ShardedEmulator
+    from tpu21cmvae.utils.config import DirectEmulatorConfig
+
+    model = DirectEmulator(splits, config=DirectEmulatorConfig(hidden_dims=(16,)))
+    sharded = ShardedEmulator.for_model(model)
+    sharded.warmup([5, 17, 40])
+    for n in (5, 17, 40):
+        out = sharded(np.asarray(splits.par_test[:n], np.float32))
+        assert out.shape == (n, splits.n_bins)

@@ -93,6 +93,19 @@ class ShardedEmulator:
         # emulator.py:404-407)
         return out[0] if n == 1 else out
 
+    def warmup(self, batch_sizes, n_params: int = 7) -> None:
+        """Precompile the bucketed programs an MCMC run will hit, so no
+        walker-count change pays a compile inside the sampling loop.
+        ``n_params``: input feature count (7 for the standard parameter
+        space)."""
+        buckets = sorted({_bucket_size(max(int(n), 1), self.quantum)
+                          for n in batch_sizes})
+        for b in buckets:
+            x = jax.device_put(
+                jnp.ones((b, n_params), jnp.float32), self._data_sharding
+            )
+            jax.block_until_ready(self._fn(self.params, x))
+
     def device_call(self, raw_params_device):
         """Zero-copy path for callers that keep data on device (e.g. a
         JAX-native MCMC sampler): no padding, no host transfer. The batch
