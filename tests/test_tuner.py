@@ -134,3 +134,14 @@ def test_tune_direct_halving_deterministic(splits):
     assert [t.config for t in a.trials] == [t.config for t in b.trials]
     assert np.allclose([t.val_error for t in a.trials],
                        [t.val_error for t in b.trials])
+
+
+def test_tune_direct_halving_device_loop(splits):
+    from tpu21cmvae.tuner import tune_direct_halving
+
+    res = tune_direct_halving(
+        splits, n_initial=2, rungs=2, eta=2, rung_epochs=2,
+        space=SearchSpace(min_layers=1, max_layers=1, width_choices=(16, 24)),
+        train_config=FAST, seed=0, device_loop=True,
+    )
+    assert len(res.trials) == 1 and res.trials[0].epochs_ran == 4

@@ -278,6 +278,7 @@ def tune_direct_halving(
     train_config: TrainConfig = TRIAL_TRAIN_DEFAULT,
     seed: int = 0,
     verbose: bool = False,
+    device_loop: bool = False,
 ) -> TuneResult:
     """Successive-halving architecture search for the direct emulator.
 
@@ -304,6 +305,9 @@ def tune_direct_halving(
         unpreproc,
     )
     from tpu21cmvae.train.loop import fit
+    from tpu21cmvae.train.scan import fit_scan
+
+    fitter = fit_scan if device_loop else fit
 
     rng = np.random.default_rng(seed)
     norm = Normalizer.from_data(data.par_train, data.signal_train)
@@ -352,7 +356,7 @@ def tune_direct_halving(
 
     for rung in range(rungs):
         for s in survivors:
-            s["params"], s["opt"], hist = fit(
+            s["params"], s["opt"], hist = fitter(
                 s["params"], make_loss(s["cfg"]), x_train, y_train,
                 x_val, y_val, rung_cfg, opt_state=s["opt"],
             )
