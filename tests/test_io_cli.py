@@ -1,6 +1,7 @@
 """Round-trip tests for Keras-h5 export, dataset writing, and the CLI."""
 
 import numpy as np
+import jax
 import pytest
 
 jax = pytest.importorskip("jax")
@@ -154,3 +155,70 @@ def test_cli_export_h5(tmp_path, splits, capsys):
                          ("dec", (4, 16, 451))):
         back = load_keras_mlp(str(tmp_path / f"ae_{stage}.h5"))
         assert mlp_sizes(back) == sizes
+
+
+def test_keras_loader_natural_order_fallback(tmp_path):
+    """Without a layer_names attribute, layers must load in natural
+    (dense, dense_2, ..., dense_10) order, not lexicographic."""
+    import h5py
+
+    from tpu21cmvae.models.io_keras import load_keras_mlp
+    from tpu21cmvae.ops.mlp import init_mlp, mlp_sizes
+
+    sizes = tuple([3] + [4] * 10 + [2])  # 11 layers → dense_10 exists
+    params = init_mlp(jax.random.key(0), sizes)
+    path = str(tmp_path / "noattr.h5")
+    with h5py.File(path, "w") as f:
+        g = f.create_group("model_weights")
+        for i, layer in enumerate(params):
+            lname = "dense" if i == 0 else f"dense_{i}"
+            lg = g.create_group(lname).create_group(lname)
+            lg.create_dataset("kernel:0", data=np.asarray(layer["w"]))
+            lg.create_dataset("bias:0", data=np.asarray(layer["b"]))
+            g[lname].attrs["weight_names"] = [
+                f"{lname}/kernel:0".encode(), f"{lname}/bias:0".encode(),
+            ]
+        # NOTE: no layer_names attribute
+    back = load_keras_mlp(path)
+    assert mlp_sizes(back) == sizes
+    for a, b in zip(params, back):
+        np.testing.assert_array_equal(np.asarray(a["w"]), np.asarray(b["w"]))
+
+
+def test_checkpoint_rejects_structure_mismatch(tmp_path):
+    import pytest
+
+    from tpu21cmvae.models.checkpoint import load_checkpoint, save_checkpoint
+
+    path = str(tmp_path / "c.npz")
+    save_checkpoint(path, {"a": np.ones(3), "b": np.zeros(3)})
+    # same leaf count, different structure (keys) → must fail loudly
+    with pytest.raises(ValueError, match="structure"):
+        load_checkpoint(path, like={"x": np.ones(3), "y": np.zeros(3)})
+
+
+def test_history_to_jsonl_truncates(tmp_path):
+    from tpu21cmvae.train.loop import History
+    from tpu21cmvae.utils.logging import history_to_jsonl, read_jsonl
+
+    h = History(loss=[1.0], val_loss=[1.0], lr=[0.1], epoch_time_s=[0.1])
+    path = str(tmp_path / "h.jsonl")
+    history_to_jsonl(h, path)
+    history_to_jsonl(h, path)  # re-export must overwrite, not append
+    assert len(read_jsonl(path)) == 1
+
+
+def test_atomic_write_cleans_up_on_failure(tmp_path):
+    import os
+
+    import pytest
+
+    from tpu21cmvae.utils.io import atomic_write
+
+    target = str(tmp_path / "out.bin")
+    with pytest.raises(RuntimeError):
+        with atomic_write(target) as f:
+            f.write(b"partial")
+            raise RuntimeError("boom")
+    assert not os.path.exists(target)
+    assert os.listdir(str(tmp_path)) == []  # no stray .part files

@@ -31,7 +31,7 @@ def test_shapes_and_param_count():
     params = init_mlp(jax.random.key(0), cfg.mlp().sizes)
     assert mlp_sizes(params) == (7, 288, 352, 288, 224, 451)
     assert count_params(params) == 371907
-    assert cfg.mlp().n_params == 371907
+    assert cfg.mlp().weight_count == 371907
 
 
 def test_forward_parity_with_numpy():

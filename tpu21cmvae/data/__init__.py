@@ -1,12 +1,10 @@
 from tpu21cmvae.data.dataset import (  # noqa: F401
     DATASET_URL,
     DataSplits,
-    download_dataset,
-    load_dataset,
-)
-from tpu21cmvae.data.synthetic import synthetic_dataset, synthetic_signals  # noqa: F401
-from tpu21cmvae.data.dataset import (  # noqa: F401
     default_cache_path,
+    download_dataset,
     ensure_dataset,
+    load_dataset,
     save_dataset,
 )
+from tpu21cmvae.data.synthetic import synthetic_dataset, synthetic_signals  # noqa: F401

@@ -10,7 +10,6 @@ existing file).
 from __future__ import annotations
 
 import os
-import tempfile
 from typing import NamedTuple
 
 import numpy as np
@@ -71,21 +70,15 @@ def download_dataset(
         return dest
     import requests
 
-    d = os.path.dirname(os.path.abspath(dest)) or "."
-    os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".part")
-    try:
-        # stream in 8 MB chunks — the file is ~300 MB; buffering it whole
-        # in a requests Response wastes RAM and retries poorly
-        with requests.get(url, timeout=600, stream=True) as r:
-            r.raise_for_status()
-            with os.fdopen(fd, "wb") as f:
-                for chunk in r.iter_content(chunk_size=8 << 20):
-                    f.write(chunk)
-        os.replace(tmp, dest)
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+    from tpu21cmvae.utils.io import atomic_write
+
+    # stream in 8 MB chunks — the file is ~300 MB; buffering it whole
+    # in a requests Response wastes RAM and retries poorly
+    with requests.get(url, timeout=600, stream=True) as r:
+        r.raise_for_status()
+        with atomic_write(dest) as f:
+            for chunk in r.iter_content(chunk_size=8 << 20):
+                f.write(chunk)
     return dest
 
 
@@ -95,18 +88,12 @@ def save_dataset(splits: DataSplits, path: str) -> str:
     reference ``emulator.py:198-204``). Atomic like the downloader."""
     import h5py
 
-    d = os.path.dirname(os.path.abspath(path)) or "."
-    os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".part")
-    os.close(fd)
-    try:
-        with h5py.File(tmp, "w") as hf:
+    from tpu21cmvae.utils.io import atomic_write
+
+    with atomic_write(path, suffix=".h5.part") as f:
+        with h5py.File(f, "w") as hf:
             for key, arr in zip(_KEYS, splits):
                 hf.create_dataset(key, data=np.asarray(arr))
-        os.replace(tmp, path)
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
     return path
 
 

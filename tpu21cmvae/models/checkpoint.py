@@ -14,8 +14,6 @@ sees a torn file.
 from __future__ import annotations
 
 import json
-import os
-import tempfile
 from typing import Any, Optional, Tuple
 
 import jax
@@ -24,14 +22,9 @@ import numpy as np
 _FORMAT_VERSION = 1
 
 
-def _flatten_with_spec(tree) -> Tuple[list, Any]:
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    return leaves, treedef
-
-
 def save_checkpoint(path: str, tree, metadata: Optional[dict] = None) -> str:
     """Save any pytree of arrays/scalars to ``path`` atomically."""
-    leaves, treedef = _flatten_with_spec(tree)
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
     header = json.dumps(
         {
@@ -41,16 +34,12 @@ def save_checkpoint(path: str, tree, metadata: Optional[dict] = None) -> str:
             "metadata": metadata or {},
         }
     )
-    d = os.path.dirname(os.path.abspath(path)) or "."
-    os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".part")
-    try:
-        with os.fdopen(fd, "wb") as f:
-            np.savez(f, __header__=np.frombuffer(header.encode(), dtype=np.uint8), **arrays)
-        os.replace(tmp, path)
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+    from tpu21cmvae.utils.io import atomic_write
+
+    with atomic_write(path) as f:
+        np.savez(
+            f, __header__=np.frombuffer(header.encode(), dtype=np.uint8), **arrays
+        )
     return path
 
 
@@ -77,6 +66,14 @@ def load_checkpoint(path: str, like=None) -> Tuple[Any, dict]:
             raise ValueError(
                 f"Checkpoint {path!r} has {n} leaves; template has "
                 f"{treedef.num_leaves}"
+            )
+        # same leaf COUNT does not mean same STRUCTURE — a mismatched
+        # template would silently bind arrays to the wrong slots
+        stored = header.get("treedef")
+        if stored is not None and stored != str(treedef):
+            raise ValueError(
+                f"Checkpoint {path!r} structure does not match the "
+                f"template:\n  stored:   {stored}\n  template: {treedef}"
             )
         tree = jax.tree_util.tree_unflatten(treedef, leaves)
     else:

@@ -33,6 +33,16 @@ def _decode(names) -> List[str]:
     return [n.decode() if isinstance(n, bytes) else str(n) for n in names]
 
 
+def _natural_key(name: str):
+    """Sort key splitting trailing digits: dense < dense_2 < dense_10."""
+    import re
+
+    return [
+        int(part) if part.isdigit() else part
+        for part in re.split(r"(\d+)", name)
+    ]
+
+
 def read_keras_h5_layers(path: str) -> List[Tuple[str, Dict[str, np.ndarray]]]:
     """Read ordered (layer_name, {'kernel': ..., 'bias': ...}) pairs from a
     Keras-2.x HDF5 model or weights file. Layers without weights are
@@ -42,7 +52,14 @@ def read_keras_h5_layers(path: str) -> List[Tuple[str, Dict[str, np.ndarray]]]:
     out = []
     with h5py.File(path, "r") as f:
         g = f["model_weights"] if "model_weights" in f else f
-        layer_names = _decode(g.attrs.get("layer_names", list(g.keys())))
+        if "layer_names" in g.attrs:
+            layer_names = _decode(g.attrs["layer_names"])
+        else:
+            # no ordering attribute: h5py yields keys lexicographically,
+            # which mis-orders dense_10 before dense_2 — sort naturally
+            # (equal-width layers would pass the shape-chain check and
+            # load silently wrong otherwise)
+            layer_names = sorted(g.keys(), key=_natural_key)
         for lname in layer_names:
             lg = g[lname]
             weight_names = _decode(lg.attrs.get("weight_names", []))
@@ -84,7 +101,7 @@ def load_keras_mlp(path: str, dtype=jnp.float32) -> MLPParams:
     return tuple(params)
 
 
-def save_keras_mlp(path: str, params: MLPParams, name: str = "sequential") -> str:
+def save_keras_mlp(path: str, params: MLPParams) -> str:
     """Write an MLP pytree as a Keras-2.x-style HDF5 weights file.
 
     Produces the ``model_weights/<layer>/<layer>/{kernel:0, bias:0}``

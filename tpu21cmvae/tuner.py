@@ -188,7 +188,7 @@ def tune_direct(
             val_err,
             float(min(val_losses)),
             len(val_losses),
-            cfg.mlp().n_params,
+            cfg.mlp().weight_count,
         )
 
     return _run_trials(n_trials, sample, evaluate, seed, verbose)
@@ -238,7 +238,9 @@ def tune_autoencoder(
             np.mean(error(data.signal_val, model.predict(data.par_val)))
         )
         n_par = (
-            cfg.encoder().n_params + cfg.decoder().n_params + cfg.emulator().n_params
+            cfg.encoder().weight_count
+            + cfg.decoder().weight_count
+            + cfg.emulator().weight_count
         )
         return val_err, float(min(em_val)), len(em_val), n_par
 
@@ -386,7 +388,7 @@ def tune_direct_halving(
             val_loss=float("nan"),
             epochs_ran=s["epochs"],
             wall_time_s=time.perf_counter() - s["t0"],
-            n_params=s["cfg"].mlp().n_params,
+            n_params=s["cfg"].mlp().weight_count,
         )
         for s in survivors
     ]

@@ -27,7 +27,9 @@ class MLPConfig:
         return (self.in_dim, *self.hidden_dims, self.out_dim)
 
     @property
-    def n_params(self) -> int:
+    def weight_count(self) -> int:
+        """Total trainable scalars (named to avoid colliding with the
+        emulator configs' ``n_params`` = number of INPUT parameters)."""
         s = self.sizes
         return sum(s[i] * s[i + 1] + s[i + 1] for i in range(len(s) - 1))
 

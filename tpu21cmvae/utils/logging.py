@@ -29,11 +29,11 @@ class MetricsLogger:
     epoch_callback=...)``.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, mode: str = "a"):
         self.path = path
         d = os.path.dirname(os.path.abspath(path))
         os.makedirs(d, exist_ok=True)
-        self._fh: Optional[IO] = open(path, "a")
+        self._fh: Optional[IO] = open(path, mode)
 
     def log(self, **metrics) -> None:
         if self._fh is None:
@@ -73,7 +73,8 @@ def read_jsonl(path: str) -> list:
 def history_to_jsonl(history, path: str) -> str:
     """Export a completed :class:`~tpu21cmvae.train.loop.History` to
     JSONL (one row per epoch)."""
-    with MetricsLogger(path) as logger:
+    # truncate: an export is a snapshot of THIS history, not an append
+    with MetricsLogger(path, mode="w") as logger:
         for i in range(len(history.loss)):
             logger.log(
                 epoch=i,
