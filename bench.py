@@ -120,7 +120,9 @@ def main():
             err = float(
                 (np.abs(np.asarray(fn(params, x[:_CHECK])) - ref) / amp).max()
             )
-            if err > GATE_REL_TO_AMP:
+            # NaN-safe: `not (err <= gate)` rejects NaN/Inf candidates,
+            # where `err > gate` would let them through (NaN > x is False)
+            if not (err <= GATE_REL_TO_AMP):
                 continue
             dt = _time_fn(fn, params, x)
         except Exception:
@@ -128,6 +130,10 @@ def main():
         if dt < best_dt:
             best_name, best_dt = name, dt
 
+    if best_name is None:
+        raise RuntimeError(
+            "no benchmark candidate passed the accuracy gate and timing"
+        )
     sps = BATCH / best_dt
     print(
         json.dumps(

@@ -34,11 +34,15 @@ def main():
                     help="use the shipped pretrained/direct_synthetic.npz")
     ap.add_argument("--epochs", type=int, default=60)
     args = ap.parse_args()
-    if args.pretrained and not args.checkpoint:
+    if args.pretrained:
+        if args.checkpoint:
+            ap.error("--pretrained and --checkpoint are mutually exclusive")
         args.checkpoint = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "pretrained", "direct_synthetic.npz",
         )
+        if not os.path.exists(args.checkpoint):
+            ap.error(f"shipped checkpoint not found: {args.checkpoint}")
 
     data = (
         load_dataset(args.dataset)

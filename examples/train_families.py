@@ -61,7 +61,8 @@ def run_ae(args):
     model = AutoEncoderEmulator(data)
     ae_cfg = dataclasses.replace(AE_TRAIN_DEFAULT, epochs=args.epochs)
     em_cfg = dataclasses.replace(AE_EMULATOR_TRAIN_DEFAULT, epochs=args.epochs)
-    model.train(ae_train_config=ae_cfg, em_train_config=em_cfg, verbose=True)
+    model.train(ae_train_config=ae_cfg, em_train_config=em_cfg,
+                verbose=not args.device_loop, device_loop=args.device_loop)
     report(model.test_error(), "ae-emulator")
     report(model.test_error(use_autoencoder=True), "ae-reconstruction")
     if args.save:
@@ -70,10 +71,12 @@ def run_ae(args):
 
 def run_vae(args):
     data = get_data(args)
-    model = VAEEmulator(data, config=VAEConfig(beta=args.beta))
+    cfg = VAEConfig() if args.beta is None else VAEConfig(beta=args.beta)
+    model = VAEEmulator(data, config=cfg)
     vae_cfg = dataclasses.replace(AE_TRAIN_DEFAULT, epochs=args.epochs)
     em_cfg = dataclasses.replace(AE_EMULATOR_TRAIN_DEFAULT, epochs=args.epochs)
-    model.train(vae_train_config=vae_cfg, em_train_config=em_cfg, verbose=True)
+    model.train(vae_train_config=vae_cfg, em_train_config=em_cfg,
+                verbose=not args.device_loop, device_loop=args.device_loop)
     report(model.test_error(), "vae-emulator")
     report(model.test_error(use_vae=True), "vae-reconstruction")
     # the interpretable-latent-space analysis the VAE exists for:
@@ -98,7 +101,8 @@ def main():
     ap.add_argument("family", choices=["direct", "ae", "vae"])
     ap.add_argument("--dataset", help="path to dataset_21cmVAE.h5 (else synthetic)")
     ap.add_argument("--epochs", type=int, default=80)
-    ap.add_argument("--beta", type=float, default=1.0, help="VAE KL weight")
+    ap.add_argument("--beta", type=float, default=None,
+                    help="VAE KL weight (default: the tuned VAEConfig value; beta >= 0.1 collapses the posterior — see utils/config.py)")
     ap.add_argument("--save", help="save trained model checkpoint (.npz)")
     ap.add_argument("--checkpoint-dir", help="periodic checkpoints + resume (direct)")
     ap.add_argument("--device-loop", action="store_true",

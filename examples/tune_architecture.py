@@ -53,6 +53,8 @@ def main():
                 data, n_trials=args.trials, space=SearchSpace(), verbose=True
             )
     else:
+        if args.halving:
+            ap.error("--halving is only implemented for --family direct")
         result = tune_autoencoder(
             data, n_trials=args.trials, space=LatentSearchSpace(), verbose=True
         )
