@@ -21,6 +21,7 @@ from tpu21cmvae.tuner import (
     SearchSpace,
     retrain_best,
     tune_autoencoder,
+    tune_autoencoder_halving,
     tune_direct,
     tune_direct_halving,
 )
@@ -54,10 +55,13 @@ def main():
             )
     else:
         if args.halving:
-            ap.error("--halving is only implemented for --family direct")
-        result = tune_autoencoder(
-            data, n_trials=args.trials, space=LatentSearchSpace(), verbose=True
-        )
+            result = tune_autoencoder_halving(
+                data, n_initial=args.trials, verbose=True
+            )
+        else:
+            result = tune_autoencoder(
+                data, n_trials=args.trials, space=LatentSearchSpace(), verbose=True
+            )
 
     print("\nleaderboard:")
     print(result.leaderboard())

@@ -145,3 +145,19 @@ def test_tune_direct_halving_device_loop(splits):
         train_config=FAST, seed=0, device_loop=True,
     )
     assert len(res.trials) == 1 and res.trials[0].epochs_ran == 4
+
+
+def test_tune_autoencoder_halving(splits):
+    from tpu21cmvae.tuner import LatentSearchSpace, tune_autoencoder_halving
+
+    res = tune_autoencoder_halving(
+        splits, n_initial=4, rungs=2, eta=2, rung_epochs=2,
+        space=LatentSearchSpace(min_layers=1, max_layers=1,
+                                width_choices=(16, 24), latent_choices=(4, 6)),
+        em_space=SearchSpace(min_layers=1, max_layers=1, width_choices=(12,)),
+        seed=0, device_loop=True,
+    )
+    assert len(res.trials) == 2
+    assert all(t.epochs_ran == 8 for t in res.trials)  # 2 rungs × 2 stages × 2
+    errs = [t.val_error for t in res.trials]
+    assert errs == sorted(errs) and np.isfinite(errs).all()

@@ -394,3 +394,146 @@ def tune_direct_halving(
     ]
     trials.sort(key=lambda t: (not np.isfinite(t.val_error), t.val_error))
     return TuneResult(trials)
+
+
+def tune_autoencoder_halving(
+    data: DataSplits,
+    n_initial: int = 16,
+    rungs: int = 3,
+    eta: int = 2,
+    rung_epochs: int = 20,
+    space: LatentSearchSpace = LatentSearchSpace(),
+    em_space: SearchSpace = SearchSpace(),
+    seed: int = 0,
+    verbose: bool = False,
+    device_loop: bool = False,
+) -> TuneResult:
+    """Successive-halving search for the AE-based emulator.
+
+    Each rung continues BOTH stages of every surviving candidate:
+    ``rung_epochs`` more autoencoder epochs (Adam state carried), then a
+    re-encode of the (moving) latent targets and ``rung_epochs`` more
+    params→latent epochs (its Adam state carried too — Adam adapts to
+    the target drift between rungs). Scored end-to-end in mK on the
+    validation split.
+    """
+    import jax
+
+    from tpu21cmvae.models.autoencoder import AutoEncoder
+    from tpu21cmvae.ops.losses import mse, relative_mse
+    from tpu21cmvae.ops.mlp import init_mlp, mlp_apply
+    from tpu21cmvae.ops.transforms import (
+        Normalizer,
+        par_transform,
+        preproc,
+        unpreproc,
+    )
+    from tpu21cmvae.train.loop import fit
+    from tpu21cmvae.train.scan import fit_scan
+
+    fitter = fit_scan if device_loop else fit
+    rng = np.random.default_rng(seed)
+    norm = Normalizer.from_data(data.par_train, data.signal_train)
+    sm = norm.scaled_mean
+    y_train = preproc(np.asarray(data.signal_train, np.float32), norm)
+    y_val = preproc(np.asarray(data.signal_val, np.float32), norm)
+    x_train = par_transform(np.asarray(data.par_train, np.float32), norm)
+    x_val = par_transform(np.asarray(data.par_val, np.float32), norm)
+
+    ae_cfg = TrainConfig(
+        epochs=rung_epochs, learning_rate=1e-3,
+        early_stop_patience=None, plateau_factor=0.9,
+    )
+    em_cfg = TrainConfig(
+        epochs=rung_epochs, learning_rate=1e-2,
+        early_stop_patience=None, plateau_factor=0.9,
+    )
+
+    seen, survivors = set(), []
+    attempts = 0
+    while len(survivors) < n_initial and attempts < n_initial * 50:
+        attempts += 1
+        cfg = AutoEncoderConfig(
+            n_params=data.n_params,
+            n_bins=data.n_bins,
+            latent_dim=space.sample_latent(rng),
+            enc_hidden_dims=space.sample(rng),
+            dec_hidden_dims=space.sample(rng),
+            em_hidden_dims=em_space.sample(rng),
+        )
+        if cfg in seen:
+            continue
+        seen.add(cfg)
+        k = len(survivors)
+        ae = AutoEncoder(cfg, seed=seed + k + 1)
+        survivors.append({
+            "cfg": cfg,
+            "ae": ae.params,
+            "em": init_mlp(jax.random.key(seed - k - 1), cfg.emulator().sizes),
+            "ae_opt": None,
+            "em_opt": None,
+            "epochs": 0,
+            "t0": time.perf_counter(),
+        })
+
+    def ae_apply(cfg, params, x):
+        act = cfg.activation
+        return mlp_apply(params["dec"], mlp_apply(params["enc"], x, act), act)
+
+    for rung in range(rungs):
+        for s in survivors:
+            cfg, act = s["cfg"], s["cfg"].activation
+
+            def ae_loss(p, bx, by, _cfg=cfg):
+                return relative_mse(by, ae_apply(_cfg, p, bx), sm)
+
+            s["ae"], s["ae_opt"], _ = fitter(
+                s["ae"], ae_loss, y_train, y_train, y_val, y_val, ae_cfg,
+                opt_state=s["ae_opt"],
+            )
+            z_train = mlp_apply(s["ae"]["enc"], y_train, act)
+            z_val = mlp_apply(s["ae"]["enc"], y_val, act)
+
+            def em_loss(p, bx, by, _act=act):
+                return mse(by, mlp_apply(p, bx, _act))
+
+            s["em"], s["em_opt"], hist = fitter(
+                s["em"], em_loss, x_train, z_train, x_val, z_val, em_cfg,
+                opt_state=s["em_opt"],
+            )
+            s["epochs"] += 2 * rung_epochs
+            pred = unpreproc(
+                mlp_apply(s["ae"]["dec"], mlp_apply(s["em"], x_val, act), act),
+                norm,
+            )
+            s["val_err"] = float(
+                np.mean(error(np.asarray(data.signal_val), np.asarray(pred)))
+            )
+        survivors.sort(key=lambda s: (not np.isfinite(s["val_err"]), s["val_err"]))
+        if verbose:
+            print(
+                f"[ae-sha rung {rung + 1}/{rungs}] best "
+                f"{survivors[0]['val_err']:.4f}% latent "
+                f"{survivors[0]['cfg'].latent_dim} ({len(survivors)} candidates)",
+                flush=True,
+            )
+        if rung < rungs - 1:
+            survivors = survivors[: max(1, len(survivors) // eta)]
+
+    trials = [
+        Trial(
+            config=s["cfg"],
+            val_error=s["val_err"],
+            val_loss=float("nan"),
+            epochs_ran=s["epochs"],
+            wall_time_s=time.perf_counter() - s["t0"],
+            n_params=(
+                s["cfg"].encoder().weight_count
+                + s["cfg"].decoder().weight_count
+                + s["cfg"].emulator().weight_count
+            ),
+        )
+        for s in survivors
+    ]
+    trials.sort(key=lambda t: (not np.isfinite(t.val_error), t.val_error))
+    return TuneResult(trials)
