@@ -23,7 +23,11 @@ signal amplitude vs the contract path is ≤ 1.5e-3 — under half of the
 never cost the golden numbers. The gate runs on a TRAINED model:
 converged weights have far more cancellation than random init, and
 1-pass bf16 degrades from ~4e-4 (random) to ~1.4e-2 (trained) —
-measured on v5e; a random-init gate would wrongly admit it.
+measured on v5e; a random-init gate would wrongly admit it. The weights
+are the shipped CONVERGED checkpoint ``pretrained/direct_synthetic.npz``
+(0.159 % mean relative error — ``pretrained/README.md``), the strongest
+available cancellation regime; a quick training run is only a fallback
+when the file is absent.
 
 Methodology: warm up the compile, then time ``ITERS`` repeated calls on a
 resident device batch with ``block_until_ready``; fresh inputs per call
@@ -34,6 +38,8 @@ batch stays on device, as it would inside a JAX-native MCMC loop).
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
@@ -47,23 +53,37 @@ GATE_REL_TO_AMP = 1.5e-3
 _CHECK = 1 << 16  # rows used for the accuracy gate
 
 
-TRAIN_EPOCHS = 30  # enough to develop realistic weight cancellation
+TRAIN_EPOCHS = 30  # fallback only: enough weight cancellation for the gate
+
+PRETRAINED = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "pretrained", "direct_synthetic.npz"
+)
 
 
 def _build():
-    from tpu21cmvae.data import synthetic_dataset
     from tpu21cmvae.data.synthetic import synthetic_params
     from tpu21cmvae.models.direct import DirectEmulator
-    from tpu21cmvae.utils.config import TrainConfig
 
-    data = synthetic_dataset(n_train=2048, n_val=256, n_test=64, seed=0)
-    model = DirectEmulator(data)
-    # device_loop: the whole training is one device call — avoids per-
-    # epoch dispatch latency dominating bench wall time on remote links
-    model.train(
-        train_config=TrainConfig(epochs=TRAIN_EPOCHS, early_stop_patience=None),
-        device_loop=True,
-    )
+    if os.path.exists(PRETRAINED):
+        # the shipped converged checkpoint (0.159 % mean rel. error) —
+        # the strongest cancellation regime for the precision gate
+        model = DirectEmulator.from_checkpoint(PRETRAINED)
+    else:  # pragma: no cover - fallback when the checkpoint is absent
+        from tpu21cmvae.data import synthetic_dataset
+        from tpu21cmvae.utils.config import TrainConfig
+
+        print("bench: pretrained checkpoint absent; training a fallback "
+              "gate model", file=sys.stderr)
+        data = synthetic_dataset(n_train=2048, n_val=256, n_test=64, seed=0)
+        model = DirectEmulator(data)
+        # device_loop: the whole training is one device call — avoids per-
+        # epoch dispatch latency dominating bench wall time on remote links
+        model.train(
+            train_config=TrainConfig(
+                epochs=TRAIN_EPOCHS, early_stop_patience=None
+            ),
+            device_loop=True,
+        )
     rng = np.random.default_rng(0)
     raw = synthetic_params(BATCH, rng).astype(np.float32)
     return model, raw
@@ -79,21 +99,24 @@ def _candidates(model):
     try:
         from tpu21cmvae.ops.pallas.fused_mlp import make_fused_emulate
 
+        # gate-passable tier: exact-f32 dot (Mosaic supports only
+        # DEFAULT/HIGHEST; DEFAULT is ~1.4e-2 rel-to-amp on trained
+        # weights and can never pass the 1.5e-3 gate — docs/PERF.md)
         cands.append(
             (
-                "pallas",
+                "pallas-highest",
                 jax.jit(
                     make_fused_emulate(
                         model.config,
                         model.normalizer,
-                        precision="default",
-                        weight_dtype=jnp.bfloat16,
+                        precision="highest",
+                        weight_dtype=jnp.float32,
                     )
                 ),
             )
         )
-    except Exception:
-        pass
+    except Exception as e:  # pragma: no cover - kernel unavailable
+        print(f"bench: pallas candidate unavailable: {e}", file=sys.stderr)
     return cands
 
 
@@ -123,9 +146,20 @@ def main():
             # NaN-safe: `not (err <= gate)` rejects NaN/Inf candidates,
             # where `err > gate` would let them through (NaN > x is False)
             if not (err <= GATE_REL_TO_AMP):
+                print(
+                    f"bench: {name} gate-rejected "
+                    f"(err {err:.2e} > {GATE_REL_TO_AMP:.1e})",
+                    file=sys.stderr,
+                )
                 continue
             dt = _time_fn(fn, params, x)
-        except Exception:
+            print(
+                f"bench: {name} err {err:.2e}, "
+                f"{BATCH / dt / 1e6:.1f}M signals/s",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
             continue
         if dt < best_dt:
             best_name, best_dt = name, dt

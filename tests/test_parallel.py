@@ -110,6 +110,107 @@ def test_dp_fit_matches_single_device_fit(splits, normalizer):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_dp_fit_uneven_splits_match_single_device(splits, normalizer):
+    """Split sizes that do NOT divide the mesh are padded + weight-masked;
+    training must match the unpadded single-device run. 333/65 rows on an
+    8-device mesh (neither divisible by 8)."""
+    from tpu21cmvae.ops.transforms import par_transform, preproc
+
+    mesh = make_mesh()
+    cfg = TrainConfig(
+        epochs=3, batch_size=64, learning_rate=0.003,
+        early_stop_patience=None, plateau_patience=None,
+    )
+    params = init_mlp(jax.random.key(1), (7, 16, 451))
+
+    def loss_fn(p, x, y):
+        return jnp.mean((mlp_apply(p, x) - y) ** 2, axis=-1)
+
+    x = par_transform(jnp.asarray(splits.par_train[:333], jnp.float32), normalizer)
+    y = preproc(jnp.asarray(splits.signal_train[:333], jnp.float32), normalizer)
+    xv = par_transform(jnp.asarray(splits.par_val[:65], jnp.float32), normalizer)
+    yv = preproc(jnp.asarray(splits.signal_val[:65], jnp.float32), normalizer)
+
+    p_single, _, h_single = fit(params, loss_fn, x, y, xv, yv, cfg)
+    p_dp, _, h_dp = dp_fit(params, loss_fn, x, y, xv, yv, cfg, mesh)
+    np.testing.assert_allclose(h_dp.loss, h_single.loss, rtol=1e-4)
+    np.testing.assert_allclose(h_dp.val_loss, h_single.val_loss, rtol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_single), jax.tree_util.tree_leaves(p_dp)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_dp_fit_all_pad_batch_is_noop(splits, normalizer):
+    """126 rows at batch 63 on an 8-device mesh pads to 128 → a THIRD
+    batch containing only padding. That batch must be an exact no-op
+    (params, Adam moments, loss) so the run matches single-device."""
+    from tpu21cmvae.ops.transforms import par_transform, preproc
+
+    mesh = make_mesh()
+    cfg = TrainConfig(
+        epochs=2, batch_size=63, learning_rate=0.003,
+        early_stop_patience=None, plateau_patience=None,
+    )
+    params = init_mlp(jax.random.key(2), (7, 16, 451))
+
+    def loss_fn(p, x, y):
+        return jnp.mean((mlp_apply(p, x) - y) ** 2, axis=-1)
+
+    x = par_transform(jnp.asarray(splits.par_train[:126], jnp.float32), normalizer)
+    y = preproc(jnp.asarray(splits.signal_train[:126], jnp.float32), normalizer)
+    xv = par_transform(jnp.asarray(splits.par_val[:64], jnp.float32), normalizer)
+    yv = preproc(jnp.asarray(splits.signal_val[:64], jnp.float32), normalizer)
+
+    p_single, _, h_single = fit(params, loss_fn, x, y, xv, yv, cfg)
+    p_dp, _, h_dp = dp_fit(params, loss_fn, x, y, xv, yv, cfg, mesh)
+    np.testing.assert_allclose(h_dp.loss, h_single.loss, rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_single), jax.tree_util.tree_leaves(p_dp)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_fit_scan_real_dataset_split_sizes(normalizer):
+    """The REAL 21cmGEM split sizes — 26,889 train / 1,704 val (reference
+    ``sample_notebook.ipynb`` cell 19; total ≈30,000 per README.rst:11) —
+    train data-parallel on the 8-device mesh without error and match the
+    single-device device-resident trainer."""
+    from tpu21cmvae.data import synthetic_dataset
+    from tpu21cmvae.ops.transforms import par_transform, preproc
+    from tpu21cmvae.parallel.train_dp import dp_fit_scan
+    from tpu21cmvae.train.scan import fit_scan
+
+    data = synthetic_dataset(n_train=26889, n_val=1704, n_test=8, seed=11)
+    assert data.par_train.shape[0] % 8 != 0
+    # 1,704 happens to divide 8 (it breaks on 16-device meshes); the
+    # train axis is the uneven one here
+
+    params = init_mlp(jax.random.key(0), (7, 8, 451))
+
+    def loss_fn(p, x, y):
+        return jnp.mean((mlp_apply(p, x) - y) ** 2, axis=-1)
+
+    x = par_transform(jnp.asarray(data.par_train, jnp.float32), normalizer)
+    y = preproc(jnp.asarray(data.signal_train, jnp.float32), normalizer)
+    xv = par_transform(jnp.asarray(data.par_val, jnp.float32), normalizer)
+    yv = preproc(jnp.asarray(data.signal_val, jnp.float32), normalizer)
+    cfg = TrainConfig(
+        epochs=2, learning_rate=0.003,
+        early_stop_patience=None, plateau_patience=None,
+    )
+
+    mesh = make_mesh()
+    p_dp, _, h_dp = dp_fit_scan(params, loss_fn, x, y, xv, yv, cfg, mesh)
+    p_1, _, h_1 = fit_scan(params, loss_fn, x, y, xv, yv, cfg)
+    np.testing.assert_allclose(h_dp.loss, h_1.loss, rtol=1e-4)
+    np.testing.assert_allclose(h_dp.val_loss, h_1.val_loss, rtol=1e-4)
+    for la, lb in zip(p_dp, p_1):
+        np.testing.assert_allclose(
+            np.asarray(la["w"]), np.asarray(lb["w"]), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_sharded_emulator_ae_and_vae_families(splits):
     """ShardedEmulator.for_model works for every family via predict_fn +
     params (mesh-sharded mega-batch inference is family-agnostic)."""

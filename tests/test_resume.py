@@ -103,6 +103,32 @@ def test_resume_with_early_stop_state(tmp_path, splits, normalizer):
     assert hb.best_epoch == ha.best_epoch
 
 
+def test_resume_after_early_stop_restores_best_epoch(
+    tmp_path, splits, normalizer
+):
+    """Resuming a run that already early-stopped must report the same
+    best_epoch as the uninterrupted run (the checkpoint is written before
+    best_epoch is assigned, so it must be recovered from the restored
+    EarlyStopping state, not the checkpointed None)."""
+    params, loss_fn, x, y, xv, yv = _setup(splits, normalizer)
+    cfg = dataclasses.replace(
+        CFG8, epochs=20, early_stop_patience=2, early_stop_min_delta=10.0
+    )  # huge min_delta: stops at epoch 2 with best_epoch 0
+    ckpt = str(tmp_path / "ck")
+    pa, _, ha = fit(
+        params, loss_fn, x, y, xv, yv, cfg,
+        checkpoint_dir=ckpt, checkpoint_every=100,
+    )
+    assert ha.stopped_epoch is not None and ha.best_epoch is not None
+    pb, _, hb = fit(
+        params, loss_fn, x, y, xv, yv, cfg, checkpoint_dir=ckpt, resume=True
+    )
+    assert hb.stopped_epoch == ha.stopped_epoch
+    assert hb.best_epoch == ha.best_epoch
+    for la, lb in zip(pa, pb):
+        np.testing.assert_allclose(la["w"], lb["w"], rtol=0)
+
+
 def test_resume_after_completion_is_noop(tmp_path, splits, normalizer):
     params, loss_fn, x, y, xv, yv = _setup(splits, normalizer)
     cfg = dataclasses.replace(CFG8, epochs=3)

@@ -49,7 +49,7 @@ def test_tune_direct_ranks_trials(splits):
     assert all(np.isfinite(e) for e in errs)
     best = res.best
     assert isinstance(best.config, DirectEmulatorConfig)
-    assert best.n_params > 0 and best.epochs_ran == FAST.epochs
+    assert best.weight_count > 0 and best.epochs_ran == FAST.epochs
     assert "val_err" in res.leaderboard()
 
 
@@ -145,6 +145,21 @@ def test_tune_direct_halving_device_loop(splits):
         train_config=FAST, seed=0, device_loop=True,
     )
     assert len(res.trials) == 1 and res.trials[0].epochs_ran == 4
+
+
+def test_tune_direct_halving_exhausted_space(splits):
+    """A space with fewer unique architectures than n_initial must
+    terminate (the sampling loop previously spun forever once the space
+    was exhausted) and proceed with the uniques it found."""
+    from tpu21cmvae.tuner import tune_direct_halving
+
+    res = tune_direct_halving(
+        splits, n_initial=4, rungs=1, eta=2, rung_epochs=2,
+        space=SearchSpace(min_layers=1, max_layers=1, width_choices=(16,)),
+        train_config=FAST, seed=0,
+    )
+    assert len(res.trials) == 1
+    assert res.trials[0].config.hidden_dims == (16,)
 
 
 def test_tune_autoencoder_halving(splits):

@@ -14,7 +14,7 @@ train step for custom loops and the multi-chip dry run.
 
 from __future__ import annotations
 
-
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +61,26 @@ def make_dp_train_step(loss_fn, cfg: TrainConfig, mesh: Mesh):
     )
 
 
+def _pad_to_mesh(x, mesh: Mesh):
+    """Pad the leading axis to a mesh-size multiple by cycling real rows
+    (finite values — a 0-weight row must not produce NaN losses, since
+    ``0 × NaN = NaN`` would poison the masked reduction). Returns
+    ``(padded_array, n_real)``; no-op when already divisible.
+
+    Real split sizes are rarely divisible (21cmGEM: 26,889 train / 1,704
+    val — reference ``sample_notebook.ipynb`` cell 19), and
+    ``device_put`` with a batch sharding rejects uneven leading dims.
+    """
+    x = np.asarray(x, np.float32)
+    n = x.shape[0]
+    pad = (-n) % mesh.size
+    if pad == 0:
+        return x, n
+    reps = -(-pad // n)  # pad may exceed n for tiny arrays
+    filler = np.concatenate([x] * reps, axis=0)[:pad]
+    return np.concatenate([x, filler], axis=0), n
+
+
 def dp_fit(
     params,
     loss_fn,
@@ -80,14 +100,22 @@ def dp_fit(
     """Data-parallel :func:`~tpu21cmvae.train.loop.fit`: places the data
     batch-sharded and params/opt-state replicated before entering the
     same jitted epoch loop; XLA propagates the shardings through the
-    scan and inserts collectives."""
+    scan and inserts collectives.
+
+    Split sizes need not divide the mesh: uneven splits are padded to a
+    mesh multiple and the pad rows weight-masked out of every loss and
+    gradient, so results match the single-device run."""
     params = replicate(params, mesh)
     if opt_state is None:
         opt_state = replicate(adam_init(params), mesh)
-    x_train = shard_batch(jnp.asarray(x_train, jnp.float32), mesh)
-    y_train = shard_batch(jnp.asarray(y_train, jnp.float32), mesh)
-    x_val = shard_batch(jnp.asarray(x_val, jnp.float32), mesh)
-    y_val = shard_batch(jnp.asarray(y_val, jnp.float32), mesh)
+    x_train, n_train = _pad_to_mesh(x_train, mesh)
+    y_train, _ = _pad_to_mesh(y_train, mesh)
+    x_val, n_val = _pad_to_mesh(x_val, mesh)
+    y_val, _ = _pad_to_mesh(y_val, mesh)
+    x_train = shard_batch(jnp.asarray(x_train), mesh)
+    y_train = shard_batch(jnp.asarray(y_train), mesh)
+    x_val = shard_batch(jnp.asarray(x_val), mesh)
+    y_val = shard_batch(jnp.asarray(y_val), mesh)
     return fit(
         params,
         loss_fn,
@@ -100,6 +128,8 @@ def dp_fit(
         stochastic=stochastic,
         pass_epoch=pass_epoch,
         verbose=verbose,
+        n_train_real=n_train,
+        n_val_real=n_val,
         **fit_kwargs,
     )
 
@@ -132,10 +162,14 @@ def dp_fit_scan(
     params = replicate(params, mesh)
     if opt_state is None:
         opt_state = replicate(adam_init(params), mesh)
-    x_train = shard_batch(jnp.asarray(x_train, jnp.float32), mesh)
-    y_train = shard_batch(jnp.asarray(y_train, jnp.float32), mesh)
-    x_val = shard_batch(jnp.asarray(x_val, jnp.float32), mesh)
-    y_val = shard_batch(jnp.asarray(y_val, jnp.float32), mesh)
+    x_train, n_train = _pad_to_mesh(x_train, mesh)
+    y_train, _ = _pad_to_mesh(y_train, mesh)
+    x_val, n_val = _pad_to_mesh(x_val, mesh)
+    y_val, _ = _pad_to_mesh(y_val, mesh)
+    x_train = shard_batch(jnp.asarray(x_train), mesh)
+    y_train = shard_batch(jnp.asarray(y_train), mesh)
+    x_val = shard_batch(jnp.asarray(x_val), mesh)
+    y_val = shard_batch(jnp.asarray(y_val), mesh)
     return fit_scan(
         params,
         loss_fn,
@@ -147,4 +181,6 @@ def dp_fit_scan(
         opt_state=opt_state,
         stochastic=stochastic,
         pass_epoch=pass_epoch,
+        n_train_real=n_train,
+        n_val_real=n_val,
     )

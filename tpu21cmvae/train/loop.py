@@ -60,22 +60,40 @@ class History:
 
 def _make_epoch_fn(
     loss_fn: LossFn, cfg: TrainConfig, n: int, stochastic: bool,
-    pass_epoch: bool = False,
+    pass_epoch: bool = False, n_real: Optional[int] = None,
 ):
     """Build the jitted one-epoch function for a dataset of n samples.
+
+    ``n_real < n`` means rows ``n_real:`` are padding (data-parallel
+    callers pad the batch axis to a mesh multiple — ``parallel/``):
+    only the first ``n_real`` rows are shuffled, pad rows sort to the
+    epoch tail where the positional weight mask zeroes them, the loss
+    divides by the true sample count, and a batch made entirely of
+    padding is an exact no-op (params/optimizer pass through unchanged).
+    With ``n_real == n`` the computation is identical to the unpadded
+    path.
 
     Not donated: EarlyStopping keeps a reference to the best epoch's
     params pytree, and donating would invalidate those buffers.
     """
+    n_real = n if n_real is None else n_real
+    if not 0 < n_real <= n:
+        raise ValueError(f"n_real={n_real} must be in (0, {n}]")
     bs = cfg.batch_size
     nb = -(-n // bs)  # ceil
     padded = nb * bs
 
     def epoch(params, opt_state, lr, key, x, y, epoch_idx):
         shuffle_key, loss_key = jax.random.split(key)
-        perm = jax.random.permutation(shuffle_key, n)
-        perm = jnp.concatenate([perm, jnp.zeros((padded - n,), perm.dtype)])
-        weights = (jnp.arange(padded) < n).astype(x.dtype)
+        perm = jax.random.permutation(shuffle_key, n_real)
+        # dataset pad rows (identity-masked) then batch pad (positional):
+        # both land at the tail, so one positional mask covers them
+        perm = jnp.concatenate([
+            perm,
+            jnp.arange(n_real, n, dtype=perm.dtype),
+            jnp.zeros((padded - n,), perm.dtype),
+        ])
+        weights = (jnp.arange(padded) < n_real).astype(x.dtype)
         xb = x[perm].reshape(nb, bs, *x.shape[1:])
         yb = y[perm].reshape(nb, bs, *y.shape[1:])
         wb = weights.reshape(nb, bs)
@@ -93,10 +111,10 @@ def _make_epoch_fn(
                     )
                 else:
                     per_sample = loss_fn(p, bx, by, *extra)
-                return jnp.sum(per_sample * bw) / count
+                return jnp.sum(per_sample * bw) / jnp.maximum(count, 1)
 
             loss_val, grads = jax.value_and_grad(batch_loss)(params)
-            params, opt_state = adam_update(
+            new_params, new_opt = adam_update(
                 grads,
                 params,
                 opt_state,
@@ -105,6 +123,14 @@ def _make_epoch_fn(
                 beta_2=cfg.beta_2,
                 epsilon=cfg.epsilon,
             )
+            # all-padding batch (possible only when n_real < n) is a
+            # no-op; `where` on a True scalar returns `new` bit-exactly
+            has_samples = count > 0
+            params, opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(has_samples, new, old),
+                (new_params, new_opt),
+                (params, opt_state),
+            )
             return (params, opt_state, total + loss_val * count), None
 
         (params, opt_state, total), _ = jax.lax.scan(
@@ -112,24 +138,31 @@ def _make_epoch_fn(
             (params, opt_state, jnp.zeros((), x.dtype)),
             (xb, yb, wb, jnp.arange(nb)),
         )
-        return params, opt_state, total / n
+        return params, opt_state, total / n_real
 
     return jax.jit(epoch)
 
 
 def _make_eval_fn(
-    loss_fn: LossFn, stochastic: bool, seed: int, pass_epoch: bool = False
+    loss_fn: LossFn, stochastic: bool, seed: int, pass_epoch: bool = False,
+    n_real: Optional[int] = None,
 ):
     """Validation loss; stochastic losses use a fixed key so the monitor
-    the callbacks watch is deterministic across epochs."""
+    the callbacks watch is deterministic across epochs. ``n_real`` masks
+    trailing pad rows (see :func:`_make_epoch_fn`)."""
     eval_key = jax.random.key(seed ^ 0x5EED)
 
     @jax.jit
     def evaluate(params, x, y, epoch_idx):
         extra = (epoch_idx,) if pass_epoch else ()
         if stochastic:
-            return jnp.mean(loss_fn(params, x, y, eval_key, *extra))
-        return jnp.mean(loss_fn(params, x, y, *extra))
+            per_sample = loss_fn(params, x, y, eval_key, *extra)
+        else:
+            per_sample = loss_fn(params, x, y, *extra)
+        if n_real is None or n_real == x.shape[0]:
+            return jnp.mean(per_sample)
+        w = (jnp.arange(x.shape[0]) < n_real).astype(per_sample.dtype)
+        return jnp.sum(per_sample * w) / n_real
 
     return evaluate
 
@@ -152,6 +185,8 @@ def fit(
     checkpoint_every: int = 10,
     checkpoint_keep: Optional[int] = 3,
     resume: bool = False,
+    n_train_real: Optional[int] = None,
+    n_val_real: Optional[int] = None,
 ):
     """Train ``params`` to minimize the mean of ``loss_fn`` per-sample
     losses. Returns ``(params, opt_state, History)``.
@@ -172,6 +207,12 @@ def fit(
     Only the newest ``checkpoint_keep`` files are retained (None keeps
     all) — each holds params + optimizer + best weights, so rotation
     bounds disk use on long runs.
+
+    ``n_train_real``/``n_val_real``: true sample counts when the arrays
+    carry trailing pad rows (data-parallel callers pad the batch axis to
+    a mesh multiple — :mod:`tpu21cmvae.parallel.train_dp`). Pad rows are
+    weight-masked out of every loss and gradient; results match the
+    unpadded single-device run.
     """
     x_train = jnp.asarray(x_train, jnp.float32)
     y_train = jnp.asarray(y_train, jnp.float32)
@@ -179,8 +220,12 @@ def fit(
     y_val = jnp.asarray(y_val, jnp.float32)
     n = x_train.shape[0]
 
-    epoch_fn = _make_epoch_fn(loss_fn, cfg, n, stochastic, pass_epoch)
-    eval_fn = _make_eval_fn(loss_fn, stochastic, cfg.seed, pass_epoch)
+    epoch_fn = _make_epoch_fn(
+        loss_fn, cfg, n, stochastic, pass_epoch, n_real=n_train_real
+    )
+    eval_fn = _make_eval_fn(
+        loss_fn, stochastic, cfg.seed, pass_epoch, n_real=n_val_real
+    )
 
     if opt_state is None:
         opt_state = adam_init(params)
@@ -231,9 +276,16 @@ def fit(
             for _ in range(start_epoch):
                 key, _ = jax.random.split(key)
             if history.stopped_epoch is not None:
-                # run already early-stopped; nothing left to train
+                # run already early-stopped; nothing left to train. The
+                # checkpoint was written before best_epoch was assigned
+                # (it is set only after the loop), so take it from the
+                # restored EarlyStopping monitor instead of the stale
+                # checkpointed None — matching an uninterrupted run.
                 if early is not None:
                     params = early.final_weights(params)
+                    history.best_epoch = (
+                        early.best_epoch if early.best_epoch >= 0 else None
+                    )
                 return params, opt_state, history
 
     def _save_ckpt(epoch):

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -63,17 +64,26 @@ def fit_scan(
     opt_state=None,
     stochastic: bool = False,
     pass_epoch: bool = False,
+    n_train_real: Optional[int] = None,
+    n_val_real: Optional[int] = None,
 ):
     """Train entirely on device; returns ``(params, opt_state, History)``.
 
     Same contract as :func:`~tpu21cmvae.train.loop.fit` minus the host
-    hooks (``verbose``/``epoch_callback``/checkpointing).
+    hooks (``verbose``/``epoch_callback``/checkpointing), including the
+    ``n_train_real``/``n_val_real`` pad-row masking data-parallel callers
+    use.
     """
     x_train = jnp.asarray(x_train, jnp.float32)
     y_train = jnp.asarray(y_train, jnp.float32)
     x_val = jnp.asarray(x_val, jnp.float32)
     y_val = jnp.asarray(y_val, jnp.float32)
     n = x_train.shape[0]
+    n_real = n if n_train_real is None else n_train_real
+    if not 0 < n_real <= n:
+        raise ValueError(f"n_train_real={n_real} must be in (0, {n}]")
+    nv = x_val.shape[0]
+    nv_real = nv if n_val_real is None else n_val_real
     bs = cfg.batch_size
     nb = -(-n // bs)
     padded = nb * bs
@@ -93,9 +103,15 @@ def fit_scan(
     # compiled program — slower compiles and a duplicate HBM copy.
     def run_epoch(x_train, y_train, params, opt_state, lr, shuffle_key,
                   loss_key, epoch_idx):
-        perm = jax.random.permutation(shuffle_key, n)
-        perm = jnp.concatenate([perm, jnp.zeros((padded - n,), perm.dtype)])
-        weights = (jnp.arange(padded) < n).astype(x_train.dtype)
+        perm = jax.random.permutation(shuffle_key, n_real)
+        # dataset pad rows then batch pad — both at the tail, one mask
+        # (identical construction to loop._make_epoch_fn)
+        perm = jnp.concatenate([
+            perm,
+            jnp.arange(n_real, n, dtype=perm.dtype),
+            jnp.zeros((padded - n,), perm.dtype),
+        ])
+        weights = (jnp.arange(padded) < n_real).astype(x_train.dtype)
         xb = x_train[perm].reshape(nb, bs, *x_train.shape[1:])
         yb = y_train[perm].reshape(nb, bs, *y_train.shape[1:])
         wb = weights.reshape(nb, bs)
@@ -113,12 +129,18 @@ def fit_scan(
                     )
                 else:
                     per_sample = loss_fn(p, bx, by, *extra)
-                return jnp.sum(per_sample * bw) / count
+                return jnp.sum(per_sample * bw) / jnp.maximum(count, 1)
 
             loss_val, grads = jax.value_and_grad(batch_loss)(params)
-            params, opt_state = adam_update(
+            new_params, new_opt = adam_update(
                 grads, params, opt_state, lr,
                 beta_1=cfg.beta_1, beta_2=cfg.beta_2, epsilon=cfg.epsilon,
+            )
+            has_samples = count > 0
+            params, opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(has_samples, new, old),
+                (new_params, new_opt),
+                (params, opt_state),
             )
             return (params, opt_state, total + loss_val * count), None
 
@@ -127,13 +149,18 @@ def fit_scan(
             (params, opt_state, jnp.zeros((), x_train.dtype)),
             (xb, yb, wb, jnp.arange(nb)),
         )
-        return params, opt_state, total / n
+        return params, opt_state, total / n_real
 
     def evaluate(x_val, y_val, params, epoch_idx):
         extra = (epoch_idx,) if pass_epoch else ()
         if stochastic:
-            return jnp.mean(loss_fn(params, x_val, y_val, eval_key, *extra))
-        return jnp.mean(loss_fn(params, x_val, y_val, *extra))
+            per_sample = loss_fn(params, x_val, y_val, eval_key, *extra)
+        else:
+            per_sample = loss_fn(params, x_val, y_val, *extra)
+        if nv_real == nv:
+            return jnp.mean(per_sample)
+        w = (jnp.arange(nv) < nv_real).astype(per_sample.dtype)
+        return jnp.sum(per_sample * w) / nv_real
 
     def epoch_body(data, carry, epoch):
         x_train, y_train, x_val, y_val = data

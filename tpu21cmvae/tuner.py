@@ -82,12 +82,14 @@ class Trial:
     val_loss: float
     epochs_ran: int
     wall_time_s: float
-    n_params: int
+    # total trainable scalars — named like MLPConfig.weight_count to avoid
+    # colliding with the configs' n_params (= number of INPUT parameters)
+    weight_count: int
 
     def describe(self) -> str:
         return (
             f"{self.config!r}: val_err={self.val_error:.4f}% "
-            f"({self.n_params} params, {self.epochs_ran} epochs, "
+            f"({self.weight_count} weights, {self.epochs_ran} epochs, "
             f"{self.wall_time_s:.1f}s)"
         )
 
@@ -133,14 +135,14 @@ def _run_trials(
             break
         seen.add(cfg)
         t0 = time.perf_counter()
-        val_error, val_loss, epochs_ran, n_params = evaluate(cfg, seed + i + 1)
+        val_error, val_loss, epochs_ran, weight_count = evaluate(cfg, seed + i + 1)
         trial = Trial(
             config=cfg,
             val_error=val_error,
             val_loss=val_loss,
             epochs_ran=epochs_ran,
             wall_time_s=time.perf_counter() - t0,
-            n_params=n_params,
+            weight_count=weight_count,
         )
         trials.append(trial)
         if verbose:
@@ -327,9 +329,13 @@ def tune_direct_halving(
         early_stop_patience=None,
     )
 
-    # sample unique architectures
+    # sample unique architectures; an attempts bound (not a seen-count
+    # check) terminates when the space has fewer than n_initial uniques —
+    # then proceed with however many were found
     seen, configs = set(), []
-    while len(configs) < n_initial:
+    attempts = 0
+    while len(configs) < n_initial and attempts < n_initial * 50:
+        attempts += 1
         dims = space.sample(rng)
         if dims not in seen:
             seen.add(dims)
@@ -338,8 +344,6 @@ def tune_direct_halving(
                     n_params=data.n_params, n_bins=data.n_bins, hidden_dims=dims
                 )
             )
-        elif len(seen) >= n_initial * 50:
-            break
 
     def make_loss(cfg):
         act = cfg.activation
@@ -388,7 +392,7 @@ def tune_direct_halving(
             val_loss=float("nan"),
             epochs_ran=s["epochs"],
             wall_time_s=time.perf_counter() - s["t0"],
-            n_params=s["cfg"].mlp().weight_count,
+            weight_count=s["cfg"].mlp().weight_count,
         )
         for s in survivors
     ]
@@ -527,7 +531,7 @@ def tune_autoencoder_halving(
             val_loss=float("nan"),
             epochs_ran=s["epochs"],
             wall_time_s=time.perf_counter() - s["t0"],
-            n_params=(
+            weight_count=(
                 s["cfg"].encoder().weight_count
                 + s["cfg"].decoder().weight_count
                 + s["cfg"].emulator().weight_count
