@@ -94,6 +94,47 @@ def test_cli_tune(tmp_path, splits, capsys):
     assert "val_err" in capsys.readouterr().out
 
 
+def test_cli_tune_vae_and_halving(tmp_path, splits, capsys, monkeypatch):
+    """The tune verb exposes every family and the SHA mode; patch the
+    heavy search functions to keep the smoke test fast while pinning the
+    dispatch table + argument wiring."""
+    from tpu21cmvae import tuner
+    from tpu21cmvae.__main__ import main
+    from tpu21cmvae.data.dataset import save_dataset
+
+    ds = str(tmp_path / "ds.h5")
+    save_dataset(splits, ds)
+    calls = []
+
+    def fake(name):
+        def run(data, verbose=False, **kw):
+            calls.append((name, kw))
+            cfg = tuner.DirectEmulatorConfig(hidden_dims=(16,))
+            return tuner.TuneResult([tuner.Trial(cfg, 1.0, 1.0, 2, 0.1, 9)])
+
+        return run
+
+    for fn in ("tune_direct", "tune_autoencoder", "tune_vae",
+               "tune_direct_halving", "tune_autoencoder_halving",
+               "tune_vae_halving"):
+        monkeypatch.setattr(tuner, fn, fake(fn))
+
+    main(["tune", "--family", "vae", "--dataset", ds, "--trials", "2"])
+    main(["tune", "--family", "vae", "--halving", "--dataset", ds,
+          "--trials", "4"])
+    main(["tune", "--family", "direct", "--halving", "--dataset", ds,
+          "--trials", "4"])
+    main(["tune", "--family", "ae", "--halving", "--dataset", ds,
+          "--trials", "4"])
+    assert [c[0] for c in calls] == [
+        "tune_vae", "tune_vae_halving", "tune_direct_halving",
+        "tune_autoencoder_halving",
+    ]
+    assert calls[0][1]["n_trials"] == 2
+    assert calls[1][1]["n_initial"] == 4
+    assert "val_err" in capsys.readouterr().out
+
+
 def test_load_model_dispatches_all_families(tmp_path, splits):
     from tpu21cmvae.models import load_model
     from tpu21cmvae.models.autoencoder import AutoEncoderEmulator

@@ -1,0 +1,132 @@
+"""Retrace-avoidance tests: repeated same-shape training runs must reuse
+the jitted program (VERDICT round 1: the tuner paid a full trace per
+trial/rung because the loss closure defeated the jit cache; the train
+loops now build their jitted programs in factories cached on loss
+identity + seed-normalized config, with PRNG keys passed as arguments).
+
+A loss function's Python body executes only while jax traces it, so a
+call counter inside the loss measures retraces directly.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from tpu21cmvae.ops.losses import relative_mse
+from tpu21cmvae.ops.mlp import init_mlp, mlp_apply
+from tpu21cmvae.ops.transforms import par_transform, preproc
+from tpu21cmvae.train.loop import fit
+from tpu21cmvae.train.scan import fit_scan
+from tpu21cmvae.utils.config import TrainConfig
+
+CFG = TrainConfig(
+    epochs=3, batch_size=64, learning_rate=0.003,
+    early_stop_patience=None, plateau_patience=None,
+)
+
+
+def _data(splits, normalizer):
+    import jax.numpy as jnp
+
+    x = par_transform(jnp.asarray(splits.par_train[:128], jnp.float32), normalizer)
+    y = preproc(jnp.asarray(splits.signal_train[:128], jnp.float32), normalizer)
+    xv = par_transform(jnp.asarray(splits.par_val[:64], jnp.float32), normalizer)
+    yv = preproc(jnp.asarray(splits.signal_val[:64], jnp.float32), normalizer)
+    return x, y, xv, yv
+
+
+def _counting_loss(normalizer, counter):
+    sm = normalizer.scaled_mean
+
+    def loss_fn(p, x, y):
+        counter["n"] += 1
+        return relative_mse(y, mlp_apply(p, x), sm)
+
+    return loss_fn
+
+
+def test_fit_scan_second_call_compiles_nothing(splits, normalizer):
+    counter = {"n": 0}
+    loss_fn = _counting_loss(normalizer, counter)
+    x, y, xv, yv = _data(splits, normalizer)
+
+    params = init_mlp(jax.random.key(0), (7, 16, 451))
+    p1, _, h1 = fit_scan(params, loss_fn, x, y, xv, yv, CFG)
+    n_first = counter["n"]
+    assert n_first > 0  # traced at least once
+
+    # same shapes + same loss object, different seed AND different init:
+    # zero new traces (the seed travels as a traced PRNG-key argument)
+    params2 = init_mlp(jax.random.key(1), (7, 16, 451))
+    p2, _, h2 = fit_scan(
+        params2, loss_fn, x, y, xv, yv, dataclasses.replace(CFG, seed=9)
+    )
+    assert counter["n"] == n_first
+    # and the runs are genuinely different (different seed → shuffles)
+    assert not np.allclose(h1.loss, h2.loss)
+
+
+def test_fit_scan_seed_still_controls_run(splits, normalizer):
+    """Seed normalization in the program cache must NOT make runs with
+    different seeds identical, and equal seeds must stay reproducible."""
+    counter = {"n": 0}
+    loss_fn = _counting_loss(normalizer, counter)
+    x, y, xv, yv = _data(splits, normalizer)
+    params = init_mlp(jax.random.key(0), (7, 16, 451))
+
+    _, _, ha = fit_scan(params, loss_fn, x, y, xv, yv, CFG)
+    _, _, hb = fit_scan(params, loss_fn, x, y, xv, yv, CFG)
+    np.testing.assert_array_equal(ha.loss, hb.loss)
+    _, _, hc = fit_scan(
+        params, loss_fn, x, y, xv, yv, dataclasses.replace(CFG, seed=5)
+    )
+    assert not np.allclose(ha.loss, hc.loss)
+
+
+def test_fit_second_call_compiles_nothing(splits, normalizer):
+    counter = {"n": 0}
+    loss_fn = _counting_loss(normalizer, counter)
+    x, y, xv, yv = _data(splits, normalizer)
+
+    params = init_mlp(jax.random.key(0), (7, 16, 451))
+    fit(params, loss_fn, x, y, xv, yv, CFG)
+    n_first = counter["n"]
+    assert n_first > 0
+
+    params2 = init_mlp(jax.random.key(1), (7, 16, 451))
+    fit(params2, loss_fn, x, y, xv, yv, dataclasses.replace(CFG, seed=9))
+    assert counter["n"] == n_first
+
+
+def test_fit_new_shape_does_retrace(splits, normalizer):
+    """Sanity check on the counter methodology: a NEW architecture shape
+    must trace again (different params pytree shapes)."""
+    counter = {"n": 0}
+    loss_fn = _counting_loss(normalizer, counter)
+    x, y, xv, yv = _data(splits, normalizer)
+
+    fit(init_mlp(jax.random.key(0), (7, 16, 451)), loss_fn, x, y, xv, yv, CFG)
+    n_first = counter["n"]
+    fit(init_mlp(jax.random.key(0), (7, 24, 451)), loss_fn, x, y, xv, yv, CFG)
+    assert counter["n"] > n_first
+
+
+def test_tuner_loss_cache_shares_closures():
+    """Trials with the same activation share ONE loss object — the key
+    the cached program factories hit on."""
+    from tpu21cmvae.tuner import _loss_cache
+
+    made = []
+
+    def make(act):
+        def loss(p, x, y):
+            return None
+
+        made.append(act)
+        return loss
+
+    get = _loss_cache(make)
+    assert get("relu") is get("relu")
+    assert get("relu") is not get("tanh")
+    assert made == ["relu", "tanh"]

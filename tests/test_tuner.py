@@ -147,6 +147,83 @@ def test_tune_direct_halving_device_loop(splits):
     assert len(res.trials) == 1 and res.trials[0].epochs_ran == 4
 
 
+def test_tune_vae_runs_and_ranks(splits):
+    from tpu21cmvae.tuner import VAESearchSpace, tune_vae
+    from tpu21cmvae.utils.config import VAEConfig
+
+    res = tune_vae(
+        splits,
+        n_trials=2,
+        space=VAESearchSpace(
+            min_layers=1, max_layers=1, width_choices=(24,),
+            latent_choices=(4, 6), beta_choices=(1e-4, 1e-3),
+        ),
+        em_space=SearchSpace(min_layers=1, max_layers=1, width_choices=(16,)),
+        vae_train_config=FAST,
+        em_train_config=FAST,
+        kl_anneal_epochs=2,
+        seed=0,
+    )
+    assert 1 <= len(res.trials) <= 2
+    assert all(np.isfinite(t.val_error) for t in res.trials)
+    best = res.best
+    assert isinstance(best.config, VAEConfig)
+    assert best.config.beta in (1e-4, 1e-3)
+    assert best.weight_count > 0
+    # beta shows up in the leaderboard via the config repr
+    assert "beta" in res.leaderboard()
+
+
+def test_tune_vae_weight_count_exact(splits):
+    """_vae_weight_count matches the actual parameter pytree."""
+    import jax
+
+    from tpu21cmvae.models.vae import VAE
+    from tpu21cmvae.tuner import _vae_weight_count
+    from tpu21cmvae.utils.config import VAEConfig
+
+    cfg = VAEConfig(latent_dim=4, enc_hidden_dims=(24, 16),
+                    dec_hidden_dims=(12,), em_hidden_dims=(8,))
+    vae = VAE(cfg, seed=0)
+    n_vae = sum(x.size for x in jax.tree_util.tree_leaves(vae.params))
+    n_em = cfg.emulator().weight_count
+    assert _vae_weight_count(cfg) == n_vae + n_em
+
+
+def test_tune_vae_halving(splits):
+    from tpu21cmvae.tuner import VAESearchSpace, tune_vae_halving
+
+    res = tune_vae_halving(
+        splits, n_initial=4, rungs=2, eta=2, rung_epochs=2,
+        space=VAESearchSpace(
+            min_layers=1, max_layers=1, width_choices=(16, 24),
+            latent_choices=(4, 6), beta_choices=(1e-4,),
+        ),
+        em_space=SearchSpace(min_layers=1, max_layers=1, width_choices=(12,)),
+        seed=0, device_loop=True,
+    )
+    assert len(res.trials) == 2
+    assert all(t.epochs_ran == 8 for t in res.trials)
+    errs = [t.val_error for t in res.trials]
+    assert errs == sorted(errs) and np.isfinite(errs).all()
+
+
+def test_retrain_best_vae(splits):
+    """retrain_best dispatches VAEConfig to the VAE family (it subclasses
+    AutoEncoderConfig, so the isinstance order matters)."""
+    from tpu21cmvae.models.vae import VAEEmulator
+    from tpu21cmvae.tuner import Trial, TuneResult, retrain_best
+    from tpu21cmvae.utils.config import VAEConfig
+
+    cfg = VAEConfig(latent_dim=4, enc_hidden_dims=(16,),
+                    dec_hidden_dims=(16,), em_hidden_dims=(12,),
+                    kl_anneal_epochs=0)
+    res = TuneResult([Trial(cfg, 1.0, 1.0, 2, 0.1, 123)])
+    model = retrain_best(res, splits, train_config=FAST)
+    assert isinstance(model, VAEEmulator)
+    assert model.predict(splits.par_test[:2]).shape == (2, splits.n_bins)
+
+
 def test_tune_direct_halving_exhausted_space(splits):
     """A space with fewer unique architectures than n_initial must
     terminate (the sampling loop previously spun forever once the space

@@ -133,11 +133,23 @@ def cmd_export_h5(args):
 
 
 def cmd_tune(args):
-    from tpu21cmvae.tuner import tune_autoencoder, tune_direct
+    from tpu21cmvae import tuner
 
     data = _get_data(args)
-    tune = tune_direct if args.family == "direct" else tune_autoencoder
-    result = tune(data, n_trials=args.trials, verbose=True)
+    if args.halving:
+        fns = {
+            "direct": tuner.tune_direct_halving,
+            "ae": tuner.tune_autoencoder_halving,
+            "vae": tuner.tune_vae_halving,
+        }
+        result = fns[args.family](data, n_initial=args.trials, verbose=True)
+    else:
+        fns = {
+            "direct": tuner.tune_direct,
+            "ae": tuner.tune_autoencoder,
+            "vae": tuner.tune_vae,
+        }
+        result = fns[args.family](data, n_trials=args.trials, verbose=True)
     print(result.leaderboard())
 
 
@@ -178,8 +190,13 @@ def main(argv=None):
     p.set_defaults(fn=cmd_export_h5)
 
     p = sub.add_parser("tune", help="architecture search")
-    p.add_argument("--family", choices=["direct", "ae"], default="direct")
-    p.add_argument("--trials", type=int, default=10)
+    p.add_argument("--family", choices=["direct", "ae", "vae"],
+                   default="direct")
+    p.add_argument("--trials", type=int, default=10,
+                   help="random-search trials, or initial SHA candidates "
+                        "with --halving")
+    p.add_argument("--halving", action="store_true",
+                   help="successive-halving search instead of random")
     p.add_argument("--dataset")
     p.add_argument("--download", action="store_true")
     p.set_defaults(fn=cmd_tune)

@@ -29,6 +29,7 @@ Replaces the reference's Keras ``Model.fit`` path
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Callable, List, Optional
 
@@ -58,11 +59,18 @@ class History:
         return dataclasses.asdict(self)
 
 
+@functools.lru_cache(maxsize=128)
 def _make_epoch_fn(
     loss_fn: LossFn, cfg: TrainConfig, n: int, stochastic: bool,
     pass_epoch: bool = False, n_real: Optional[int] = None,
 ):
     """Build the jitted one-epoch function for a dataset of n samples.
+
+    Cached on all arguments (``cfg.seed`` is normalized to 0 by the
+    caller — the epoch function takes its key as an argument), so
+    repeated ``fit`` calls with the same loss closure reuse one jitted
+    callable and hit jax's jit cache with zero retraces (the tuner's
+    dominant overhead otherwise).
 
     ``n_real < n`` means rows ``n_real:`` are padding (data-parallel
     callers pad the batch axis to a mesh multiple — ``parallel/``):
@@ -143,17 +151,18 @@ def _make_epoch_fn(
     return jax.jit(epoch)
 
 
+@functools.lru_cache(maxsize=128)
 def _make_eval_fn(
-    loss_fn: LossFn, stochastic: bool, seed: int, pass_epoch: bool = False,
+    loss_fn: LossFn, stochastic: bool, pass_epoch: bool = False,
     n_real: Optional[int] = None,
 ):
-    """Validation loss; stochastic losses use a fixed key so the monitor
-    the callbacks watch is deterministic across epochs. ``n_real`` masks
+    """Validation loss; stochastic losses use a fixed per-run key (passed
+    as an argument so the cache is seed-independent) — the monitor the
+    callbacks watch stays deterministic across epochs. ``n_real`` masks
     trailing pad rows (see :func:`_make_epoch_fn`)."""
-    eval_key = jax.random.key(seed ^ 0x5EED)
 
     @jax.jit
-    def evaluate(params, x, y, epoch_idx):
+    def evaluate(params, x, y, epoch_idx, eval_key):
         extra = (epoch_idx,) if pass_epoch else ()
         if stochastic:
             per_sample = loss_fn(params, x, y, eval_key, *extra)
@@ -220,12 +229,14 @@ def fit(
     y_val = jnp.asarray(y_val, jnp.float32)
     n = x_train.shape[0]
 
+    # seed enters through the traced keys below, NOT the factory cache
+    # keys — per-trial seeds must not defeat the jit cache
     epoch_fn = _make_epoch_fn(
-        loss_fn, cfg, n, stochastic, pass_epoch, n_real=n_train_real
+        loss_fn, dataclasses.replace(cfg, seed=0), n, stochastic,
+        pass_epoch, n_real=n_train_real,
     )
-    eval_fn = _make_eval_fn(
-        loss_fn, stochastic, cfg.seed, pass_epoch, n_real=n_val_real
-    )
+    eval_fn = _make_eval_fn(loss_fn, stochastic, pass_epoch, n_real=n_val_real)
+    eval_key = jax.random.key(cfg.seed ^ 0x5EED)
 
     if opt_state is None:
         opt_state = adam_init(params)
@@ -316,7 +327,9 @@ def fit(
         # FINAL-epoch objective so the callback monitor stays stationary
         # during warm-ups (a KL-annealed val loss would otherwise grow by
         # schedule alone and defeat EarlyStopping/ReduceLROnPlateau)
-        val_loss = float(eval_fn(params, x_val, y_val, jnp.int32(cfg.epochs - 1)))
+        val_loss = float(
+            eval_fn(params, x_val, y_val, jnp.int32(cfg.epochs - 1), eval_key)
+        )
         train_loss = float(train_loss)
         history.loss.append(train_loss)
         history.val_loss.append(val_loss)

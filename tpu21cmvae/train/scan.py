@@ -29,17 +29,22 @@ device compute (the reference trains for minutes on CPU). Dependent
 per-epoch dispatches through a remote link cost ~100 ms each, which is
 exactly what this one-program design removes.
 
-Caveat: the dataset is passed as jit arguments (not baked into the
-program as constants), but the loss is a closure, so each ``fit_scan``
-call traces fresh; XLA's compilation cache makes repeated same-shape
-runs cheap, and for many small runs in one process (e.g. the tuner) the
-per-call trace is the overhead to watch.
+Retrace avoidance: the whole-run program is built by a cached factory
+keyed on ``(loss_fn, seed-normalized config, static sizes)`` with the
+PRNG keys passed as traced arguments, so repeated calls with the same
+loss function object and same-shape data reuse the SAME jitted callable
+— zero retracing and zero recompilation (the tuner's dominant overhead
+otherwise; pinned by ``tests/test_retrace.py``). Callers enable this by
+reusing one loss closure across runs (see the per-activation loss
+caches in :mod:`tpu21cmvae.tuner`); a fresh closure per call degrades
+gracefully to one trace per call.
 """
 
 from __future__ import annotations
 
 
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -84,19 +89,71 @@ def fit_scan(
         raise ValueError(f"n_train_real={n_real} must be in (0, {n}]")
     nv = x_val.shape[0]
     nv_real = nv if n_val_real is None else n_val_real
-    bs = cfg.batch_size
-    nb = -(-n // bs)
-    padded = nb * bs
 
     if opt_state is None:
         opt_state = adam_init(params)
 
+    # seed enters through the traced keys below, NOT the factory cache
+    # key — per-trial seeds must not defeat the jit cache
+    train_all = _build_train_all(
+        loss_fn, dataclasses.replace(cfg, seed=0), n, n_real, nv, nv_real,
+        stochastic, pass_epoch,
+    )
+    root_key = jax.random.key(cfg.seed)
+    eval_key = jax.random.key(cfg.seed ^ 0x5EED)  # match loop._make_eval_fn
+
+    params, opt_state, losses, val_losses, lrs, stopped_at, best_epoch = (
+        train_all(
+            params, opt_state, root_key, eval_key,
+            x_train, y_train, x_val, y_val,
+        )
+    )
+    # ONE host sync for the whole run:
+    losses = np.asarray(losses)
+    val_losses = np.asarray(val_losses)
+    lrs = np.asarray(lrs)
+    stopped_at = int(stopped_at)
+    n_ran = cfg.epochs if stopped_at < 0 else stopped_at + 1
+
+    use_early = cfg.early_stop_patience is not None
+    history = History(
+        loss=[float(v) for v in losses[:n_ran]],
+        val_loss=[float(v) for v in val_losses[:n_ran]],
+        lr=[float(v) for v in lrs[:n_ran]],
+        epoch_time_s=[],
+        stopped_epoch=None if stopped_at < 0 else stopped_at,
+        best_epoch=int(best_epoch) if use_early and int(best_epoch) >= 0 else None,
+    )
+    return params, opt_state, history
+
+
+@functools.lru_cache(maxsize=128)
+def _build_train_all(
+    loss_fn: LossFn,
+    cfg: TrainConfig,
+    n: int,
+    n_real: int,
+    nv: int,
+    nv_real: int,
+    stochastic: bool,
+    pass_epoch: bool,
+):
+    """Build the jitted whole-run program.
+
+    Cached on ``(loss_fn identity, cfg, static sizes, flags)`` — callers
+    normalize ``cfg.seed`` to 0 and pass the PRNG keys as arguments, so
+    same-shape runs (tuner trials, SHA rungs) reuse one callable and hit
+    jax's jit cache with zero retraces. Bounded: the cache pins up to
+    ``maxsize`` loss closures (and their captured constants) alive.
+    """
+    bs = cfg.batch_size
+    nb = -(-n // bs)
+    padded = nb * bs
     use_early = cfg.early_stop_patience is not None
     use_plateau = cfg.plateau_patience is not None
     # Keras callbacks take |min_delta| (callbacks.py); match exactly
     es_min_delta = abs(cfg.early_stop_min_delta)
     pl_min_delta = abs(cfg.plateau_min_delta)
-    eval_key = jax.random.key(cfg.seed ^ 0x5EED)  # match loop._make_eval_fn
 
     # The dataset is threaded through as jit ARGUMENTS (not closed over):
     # closing over it would embed ~n×bins×4 bytes of constants in the
@@ -151,7 +208,7 @@ def fit_scan(
         )
         return params, opt_state, total / n_real
 
-    def evaluate(x_val, y_val, params, epoch_idx):
+    def evaluate(x_val, y_val, eval_key, params, epoch_idx):
         extra = (epoch_idx,) if pass_epoch else ()
         if stochastic:
             per_sample = loss_fn(params, x_val, y_val, eval_key, *extra)
@@ -163,7 +220,7 @@ def fit_scan(
         return jnp.sum(per_sample * w) / nv_real
 
     def epoch_body(data, carry, epoch):
-        x_train, y_train, x_val, y_val = data
+        x_train, y_train, x_val, y_val, eval_key = data
         (params, opt_state, lr, key, es_best, es_wait, es_best_epoch,
          best_params, pl_best, pl_wait, stopped_at) = carry
         # identical key derivation to loop.fit: split the root key per
@@ -180,7 +237,7 @@ def fit_scan(
             )
             # monitor at the final-epoch objective (stationary under
             # schedule-dependent losses; mirrors loop.fit)
-            val_loss = evaluate(x_val, y_val, new_params, cfg.epochs - 1)
+            val_loss = evaluate(x_val, y_val, eval_key, new_params, cfg.epochs - 1)
             return new_params, new_opt, train_loss, val_loss
 
         def skip_epoch(operand):
@@ -226,13 +283,16 @@ def fit_scan(
         return carry, (train_loss, val_loss, lr_used)
 
     @jax.jit
-    def train_all(params, opt_state, x_train, y_train, x_val, y_val):
-        body = functools.partial(epoch_body, (x_train, y_train, x_val, y_val))
+    def train_all(params, opt_state, root_key, eval_key,
+                  x_train, y_train, x_val, y_val):
+        body = functools.partial(
+            epoch_body, (x_train, y_train, x_val, y_val, eval_key)
+        )
         init = (
             params,
             opt_state,
             jnp.float32(cfg.learning_rate),
-            jax.random.key(cfg.seed),
+            root_key,
             jnp.float32(jnp.inf),          # es_best
             jnp.int32(0),                  # es_wait
             jnp.int32(-1),                 # es_best_epoch
@@ -256,22 +316,4 @@ def fit_scan(
             )
         return params, opt_state, losses, val_losses, lrs, stopped_at, es_best_epoch
 
-    params, opt_state, losses, val_losses, lrs, stopped_at, best_epoch = (
-        train_all(params, opt_state, x_train, y_train, x_val, y_val)
-    )
-    # ONE host sync for the whole run:
-    losses = np.asarray(losses)
-    val_losses = np.asarray(val_losses)
-    lrs = np.asarray(lrs)
-    stopped_at = int(stopped_at)
-    n_ran = cfg.epochs if stopped_at < 0 else stopped_at + 1
-
-    history = History(
-        loss=[float(v) for v in losses[:n_ran]],
-        val_loss=[float(v) for v in val_losses[:n_ran]],
-        lr=[float(v) for v in lrs[:n_ran]],
-        epoch_time_s=[],
-        stopped_epoch=None if stopped_at < 0 else stopped_at,
-        best_epoch=int(best_epoch) if use_early and int(best_epoch) >= 0 else None,
-    )
-    return params, opt_state, history
+    return train_all

@@ -36,6 +36,7 @@ from tpu21cmvae.utils.config import (
     AutoEncoderConfig,
     DirectEmulatorConfig,
     TrainConfig,
+    VAEConfig,
 )
 from tpu21cmvae.utils.metrics import error
 
@@ -71,6 +72,18 @@ class LatentSearchSpace(SearchSpace):
 
     def sample_latent(self, rng: np.random.Generator) -> int:
         return int(rng.choice(self.latent_choices))
+
+
+@dataclasses.dataclass(frozen=True)
+class VAESearchSpace(LatentSearchSpace):
+    """VAE search space: latent/hidden widths plus the KL weight β (the
+    measured posterior-collapse cliff sits between 1e-3 and 1e-1 —
+    ``utils/config.py::VAEConfig``)."""
+
+    beta_choices: Tuple[float, ...] = (1e-5, 1e-4, 1e-3)
+
+    def sample_beta(self, rng: np.random.Generator) -> float:
+        return float(rng.choice(self.beta_choices))
 
 
 @dataclasses.dataclass
@@ -152,6 +165,38 @@ def _run_trials(
     return TuneResult(trials)
 
 
+def _prep(data: DataSplits):
+    """Transform the splits ONCE for a whole search (the reference
+    re-preprocesses per call, ``preprocess.py:88-101``)."""
+    from tpu21cmvae.ops.transforms import Normalizer, par_transform, preproc
+
+    norm = Normalizer.from_data(data.par_train, data.signal_train)
+    return (
+        norm,
+        par_transform(np.asarray(data.par_train, np.float32), norm),
+        preproc(np.asarray(data.signal_train, np.float32), norm),
+        par_transform(np.asarray(data.par_val, np.float32), norm),
+        preproc(np.asarray(data.signal_val, np.float32), norm),
+    )
+
+
+def _loss_cache(make):
+    """Loss-closure cache keyed on the (hashable) loss hyperparameters —
+    activation, and for the VAE also (beta, anneal). Trials reuse ONE
+    function object per key, so the train loops' jitted-program factories
+    (keyed on loss identity — ``train/scan.py``) and jax's jit cache hit
+    across trials and SHA rungs: same-shape candidates compile zero new
+    programs (``tests/test_retrace.py``)."""
+    cache = {}
+
+    def get(*key):
+        if key not in cache:
+            cache[key] = make(*key)
+        return cache[key]
+
+    return get
+
+
 def tune_direct(
     data: DataSplits,
     n_trials: int = 20,
@@ -167,29 +212,47 @@ def tune_direct(
     split — the paper's figure of merit (Eq. 1; reference
     ``emulator.py:133-134``), computed on real-unit (mK) predictions.
     """
-    from tpu21cmvae.models.direct import DirectEmulator
+    import jax
 
-    n_params_in = data.n_params
-    n_bins = data.n_bins
+    from tpu21cmvae.ops.losses import relative_mse
+    from tpu21cmvae.ops.mlp import init_mlp, mlp_apply
+    from tpu21cmvae.ops.transforms import unpreproc
+    from tpu21cmvae.train.loop import fit
+    from tpu21cmvae.train.scan import fit_scan
+
+    fitter = fit_scan if device_loop else fit
+    norm, x_train, y_train, x_val, y_val = _prep(data)
+    sm = norm.scaled_mean
+    signal_val = np.asarray(data.signal_val)
+
+    def make_loss(act):
+        def loss_fn(p, bx, by):
+            return relative_mse(by, mlp_apply(p, bx, act), sm)
+
+        return loss_fn
+
+    get_loss = _loss_cache(make_loss)
 
     def sample(rng):
         return DirectEmulatorConfig(
-            n_params=n_params_in, n_bins=n_bins, hidden_dims=space.sample(rng)
+            n_params=data.n_params, n_bins=data.n_bins,
+            hidden_dims=space.sample(rng),
         )
 
     def evaluate(cfg, trial_seed):
-        model = DirectEmulator(data, config=cfg, seed=trial_seed)
+        # same init key as DirectEmulator(data, config=cfg, seed=trial_seed)
+        params = init_mlp(jax.random.key(trial_seed), cfg.mlp().sizes)
         cfg_train = dataclasses.replace(train_config, seed=trial_seed)
-        _, val_losses = model.train(
-            train_config=cfg_train, device_loop=device_loop
+        params, _, hist = fitter(
+            params, get_loss(cfg.activation), x_train, y_train, x_val,
+            y_val, cfg_train,
         )
-        val_err = float(
-            np.mean(error(data.signal_val, model.predict(data.par_val)))
-        )
+        pred = unpreproc(mlp_apply(params, x_val, cfg.activation), norm)
+        val_err = float(np.mean(error(signal_val, np.asarray(pred))))
         return (
             val_err,
-            float(min(val_losses)),
-            len(val_losses),
+            float(min(hist.val_loss)),
+            len(hist.val_loss),
             cfg.mlp().weight_count,
         )
 
@@ -211,13 +274,40 @@ def tune_autoencoder(
     decoder stacks, and the params→latent stack (reference architecture
     at ``emulator.py:521-525``). Scored end-to-end (params → decoder →
     mK) on the validation split."""
-    from tpu21cmvae.models.autoencoder import AutoEncoderEmulator
+    import jax
 
+    from tpu21cmvae.ops.losses import mse, relative_mse
+    from tpu21cmvae.ops.mlp import init_mlp, mlp_apply
+    from tpu21cmvae.ops.transforms import unpreproc
+    from tpu21cmvae.train.loop import fit
+    from tpu21cmvae.train.scan import fit_scan
+
+    fitter = fit_scan if device_loop else fit
     short = dataclasses.replace(
         TRIAL_TRAIN_DEFAULT, learning_rate=1e-3, plateau_factor=0.9
     )
     ae_cfg_t = ae_train_config or short
     em_cfg_t = em_train_config or dataclasses.replace(short, learning_rate=1e-2)
+
+    norm, x_train, y_train, x_val, y_val = _prep(data)
+    sm = norm.scaled_mean
+    signal_val = np.asarray(data.signal_val)
+
+    def make_ae_loss(act):
+        def ae_loss(p, bx, by):
+            rec = mlp_apply(p["dec"], mlp_apply(p["enc"], bx, act), act)
+            return relative_mse(by, rec, sm)
+
+        return ae_loss
+
+    def make_em_loss(act):
+        def em_loss(p, bx, by):
+            return mse(by, mlp_apply(p, bx, act))
+
+        return em_loss
+
+    get_ae_loss = _loss_cache(make_ae_loss)
+    get_em_loss = _loss_cache(make_em_loss)
 
     def sample(rng):
         return AutoEncoderConfig(
@@ -230,21 +320,38 @@ def tune_autoencoder(
         )
 
     def evaluate(cfg, trial_seed):
-        model = AutoEncoderEmulator(data, config=cfg, seed=trial_seed)
-        _, _, _, em_val = model.train(
-            ae_train_config=dataclasses.replace(ae_cfg_t, seed=trial_seed),
-            em_train_config=dataclasses.replace(em_cfg_t, seed=trial_seed),
-            device_loop=device_loop,
+        act = cfg.activation
+        # same init keys as AutoEncoderEmulator(..., seed=trial_seed)
+        k_enc, k_dec = jax.random.split(jax.random.key(trial_seed))
+        ae_params = {
+            "enc": init_mlp(k_enc, cfg.encoder().sizes),
+            "dec": init_mlp(k_dec, cfg.decoder().sizes),
+        }
+        em_params = init_mlp(
+            jax.random.key(trial_seed + 1), cfg.emulator().sizes
         )
-        val_err = float(
-            np.mean(error(data.signal_val, model.predict(data.par_val)))
+        ae_params, _, _ = fitter(
+            ae_params, get_ae_loss(act), y_train, y_train, y_val, y_val,
+            dataclasses.replace(ae_cfg_t, seed=trial_seed),
         )
+        # stage B: frozen-encoder latents as labels (emulator.py:753-754)
+        z_train = mlp_apply(ae_params["enc"], y_train, act)
+        z_val = mlp_apply(ae_params["enc"], y_val, act)
+        em_params, _, em_hist = fitter(
+            em_params, get_em_loss(act), x_train, z_train, x_val, z_val,
+            dataclasses.replace(em_cfg_t, seed=trial_seed),
+        )
+        pred = unpreproc(
+            mlp_apply(ae_params["dec"], mlp_apply(em_params, x_val, act), act),
+            norm,
+        )
+        val_err = float(np.mean(error(signal_val, np.asarray(pred))))
         n_par = (
             cfg.encoder().weight_count
             + cfg.decoder().weight_count
             + cfg.emulator().weight_count
         )
-        return val_err, float(min(em_val)), len(em_val), n_par
+        return val_err, float(min(em_hist.val_loss)), len(em_hist.val_loss), n_par
 
     return _run_trials(n_trials, sample, evaluate, seed, verbose)
 
@@ -263,6 +370,13 @@ def retrain_best(
 
         model = DirectEmulator(data, config=cfg, seed=seed)
         model.train(train_config=train_config)
+        return model
+    # VAEConfig subclasses AutoEncoderConfig — check the subclass first
+    if isinstance(cfg, VAEConfig):
+        from tpu21cmvae.models.vae import VAEEmulator
+
+        model = VAEEmulator(data, config=cfg, seed=seed)
+        model.train(vae_train_config=train_config, em_train_config=train_config)
         return model
     from tpu21cmvae.models.autoencoder import AutoEncoderEmulator
 
@@ -299,27 +413,17 @@ def tune_direct_halving(
     """
     import jax
 
-    from tpu21cmvae.models.direct import DirectEmulator
     from tpu21cmvae.ops.losses import relative_mse
     from tpu21cmvae.ops.mlp import init_mlp, mlp_apply
-    from tpu21cmvae.ops.transforms import (
-        Normalizer,
-        par_transform,
-        preproc,
-        unpreproc,
-    )
+    from tpu21cmvae.ops.transforms import unpreproc
     from tpu21cmvae.train.loop import fit
     from tpu21cmvae.train.scan import fit_scan
 
     fitter = fit_scan if device_loop else fit
 
     rng = np.random.default_rng(seed)
-    norm = Normalizer.from_data(data.par_train, data.signal_train)
+    norm, x_train, y_train, x_val, y_val = _prep(data)
     sm = norm.scaled_mean
-    x_train = par_transform(np.asarray(data.par_train, np.float32), norm)
-    y_train = preproc(np.asarray(data.signal_train, np.float32), norm)
-    x_val = par_transform(np.asarray(data.par_val, np.float32), norm)
-    y_val = preproc(np.asarray(data.signal_val, np.float32), norm)
 
     # disable the monitors inside a rung: SHA's rung boundary is the
     # early-stopping mechanism; the LR schedule still applies per-rung
@@ -345,13 +449,13 @@ def tune_direct_halving(
                 )
             )
 
-    def make_loss(cfg):
-        act = cfg.activation
-
+    def make_loss(act):
         def loss_fn(p, bx, by):
             return relative_mse(by, mlp_apply(p, bx, act), sm)
 
         return loss_fn
+
+    get_loss = _loss_cache(make_loss)
 
     survivors = []
     for k, cfg in enumerate(configs):
@@ -363,7 +467,7 @@ def tune_direct_halving(
     for rung in range(rungs):
         for s in survivors:
             s["params"], s["opt"], hist = fitter(
-                s["params"], make_loss(s["cfg"]), x_train, y_train,
+                s["params"], get_loss(s["cfg"].activation), x_train, y_train,
                 x_val, y_val, rung_cfg, opt_state=s["opt"],
             )
             s["epochs"] += len(hist.loss)
@@ -426,23 +530,14 @@ def tune_autoencoder_halving(
     from tpu21cmvae.models.autoencoder import AutoEncoder
     from tpu21cmvae.ops.losses import mse, relative_mse
     from tpu21cmvae.ops.mlp import init_mlp, mlp_apply
-    from tpu21cmvae.ops.transforms import (
-        Normalizer,
-        par_transform,
-        preproc,
-        unpreproc,
-    )
+    from tpu21cmvae.ops.transforms import unpreproc
     from tpu21cmvae.train.loop import fit
     from tpu21cmvae.train.scan import fit_scan
 
     fitter = fit_scan if device_loop else fit
     rng = np.random.default_rng(seed)
-    norm = Normalizer.from_data(data.par_train, data.signal_train)
+    norm, x_train, y_train, x_val, y_val = _prep(data)
     sm = norm.scaled_mean
-    y_train = preproc(np.asarray(data.signal_train, np.float32), norm)
-    y_val = preproc(np.asarray(data.signal_val, np.float32), norm)
-    x_train = par_transform(np.asarray(data.par_train, np.float32), norm)
-    x_val = par_transform(np.asarray(data.par_val, np.float32), norm)
 
     ae_cfg = TrainConfig(
         epochs=rung_epochs, learning_rate=1e-3,
@@ -480,30 +575,35 @@ def tune_autoencoder_halving(
             "t0": time.perf_counter(),
         })
 
-    def ae_apply(cfg, params, x):
-        act = cfg.activation
-        return mlp_apply(params["dec"], mlp_apply(params["enc"], x, act), act)
+    def make_ae_loss(act):
+        def ae_loss(p, bx, by):
+            rec = mlp_apply(p["dec"], mlp_apply(p["enc"], bx, act), act)
+            return relative_mse(by, rec, sm)
+
+        return ae_loss
+
+    def make_em_loss(act):
+        def em_loss(p, bx, by):
+            return mse(by, mlp_apply(p, bx, act))
+
+        return em_loss
+
+    get_ae_loss = _loss_cache(make_ae_loss)
+    get_em_loss = _loss_cache(make_em_loss)
 
     for rung in range(rungs):
         for s in survivors:
-            cfg, act = s["cfg"], s["cfg"].activation
-
-            def ae_loss(p, bx, by, _cfg=cfg):
-                return relative_mse(by, ae_apply(_cfg, p, bx), sm)
-
+            act = s["cfg"].activation
             s["ae"], s["ae_opt"], _ = fitter(
-                s["ae"], ae_loss, y_train, y_train, y_val, y_val, ae_cfg,
-                opt_state=s["ae_opt"],
+                s["ae"], get_ae_loss(act), y_train, y_train, y_val, y_val,
+                ae_cfg, opt_state=s["ae_opt"],
             )
             z_train = mlp_apply(s["ae"]["enc"], y_train, act)
             z_val = mlp_apply(s["ae"]["enc"], y_val, act)
 
-            def em_loss(p, bx, by, _act=act):
-                return mse(by, mlp_apply(p, bx, _act))
-
             s["em"], s["em_opt"], hist = fitter(
-                s["em"], em_loss, x_train, z_train, x_val, z_val, em_cfg,
-                opt_state=s["em_opt"],
+                s["em"], get_em_loss(act), x_train, z_train, x_val, z_val,
+                em_cfg, opt_state=s["em_opt"],
             )
             s["epochs"] += 2 * rung_epochs
             pred = unpreproc(
@@ -536,6 +636,283 @@ def tune_autoencoder_halving(
                 + s["cfg"].decoder().weight_count
                 + s["cfg"].emulator().weight_count
             ),
+        )
+        for s in survivors
+    ]
+    trials.sort(key=lambda t: (not np.isfinite(t.val_error), t.val_error))
+    return TuneResult(trials)
+
+
+def _vae_weight_count(cfg: VAEConfig) -> int:
+    """Trainable scalars of the full VAE emulator: trunk + two latent
+    heads (mu, logvar) + decoder + params→latent MLP. Differs from the
+    deterministic AE count — the VAE encoder ends in TWO linear heads
+    (:class:`tpu21cmvae.models.vae.VAE`)."""
+    from tpu21cmvae.utils.config import MLPConfig
+
+    trunk_sizes = (cfg.n_bins, *cfg.enc_hidden_dims)
+    trunk = sum(
+        trunk_sizes[i] * trunk_sizes[i + 1] + trunk_sizes[i + 1]
+        for i in range(len(trunk_sizes) - 1)
+    )
+    heads = 2 * (trunk_sizes[-1] * cfg.latent_dim + cfg.latent_dim)
+    return (
+        trunk
+        + heads
+        + cfg.decoder().weight_count
+        + cfg.emulator().weight_count
+    )
+
+
+def _make_vae_losses(sm):
+    """Cached stochastic VAE stage-A losses keyed on (activation, beta,
+    anneal): β-ELBO with linear KL warm-up, matching
+    ``VAEEmulator.train`` (``models/vae.py``)."""
+    import jax.numpy as jnp
+
+    from tpu21cmvae.models.vae import VAE
+    from tpu21cmvae.ops.losses import kl_divergence, relative_mse
+
+    def make(act, beta, anneal):
+        # methods-only carrier: VAE.apply reads the activation from the
+        # config and everything else from the params pytree
+        carrier = VAE(VAEConfig(activation=act))
+
+        def vae_loss(p, bx, by, key, epoch):
+            recon, mu, logvar = carrier.apply(p, bx, key)
+            scale = (
+                jnp.minimum(1.0, (epoch + 1.0) / anneal) if anneal > 0 else 1.0
+            )
+            return relative_mse(by, recon, sm) + (beta * scale) * kl_divergence(
+                mu, logvar
+            )
+
+        return vae_loss
+
+    return _loss_cache(make)
+
+
+def tune_vae(
+    data: DataSplits,
+    n_trials: int = 20,
+    space: VAESearchSpace = VAESearchSpace(),
+    em_space: SearchSpace = SearchSpace(),
+    vae_train_config: Optional[TrainConfig] = None,
+    em_train_config: Optional[TrainConfig] = None,
+    kl_anneal_epochs: int = 20,
+    seed: int = 0,
+    verbose: bool = False,
+    device_loop: bool = False,
+) -> TuneResult:
+    """Random search for the VAE-based emulator: latent width, trunk /
+    decoder / params→latent stacks, AND the KL weight β. Scored
+    end-to-end (params → z_mean emulator → decoder → mK) on the
+    validation split — the same figure of merit as the other families,
+    so β trades reconstruction fidelity against latent regularity on
+    equal footing."""
+    import jax
+
+    from tpu21cmvae.models.vae import VAE
+    from tpu21cmvae.ops.losses import mse
+    from tpu21cmvae.ops.mlp import init_mlp, mlp_apply
+    from tpu21cmvae.ops.transforms import unpreproc
+    from tpu21cmvae.train.loop import fit
+    from tpu21cmvae.train.scan import fit_scan
+
+    fitter = fit_scan if device_loop else fit
+    short = dataclasses.replace(
+        TRIAL_TRAIN_DEFAULT, learning_rate=1e-3, plateau_factor=0.9
+    )
+    vae_cfg_t = vae_train_config or short
+    em_cfg_t = em_train_config or dataclasses.replace(short, learning_rate=1e-2)
+
+    norm, x_train, y_train, x_val, y_val = _prep(data)
+    sm = norm.scaled_mean
+    signal_val = np.asarray(data.signal_val)
+    get_vae_loss = _make_vae_losses(sm)
+
+    def make_em_loss(act):
+        def em_loss(p, bx, by):
+            return mse(by, mlp_apply(p, bx, act))
+
+        return em_loss
+
+    get_em_loss = _loss_cache(make_em_loss)
+
+    def sample(rng):
+        return VAEConfig(
+            n_params=data.n_params,
+            n_bins=data.n_bins,
+            latent_dim=space.sample_latent(rng),
+            enc_hidden_dims=space.sample(rng),
+            dec_hidden_dims=space.sample(rng),
+            em_hidden_dims=em_space.sample(rng),
+            beta=space.sample_beta(rng),
+            kl_anneal_epochs=kl_anneal_epochs,
+        )
+
+    def evaluate(cfg, trial_seed):
+        act = cfg.activation
+        # same init keys as VAEEmulator(..., seed=trial_seed)
+        vae_params = VAE(cfg, seed=trial_seed).params
+        em_params = init_mlp(
+            jax.random.key(trial_seed + 1), cfg.emulator().sizes
+        )
+        vae_params, _, _ = fitter(
+            vae_params,
+            get_vae_loss(act, cfg.beta, int(cfg.kl_anneal_epochs)),
+            y_train, y_train, y_val, y_val,
+            dataclasses.replace(vae_cfg_t, seed=trial_seed),
+            stochastic=True, pass_epoch=True,
+        )
+        carrier = VAE(cfg, params=vae_params)
+        z_train, _ = carrier.encode(vae_params, y_train)
+        z_val, _ = carrier.encode(vae_params, y_val)
+        em_params, _, em_hist = fitter(
+            em_params, get_em_loss(act), x_train, z_train, x_val, z_val,
+            dataclasses.replace(em_cfg_t, seed=trial_seed),
+        )
+        pred = unpreproc(
+            carrier.decode(vae_params, mlp_apply(em_params, x_val, act)), norm
+        )
+        val_err = float(np.mean(error(signal_val, np.asarray(pred))))
+        return (
+            val_err,
+            float(min(em_hist.val_loss)),
+            len(em_hist.val_loss),
+            _vae_weight_count(cfg),
+        )
+
+    return _run_trials(n_trials, sample, evaluate, seed, verbose)
+
+
+def tune_vae_halving(
+    data: DataSplits,
+    n_initial: int = 16,
+    rungs: int = 3,
+    eta: int = 2,
+    rung_epochs: int = 20,
+    space: VAESearchSpace = VAESearchSpace(),
+    em_space: SearchSpace = SearchSpace(),
+    seed: int = 0,
+    verbose: bool = False,
+    device_loop: bool = False,
+) -> TuneResult:
+    """Successive-halving search for the VAE-based emulator.
+
+    Each rung continues BOTH stages of every survivor (VAE epochs with
+    Adam state carried, then re-encoded z_mean targets and more
+    params→latent epochs). Within-rung KL annealing is disabled (full β
+    from the first epoch): the warm-up schedule is epoch-indexed per
+    call and would restart every rung, silently under-weighting the KL
+    term for short rungs — candidates instead compete at their final-β
+    objective from the start.
+    """
+    import jax
+
+    from tpu21cmvae.models.vae import VAE
+    from tpu21cmvae.ops.losses import mse
+    from tpu21cmvae.ops.mlp import init_mlp, mlp_apply
+    from tpu21cmvae.ops.transforms import unpreproc
+    from tpu21cmvae.train.loop import fit
+    from tpu21cmvae.train.scan import fit_scan
+
+    fitter = fit_scan if device_loop else fit
+    rng = np.random.default_rng(seed)
+    norm, x_train, y_train, x_val, y_val = _prep(data)
+    sm = norm.scaled_mean
+    get_vae_loss = _make_vae_losses(sm)
+
+    def make_em_loss(act):
+        def em_loss(p, bx, by):
+            return mse(by, mlp_apply(p, bx, act))
+
+        return em_loss
+
+    get_em_loss = _loss_cache(make_em_loss)
+
+    vae_cfg = TrainConfig(
+        epochs=rung_epochs, learning_rate=1e-3,
+        early_stop_patience=None, plateau_factor=0.9,
+    )
+    em_cfg = TrainConfig(
+        epochs=rung_epochs, learning_rate=1e-2,
+        early_stop_patience=None, plateau_factor=0.9,
+    )
+
+    seen, survivors = set(), []
+    attempts = 0
+    while len(survivors) < n_initial and attempts < n_initial * 50:
+        attempts += 1
+        cfg = VAEConfig(
+            n_params=data.n_params,
+            n_bins=data.n_bins,
+            latent_dim=space.sample_latent(rng),
+            enc_hidden_dims=space.sample(rng),
+            dec_hidden_dims=space.sample(rng),
+            em_hidden_dims=em_space.sample(rng),
+            beta=space.sample_beta(rng),
+            kl_anneal_epochs=0,  # see docstring: no within-rung warm-up
+        )
+        if cfg in seen:
+            continue
+        seen.add(cfg)
+        k = len(survivors)
+        survivors.append({
+            "cfg": cfg,
+            "vae": VAE(cfg, seed=seed + k + 1).params,
+            "em": init_mlp(jax.random.key(seed - k - 1), cfg.emulator().sizes),
+            "vae_opt": None,
+            "em_opt": None,
+            "epochs": 0,
+            "t0": time.perf_counter(),
+        })
+
+    for rung in range(rungs):
+        for s in survivors:
+            cfg = s["cfg"]
+            act = cfg.activation
+            s["vae"], s["vae_opt"], _ = fitter(
+                s["vae"], get_vae_loss(act, cfg.beta, 0),
+                y_train, y_train, y_val, y_val,
+                dataclasses.replace(vae_cfg, seed=seed),
+                opt_state=s["vae_opt"], stochastic=True, pass_epoch=True,
+            )
+            carrier = VAE(cfg, params=s["vae"])
+            z_train, _ = carrier.encode(s["vae"], y_train)
+            z_val, _ = carrier.encode(s["vae"], y_val)
+            s["em"], s["em_opt"], _ = fitter(
+                s["em"], get_em_loss(act), x_train, z_train, x_val, z_val,
+                dataclasses.replace(em_cfg, seed=seed),
+                opt_state=s["em_opt"],
+            )
+            s["epochs"] += 2 * rung_epochs
+            pred = unpreproc(
+                carrier.decode(s["vae"], mlp_apply(s["em"], x_val, act)), norm
+            )
+            s["val_err"] = float(
+                np.mean(error(np.asarray(data.signal_val), np.asarray(pred)))
+            )
+        survivors.sort(key=lambda s: (not np.isfinite(s["val_err"]), s["val_err"]))
+        if verbose:
+            print(
+                f"[vae-sha rung {rung + 1}/{rungs}] best "
+                f"{survivors[0]['val_err']:.4f}% latent "
+                f"{survivors[0]['cfg'].latent_dim} beta "
+                f"{survivors[0]['cfg'].beta:g} ({len(survivors)} candidates)",
+                flush=True,
+            )
+        if rung < rungs - 1:
+            survivors = survivors[: max(1, len(survivors) // eta)]
+
+    trials = [
+        Trial(
+            config=s["cfg"],
+            val_error=s["val_err"],
+            val_loss=float("nan"),
+            epochs_ran=s["epochs"],
+            wall_time_s=time.perf_counter() - s["t0"],
+            weight_count=_vae_weight_count(s["cfg"]),
         )
         for s in survivors
     ]
