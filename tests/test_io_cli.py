@@ -35,7 +35,8 @@ def test_keras_h5_matches_reference_layout(tmp_path):
 
     with h5py.File(path) as f:
         g = f["model_weights"]
-        assert _decode(g.attrs["layer_names"]) == ["dense", "dense_1"]
+        # input layer listed first with no weights, as in the artifacts
+        assert _decode(g.attrs["layer_names"]) == ["input", "dense", "dense_1"]
         assert _decode(g["dense"].attrs["weight_names"]) == [
             "dense/kernel:0",
             "dense/bias:0",
@@ -133,6 +134,89 @@ def test_cli_tune_vae_and_halving(tmp_path, splits, capsys, monkeypatch):
     assert calls[0][1]["n_trials"] == 2
     assert calls[1][1]["n_initial"] == 4
     assert "val_err" in capsys.readouterr().out
+
+
+REF_AE_EMULATOR = (
+    "/root/reference/VeryAccurateEmulator/models/"
+    "autoencoder_based_emulator/ae_emulator.h5"
+)
+
+
+def test_export_h5_full_model_schema(tmp_path, splits):
+    """The exported file carries the full-model attrs
+    (model_config/training_config/backend/keras_version) structurally
+    matching the reference's shipped artifact schema, so
+    tf.keras.models.load_model consumes it without a hand-built
+    Sequential (reference load path ``emulator.py:319-337``)."""
+    import json
+    import os
+
+    import h5py
+    import jax
+
+    from tpu21cmvae.models.io_keras import save_keras_mlp
+    from tpu21cmvae.ops.mlp import init_mlp
+
+    params = init_mlp(jax.random.key(0), (7, 24, 16, 451))
+    path = str(tmp_path / "m.h5")
+    save_keras_mlp(path, params, activation="relu", name="Emulator")
+
+    with h5py.File(path, "r") as f:
+        got_attrs = set(f.attrs)
+        mc = json.loads(f.attrs["model_config"])
+        tc = json.loads(f.attrs["training_config"])
+        weight_layers = set(f["model_weights"].keys())
+
+    if os.path.exists(REF_AE_EMULATOR):  # schema parity vs the artifact
+        with h5py.File(REF_AE_EMULATOR, "r") as f:
+            ref_attrs = set(f.attrs)
+            ref_mc = json.loads(f.attrs["model_config"])
+            ref_tc = json.loads(f.attrs["training_config"])
+        # same root attr set minus optimizer state (we export inference
+        # models; the artifact carries Adam slots too)
+        assert got_attrs == ref_attrs
+        assert mc["class_name"] == ref_mc["class_name"] == "Functional"
+        assert set(mc["config"]) == set(ref_mc["config"])
+        dense = mc["config"]["layers"][1]
+        ref_dense = ref_mc["config"]["layers"][1]
+        assert set(dense["config"]) == set(ref_dense["config"])
+        assert set(tc) == set(ref_tc)
+        assert set(tc["optimizer_config"]["config"]) == set(
+            ref_tc["optimizer_config"]["config"]
+        )
+
+    # architecture facts
+    layers = mc["config"]["layers"]
+    assert [ly["class_name"] for ly in layers] == [
+        "InputLayer", "Dense", "Dense", "Dense"
+    ]
+    assert layers[0]["config"]["batch_input_shape"] == [None, 7]
+    assert [ly["config"]["units"] for ly in layers[1:]] == [24, 16, 451]
+    assert [ly["config"]["activation"] for ly in layers[1:]] == [
+        "relu", "relu", "linear"
+    ]
+    assert weight_layers == {"input", "dense", "dense_1", "dense_2"}
+
+
+def test_export_h5_loads_in_tf_keras(tmp_path, splits):
+    """End-to-end interop: tf.keras.models.load_model on our export
+    reproduces our forward pass."""
+    tf = pytest.importorskip("tensorflow")
+
+    import jax
+
+    from tpu21cmvae.models.io_keras import save_keras_mlp
+    from tpu21cmvae.ops.mlp import init_mlp, mlp_apply
+
+    params = init_mlp(jax.random.key(3), (7, 32, 451))
+    path = str(tmp_path / "m.h5")
+    save_keras_mlp(path, params, activation="relu")
+
+    model = tf.keras.models.load_model(path, compile=False)
+    x = np.asarray(splits.par_test[:8], np.float32)
+    got = np.asarray(model.predict(x, verbose=0))
+    want = np.asarray(mlp_apply(params, x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
 def test_load_model_dispatches_all_families(tmp_path, splits):

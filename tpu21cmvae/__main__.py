@@ -111,6 +111,7 @@ def cmd_export_h5(args):
     from tpu21cmvae.models.io_keras import save_keras_mlp
 
     model = _load_model(args.model)
+    act = model.config.activation
     if not hasattr(model, "params") or not isinstance(model.params, tuple):
         # two-stage families: export each stage MLP as its own file
         import os
@@ -125,10 +126,10 @@ def cmd_export_h5(args):
         )
         for name, params in parts.items():
             path = f"{base}_{name}.h5"
-            save_keras_mlp(path, params)
+            save_keras_mlp(path, params, activation=act, name=name)
             print(f"wrote {path}")
     else:
-        save_keras_mlp(args.out, model.params)
+        save_keras_mlp(args.out, model.params, activation=act)
         print(f"wrote {args.out}")
 
 

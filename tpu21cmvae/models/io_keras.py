@@ -12,21 +12,26 @@ Layout (verified against the shipped files):
 ``model_weights/<layer>/<layer>/{kernel:0, bias:0}`` with layer ordering
 recorded in the group attributes ``layer_names`` / ``weight_names``.
 
-:func:`save_keras_mlp` writes the same layout back, so models trained
-here can travel the other direction — a reference user's
-``tf.keras.models.load_model(..., custom loss)`` workflow (reference
-``emulator.py:319-337``) can consume weights via
-``Model.load_weights``; no TensorFlow is required on this side.
+:func:`save_keras_mlp` writes a FULL Keras model file back — weights in
+the same layout plus ``model_config``/``training_config`` JSON attrs
+mirroring the shipped artifacts' schema (verified against
+``ae_emulator.h5``) — so a reference user's plain
+``tf.keras.models.load_model(path)`` (reference ``emulator.py:319-337``)
+consumes it directly, architecture included; no TensorFlow is required
+on this side.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+import json
+from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from tpu21cmvae.ops.mlp import MLPParams
+
+KERAS_VERSION = b"2.7.0"  # the serializer dialect the reference artifacts use
 
 
 def _decode(names) -> List[str]:
@@ -101,21 +106,136 @@ def load_keras_mlp(path: str, dtype=jnp.float32) -> MLPParams:
     return tuple(params)
 
 
-def save_keras_mlp(path: str, params: MLPParams) -> str:
-    """Write an MLP pytree as a Keras-2.x-style HDF5 weights file.
+def _dense_config(name: str, units: int, activation: str) -> dict:
+    """One Dense layer's Keras-2.7 serialized config (field-for-field the
+    schema of the shipped ``ae_emulator.h5`` model_config)."""
+    return {
+        "name": name,
+        "trainable": True,
+        "dtype": "float32",
+        "units": int(units),
+        "activation": activation,
+        "use_bias": True,
+        "kernel_initializer": {
+            "class_name": "GlorotUniform",
+            "config": {"seed": None},
+        },
+        "bias_initializer": {"class_name": "Zeros", "config": {}},
+        "kernel_regularizer": None,
+        "bias_regularizer": None,
+        "activity_regularizer": None,
+        "kernel_constraint": None,
+        "bias_constraint": None,
+    }
+
+
+def keras_model_config(
+    params: MLPParams,
+    activation: str = "relu",
+    name: str = "Emulator",
+    input_name: str = "input",
+) -> dict:
+    """Keras ``model_config`` dict for a dense MLP: a ``Functional``
+    graph of InputLayer → Dense chain, hidden layers activated, linear
+    head — the exact topology the reference's builder produces
+    (reference ``emulator.py:12-48``) and the exact serialization schema
+    its shipped artifacts carry."""
+    in_dim = int(np.asarray(params[0]["w"]).shape[0])
+    layers = [
+        {
+            "class_name": "InputLayer",
+            "config": {
+                "batch_input_shape": [None, in_dim],
+                "dtype": "float32",
+                "sparse": False,
+                "ragged": False,
+                "name": input_name,
+            },
+            "name": input_name,
+            "inbound_nodes": [],
+        }
+    ]
+    prev = input_name
+    for i, layer in enumerate(params):
+        lname = "dense" if i == 0 else f"dense_{i}"
+        act = activation if i < len(params) - 1 else "linear"
+        layers.append(
+            {
+                "class_name": "Dense",
+                "config": _dense_config(
+                    lname, np.asarray(layer["w"]).shape[1], act
+                ),
+                "name": lname,
+                "inbound_nodes": [[[prev, 0, 0, {}]]],
+            }
+        )
+        prev = lname
+    return {
+        "class_name": "Functional",
+        "config": {
+            "name": name,
+            "layers": layers,
+            "input_layers": [[input_name, 0, 0]],
+            "output_layers": [[prev, 0, 0]],
+        },
+    }
+
+
+def _training_config(loss: str, learning_rate: float) -> dict:
+    """Keras-2.7 ``training_config`` schema (matches ``ae_emulator.h5``)."""
+    return {
+        "loss": loss,
+        "metrics": None,
+        "weighted_metrics": None,
+        "loss_weights": None,
+        "optimizer_config": {
+            "class_name": "Adam",
+            "config": {
+                "name": "Adam",
+                "learning_rate": float(learning_rate),
+                "decay": 0.0,
+                "beta_1": 0.9,
+                "beta_2": 0.999,
+                "epsilon": 1e-07,
+                "amsgrad": False,
+            },
+        },
+    }
+
+
+def save_keras_mlp(
+    path: str,
+    params: MLPParams,
+    activation: str = "relu",
+    name: str = "Emulator",
+    loss: Optional[str] = "mean_squared_error",
+    learning_rate: float = 0.01,
+) -> str:
+    """Write an MLP pytree as a FULL Keras-2.x HDF5 model file.
 
     Produces the ``model_weights/<layer>/<layer>/{kernel:0, bias:0}``
-    layout with ``layer_names``/``weight_names`` attributes — readable by
-    :func:`load_keras_mlp` and by Keras' ``Model.load_weights`` on a
-    matching ``Sequential`` of Dense layers (the reference's builder,
-    reference ``emulator.py:12-48``). Kernels are already stored in the
-    Keras ``(in, out)`` layout, so no transposition happens.
+    layout with ``layer_names``/``weight_names`` attributes PLUS the
+    root ``model_config`` (architecture) and ``training_config`` attrs,
+    structurally matching the reference's shipped artifacts — so
+    ``tf.keras.models.load_model(path)`` reconstructs the architecture
+    and weights directly (the reference user workflow,
+    ``emulator.py:319-337``), with no hand-built ``Sequential`` needed.
+    Also readable by :func:`load_keras_mlp`. Kernels are already stored
+    in the Keras ``(in, out)`` layout, so no transposition happens.
+
+    ``loss=None`` omits ``training_config`` (the model loads
+    uncompiled — required when the true loss is a custom object, e.g.
+    the relative-MSE closure the reference injects at load time).
     """
     import h5py
 
     with h5py.File(path, "w") as f:
         g = f.create_group("model_weights")
-        layer_names = []
+        cfg = keras_model_config(params, activation, name)
+        input_name = cfg["config"]["layers"][0]["name"]
+        # input layer first, with no weights — as the reference files do
+        g.create_group(input_name).attrs["weight_names"] = np.zeros((0,))
+        layer_names = [input_name]
         for i, layer in enumerate(params):
             lname = "dense" if i == 0 else f"dense_{i}"
             layer_names.append(lname)
@@ -128,5 +248,12 @@ def save_keras_mlp(path: str, params: MLPParams) -> str:
             ]
         g.attrs["layer_names"] = [n.encode() for n in layer_names]
         g.attrs["backend"] = b"tensorflow"
-        f.attrs["keras_version"] = b"2.7.0"
+        g.attrs["keras_version"] = KERAS_VERSION
+        f.attrs["backend"] = b"tensorflow"
+        f.attrs["keras_version"] = KERAS_VERSION
+        f.attrs["model_config"] = json.dumps(cfg).encode()
+        if loss is not None:
+            f.attrs["training_config"] = json.dumps(
+                _training_config(loss, learning_rate)
+            ).encode()
     return path
