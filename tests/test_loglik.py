@@ -1,0 +1,166 @@
+"""Fused emulate→log-likelihood: parity across backends and tiers.
+
+The fused Pallas kernel (obs/noise folded into the last layer, (B,)
+output) must agree with the composed XLA path, which in turn must agree
+with the hand-written predict-then-reduce a user would compose from the
+reference's API (reference ``emulator.py:383-407``). Kernels run in
+interpreter mode on the virtual CPU backend (tests/conftest.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu21cmvae.data.synthetic import synthetic_params
+from tpu21cmvae.models.direct import DirectEmulator
+from tpu21cmvae.ops.loglik import make_loglik
+from tpu21cmvae.ops.mlp import mlp_apply
+from tpu21cmvae.ops.pallas.fused_loglik import (
+    fold_loglik_constants,
+    make_fused_loglik,
+    noise_scale,
+)
+from tpu21cmvae.ops.pallas.fused_mlp import _log_clamp
+from tpu21cmvae.utils.config import DirectEmulatorConfig
+
+
+@pytest.fixture(scope="module")
+def model(splits):
+    return DirectEmulator(
+        splits, config=DirectEmulatorConfig(hidden_dims=(48, 56))
+    )
+
+
+@pytest.fixture(scope="module")
+def obs(model, splits):
+    # a synthetic "observation": a test signal plus fixed noise
+    sig = model.predict(splits.par_test[0])
+    return jnp.asarray(
+        sig + np.random.default_rng(5).normal(0, 5.0, sig.shape), jnp.float32
+    )
+
+
+def _composed(model, obs, noise_var, raw):
+    """What a user composes by hand: predict, subtract, reduce."""
+    pred = model.predict_fn()(model.params, jnp.atleast_2d(raw))
+    return -0.5 * jnp.sum(
+        (pred - obs) ** 2 / jnp.asarray(noise_var, jnp.float32), axis=-1
+    )
+
+
+def test_xla_loglik_matches_composed(model, obs, splits):
+    raw = jnp.asarray(splits.par_test[:33], jnp.float32)
+    fn = make_loglik(
+        model.config, model.normalizer, obs, 25.0,
+        backend="xla", precision="highest",
+    )
+    got = fn(model.params, raw)
+    want = _composed(model, obs, 25.0, raw)
+    assert got.shape == (33,)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+def test_fold_loglik_constants_exact(model, obs):
+    """Folded network output == noise-whitened residual (pred − obs)/σ."""
+    scale = noise_scale(25.0, model.config.n_bins)
+    folded = fold_loglik_constants(model.params, model.normalizer, obs, scale)
+    raw = jnp.asarray(model.data.par_test[:9], jnp.float32)
+    r = mlp_apply(folded, _log_clamp(raw))
+    pred = model.predict_fn()(model.params, raw)
+    want = (pred - obs) / 5.0
+    np.testing.assert_allclose(
+        np.asarray(r), np.asarray(want), rtol=2e-4, atol=2e-3
+    )
+
+
+@pytest.mark.parametrize("batch", [8, 100])
+def test_fused_loglik_matches_xla(model, obs, batch):
+    """Pallas fused (interpret) == composed XLA at the exact tier,
+    including a batch that is not a row-tile multiple and fx == 0 rows."""
+    rng = np.random.default_rng(11)
+    raw = synthetic_params(batch, rng).astype(np.float32)
+    raw[:3, 2] = 0.0  # exercise the fx clamp in-kernel
+    fused = jax.jit(
+        make_fused_loglik(
+            model.config, model.normalizer, obs, 25.0,
+            block_rows=64, interpret=True, precision="highest",
+        )
+    )
+    got = np.asarray(fused(model.params, jnp.asarray(raw)))
+    want = np.asarray(_composed(model, obs, 25.0, jnp.asarray(raw)))
+    assert got.shape == (batch,)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_fused_loglik_bf16x3_tier(model, obs):
+    """The in-kernel hi/lo bf16x3 tier stays within the HIGH accuracy
+    class (~1e-4 relative) of the exact-f32 likelihood."""
+    raw = jnp.asarray(model.data.par_test[:64], jnp.float32)
+    fused = jax.jit(
+        make_fused_loglik(
+            model.config, model.normalizer, obs, 25.0,
+            block_rows=64, interpret=True, precision="high",
+        )
+    )
+    got = np.asarray(fused(model.params, raw))
+    want = np.asarray(_composed(model, obs, 25.0, raw))
+    np.testing.assert_allclose(got, want, rtol=2e-3)
+
+
+def test_perbin_noise_variance(model, obs):
+    """A per-bin σ² vector weights bins correctly in both backends."""
+    nv = np.linspace(4.0, 100.0, model.config.n_bins).astype(np.float32)
+    raw = jnp.asarray(model.data.par_test[:16], jnp.float32)
+    want = np.asarray(_composed(model, obs, jnp.asarray(nv), raw))
+    for backend in ("xla", "pallas"):
+        fn = jax.jit(
+            make_loglik(
+                model.config, model.normalizer, obs, nv,
+                backend=backend, precision="highest",
+                block_rows=64, interpret=True,
+            )
+            if backend == "pallas"
+            else make_loglik(
+                model.config, model.normalizer, obs, nv,
+                backend="xla", precision="highest",
+            )
+        )
+        got = np.asarray(fn(model.params, raw))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_single_row_and_model_entry(model, obs):
+    """1-D input scores as one row; DirectEmulator.loglik_fn wires the
+    pallas backend end to end (interpret via the CPU test platform)."""
+    raw1 = jnp.asarray(model.data.par_test[0], jnp.float32)
+    fn = model.loglik_fn(obs, 25.0, backend="pallas")
+    out = fn(model.params, raw1)
+    assert out.shape == (1,)
+    want = np.asarray(_composed(model, obs, 25.0, raw1))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-3)
+    fn_xla = model.loglik_fn(obs, 25.0, backend="xla")
+    np.testing.assert_allclose(
+        np.asarray(fn_xla(model.params, raw1)), want, rtol=2e-3
+    )
+
+
+def test_bad_backend_raises(model, obs):
+    with pytest.raises(ValueError):
+        make_loglik(model.config, model.normalizer, obs, backend="cuda")
+
+
+def test_fused_mlp_bf16x3_generic():
+    """Generic fused MLP at precision='high' (manual hi/lo bf16x3) stays
+    within the HIGH accuracy class of the exact XLA forward."""
+    from tpu21cmvae.ops.mlp import init_mlp
+    from tpu21cmvae.ops.pallas import make_fused_mlp
+
+    sizes = (7, 64, 96, 33)
+    params = init_mlp(jax.random.key(1), sizes)
+    x = jax.random.normal(jax.random.key(2), (100, 7), jnp.float32)
+    fused = make_fused_mlp(sizes, block_rows=64, interpret=True, precision="high")
+    got = np.asarray(fused(params, x))
+    want = np.asarray(mlp_apply(params, x))
+    assert got.shape == (100, 33)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)

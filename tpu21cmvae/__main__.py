@@ -9,6 +9,8 @@ The reference has no CLI — every workflow lives in notebook cells
     predict    emulate signals for parameter rows from a .npy/.csv file
     tune       architecture search
     export-h5  write a saved model's MLP weights as Keras-layout HDF5
+    verify     accuracy-contract battery (golden numbers + structural
+               checks) with a JSON report
 """
 
 from __future__ import annotations
@@ -133,6 +135,25 @@ def cmd_export_h5(args):
         print(f"wrote {args.out}")
 
 
+def cmd_verify(args):
+    from tpu21cmvae.verify import format_report, run_verification, write_report
+
+    data = _get_data(args)
+    label = args.dataset or ("downloaded" if args.download else "synthetic")
+    report = run_verification(
+        data,
+        direct_h5=args.direct_h5,
+        keras_dir=args.keras_dir,
+        dataset_label=label,
+    )
+    print(format_report(report))
+    if args.out:
+        write_report(report, args.out)
+        print(f"report written to {args.out}")
+    if not report["ok"]:
+        sys.exit(1)
+
+
 def cmd_tune(args):
     from tpu21cmvae import tuner
 
@@ -189,6 +210,20 @@ def main(argv=None):
     p.add_argument("model")
     p.add_argument("--out", default="model.h5")
     p.set_defaults(fn=cmd_export_h5)
+
+    p = sub.add_parser(
+        "verify",
+        help="run the accuracy-contract battery (golden numbers + "
+             "batched-vs-single + band checks) and write a report",
+    )
+    p.add_argument("--dataset", help="path to dataset_21cmVAE.h5")
+    p.add_argument("--download", action="store_true")
+    p.add_argument("--direct-h5",
+                   help="reference pretrained models/emulator.h5")
+    p.add_argument("--keras-dir",
+                   help="dir with ae_emulator.h5/encoder.h5/decoder.h5")
+    p.add_argument("--out", help="write the JSON report here")
+    p.set_defaults(fn=cmd_verify)
 
     p = sub.add_parser("tune", help="architecture search")
     p.add_argument("--family", choices=["direct", "ae", "vae"],

@@ -187,6 +187,32 @@ class DirectEmulator:
             return self._predict_jit
         return self._build_predict(precision)
 
+    def loglik_fn(
+        self, obs, noise_var=1.0, *, backend: str = "pallas", precision=None
+    ):
+        """Jitted Gaussian log-likelihood ``(weights, raw_params) → (B,)``
+        against an observed signal — the MCMC inner loop as one device
+        call (see :mod:`tpu21cmvae.ops.loglik`).
+
+        ``backend="pallas"`` (default on TPU) runs the whole
+        emulate→score chain as one fused kernel with obs/noise folded
+        into the last layer and a (B,) output; ``"xla"`` is the composed
+        reference path. Both default to the accuracy-gated bf16x3 tier;
+        pass ``precision="highest"`` for the exact-f32 contract tier.
+        """
+        from tpu21cmvae.ops.loglik import make_loglik
+
+        return jax.jit(
+            make_loglik(
+                self.config,
+                self.normalizer,
+                obs,
+                noise_var,
+                backend=backend,
+                precision=precision,
+            )
+        )
+
     def predict(self, params) -> np.ndarray:
         """Emulate global signal(s) from raw astrophysical parameters.
 

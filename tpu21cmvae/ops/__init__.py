@@ -10,3 +10,4 @@ from tpu21cmvae.ops.losses import (  # noqa: F401
     mse,
     relative_mse,
 )
+from tpu21cmvae.ops.loglik import make_loglik  # noqa: F401

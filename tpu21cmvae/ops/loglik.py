@@ -1,0 +1,94 @@
+"""Gaussian log-likelihood of an observed signal under the emulator.
+
+The MCMC north-star workload (SURVEY.md §6): a sampler proposes batches
+of astrophysical parameter draws and scores each against an observed
+sky-averaged spectrum, ``logL(θ) = -0.5·Σ_bins (emulate(θ) − obs)²/σ²``.
+The reference leaves this composition to the user at ~40 ms per signal
+(reference ``emulator.py:383-407``, ``README.rst:11``); here it is a
+first-class fused device function over mega-batches.
+
+Two backends with identical semantics:
+
+* ``"xla"`` — the emulator's predict chain composed with the reduction
+  in one jittable program (XLA fuses the elementwise work; the (B, 451)
+  matmul output still round-trips HBM before the reduction).
+* ``"pallas"`` — the whole chain as one kernel with the observation and
+  noise folded into the last layer's weights and a (B,) output
+  (:mod:`tpu21cmvae.ops.pallas.fused_loglik`) — the predicted signals
+  never leave VMEM.
+
+Measured numbers for both on v5e are in docs/PERF.md (bench_mcmc.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu21cmvae.ops.mlp import mlp_apply
+from tpu21cmvae.ops.transforms import Normalizer, par_transform, unpreproc
+from tpu21cmvae.utils.config import DirectEmulatorConfig
+
+
+def make_loglik(
+    config: DirectEmulatorConfig,
+    norm: Normalizer,
+    obs,
+    noise_var=1.0,
+    *,
+    backend: str = "xla",
+    precision=None,
+    block_rows: Optional[int] = None,
+    interpret: Optional[bool] = None,
+):
+    """Build ``fn(params, raw_params) → (B,)`` Gaussian log-likelihoods.
+
+    ``obs``: observed signal in mK, shape (n_bins,); ``noise_var``:
+    scalar or per-bin σ² in mK². A 1-D ``raw_params`` input scores as a
+    single row, returning shape (1,).
+
+    ``precision`` defaults per backend to the accuracy-gated fast tier
+    (``Precision.HIGH`` / in-kernel bf16x3 — ~1e-4 relative-to-amplitude
+    on trained weights, ≈3 % of the 0.34 % contract budget); pass
+    ``"highest"`` for the exact-f32 contract tier. Jit the result for
+    dispatch (it is shard-transparent: batch-sharded inputs propagate).
+    """
+    if backend == "pallas":
+        from tpu21cmvae.ops.pallas.fused_loglik import (
+            DEFAULT_LOGLIK_BLOCK_ROWS,
+            make_fused_loglik,
+        )
+
+        return make_fused_loglik(
+            config,
+            norm,
+            obs,
+            noise_var,
+            block_rows=block_rows or DEFAULT_LOGLIK_BLOCK_ROWS,
+            interpret=interpret,
+            precision="high" if precision is None else precision,
+        )
+    if backend != "xla":
+        raise ValueError(f"backend must be 'xla' or 'pallas'; got {backend!r}")
+    from tpu21cmvae.ops.pallas.fused_mlp import resolve_precision
+
+    precision = resolve_precision(
+        jax.lax.Precision.HIGH if precision is None else precision
+    )
+    obs = jnp.asarray(obs, jnp.float32)
+    invvar = jnp.broadcast_to(
+        1.0 / jnp.asarray(noise_var, jnp.float32), (config.n_bins,)
+    )
+    activation = config.activation
+
+    def loglik(params, raw_params):
+        raw = jnp.atleast_2d(raw_params.astype(jnp.float32))
+        x = par_transform(raw, norm)
+        pred = unpreproc(
+            mlp_apply(params, x, activation, precision=precision), norm
+        )
+        return -0.5 * jnp.sum((pred - obs) ** 2 * invvar, axis=-1)
+
+    return loglik

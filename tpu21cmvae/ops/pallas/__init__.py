@@ -13,3 +13,7 @@ from tpu21cmvae.ops.pallas.fused_mlp import (  # noqa: F401
     make_fused_emulate,
     make_fused_mlp,
 )
+from tpu21cmvae.ops.pallas.fused_loglik import (  # noqa: F401
+    fold_loglik_constants,
+    make_fused_loglik,
+)

@@ -65,9 +65,10 @@ def resolve_precision(precision) -> jax.lax.Precision:
     Accuracy caution (measured on v5e): on *trained* weights — which have
     far more cancellation than random init — single-pass bf16 is ~1.4e-2
     relative-to-amplitude, outside the 0.34 % contract; bf16x3 is ~1e-4
-    (safe). Mosaic's dot lowering supports only DEFAULT and HIGHEST, so a
-    HIGH-class fused kernel would need a manual hi/lo bf16x3
-    decomposition; the XLA HIGH path covers that tier today.
+    (safe). Mosaic's dot lowering supports only DEFAULT and HIGHEST;
+    kernels here implement the HIGH tier via a *manual* hi/lo bf16x3
+    decomposition (see :func:`_mlp_kernel`), so all three tiers are
+    available fused.
     """
     if isinstance(precision, str):
         return _PRECISIONS[precision.lower()]
@@ -119,37 +120,93 @@ def _log_clamp(x: jax.Array) -> jax.Array:
     return jnp.where(is_log, jnp.log10(jnp.where(is_log, clamped, 1.0)), x)
 
 
-def _mlp_kernel(n_layers: int, log_clamp_input: bool, precision, bf16_acts, *refs):
-    """Kernel body: [log-clamp] → (matmul+bias, ReLU)ⁿ⁻¹ → matmul+bias.
+def _split_hi_lo(x: jax.Array):
+    """Decompose f32 into (hi, lo) bf16 halves with x ≈ hi + lo.
 
-    ``refs`` = (x_ref, w_0, b_0, …, w_{n-1}, b_{n-1}, out_ref). Biases are
-    (1, out) so every operand is ≥2-D (TPU tiling). Accumulation is always
-    f32 (``preferred_element_type``); ``precision`` picks the number of
-    bf16 MXU passes per f32 matmul (see :func:`resolve_precision`). With
-    ``bf16_acts`` the activations are cast to bf16 before each matmul
-    (weights are already bf16 in VMEM) — native single-pass MXU feed with
-    f32 accumulators.
+    ``hi`` is x with the low 16 mantissa bits masked off — exactly
+    representable in bf16 — and ``lo`` is the masked-off remainder,
+    exact in f32 and rounded once by the bf16 cast. The bf16x3 product
+    then computes ``hi·hi + hi·lo + lo·hi`` (dropping the O(2⁻³²) lo·lo
+    term) — the decomposition XLA uses for ``Precision.HIGH``, which
+    Mosaic's dot lowering lacks.
+
+    The split is done by integer masking rather than a
+    ``f32→bf16→f32`` cast round-trip: measured on v5e, the cast form
+    left the whole tier at single-pass accuracy (1.4e-2
+    relative-to-amplitude on trained weights — the compiler folds the
+    widening cast back into the source value, so ``lo`` collapses to
+    zero), while the masked split restores genuine bf16x3 accuracy.
+    """
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi_f32 = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    return hi_f32.astype(jnp.bfloat16), (x - hi_f32).astype(jnp.bfloat16)
+
+
+def _mlp_kernel(
+    n_layers: int, log_clamp_input: bool, precision, mode, reduce, *refs
+):
+    """Kernel body: [log-clamp] → (matmul+bias, ReLU)ⁿ⁻¹ → matmul+bias
+    [→ per-row Σy²].
+
+    ``refs`` = (x_ref, <layer refs>…, out_ref); per-layer refs are
+    (w, b) — or (w_hi, w_lo, b) in bf16x3 mode. Biases are (1, out) so
+    every operand is ≥2-D (TPU tiling). Accumulation is always f32
+    (``preferred_element_type``).
+
+    ``mode``:
+      * ``"f32"`` — f32 operands; ``precision`` picks the number of bf16
+        MXU passes per matmul (DEFAULT=1, HIGHEST=6).
+      * ``"bf16"`` — activations cast to bf16 before each matmul (weights
+        already bf16 in VMEM): native single-pass MXU feed.
+      * ``"bf16x3"`` — manual hi/lo decomposition of activations against
+        pre-split hi/lo weights: 3 single-pass bf16 matmuls per layer,
+        f32 accumulation. Same accuracy class as XLA ``Precision.HIGH``
+        (~1e-4 relative-to-amplitude on trained weights — inside the
+        accuracy contract), at half the MXU passes of HIGHEST.
+
+    ``reduce="sumsq"`` ends the network with ``Σ_bins y²`` per row into a
+    (rows, 1) output instead of writing the (rows, n_bins) signal — the
+    log-likelihood tail (obs/noise pre-folded into the last layer by
+    :func:`tpu21cmvae.ops.pallas.fused_loglik.fold_loglik_constants`).
+    This shrinks the kernel's HBM output traffic by n_bins× — the whole
+    point of fusing the MCMC likelihood.
     """
     x_ref, *wb, out_ref = refs
+    stride = 3 if mode == "bf16x3" else 2
     h = x_ref[:]
     if log_clamp_input:
         h = _log_clamp(h)
     for i in range(n_layers):
-        w, b = wb[2 * i][:], wb[2 * i + 1][:]
-        if bf16_acts:
-            h = h.astype(jnp.bfloat16)
-        h = (
-            jnp.dot(
-                h,
-                w,
-                preferred_element_type=jnp.float32,
-                precision=precision,
+        if mode == "bf16x3":
+            w_hi, w_lo, b = (r[:] for r in wb[stride * i: stride * i + 3])
+            h_hi, h_lo = _split_hi_lo(h)
+            h = (
+                jnp.dot(h_hi, w_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(h_hi, w_lo, preferred_element_type=jnp.float32)
+                + jnp.dot(h_lo, w_hi, preferred_element_type=jnp.float32)
+                + b
             )
-            + b
-        )
+        else:
+            w, b = wb[2 * i][:], wb[2 * i + 1][:]
+            if mode == "bf16":
+                h = h.astype(jnp.bfloat16)
+            h = (
+                jnp.dot(
+                    h,
+                    w,
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+                + b
+            )
         if i < n_layers - 1:
             h = jnp.maximum(h, 0.0)
-    out_ref[:] = h
+    if reduce == "sumsq":
+        out_ref[:] = jnp.sum(h * h, axis=1, keepdims=True)
+    else:
+        out_ref[:] = h
 
 
 def _should_interpret() -> bool:
@@ -164,6 +221,8 @@ def make_fused_mlp(
     interpret: Optional[bool] = None,
     precision="highest",
     weight_dtype=jnp.float32,
+    reduce: str = "none",
+    vmem_limit_bytes: Optional[int] = None,
 ):
     """Build ``fn(params, x) → y``: the whole MLP as one Pallas kernel.
 
@@ -174,37 +233,54 @@ def make_fused_mlp(
     sizes are padded up to a tile boundary with ones (safe under the log
     transform) and sliced back.
 
-    ``weight_dtype=jnp.bfloat16`` pre-casts weights once on the host side
-    of the call and feeds the MXU native bf16 operands (activations cast
-    in-kernel, f32 accumulation, f32 biases/outputs) — the fastest tier,
-    with the same accuracy class as DEFAULT precision (~1.4e-2
-    relative-to-amplitude on trained weights — outside the 0.34 %
-    contract; see :func:`resolve_precision`).
+    Precision tiers (see :func:`resolve_precision`):
+
+    * ``"highest"`` — exact f32 (6 bf16 MXU passes): the contract tier.
+    * ``"high"`` — manual in-kernel bf16x3 (3 passes): weights are
+      pre-split into hi/lo bf16 halves per call, activations split
+      in-kernel. Accuracy class of XLA ``Precision.HIGH`` (~1e-4
+      relative-to-amplitude on trained weights — inside the contract).
+    * ``"default"`` with ``weight_dtype=jnp.bfloat16`` — native
+      single-pass bf16 operands with f32 accumulation: fastest, but
+      ~1.4e-2 relative-to-amplitude on trained weights — outside the
+      0.34 % contract.
+
+    ``reduce="sumsq"`` replaces the (n, out) signal output with the
+    per-row sum of squares, shape (n,) — the fused log-likelihood tail.
     """
     sizes = tuple(int(s) for s in sizes)
     n_layers = len(sizes) - 1
     in_dim, out_dim = sizes[0], sizes[-1]
+    if reduce not in ("none", "sumsq"):
+        raise ValueError(f"reduce must be 'none' or 'sumsq'; got {reduce!r}")
     if interpret is None:
         interpret = _should_interpret()
-    bf16_acts = weight_dtype == jnp.bfloat16
+    prec = resolve_precision(precision)
+    if prec == jax.lax.Precision.HIGH:
+        mode = "bf16x3"  # manual decomposition; Mosaic lacks HIGH
+        prec = jax.lax.Precision.DEFAULT
+        refs_per_layer = 3
+    else:
+        mode = "bf16" if weight_dtype == jnp.bfloat16 else "f32"
+        refs_per_layer = 2
 
     kernel = functools.partial(
-        _mlp_kernel,
-        n_layers,
-        log_clamp_input,
-        resolve_precision(precision),
-        bf16_acts,
+        _mlp_kernel, n_layers, log_clamp_input, prec, mode, reduce
     )
+    passes = {"f32": {jax.lax.Precision.DEFAULT: 1,
+                      jax.lax.Precision.HIGHEST: 6}.get(prec, 1),
+              "bf16": 1, "bf16x3": 3}[mode]
     flops_per_row = 2 * sum(a * b for a, b in zip(sizes[:-1], sizes[1:]))
-    wbytes = jnp.dtype(weight_dtype).itemsize
+    wbytes = 4 if mode == "f32" else 2 * (refs_per_layer - 1)
     weight_bytes = wbytes * sum(
         (a + 1) * b for a, b in zip(sizes[:-1], sizes[1:])
     )
+    out_cols = 1 if reduce == "sumsq" else out_dim
 
-    wb_specs = []
-    for _ in range(n_layers):
-        wb_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # w
-        wb_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # b
+    wb_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM)
+        for _ in range(refs_per_layer * n_layers)
+    ]
 
     def call(params: MLPParams, x: jax.Array) -> jax.Array:
         if x.ndim == 1:  # single draw → one row (same as the XLA path)
@@ -216,7 +292,11 @@ def make_fused_mlp(
             x = jnp.pad(x, ((0, padded - n), (0, 0)), constant_values=1.0)
         flat = []
         for layer in params:
-            flat.append(layer["w"].astype(weight_dtype))
+            if mode == "bf16x3":
+                w_hi, w_lo = _split_hi_lo(layer["w"].astype(jnp.float32))
+                flat.extend((w_hi, w_lo))
+            else:
+                flat.append(layer["w"].astype(weight_dtype))
             flat.append(layer["b"].reshape(1, -1).astype(jnp.float32))
         out = pl.pallas_call(
             kernel,
@@ -230,24 +310,29 @@ def make_fused_mlp(
                 *wb_specs,
             ],
             out_specs=pl.BlockSpec(
-                (block_rows, out_dim),
+                (block_rows, out_cols),
                 lambda i: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((padded, out_dim), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((padded, out_cols), jnp.float32),
             cost_estimate=pl.CostEstimate(
-                flops=padded * flops_per_row,
-                bytes_accessed=4 * padded * (in_dim + out_dim) + weight_bytes,
+                flops=passes * padded * flops_per_row,
+                bytes_accessed=4 * padded * (in_dim + out_cols) + weight_bytes,
                 transcendentals=(
                     padded * _N_LOG_COLS if log_clamp_input else 0
                 ),
             ),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",) if interpret else ("parallel",),
+                # large row tiles with exact-f32 matmuls exceed the
+                # compiler's default 16 MB scoped-VMEM budget; callers
+                # opting into big blocks raise the cap explicitly
+                vmem_limit_bytes=vmem_limit_bytes,
             ),
             interpret=interpret,
         )(x, *flat)
-        return out[:n] if padded != n else out
+        out = out[:n] if padded != n else out
+        return out[:, 0] if reduce == "sumsq" else out
 
     return call
 

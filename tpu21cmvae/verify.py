@@ -1,0 +1,249 @@
+"""One-command accuracy-contract verification battery.
+
+The reference's headline contract — mean 0.34 % / median 0.29 % relative
+RMSE (0.54 / 0.50 mK absolute) for the direct emulator on the 21cmGEM
+test split, 0.39 %/0.35 % for the AE pipeline, 0.33 %/0.29 % pure
+reconstruction (reference ``tests/test_emulator.py:55-113``;
+``README.rst:11``; Table 1 of Bye et al. 2022) — can only be checked
+where the ~300 MB real dataset exists, which offline CI does not have.
+This module packages the whole battery behind one call so that ANY
+environment with the data verifies the contract in one shot:
+
+    python -m tpu21cmvae verify --dataset /path/dataset_21cmVAE.h5 \
+        --direct-h5 /path/emulator.h5 --keras-dir /path/ae_models
+
+Checks that need a missing artifact are reported SKIP (not FAIL); checks
+that run assert the golden numbers. Structural checks (batched-vs-single
+parity, band-mask consistency) run against any dataset, including the
+synthetic surrogate, so the battery itself is exercised in offline CI
+(tests/test_verify.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Callable, List, Optional
+
+import numpy as np
+
+# Golden numbers: reference tests/test_emulator.py:72-80 (direct; atol
+# 1e-2), :88-113 (AE pipeline + reconstruction), :61-62 (max < 2 %);
+# 50–100 MHz band mean 0.496 mK (sample_notebook.ipynb cell 6 output).
+GOLDEN_ATOL = 1e-2
+DIRECT_GOLDEN = {"rel_mean": 0.34, "rel_median": 0.29,
+                 "abs_mean": 0.54, "abs_median": 0.50}
+DIRECT_BAND_GOLDEN = {"band_abs_mean_50_100": 0.496}
+AE_GOLDEN = {"rel_mean": 0.39, "rel_median": 0.35}
+AE_RECON_GOLDEN = {"recon_rel_mean": 0.33, "recon_rel_median": 0.29}
+
+
+@dataclasses.dataclass
+class Check:
+    name: str
+    status: str  # "PASS" | "FAIL" | "SKIP"
+    detail: str = ""
+    values: dict = dataclasses.field(default_factory=dict)
+
+
+def _stats(err: np.ndarray) -> dict:
+    return {
+        "mean": float(err.mean()),
+        "median": float(np.median(err)),
+        "max": float(err.max()),
+    }
+
+
+def _assert_close(got: dict, golden: dict, atol: float) -> List[str]:
+    """Return the list of golden-number violations (empty == pass)."""
+    bad = []
+    for key, want in golden.items():
+        have = got[key]
+        if not np.isclose(have, want, atol=atol):
+            bad.append(f"{key}: got {have:.4f}, want {want} ± {atol}")
+    return bad
+
+
+def _run(name: str, fn: Callable[[], Check]) -> Check:
+    try:
+        return fn()
+    except Exception as e:  # a crashed check is a failure, not a crash
+        return Check(name, "FAIL", f"{type(e).__name__}: {e}")
+
+
+def check_direct_golden(data, direct_h5: Optional[str]) -> Check:
+    name = "direct_golden"
+    if not (direct_h5 and os.path.exists(direct_h5)):
+        return Check(name, "SKIP", "pretrained emulator.h5 not provided")
+    from tpu21cmvae.models.direct import DirectEmulator
+
+    model = DirectEmulator.from_keras_h5(direct_h5, data)
+    rel = model.test_error(relative=True)
+    ab = model.test_error(relative=False)
+    band = model.test_error(relative=False, flow=50.0, fhigh=100.0)
+    got = {
+        "rel_mean": rel.mean(), "rel_median": np.median(rel),
+        "abs_mean": ab.mean(), "abs_median": np.median(ab),
+        "rel_max": rel.max(),
+        "band_abs_mean_50_100": band.mean(),
+    }
+    bad = _assert_close(got, {**DIRECT_GOLDEN, **DIRECT_BAND_GOLDEN},
+                        GOLDEN_ATOL)
+    if got["rel_max"] >= 2.0:  # reference tests/test_emulator.py:61-62
+        bad.append(f"rel_max: got {got['rel_max']:.4f}, want < 2.0")
+    return Check(
+        name,
+        "FAIL" if bad else "PASS",
+        "; ".join(bad) or "matches Table 1 golden numbers",
+        {k: float(v) for k, v in got.items()},
+    )
+
+
+def check_ae_golden(data, keras_dir: Optional[str]) -> Check:
+    name = "ae_golden"
+    needed = ("ae_emulator.h5", "encoder.h5", "decoder.h5")
+    if not (keras_dir and all(
+            os.path.exists(os.path.join(keras_dir, f)) for f in needed)):
+        return Check(name, "SKIP", "pretrained AE h5 trio not provided")
+    from tpu21cmvae.models.autoencoder import AutoEncoderEmulator
+
+    model = AutoEncoderEmulator.from_keras_h5(
+        os.path.join(keras_dir, "ae_emulator.h5"),
+        os.path.join(keras_dir, "encoder.h5"),
+        os.path.join(keras_dir, "decoder.h5"),
+        data=data,
+    )
+    rel = model.test_error(relative=True)
+    rec = model.test_error(use_autoencoder=True, relative=True)
+    got = {
+        "rel_mean": rel.mean(), "rel_median": np.median(rel),
+        "rel_max": rel.max(),
+        "recon_rel_mean": rec.mean(), "recon_rel_median": np.median(rec),
+    }
+    bad = _assert_close(got, {**AE_GOLDEN, **AE_RECON_GOLDEN}, GOLDEN_ATOL)
+    if got["rel_max"] >= 5.0:  # reference tests/test_emulator.py:88-95
+        bad.append(f"rel_max: got {got['rel_max']:.4f}, want < 5.0")
+    return Check(
+        name,
+        "FAIL" if bad else "PASS",
+        "; ".join(bad) or "matches golden AE numbers",
+        {k: float(v) for k, v in got.items()},
+    )
+
+
+def check_batched_vs_single(data, model) -> Check:
+    """Batched predict == row-by-row predict (reference
+    ``tests/test_emulator.py:55-69``, atol 5e-5) — weight-independent."""
+    name = "batched_vs_single"
+    batched = model.predict(data.par_test[:10])
+    if batched.shape != (10, data.n_bins):
+        return Check(name, "FAIL",
+                     f"batched shape {batched.shape} != (10, {data.n_bins})")
+    worst = max(
+        float(np.abs(batched[i] - model.predict(data.par_test[i])).max())
+        for i in range(10)
+    )
+    ok = worst <= 5e-5
+    return Check(
+        name, "PASS" if ok else "FAIL",
+        f"max |batched − single| = {worst:.2e} (limit 5e-5)",
+        {"max_abs_diff": worst},
+    )
+
+
+def check_band_mask(data, model) -> Check:
+    """Band-restricted error == error on manually masked bins — guards
+    the two reference band bugs (``emulator.py:168,177-182``) staying
+    fixed in the public path."""
+    name = "band_mask_consistency"
+    from tpu21cmvae.utils.metrics import band_mask, error
+
+    pred = model.predict(data.par_test[:50])
+    true = np.asarray(data.signal_test[:50])
+    nu = np.asarray(model.frequencies)
+    got = error(true, pred, relative=False, nu_arr=nu, flow=50.0, fhigh=100.0)
+    mask = band_mask(nu, 50.0, 100.0)
+    want = np.sqrt(np.mean((pred[:, mask] - true[:, mask]) ** 2, axis=1))
+    worst = float(np.abs(got - want).max())
+    # flow=0 must be honored as a bound, not falsy-ignored
+    zero_low = error(true, pred, relative=False, nu_arr=nu, flow=0.0)
+    full = error(true, pred, relative=False)
+    honored = np.allclose(
+        zero_low,
+        np.sqrt(np.mean((pred[:, nu >= 0.0] - true[:, nu >= 0.0]) ** 2,
+                        axis=1)),
+    ) and zero_low.shape == full.shape
+    ok = worst < 1e-6 and honored
+    return Check(
+        name, "PASS" if ok else "FAIL",
+        f"max band-mask deviation {worst:.2e}; flow=0 honored: {honored}",
+        {"max_abs_diff": worst},
+    )
+
+
+def run_verification(
+    data,
+    *,
+    direct_h5: Optional[str] = None,
+    keras_dir: Optional[str] = None,
+    quick_epochs: int = 20,
+    dataset_label: str = "",
+) -> dict:
+    """Run the full battery; returns a JSON-serializable report dict.
+
+    ``data``: a DataSplits (real 21cmGEM or synthetic). Structural checks
+    always run (on the pretrained direct model when ``direct_h5`` is
+    given, else on a quickly trained throwaway); golden-number checks run
+    only when their artifacts are provided.
+    """
+    from tpu21cmvae.models.direct import DirectEmulator
+
+    if direct_h5 and os.path.exists(direct_h5):
+        probe = DirectEmulator.from_keras_h5(direct_h5, data)
+    else:
+        from tpu21cmvae.utils.config import TrainConfig
+
+        probe = DirectEmulator(data)
+        probe.train(
+            train_config=TrainConfig(epochs=quick_epochs,
+                                     early_stop_patience=None),
+            device_loop=True,
+        )
+
+    checks = [
+        _run("direct_golden", lambda: check_direct_golden(data, direct_h5)),
+        _run("ae_golden", lambda: check_ae_golden(data, keras_dir)),
+        _run("batched_vs_single",
+             lambda: check_batched_vs_single(data, probe)),
+        _run("band_mask_consistency", lambda: check_band_mask(data, probe)),
+    ]
+    counts = {s: sum(c.status == s for c in checks)
+              for s in ("PASS", "FAIL", "SKIP")}
+    return {
+        "dataset": dataset_label,
+        "checks": [dataclasses.asdict(c) for c in checks],
+        **{k.lower(): v for k, v in counts.items()},
+        "ok": counts["FAIL"] == 0,
+    }
+
+
+def format_report(report: dict) -> str:
+    lines = [f"verification report — dataset: {report['dataset'] or '?'}"]
+    for c in report["checks"]:
+        lines.append(f"  [{c['status']:4}] {c['name']}: {c['detail']}")
+        for k, v in c["values"].items():
+            lines.append(f"           {k} = {v:.6g}")
+    lines.append(
+        f"{report['pass']} passed, {report['fail']} failed, "
+        f"{report['skip']} skipped"
+    )
+    return "\n".join(lines)
+
+
+def write_report(report: dict, path: str) -> str:
+    from tpu21cmvae.utils.io import atomic_write
+
+    with atomic_write(path) as f:  # binary write-then-rename
+        f.write(json.dumps(report, indent=2).encode())
+    return path
