@@ -56,16 +56,21 @@ def main():
 
     lo = jnp.asarray(PAR_RANGES[:, 0], jnp.float32)
     hi = jnp.asarray(PAR_RANGES[:, 1], jnp.float32)
-    # Inside a jitted scan, use the RAW predict function and let the
-    # walkers' sharding propagate — a sharding-CONSTRAINED jit nested in
-    # the scan forces per-step relayouts (measured 25× slower). The safe
-    # turbo precision tier (bf16x3) is plenty for a likelihood.
-    predict = model.predict_fn(precision=jax.lax.Precision.HIGH)
+    # The emulate→score chain is ONE fused device function: obs + noise
+    # fold into the network's last layer and the (B, 451) signal block
+    # never exists (ops/loglik.py; measured tiers in docs/PERF.md).
+    # Inside a jitted scan, use the RAW function and let the walkers'
+    # sharding propagate — a sharding-CONSTRAINED jit nested in the scan
+    # forces per-step relayouts (measured 25× slower).
+    from tpu21cmvae.ops.loglik import make_loglik
+
+    loglik = make_loglik(
+        model.config, model.normalizer, obs, noise_var, method="gram"
+    )  # measured-fastest gate-passing tier on v5e (docs/PERF.md)
     weights = replicate(model.params, mesh)
 
     def log_like(raw):
-        pred = predict(weights, raw)
-        return -0.5 * jnp.sum((pred - obs) ** 2, axis=-1) / noise_var
+        return loglik(weights, raw)
 
     def mh_step(state, key):
         walkers, logp = state

@@ -1,0 +1,197 @@
+"""Author notebooks/walkthrough.ipynb programmatically.
+
+Mirrors the reference's interactive surface (``sample_notebook.ipynb`` +
+the training recipes of ``Training.ipynb``, SURVEY.md §2.1 item 15) as a
+headless-executable notebook: it runs offline on the synthetic dataset
+(switching to the real 21cmGEM data automatically when cached) and is
+executed end-to-end in CI by tests/test_notebook.py.
+
+Run ``python notebooks/build_walkthrough.py`` after editing the cell
+sources below to regenerate the committed .ipynb.
+"""
+
+import os
+
+import nbformat as nbf
+
+MD_INTRO = """\
+# tpu21cmvae walkthrough
+
+The TPU-native counterpart of the reference's
+[`sample_notebook.ipynb`](https://github.com/christianhbye/21cmVAE)
+(reference `notebooks/sample_notebook.ipynb`; training recipes from
+`notebooks/Training.ipynb`): load a pretrained emulator, predict global
+21-cm signals, evaluate test error, train a custom model, and walk the
+autoencoder + VAE families.
+
+Everything below runs **offline** on the built-in synthetic dataset; if
+the real 21cmGEM `dataset_21cmVAE.h5` is cached (see
+`python -m tpu21cmvae download`), it is used automatically and the
+printed errors are the paper's regime (mean 0.34 % for the shipped
+weights — reference `README.rst:11`).
+"""
+
+CELL_SETUP = """\
+import os
+
+import matplotlib.pyplot as plt
+import numpy as np
+
+import tpu21cmvae as t
+from tpu21cmvae.data import synthetic_dataset
+from tpu21cmvae.data.dataset import default_cache_path, load_dataset
+
+# resolve the repo root whether we run from notebooks/ or the root
+ROOT = os.getcwd()
+if not os.path.isdir(os.path.join(ROOT, "pretrained")):
+    ROOT = os.path.dirname(ROOT)
+
+if os.path.exists(default_cache_path()):
+    data = load_dataset(default_cache_path())
+    print("using the REAL 21cmGEM dataset")
+else:
+    data = synthetic_dataset(n_train=4096, n_val=512, n_test=512, seed=0)
+    print("using the built-in synthetic dataset (offline)")
+print(f"train/val/test: {len(data.par_train)}/{len(data.par_val)}/"
+      f"{len(data.par_test)} signals, {data.n_bins} frequency bins")
+"""
+
+CELL_LOAD_PREDICT = """\
+# Load a pretrained direct emulator and predict one signal
+# (reference workflow: sample_notebook.ipynb cells 2-5)
+model = t.DirectEmulator.from_checkpoint(
+    os.path.join(ROOT, "pretrained", "direct_synthetic.npz"), data
+)
+signal = model.predict(data.par_test[0])
+
+fig, ax = plt.subplots(figsize=(7, 4))
+ax.plot(model.frequencies, signal, label="emulated")
+ax.plot(model.frequencies, data.signal_test[0], "--", label="simulated")
+ax.set_xlabel(r"$\\nu$ [MHz]")
+ax.set_ylabel(r"$\\delta T_b$ [mK]")
+ax.legend()
+secax = ax.secondary_xaxis(
+    "top",
+    functions=(
+        lambda nu: 1420.4057517667 / np.maximum(nu, 1e-6) - 1,
+        lambda z: 1420.4057517667 / (1 + z),
+    ),
+)
+secax.set_xlabel("redshift $z$")
+plt.tight_layout()
+plt.show()
+"""
+
+CELL_TEST_ERROR = """\
+# Test-set error (the paper's figure of merit, Eq. 1)
+rel = model.test_error(relative=True)
+ab = model.test_error(relative=False)
+band = model.test_error(relative=False, flow=50.0, fhigh=100.0)
+print(f"relative: mean {rel.mean():.3f}%  median {np.median(rel):.3f}%  "
+      f"max {rel.max():.3f}%")
+print(f"absolute: mean {ab.mean():.3f} mK  (50-100 MHz band: "
+      f"{band.mean():.3f} mK)")
+
+plt.figure(figsize=(6, 3.5))
+plt.hist(rel, bins=40)
+plt.xlabel("relative RMSE [%]")
+plt.ylabel("test signals")
+plt.tight_layout()
+plt.show()
+"""
+
+CELL_TRAIN = """\
+# Train a custom direct emulator (reference workflow: Training.ipynb
+# cells 4-7; full recipe = utils.config.DIRECT_TRAIN_DEFAULT).
+# device_loop=True compiles the WHOLE run as one XLA program.
+from tpu21cmvae.utils.config import DirectEmulatorConfig, TrainConfig
+
+custom = t.DirectEmulator(data, config=DirectEmulatorConfig(hidden_dims=(96, 96)))
+loss, val_loss = custom.train(
+    train_config=TrainConfig(epochs=30, early_stop_patience=None),
+    device_loop=True,
+)
+print(f"custom model: mean rel err {custom.test_error().mean():.3f}%")
+
+plt.figure(figsize=(6, 3.5))
+plt.semilogy(loss, label="train")
+plt.semilogy(val_loss, label="val")
+plt.xlabel("epoch")
+plt.ylabel("relative-MSE loss")
+plt.legend()
+plt.tight_layout()
+plt.show()
+"""
+
+CELL_AE = """\
+# The autoencoder-based family (reference sample_notebook.ipynb
+# cells 10-19; Appendix A of Bye et al. 2022)
+ae = t.AutoEncoderEmulator.from_checkpoint(
+    os.path.join(ROOT, "pretrained", "ae_synthetic.npz"), data
+)
+pipe = ae.test_error(relative=True)
+recon = ae.test_error(use_autoencoder=True, relative=True)
+print(f"AE pipeline:        mean {pipe.mean():.3f}%  "
+      f"median {np.median(pipe):.3f}%")
+print(f"AE reconstruction:  mean {recon.mean():.3f}%  "
+      f"median {np.median(recon):.3f}%")
+"""
+
+CELL_VAE = """\
+# The variational family: latent traversal (the interpretability
+# analysis of the 21cmVAE paper; absent from the reference's v3.1.0
+# code snapshot -- SURVEY.md section 0)
+vae = t.VAEEmulator.from_checkpoint(
+    os.path.join(ROOT, "pretrained", "vae_synthetic.npz"), data
+)
+values = np.linspace(-2.0, 2.0, 7)
+curves = vae.latent_traversal(dim=0, values=values,
+                              base_params=data.par_test[0])
+
+plt.figure(figsize=(7, 4))
+for v, c in zip(values, curves):
+    plt.plot(vae.frequencies, c, label=f"$z_0$={v:+.1f}")
+plt.xlabel(r"$\\nu$ [MHz]")
+plt.ylabel(r"$\\delta T_b$ [mK]")
+plt.legend(ncol=2, fontsize=8)
+plt.title("decoded signals along latent dimension 0")
+plt.tight_layout()
+plt.show()
+"""
+
+MD_OUTRO = """\
+## Where to go next
+
+- `examples/` — headless versions of every workflow here, plus
+  MCMC-scale sharded inference (`examples/mcmc_inference.py`).
+- `python -m tpu21cmvae --help` — the full CLI (train / evaluate /
+  predict / tune / export-h5 / verify).
+- `docs/MIGRATION.md` — the reference-API → tpu21cmvae mapping.
+- `docs/PERF.md` — measured TPU throughput and precision tiers.
+"""
+
+
+def build() -> nbf.NotebookNode:
+    nb = nbf.v4.new_notebook()
+    nb.metadata["kernelspec"] = {
+        "display_name": "Python 3", "language": "python", "name": "python3"
+    }
+    cells = [
+        nbf.v4.new_markdown_cell(MD_INTRO),
+        nbf.v4.new_code_cell(CELL_SETUP),
+        nbf.v4.new_code_cell(CELL_LOAD_PREDICT),
+        nbf.v4.new_code_cell(CELL_TEST_ERROR),
+        nbf.v4.new_code_cell(CELL_TRAIN),
+        nbf.v4.new_code_cell(CELL_AE),
+        nbf.v4.new_code_cell(CELL_VAE),
+        nbf.v4.new_markdown_cell(MD_OUTRO),
+    ]
+    nb.cells = cells
+    return nb
+
+
+if __name__ == "__main__":
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "walkthrough.ipynb")
+    nbf.write(build(), out)
+    print(f"wrote {out}")

@@ -148,6 +148,49 @@ def test_single_row_and_model_entry(model, obs):
 def test_bad_backend_raises(model, obs):
     with pytest.raises(ValueError):
         make_loglik(model.config, model.normalizer, obs, backend="cuda")
+    with pytest.raises(ValueError):
+        make_loglik(model.config, model.normalizer, obs, method="cholesky")
+
+
+def test_gram_fold_identity(model, obs):
+    """h·G·hᵀ + 2h·u + c == ‖h@W + b‖² exactly (up to f32 rounding)."""
+    from tpu21cmvae.ops.pallas.fused_loglik import (
+        fold_loglik_constants,
+        gram_fold,
+        noise_scale,
+    )
+
+    scale = noise_scale(25.0, model.config.n_bins)
+    trunk_g, G, u, c = gram_fold(model.params, model.normalizer, obs, scale)
+    folded = fold_loglik_constants(model.params, model.normalizer, obs, scale)
+    *trunk, last = folded
+    assert len(trunk_g) == len(trunk)
+    h = jax.random.normal(jax.random.key(3), (17, last["w"].shape[0]))
+    r = h @ last["w"] + last["b"]
+    want = np.sum(np.asarray(r) ** 2, axis=-1)
+    got = np.asarray(jnp.sum((h @ G + 2.0 * u) * h, axis=-1) + c)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_gram_method_matches_direct(model, obs, backend):
+    """method='gram' == method='direct' within quadratic-form
+    cancellation error, both backends, odd batch size."""
+    rng = np.random.default_rng(21)
+    raw = synthetic_params(77, rng).astype(np.float32)
+    raw[:2, 2] = 0.0
+    want = np.asarray(_composed(model, obs, 25.0, jnp.asarray(raw)))
+    fn = jax.jit(
+        make_loglik(
+            model.config, model.normalizer, obs, 25.0,
+            backend=backend, method="gram", precision="highest",
+            block_rows=64, interpret=True,
+        )
+    )
+    got = np.asarray(fn(model.params, jnp.asarray(raw)))
+    assert got.shape == (77,)
+    # cancellation: ‖pred−mean‖²-scale terms cancel to ‖r‖²-scale result
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=0.5)
 
 
 def test_fused_mlp_bf16x3_generic():

@@ -188,17 +188,25 @@ class DirectEmulator:
         return self._build_predict(precision)
 
     def loglik_fn(
-        self, obs, noise_var=1.0, *, backend: str = "pallas", precision=None
+        self,
+        obs,
+        noise_var=1.0,
+        *,
+        backend: str = "xla",
+        method: str = "gram",
+        precision=None,
     ):
         """Jitted Gaussian log-likelihood ``(weights, raw_params) → (B,)``
         against an observed signal — the MCMC inner loop as one device
         call (see :mod:`tpu21cmvae.ops.loglik`).
 
-        ``backend="pallas"`` (default on TPU) runs the whole
-        emulate→score chain as one fused kernel with obs/noise folded
-        into the last layer and a (B,) output; ``"xla"`` is the composed
-        reference path. Both default to the accuracy-gated bf16x3 tier;
-        pass ``precision="highest"`` for the exact-f32 contract tier.
+        Defaults are the measured-fastest gate-passing configuration on
+        v5e (docs/PERF.md: xla+gram+bf16x3 ≈ 59M loglik/s vs 31M for the
+        exact composed path; the fused Pallas kernel is within ~10 % and
+        available via ``backend="pallas"``). ``method="gram"`` collapses
+        the output layer into a quadratic form; ``method="direct"``
+        evaluates the full network. Pass ``precision="highest"`` for the
+        exact-f32 contract tier.
         """
         from tpu21cmvae.ops.loglik import make_loglik
 
@@ -209,6 +217,7 @@ class DirectEmulator:
                 obs,
                 noise_var,
                 backend=backend,
+                method=method,
                 precision=precision,
             )
         )

@@ -39,6 +39,7 @@ def make_loglik(
     noise_var=1.0,
     *,
     backend: str = "xla",
+    method: str = "direct",
     precision=None,
     block_rows: Optional[int] = None,
     interpret: Optional[bool] = None,
@@ -49,19 +50,29 @@ def make_loglik(
     scalar or per-bin σ² in mK². A 1-D ``raw_params`` input scores as a
     single row, returning shape (1,).
 
+    ``method="direct"`` evaluates the full network and reduces the
+    residual; ``method="gram"`` collapses the output layer into a
+    quadratic form (``‖h@W+b‖² = h·G·hᵀ + 2h·u + c`` — the wide output
+    never exists), trading ~half the widest layer's MXU work for
+    quadratic-form cancellation (measured error tables in docs/PERF.md).
+
     ``precision`` defaults per backend to the accuracy-gated fast tier
     (``Precision.HIGH`` / in-kernel bf16x3 — ~1e-4 relative-to-amplitude
     on trained weights, ≈3 % of the 0.34 % contract budget); pass
     ``"highest"`` for the exact-f32 contract tier. Jit the result for
     dispatch (it is shard-transparent: batch-sharded inputs propagate).
     """
+    if method not in ("direct", "gram"):
+        raise ValueError(f"method must be 'direct' or 'gram'; got {method!r}")
     if backend == "pallas":
         from tpu21cmvae.ops.pallas.fused_loglik import (
             DEFAULT_LOGLIK_BLOCK_ROWS,
             make_fused_loglik,
+            make_fused_loglik_gram,
         )
 
-        return make_fused_loglik(
+        build = make_fused_loglik if method == "direct" else make_fused_loglik_gram
+        return build(
             config,
             norm,
             obs,
@@ -78,6 +89,26 @@ def make_loglik(
         jax.lax.Precision.HIGH if precision is None else precision
     )
     obs = jnp.asarray(obs, jnp.float32)
+
+    if method == "gram":
+        from tpu21cmvae.ops.pallas.fused_loglik import gram_fold, noise_scale
+        from tpu21cmvae.ops.pallas.fused_mlp import _log_clamp
+
+        scale = noise_scale(noise_var, config.n_bins)
+
+        def loglik_gram(params, raw_params):
+            trunk, G, u, c = gram_fold(params, norm, obs, scale)
+            h = _log_clamp(jnp.atleast_2d(raw_params.astype(jnp.float32)))
+            for layer in trunk:  # every trunk layer is hidden → ReLU
+                h = jax.nn.relu(
+                    jnp.matmul(h, layer["w"], precision=precision)
+                    + layer["b"]
+                )
+            g = jnp.matmul(h, G, precision=precision)
+            return -0.5 * (jnp.sum((g + 2.0 * u) * h, axis=-1) + c)
+
+        return loglik_gram
+
     invvar = jnp.broadcast_to(
         1.0 / jnp.asarray(noise_var, jnp.float32), (config.n_bins,)
     )

@@ -29,15 +29,24 @@ benchmarked against (bench_mcmc.py; measured numbers in docs/PERF.md).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from tpu21cmvae.ops.mlp import MLPParams
 from tpu21cmvae.ops.pallas.fused_mlp import (
+    _layer_matmul,
+    _log_clamp,
+    _should_interpret,
+    _split_hi_lo,
+    flatten_layer_weights,
     fold_emulator_constants,
     make_fused_mlp,
+    resolve_mode,
 )
 from tpu21cmvae.ops.transforms import Normalizer
 from tpu21cmvae.utils.config import DirectEmulatorConfig
@@ -76,6 +85,172 @@ def fold_loglik_constants(
         *rest,
         {"w": last["w"] * scale, "b": (last["b"] - obs) * scale},
     )
+
+
+def gram_fold(
+    params: MLPParams, norm: Normalizer, obs: jax.Array, scale: jax.Array
+):
+    """Collapse the (linear) output layer into a Gram form.
+
+    With the folded last layer ``r = h@W + b`` (see
+    :func:`fold_loglik_constants`), the squared residual norm is
+
+        ‖r‖² = h·(W Wᵀ)·hᵀ + 2·h·(W b) + b·b
+
+    so the 451-wide output never needs to exist: the kernel's last
+    matmul shrinks from (hidden, n_bins) to (hidden, hidden) — for the
+    flagship, 224×451 → 224×224, i.e. half the padded MXU work of the
+    widest layer. ``G = W Wᵀ`` etc. are computed once per call at
+    HIGHEST precision on the tiny weight arrays.
+
+    Numerical caveat: the Gram form evaluates ‖r‖² as a difference of
+    large terms (each ~‖h@W‖², vs the result ~‖r‖²), so it loses
+    ~log₁₀(‖pred − mean‖/‖r‖) digits to cancellation near the posterior
+    mode. Measured error tables in docs/PERF.md; the bench gate decides
+    admissibility on a trained model.
+
+    Returns ``(trunk_layers, G, u, c)``.
+    """
+    folded = fold_loglik_constants(params, norm, obs, scale)
+    *trunk, last = folded
+    w, b = last["w"], last["b"]
+    hp = jax.lax.Precision.HIGHEST
+    G = jnp.matmul(w, w.T, precision=hp)
+    u = jnp.matmul(w, b, precision=hp)
+    c = jnp.dot(b, b, precision=hp)
+    return tuple(trunk), G, u, c
+
+
+def _loglik_gram_kernel(n_trunk, mode, precision, *refs):
+    """[log-clamp] → (matmul+bias, ReLU)ⁿ → per-row quadratic form.
+
+    ``refs`` = (x, <trunk layer refs>, <G refs>, u, out); G refs are
+    (G,) or (G_hi, G_lo) in bf16x3 mode; ``u`` is (1, hidden). Every
+    trunk layer is a hidden layer (ReLU after each). The tail computes
+    ``Σ_j (h@G + 2u)_j · h_j`` per row; the caller adds the constant
+    ``c = b·b`` and the −0.5 scale.
+    """
+    stride = 3 if mode == "bf16x3" else 2
+    n_g = 2 if mode == "bf16x3" else 1
+    x_ref, *rest, out_ref = refs
+    wb, g_refs, u_ref = (
+        rest[: stride * n_trunk],
+        rest[stride * n_trunk: stride * n_trunk + n_g],
+        rest[-1],
+    )
+    h = _log_clamp(x_ref[:])
+    for i in range(n_trunk):
+        h = jnp.maximum(
+            _layer_matmul(h, wb[stride * i: stride * (i + 1)], mode, precision),
+            0.0,
+        )
+    if mode == "bf16x3":
+        g_hi, g_lo = g_refs[0][:], g_refs[1][:]
+        h_hi, h_lo = _split_hi_lo(h)
+        g = (
+            jnp.dot(h_hi, g_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(h_hi, g_lo, preferred_element_type=jnp.float32)
+            + jnp.dot(h_lo, g_hi, preferred_element_type=jnp.float32)
+        )
+    else:
+        gm = g_refs[0][:]
+        hh = h.astype(jnp.bfloat16) if mode == "bf16" else h
+        g = jnp.dot(
+            hh, gm, preferred_element_type=jnp.float32, precision=precision
+        )
+    out_ref[:] = jnp.sum((g + 2.0 * u_ref[:]) * h, axis=1, keepdims=True)
+
+
+def make_fused_loglik_gram(
+    config: DirectEmulatorConfig,
+    norm: Normalizer,
+    obs,
+    noise_var=1.0,
+    *,
+    block_rows: int = DEFAULT_LOGLIK_BLOCK_ROWS,
+    interpret: Optional[bool] = None,
+    precision="high",
+    vmem_limit_bytes: Optional[int] = DEFAULT_LOGLIK_VMEM_LIMIT,
+):
+    """Gram-form fused likelihood: ``(params, raw_params) → (B,)``.
+
+    Same contract as :func:`make_fused_loglik`, but the output layer is
+    collapsed via :func:`gram_fold` — fewer MXU FLOPs per row at the
+    price of quadratic-form cancellation (docs/PERF.md)."""
+    if config.activation != "relu":
+        raise NotImplementedError(
+            "Fused kernel supports the reference's relu MLPs only; got "
+            f"activation={config.activation!r}"
+        )
+    obs = jnp.asarray(obs, jnp.float32)
+    scale = noise_scale(noise_var, config.n_bins)
+    sizes = config.mlp().sizes
+    n_trunk = len(sizes) - 2
+    hidden = sizes[-2]
+    in_dim = sizes[0]
+    if interpret is None:
+        interpret = _should_interpret()
+    mode, prec, _ = resolve_mode(precision)
+    kernel = functools.partial(_loglik_gram_kernel, n_trunk, mode, prec)
+
+    n_weight_refs = (3 if mode == "bf16x3" else 2) * n_trunk + (
+        2 if mode == "bf16x3" else 1
+    ) + 1
+    wb_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_weight_refs)
+    ]
+    flops_per_row = 2 * (
+        sum(a * b for a, b in zip(sizes[:-2], sizes[1:-1])) + hidden * hidden
+    )
+
+    def loglik(params: MLPParams, raw_params: jax.Array) -> jax.Array:
+        trunk, G, u, c = gram_fold(params, norm, obs, scale)
+        x = raw_params.astype(jnp.float32)
+        if x.ndim == 1:
+            x = x[None, :]
+        n = x.shape[0]
+        nb = pl.cdiv(n, block_rows)
+        padded = nb * block_rows
+        if padded != n:
+            x = jnp.pad(x, ((0, padded - n), (0, 0)), constant_values=1.0)
+        flat = flatten_layer_weights(trunk, mode)
+        if mode == "bf16x3":
+            flat.extend(_split_hi_lo(G))
+        else:
+            flat.append(G)
+        flat.append(u.reshape(1, -1))
+        quad = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(
+                    (block_rows, in_dim),
+                    lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                *wb_specs,
+            ],
+            out_specs=pl.BlockSpec(
+                (block_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((padded, 1), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=padded * flops_per_row,
+                bytes_accessed=4 * padded * (in_dim + 1),
+                transcendentals=padded * 3,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    ("arbitrary",) if interpret else ("parallel",)
+                ),
+                vmem_limit_bytes=vmem_limit_bytes,
+            ),
+            interpret=interpret,
+        )(x, *flat)
+        quad = quad[:n, 0] if padded != n else quad[:, 0]
+        return -0.5 * (quad + c)
+
+    return loglik
 
 
 def make_fused_loglik(

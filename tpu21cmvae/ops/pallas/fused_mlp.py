@@ -179,34 +179,62 @@ def _mlp_kernel(
     if log_clamp_input:
         h = _log_clamp(h)
     for i in range(n_layers):
-        if mode == "bf16x3":
-            w_hi, w_lo, b = (r[:] for r in wb[stride * i: stride * i + 3])
-            h_hi, h_lo = _split_hi_lo(h)
-            h = (
-                jnp.dot(h_hi, w_hi, preferred_element_type=jnp.float32)
-                + jnp.dot(h_hi, w_lo, preferred_element_type=jnp.float32)
-                + jnp.dot(h_lo, w_hi, preferred_element_type=jnp.float32)
-                + b
-            )
-        else:
-            w, b = wb[2 * i][:], wb[2 * i + 1][:]
-            if mode == "bf16":
-                h = h.astype(jnp.bfloat16)
-            h = (
-                jnp.dot(
-                    h,
-                    w,
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )
-                + b
-            )
+        h = _layer_matmul(h, wb[stride * i: stride * (i + 1)], mode, precision)
         if i < n_layers - 1:
             h = jnp.maximum(h, 0.0)
     if reduce == "sumsq":
         out_ref[:] = jnp.sum(h * h, axis=1, keepdims=True)
     else:
         out_ref[:] = h
+
+
+def _layer_matmul(h, refs, mode, precision):
+    """One dense layer ``h @ W + b`` on a layer's refs, f32 accumulation.
+
+    ``refs`` is (w, b) — or (w_hi, w_lo, b) in bf16x3 mode, where the
+    product is ``hi·hi + hi·lo + lo·hi`` with in-kernel activation
+    splitting (see :func:`_split_hi_lo`).
+    """
+    if mode == "bf16x3":
+        w_hi, w_lo, b = (r[:] for r in refs)
+        h_hi, h_lo = _split_hi_lo(h)
+        return (
+            jnp.dot(h_hi, w_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(h_hi, w_lo, preferred_element_type=jnp.float32)
+            + jnp.dot(h_lo, w_hi, preferred_element_type=jnp.float32)
+            + b
+        )
+    w, b = refs[0][:], refs[1][:]
+    if mode == "bf16":
+        h = h.astype(jnp.bfloat16)
+    return (
+        jnp.dot(h, w, preferred_element_type=jnp.float32, precision=precision)
+        + b
+    )
+
+
+def resolve_mode(precision, weight_dtype=jnp.float32):
+    """Map a precision tier + weight dtype to (kernel mode, dot
+    precision, refs per layer) — shared by every fused-kernel builder."""
+    prec = resolve_precision(precision)
+    if prec == jax.lax.Precision.HIGH:
+        return "bf16x3", jax.lax.Precision.DEFAULT, 3
+    mode = "bf16" if weight_dtype == jnp.bfloat16 else "f32"
+    return mode, prec, 2
+
+
+def flatten_layer_weights(params: MLPParams, mode, weight_dtype=jnp.float32):
+    """Flatten a weights pytree into the kernel's per-layer ref list
+    ((w, b) or (w_hi, w_lo, b)), with the dtype casts applied."""
+    flat = []
+    for layer in params:
+        if mode == "bf16x3":
+            w_hi, w_lo = _split_hi_lo(layer["w"].astype(jnp.float32))
+            flat.extend((w_hi, w_lo))
+        else:
+            flat.append(layer["w"].astype(weight_dtype))
+        flat.append(layer["b"].reshape(1, -1).astype(jnp.float32))
+    return flat
 
 
 def _should_interpret() -> bool:
@@ -255,14 +283,7 @@ def make_fused_mlp(
         raise ValueError(f"reduce must be 'none' or 'sumsq'; got {reduce!r}")
     if interpret is None:
         interpret = _should_interpret()
-    prec = resolve_precision(precision)
-    if prec == jax.lax.Precision.HIGH:
-        mode = "bf16x3"  # manual decomposition; Mosaic lacks HIGH
-        prec = jax.lax.Precision.DEFAULT
-        refs_per_layer = 3
-    else:
-        mode = "bf16" if weight_dtype == jnp.bfloat16 else "f32"
-        refs_per_layer = 2
+    mode, prec, refs_per_layer = resolve_mode(precision, weight_dtype)
 
     kernel = functools.partial(
         _mlp_kernel, n_layers, log_clamp_input, prec, mode, reduce
@@ -290,14 +311,7 @@ def make_fused_mlp(
         padded = nb * block_rows
         if padded != n:
             x = jnp.pad(x, ((0, padded - n), (0, 0)), constant_values=1.0)
-        flat = []
-        for layer in params:
-            if mode == "bf16x3":
-                w_hi, w_lo = _split_hi_lo(layer["w"].astype(jnp.float32))
-                flat.extend((w_hi, w_lo))
-            else:
-                flat.append(layer["w"].astype(weight_dtype))
-            flat.append(layer["b"].reshape(1, -1).astype(jnp.float32))
+        flat = flatten_layer_weights(params, mode, weight_dtype)
         out = pl.pallas_call(
             kernel,
             grid=(nb,),
