@@ -319,3 +319,24 @@ def test_sharded_emulator_warmup_precompiles(splits):
     for n in (5, 17, 40):
         out = sharded(np.asarray(splits.par_test[:n], np.float32))
         assert out.shape == (n, splits.n_bins)
+
+
+def test_sharded_loglik_matches_single_device(splits):
+    """The fused likelihood is shard-transparent: batch-sharded walkers
+    with replicated weights give the same (B,) log-likelihoods as the
+    unsharded call — the multi-chip MCMC inner loop (SURVEY.md §2.3)."""
+    em = DirectEmulator(splits, seed=5)
+    obs = jnp.asarray(
+        em.predict(splits.par_test[0])
+        + np.random.default_rng(9).normal(0, 5.0, splits.n_bins),
+        jnp.float32,
+    )
+    mesh = make_mesh()
+    weights = replicate(em.params, mesh)
+    raw = jnp.asarray(splits.par_test[:64], jnp.float32)
+    for method in ("direct", "gram"):
+        fn = em.loglik_fn(obs, 25.0, backend="xla", method=method)
+        want = np.asarray(fn(em.params, raw))
+        got = fn(weights, shard_batch(raw, mesh))
+        assert got.sharding.spec == shard_batch(raw, mesh).sharding.spec
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
