@@ -340,3 +340,24 @@ def test_sharded_loglik_matches_single_device(splits):
         got = fn(weights, shard_batch(raw, mesh))
         assert got.sharding.spec == shard_batch(raw, mesh).sharding.spec
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
+
+
+def test_sharded_emulator_wraps_loglik(splits):
+    """ShardedEmulator accepts ANY (weights, raw)->out function — wrap
+    the fused likelihood for host-side samplers (ragged batches padded
+    to buckets, (B,) output)."""
+    em = DirectEmulator(splits, seed=5)
+    obs = jnp.asarray(
+        em.predict(splits.par_test[0])
+        + np.random.default_rng(9).normal(0, 5.0, splits.n_bins),
+        jnp.float32,
+    )
+    fn = em.loglik_fn(obs, 25.0)
+    sharded = ShardedEmulator(fn, em.params)
+    raw = splits.par_test[:13]
+    got = sharded(raw)
+    want = np.asarray(fn(em.params, jnp.asarray(raw, jnp.float32)))
+    assert got.shape == (13,)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    one = sharded(splits.par_test[0])
+    assert np.ndim(one) == 0 or np.shape(one) == ()  # single-row squeeze

@@ -201,8 +201,8 @@ class DirectEmulator:
         call (see :mod:`tpu21cmvae.ops.loglik`).
 
         Defaults are the measured-fastest gate-passing configuration on
-        v5e (docs/PERF.md: xla+gram+bf16x3 ≈ 59M loglik/s vs 31M for the
-        exact composed path; the fused Pallas kernel is within ~10 % and
+        v5e (docs/PERF.md: xla+gram+bf16x3 ≈ 64M loglik/s vs 33M for the
+        exact composed path; the fused Pallas kernel is within ~15 % and
         available via ``backend="pallas"``). ``method="gram"`` collapses
         the output layer into a quadratic form; ``method="direct"``
         evaluates the full network. Pass ``precision="highest"`` for the

@@ -96,14 +96,20 @@ def make_loglik(
 
         scale = noise_scale(noise_var, config.n_bins)
 
+        from tpu21cmvae.ops.mlp import SKINNY_DENSE_MAX_IN, skinny_dense
+
         def loglik_gram(params, raw_params):
             trunk, G, u, c = gram_fold(params, norm, obs, scale)
             h = _log_clamp(jnp.atleast_2d(raw_params.astype(jnp.float32)))
-            for layer in trunk:  # every trunk layer is hidden → ReLU
-                h = jax.nn.relu(
-                    jnp.matmul(h, layer["w"], precision=precision)
-                    + layer["b"]
-                )
+            for i, layer in enumerate(trunk):  # trunk layers are hidden → ReLU
+                if i == 0 and layer["w"].shape[0] <= SKINNY_DENSE_MAX_IN:
+                    h = skinny_dense(h, layer["w"], layer["b"])  # exact, VPU
+                else:
+                    h = (
+                        jnp.matmul(h, layer["w"], precision=precision)
+                        + layer["b"]
+                    )
+                h = jax.nn.relu(h)
             g = jnp.matmul(h, G, precision=precision)
             return -0.5 * (jnp.sum((g + 2.0 * u) * h, axis=-1) + c)
 

@@ -41,10 +41,12 @@ from tpu21cmvae.ops.mlp import MLPParams
 from tpu21cmvae.ops.pallas.fused_mlp import (
     _layer_matmul,
     _log_clamp,
+    _refs_per_layer,
     _should_interpret,
     _split_hi_lo,
     flatten_layer_weights,
     fold_emulator_constants,
+    layer_mode_plan,
     make_fused_mlp,
     resolve_mode,
 )
@@ -121,29 +123,27 @@ def gram_fold(
     return tuple(trunk), G, u, c
 
 
-def _loglik_gram_kernel(n_trunk, mode, precision, *refs):
+def _loglik_gram_kernel(trunk_modes, mode, precision, *refs):
     """[log-clamp] → (matmul+bias, ReLU)ⁿ → per-row quadratic form.
 
     ``refs`` = (x, <trunk layer refs>, <G refs>, u, out); G refs are
     (G,) or (G_hi, G_lo) in bf16x3 mode; ``u`` is (1, hidden). Every
-    trunk layer is a hidden layer (ReLU after each). The tail computes
-    ``Σ_j (h@G + 2u)_j · h_j`` per row; the caller adds the constant
-    ``c = b·b`` and the −0.5 scale.
+    trunk layer is a hidden layer (ReLU after each); ``trunk_modes``
+    gives each layer's kernel mode (the first is ``"skinny"`` for the
+    7-wide input — see :func:`fused_mlp.layer_mode_plan`). The tail
+    computes ``Σ_j (h@G + 2u)_j · h_j`` per row; the caller adds the
+    constant ``c = b·b`` and the −0.5 scale.
     """
-    stride = 3 if mode == "bf16x3" else 2
     n_g = 2 if mode == "bf16x3" else 1
+    n_wb = sum(_refs_per_layer(m) for m in trunk_modes)
     x_ref, *rest, out_ref = refs
-    wb, g_refs, u_ref = (
-        rest[: stride * n_trunk],
-        rest[stride * n_trunk: stride * n_trunk + n_g],
-        rest[-1],
-    )
+    wb, g_refs, u_ref = rest[:n_wb], rest[n_wb: n_wb + n_g], rest[-1]
     h = _log_clamp(x_ref[:])
-    for i in range(n_trunk):
-        h = jnp.maximum(
-            _layer_matmul(h, wb[stride * i: stride * (i + 1)], mode, precision),
-            0.0,
-        )
+    lo = 0
+    for lmode in trunk_modes:
+        hi = lo + _refs_per_layer(lmode)
+        h = jnp.maximum(_layer_matmul(h, wb[lo:hi], lmode, precision), 0.0)
+        lo = hi
     if mode == "bf16x3":
         g_hi, g_lo = g_refs[0][:], g_refs[1][:]
         h_hi, h_lo = _split_hi_lo(h)
@@ -185,17 +185,20 @@ def make_fused_loglik_gram(
     obs = jnp.asarray(obs, jnp.float32)
     scale = noise_scale(noise_var, config.n_bins)
     sizes = config.mlp().sizes
-    n_trunk = len(sizes) - 2
     hidden = sizes[-2]
     in_dim = sizes[0]
     if interpret is None:
         interpret = _should_interpret()
-    mode, prec, _ = resolve_mode(precision)
-    kernel = functools.partial(_loglik_gram_kernel, n_trunk, mode, prec)
+    # trunk = sizes[:-1]; the skinny first layer runs as VPU FMA
+    trunk_modes, prec = layer_mode_plan(sizes[:-1], precision)
+    mode, _ = resolve_mode(precision)
+    kernel = functools.partial(_loglik_gram_kernel, trunk_modes, mode, prec)
 
-    n_weight_refs = (3 if mode == "bf16x3" else 2) * n_trunk + (
-        2 if mode == "bf16x3" else 1
-    ) + 1
+    n_weight_refs = (
+        sum(_refs_per_layer(m) for m in trunk_modes)
+        + (2 if mode == "bf16x3" else 1)  # G (or its hi/lo halves)
+        + 1  # u
+    )
     wb_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_weight_refs)
     ]
@@ -213,7 +216,7 @@ def make_fused_loglik_gram(
         padded = nb * block_rows
         if padded != n:
             x = jnp.pad(x, ((0, padded - n), (0, 0)), constant_values=1.0)
-        flat = flatten_layer_weights(trunk, mode)
+        flat = flatten_layer_weights(trunk, trunk_modes)
         if mode == "bf16x3":
             flat.extend(_split_hi_lo(G))
         else:

@@ -144,8 +144,12 @@ def _split_hi_lo(x: jax.Array):
     return hi_f32.astype(jnp.bfloat16), (x - hi_f32).astype(jnp.bfloat16)
 
 
+def _refs_per_layer(mode: str) -> int:
+    return 3 if mode == "bf16x3" else 2
+
+
 def _mlp_kernel(
-    n_layers: int, log_clamp_input: bool, precision, mode, reduce, *refs
+    layer_modes, log_clamp_input: bool, precision, reduce, *refs
 ):
     """Kernel body: [log-clamp] → (matmul+bias, ReLU)ⁿ⁻¹ → matmul+bias
     [→ per-row Σy²].
@@ -155,7 +159,7 @@ def _mlp_kernel(
     every operand is ≥2-D (TPU tiling). Accumulation is always f32
     (``preferred_element_type``).
 
-    ``mode``:
+    ``layer_modes`` (one per layer):
       * ``"f32"`` — f32 operands; ``precision`` picks the number of bf16
         MXU passes per matmul (DEFAULT=1, HIGHEST=6).
       * ``"bf16"`` — activations cast to bf16 before each matmul (weights
@@ -165,6 +169,9 @@ def _mlp_kernel(
         f32 accumulation. Same accuracy class as XLA ``Precision.HIGH``
         (~1e-4 relative-to-amplitude on trained weights — inside the
         accuracy contract), at half the MXU passes of HIGHEST.
+      * ``"skinny"`` — VPU broadcast-FMA over a small static fan-in
+        (exact f32, no MXU pass at all; the 7-wide input layer wastes
+        ~18× its logical FLOPs on a padded MXU tile).
 
     ``reduce="sumsq"`` ends the network with ``Σ_bins y²`` per row into a
     (rows, 1) output instead of writing the (rows, n_bins) signal — the
@@ -174,12 +181,15 @@ def _mlp_kernel(
     point of fusing the MCMC likelihood.
     """
     x_ref, *wb, out_ref = refs
-    stride = 3 if mode == "bf16x3" else 2
+    n_layers = len(layer_modes)
     h = x_ref[:]
     if log_clamp_input:
         h = _log_clamp(h)
-    for i in range(n_layers):
-        h = _layer_matmul(h, wb[stride * i: stride * (i + 1)], mode, precision)
+    lo = 0
+    for i, lmode in enumerate(layer_modes):
+        hi = lo + _refs_per_layer(lmode)
+        h = _layer_matmul(h, wb[lo:hi], lmode, precision)
+        lo = hi
         if i < n_layers - 1:
             h = jnp.maximum(h, 0.0)
     if reduce == "sumsq":
@@ -193,7 +203,8 @@ def _layer_matmul(h, refs, mode, precision):
 
     ``refs`` is (w, b) — or (w_hi, w_lo, b) in bf16x3 mode, where the
     product is ``hi·hi + hi·lo + lo·hi`` with in-kernel activation
-    splitting (see :func:`_split_hi_lo`).
+    splitting (see :func:`_split_hi_lo`). ``"skinny"`` unrolls the
+    (static, small) fan-in as broadcast multiply-adds on the VPU.
     """
     if mode == "bf16x3":
         w_hi, w_lo, b = (r[:] for r in refs)
@@ -204,6 +215,12 @@ def _layer_matmul(h, refs, mode, precision):
             + jnp.dot(h_lo, w_hi, preferred_element_type=jnp.float32)
             + b
         )
+    if mode == "skinny":
+        w, b = refs
+        acc = b[:] + h[:, 0:1] * w[0:1, :]
+        for k in range(1, w.shape[0]):
+            acc = acc + h[:, k: k + 1] * w[k: k + 1, :]
+        return acc
     w, b = refs[0][:], refs[1][:]
     if mode == "bf16":
         h = h.astype(jnp.bfloat16)
@@ -215,22 +232,51 @@ def _layer_matmul(h, refs, mode, precision):
 
 def resolve_mode(precision, weight_dtype=jnp.float32):
     """Map a precision tier + weight dtype to (kernel mode, dot
-    precision, refs per layer) — shared by every fused-kernel builder."""
+    precision) — shared by every fused-kernel builder."""
     prec = resolve_precision(precision)
     if prec == jax.lax.Precision.HIGH:
-        return "bf16x3", jax.lax.Precision.DEFAULT, 3
-    mode = "bf16" if weight_dtype == jnp.bfloat16 else "f32"
-    return mode, prec, 2
+        return "bf16x3", jax.lax.Precision.DEFAULT
+    return ("bf16" if weight_dtype == jnp.bfloat16 else "f32"), prec
 
 
-def flatten_layer_weights(params: MLPParams, mode, weight_dtype=jnp.float32):
+def layer_mode_plan(sizes, precision, weight_dtype=jnp.float32):
+    """Per-layer kernel modes + dot precision for an MLP of ``sizes``:
+    the tier's mode everywhere, except a skinny-fan-in first layer which
+    always runs as exact VPU broadcast-FMA (measured +8 % and an
+    accuracy improvement at every tier — docs/PERF.md)."""
+    from tpu21cmvae.ops.mlp import SKINNY_DENSE_MAX_IN
+
+    mode, prec = resolve_mode(precision, weight_dtype)
+    modes = tuple(
+        "skinny" if i == 0 and sizes[0] <= SKINNY_DENSE_MAX_IN else mode
+        for i in range(len(sizes) - 1)
+    )
+    return modes, prec
+
+
+# MXU passes per f32-equivalent matmul, for cost estimates
+_PASSES = {"f32": {jax.lax.Precision.DEFAULT: 1,
+                   jax.lax.Precision.HIGHEST: 6},
+           "bf16": 1, "bf16x3": 3, "skinny": 1}
+
+
+def _layer_passes(mode, prec) -> int:
+    p = _PASSES[mode]
+    return p.get(prec, 1) if isinstance(p, dict) else p
+
+
+def flatten_layer_weights(
+    params: MLPParams, layer_modes, weight_dtype=jnp.float32
+):
     """Flatten a weights pytree into the kernel's per-layer ref list
     ((w, b) or (w_hi, w_lo, b)), with the dtype casts applied."""
     flat = []
-    for layer in params:
-        if mode == "bf16x3":
+    for layer, lmode in zip(params, layer_modes):
+        if lmode == "bf16x3":
             w_hi, w_lo = _split_hi_lo(layer["w"].astype(jnp.float32))
             flat.extend((w_hi, w_lo))
+        elif lmode == "skinny":  # exact f32 broadcast-FMA operand
+            flat.append(layer["w"].astype(jnp.float32))
         else:
             flat.append(layer["w"].astype(weight_dtype))
         flat.append(layer["b"].reshape(1, -1).astype(jnp.float32))
@@ -277,30 +323,30 @@ def make_fused_mlp(
     per-row sum of squares, shape (n,) — the fused log-likelihood tail.
     """
     sizes = tuple(int(s) for s in sizes)
-    n_layers = len(sizes) - 1
     in_dim, out_dim = sizes[0], sizes[-1]
     if reduce not in ("none", "sumsq"):
         raise ValueError(f"reduce must be 'none' or 'sumsq'; got {reduce!r}")
     if interpret is None:
         interpret = _should_interpret()
-    mode, prec, refs_per_layer = resolve_mode(precision, weight_dtype)
+    layer_modes, prec = layer_mode_plan(sizes, precision, weight_dtype)
 
     kernel = functools.partial(
-        _mlp_kernel, n_layers, log_clamp_input, prec, mode, reduce
+        _mlp_kernel, layer_modes, log_clamp_input, prec, reduce
     )
-    passes = {"f32": {jax.lax.Precision.DEFAULT: 1,
-                      jax.lax.Precision.HIGHEST: 6}.get(prec, 1),
-              "bf16": 1, "bf16x3": 3}[mode]
-    flops_per_row = 2 * sum(a * b for a, b in zip(sizes[:-1], sizes[1:]))
-    wbytes = 4 if mode == "f32" else 2 * (refs_per_layer - 1)
-    weight_bytes = wbytes * sum(
-        (a + 1) * b for a, b in zip(sizes[:-1], sizes[1:])
+    flops_per_row = 2 * sum(
+        _layer_passes(m, prec) * a * b
+        for m, a, b in zip(layer_modes, sizes[:-1], sizes[1:])
+    )
+    weight_bytes = sum(
+        (4 if m in ("f32", "skinny") else 2 * (_refs_per_layer(m) - 1))
+        * (a + 1) * b
+        for m, a, b in zip(layer_modes, sizes[:-1], sizes[1:])
     )
     out_cols = 1 if reduce == "sumsq" else out_dim
 
     wb_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM)
-        for _ in range(refs_per_layer * n_layers)
+        for _ in range(sum(_refs_per_layer(m) for m in layer_modes))
     ]
 
     def call(params: MLPParams, x: jax.Array) -> jax.Array:
@@ -311,7 +357,7 @@ def make_fused_mlp(
         padded = nb * block_rows
         if padded != n:
             x = jnp.pad(x, ((0, padded - n), (0, 0)), constant_values=1.0)
-        flat = flatten_layer_weights(params, mode, weight_dtype)
+        flat = flatten_layer_weights(params, layer_modes, weight_dtype)
         out = pl.pallas_call(
             kernel,
             grid=(nb,),
@@ -330,7 +376,7 @@ def make_fused_mlp(
             ),
             out_shape=jax.ShapeDtypeStruct((padded, out_cols), jnp.float32),
             cost_estimate=pl.CostEstimate(
-                flops=passes * padded * flops_per_row,
+                flops=padded * flops_per_row,
                 bytes_accessed=4 * padded * (in_dim + out_cols) + weight_bytes,
                 transcendentals=(
                     padded * _N_LOG_COLS if log_clamp_input else 0
