@@ -193,6 +193,49 @@ def test_gram_method_matches_direct(model, obs, backend):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=0.5)
 
 
+def test_two_stage_family_loglik(splits, obs):
+    """AE and VAE emulators expose the same loglik contract through
+    their predict pipelines (reference users hand-composed this at
+    ~40 ms/signal; reference ``emulator.py:770-795``)."""
+    from tpu21cmvae.models.autoencoder import AutoEncoderEmulator
+    from tpu21cmvae.models.vae import VAEEmulator
+
+    raw = jnp.asarray(splits.par_test[:9], jnp.float32)
+    for cls in (AutoEncoderEmulator, VAEEmulator):
+        m = cls(splits)
+        fn = m.loglik_fn(obs, 25.0)
+        got = np.asarray(fn(m.params, raw))
+        pred = m.predict(np.asarray(raw))
+        want = -0.5 * np.sum((pred - np.asarray(obs)) ** 2 / 25.0, axis=-1)
+        assert got.shape == (9,)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+        one = fn(m.params, raw[0])
+        assert one.shape == (1,)
+
+
+def test_fused_mlp_skinny_single_layer():
+    """A 1-layer skinny-input network: the skinny path IS the output
+    layer (no ReLU), with and without the sumsq reduce tail."""
+    from tpu21cmvae.ops.mlp import init_mlp
+    from tpu21cmvae.ops.pallas import make_fused_mlp
+
+    sizes = (7, 33)
+    params = init_mlp(jax.random.key(4), sizes)
+    x = jax.random.normal(jax.random.key(5), (50, 7), jnp.float32)
+    want = np.asarray(mlp_apply(params, x))
+    fused = make_fused_mlp(sizes, block_rows=32, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(fused(params, x)), want, rtol=1e-5, atol=1e-5
+    )
+    reduced = make_fused_mlp(sizes, block_rows=32, interpret=True,
+                             reduce="sumsq")
+    np.testing.assert_allclose(
+        np.asarray(reduced(params, x)),
+        np.sum(want**2, axis=-1),
+        rtol=1e-5,
+    )
+
+
 def test_fused_mlp_bf16x3_generic():
     """Generic fused MLP at precision='high' (manual hi/lo bf16x3) stays
     within the HIGH accuracy class of the exact XLA forward."""

@@ -281,6 +281,19 @@ class AutoEncoderEmulator:
 
         return predict
 
+    def loglik_fn(self, obs, noise_var=1.0):
+        """Jitted Gaussian log-likelihood ``(weights, raw_params) → (B,)``
+        against an observed signal, over the em→decoder pipeline — the
+        MCMC inner loop for this family (see
+        :func:`tpu21cmvae.ops.loglik.make_loglik_from_predict`; the
+        direct family additionally offers gram/Pallas specializations).
+        """
+        from tpu21cmvae.ops.loglik import make_loglik_from_predict
+
+        return jax.jit(make_loglik_from_predict(
+            self.predict_fn(), obs, noise_var
+        ))
+
     @property
     def params(self):
         """Weights pytree for :meth:`predict_fn` (emulator + decoder)."""

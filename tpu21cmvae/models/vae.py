@@ -198,6 +198,17 @@ class VAEEmulator:
 
         return predict
 
+    def loglik_fn(self, obs, noise_var=1.0):
+        """Jitted Gaussian log-likelihood ``(weights, raw_params) → (B,)``
+        over the em→decoder pipeline (posterior-mean latents, no
+        sampling) — the MCMC inner loop for this family (see
+        :func:`tpu21cmvae.ops.loglik.make_loglik_from_predict`)."""
+        from tpu21cmvae.ops.loglik import make_loglik_from_predict
+
+        return jax.jit(make_loglik_from_predict(
+            self.predict_fn(), obs, noise_var
+        ))
+
     @property
     def params(self):
         """Weights pytree for :meth:`predict_fn` (emulator + VAE)."""

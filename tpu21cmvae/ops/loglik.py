@@ -32,6 +32,26 @@ from tpu21cmvae.ops.transforms import Normalizer, par_transform, unpreproc
 from tpu21cmvae.utils.config import DirectEmulatorConfig
 
 
+def make_loglik_from_predict(predict_fn, obs, noise_var=1.0):
+    """Generic Gaussian log-likelihood over ANY ``(weights, raw) →
+    signals`` prediction function — the two-stage families
+    (:class:`AutoEncoderEmulator`, :class:`VAEEmulator`) plug their
+    ``predict_fn`` in here. The direct family should prefer
+    :func:`make_loglik`, whose folded/gram/Pallas specializations only
+    exist for a single-MLP forward."""
+    obs = jnp.asarray(obs, jnp.float32)
+    invvar = 1.0 / jnp.broadcast_to(
+        jnp.asarray(noise_var, jnp.float32), obs.shape
+    )
+
+    def loglik(weights, raw_params):
+        raw = jnp.atleast_2d(jnp.asarray(raw_params, jnp.float32))
+        pred = predict_fn(weights, raw)
+        return -0.5 * jnp.sum((pred - obs) ** 2 * invvar, axis=-1)
+
+    return loglik
+
+
 def make_loglik(
     config: DirectEmulatorConfig,
     norm: Normalizer,
