@@ -152,6 +152,11 @@ def _loglik_gram_kernel(trunk_modes, mode, precision, *refs):
             + jnp.dot(h_hi, g_lo, preferred_element_type=jnp.float32)
             + jnp.dot(h_lo, g_hi, preferred_element_type=jnp.float32)
         )
+    elif mode == "bf16x3s":  # stacked: one dot over the 3K contraction
+        g3 = g_refs[0][:]
+        h_hi, h_lo = _split_hi_lo(h)
+        h3 = jnp.concatenate([h_hi, h_hi, h_lo], axis=1)
+        g = jnp.dot(h3, g3, preferred_element_type=jnp.float32)
     else:
         gm = g_refs[0][:]
         hh = h.astype(jnp.bfloat16) if mode == "bf16" else h
@@ -219,6 +224,9 @@ def make_fused_loglik_gram(
         flat = flatten_layer_weights(trunk, trunk_modes)
         if mode == "bf16x3":
             flat.extend(_split_hi_lo(G))
+        elif mode == "bf16x3s":
+            g_hi, g_lo = _split_hi_lo(G)
+            flat.append(jnp.concatenate([g_hi, g_lo, g_hi], axis=0))
         else:
             flat.append(G)
         flat.append(u.reshape(1, -1))

@@ -145,7 +145,7 @@ def _split_hi_lo(x: jax.Array):
 
 
 def _refs_per_layer(mode: str) -> int:
-    return 3 if mode == "bf16x3" else 2
+    return 3 if mode == "bf16x3" else 2  # bf16x3s pre-stacks into one w
 
 
 def _mlp_kernel(
@@ -215,6 +215,16 @@ def _layer_matmul(h, refs, mode, precision):
             + jnp.dot(h_lo, w_hi, preferred_element_type=jnp.float32)
             + b
         )
+    if mode == "bf16x3s":
+        # same three products as bf16x3 but STACKED along the
+        # contraction dim into one MXU matmul: [hi, hi, lo] @ [Whi; Wlo;
+        # Whi]. One large dot schedules better than three skinny ones
+        # and wastes less tile padding (e.g. K=288: 3×384-padded passes
+        # → one 896-padded pass).
+        w3, b = refs[0][:], refs[1][:]
+        h_hi, h_lo = _split_hi_lo(h)
+        h3 = jnp.concatenate([h_hi, h_hi, h_lo], axis=1)
+        return jnp.dot(h3, w3, preferred_element_type=jnp.float32) + b
     if mode == "skinny":
         w, b = refs
         acc = b[:] + h[:, 0:1] * w[0:1, :]
@@ -232,10 +242,22 @@ def _layer_matmul(h, refs, mode, precision):
 
 def resolve_mode(precision, weight_dtype=jnp.float32):
     """Map a precision tier + weight dtype to (kernel mode, dot
-    precision) — shared by every fused-kernel builder."""
+    precision) — shared by every fused-kernel builder.
+
+    The HIGH tier lowers to the STACKED bf16x3 form by default: the
+    three products run as one MXU matmul over the 3K contraction
+    (``[hi, hi, lo] @ [Whi; Wlo; Whi]``) — measured ~7 % faster than
+    three separate dots at identical accuracy (docs/PERF.md). The
+    three-dot form stays reachable as ``"high-split"`` for A/B."""
+    if isinstance(precision, str):
+        p = precision.lower().replace("_", "-")
+        if p == "high-split":
+            return "bf16x3", jax.lax.Precision.DEFAULT
+        if p == "high-stacked":
+            return "bf16x3s", jax.lax.Precision.DEFAULT
     prec = resolve_precision(precision)
     if prec == jax.lax.Precision.HIGH:
-        return "bf16x3", jax.lax.Precision.DEFAULT
+        return "bf16x3s", jax.lax.Precision.DEFAULT
     return ("bf16" if weight_dtype == jnp.bfloat16 else "f32"), prec
 
 
@@ -257,7 +279,7 @@ def layer_mode_plan(sizes, precision, weight_dtype=jnp.float32):
 # MXU passes per f32-equivalent matmul, for cost estimates
 _PASSES = {"f32": {jax.lax.Precision.DEFAULT: 1,
                    jax.lax.Precision.HIGHEST: 6},
-           "bf16": 1, "bf16x3": 3, "skinny": 1}
+           "bf16": 1, "bf16x3": 3, "bf16x3s": 3, "skinny": 1}
 
 
 def _layer_passes(mode, prec) -> int:
@@ -275,6 +297,9 @@ def flatten_layer_weights(
         if lmode == "bf16x3":
             w_hi, w_lo = _split_hi_lo(layer["w"].astype(jnp.float32))
             flat.extend((w_hi, w_lo))
+        elif lmode == "bf16x3s":
+            w_hi, w_lo = _split_hi_lo(layer["w"].astype(jnp.float32))
+            flat.append(jnp.concatenate([w_hi, w_lo, w_hi], axis=0))
         elif lmode == "skinny":  # exact f32 broadcast-FMA operand
             flat.append(layer["w"].astype(jnp.float32))
         else:
@@ -337,9 +362,9 @@ def make_fused_mlp(
         _layer_passes(m, prec) * a * b
         for m, a, b in zip(layer_modes, sizes[:-1], sizes[1:])
     )
+    _WBYTES = {"f32": 4, "skinny": 4, "bf16": 2, "bf16x3": 4, "bf16x3s": 6}
     weight_bytes = sum(
-        (4 if m in ("f32", "skinny") else 2 * (_refs_per_layer(m) - 1))
-        * (a + 1) * b
+        _WBYTES[m] * (a + 1) * b
         for m, a, b in zip(layer_modes, sizes[:-1], sizes[1:])
     )
     out_cols = 1 if reduce == "sumsq" else out_dim
