@@ -59,8 +59,12 @@ from tpu21cmvae.utils.config import DirectEmulatorConfig
 # 2048 rows at exact-f32 needs ~18 MB scoped VMEM (activations + matmul
 # stack), above the compiler's 16 MB default — raised via
 # ``vmem_limit_bytes`` below (v5e has far more physical VMEM).
+# Each block runs as 4 independent 512-row sub-chains so Mosaic can
+# overlap one chain's VPU work with another's MXU passes (measured
+# ~+5 %; sweep in docs/PERF.md).
 DEFAULT_LOGLIK_BLOCK_ROWS = 2048
-DEFAULT_LOGLIK_VMEM_LIMIT = 100 * 1024 * 1024
+DEFAULT_LOGLIK_INTERLEAVE = 4
+DEFAULT_LOGLIK_VMEM_LIMIT = 110 * 1024 * 1024
 
 
 def noise_scale(noise_var, n_bins: int) -> jax.Array:
@@ -123,7 +127,7 @@ def gram_fold(
     return tuple(trunk), G, u, c
 
 
-def _loglik_gram_kernel(trunk_modes, mode, precision, *refs):
+def _loglik_gram_kernel(trunk_modes, mode, precision, interleave, *refs):
     """[log-clamp] → (matmul+bias, ReLU)ⁿ → per-row quadratic form.
 
     ``refs`` = (x, <trunk layer refs>, <G refs>, u, out); G refs are
@@ -138,32 +142,42 @@ def _loglik_gram_kernel(trunk_modes, mode, precision, *refs):
     n_wb = sum(_refs_per_layer(m) for m in trunk_modes)
     x_ref, *rest, out_ref = refs
     wb, g_refs, u_ref = rest[:n_wb], rest[n_wb: n_wb + n_g], rest[-1]
-    h = _log_clamp(x_ref[:])
-    lo = 0
-    for lmode in trunk_modes:
-        hi = lo + _refs_per_layer(lmode)
-        h = jnp.maximum(_layer_matmul(h, wb[lo:hi], lmode, precision), 0.0)
-        lo = hi
-    if mode == "bf16x3":
-        g_hi, g_lo = g_refs[0][:], g_refs[1][:]
-        h_hi, h_lo = _split_hi_lo(h)
-        g = (
-            jnp.dot(h_hi, g_hi, preferred_element_type=jnp.float32)
-            + jnp.dot(h_hi, g_lo, preferred_element_type=jnp.float32)
-            + jnp.dot(h_lo, g_hi, preferred_element_type=jnp.float32)
-        )
-    elif mode == "bf16x3s":  # stacked: one dot over the 3K contraction
-        g3 = g_refs[0][:]
-        h_hi, h_lo = _split_hi_lo(h)
-        h3 = jnp.concatenate([h_hi, h_hi, h_lo], axis=1)
-        g = jnp.dot(h3, g3, preferred_element_type=jnp.float32)
-    else:
-        gm = g_refs[0][:]
-        hh = h.astype(jnp.bfloat16) if mode == "bf16" else h
-        g = jnp.dot(
-            hh, gm, preferred_element_type=jnp.float32, precision=precision
-        )
-    out_ref[:] = jnp.sum((g + 2.0 * u_ref[:]) * h, axis=1, keepdims=True)
+
+    def chain(h):
+        h = _log_clamp(h)
+        lo = 0
+        for lmode in trunk_modes:
+            hi = lo + _refs_per_layer(lmode)
+            h = jnp.maximum(
+                _layer_matmul(h, wb[lo:hi], lmode, precision), 0.0
+            )
+            lo = hi
+        if mode == "bf16x3":
+            g_hi, g_lo = g_refs[0][:], g_refs[1][:]
+            h_hi, h_lo = _split_hi_lo(h)
+            g = (
+                jnp.dot(h_hi, g_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(h_hi, g_lo, preferred_element_type=jnp.float32)
+                + jnp.dot(h_lo, g_hi, preferred_element_type=jnp.float32)
+            )
+        elif mode == "bf16x3s":  # stacked: one dot over the 3K contraction
+            g3 = g_refs[0][:]
+            h_hi, h_lo = _split_hi_lo(h)
+            h3 = jnp.concatenate([h_hi, h_hi, h_lo], axis=1)
+            g = jnp.dot(h3, g3, preferred_element_type=jnp.float32)
+        else:
+            gm = g_refs[0][:]
+            hh = h.astype(jnp.bfloat16) if mode == "bf16" else h
+            g = jnp.dot(
+                hh, gm, preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+        return jnp.sum((g + 2.0 * u_ref[:]) * h, axis=1, keepdims=True)
+
+    rows = x_ref.shape[0] // interleave
+    for s in range(interleave):
+        sl = slice(s * rows, (s + 1) * rows)
+        out_ref[sl, :] = chain(x_ref[sl, :])
 
 
 def make_fused_loglik_gram(
@@ -176,6 +190,7 @@ def make_fused_loglik_gram(
     interpret: Optional[bool] = None,
     precision="high",
     vmem_limit_bytes: Optional[int] = DEFAULT_LOGLIK_VMEM_LIMIT,
+    interleave: int = DEFAULT_LOGLIK_INTERLEAVE,
 ):
     """Gram-form fused likelihood: ``(params, raw_params) → (B,)``.
 
@@ -194,10 +209,17 @@ def make_fused_loglik_gram(
     in_dim = sizes[0]
     if interpret is None:
         interpret = _should_interpret()
+    if block_rows % interleave:
+        raise ValueError(
+            f"block_rows ({block_rows}) must divide evenly into "
+            f"interleave ({interleave}) sub-chains"
+        )
     # trunk = sizes[:-1]; the skinny first layer runs as VPU FMA
     trunk_modes, prec = layer_mode_plan(sizes[:-1], precision)
     mode, _ = resolve_mode(precision)
-    kernel = functools.partial(_loglik_gram_kernel, trunk_modes, mode, prec)
+    kernel = functools.partial(
+        _loglik_gram_kernel, trunk_modes, mode, prec, interleave
+    )
 
     n_weight_refs = (
         sum(_refs_per_layer(m) for m in trunk_modes)
@@ -274,6 +296,7 @@ def make_fused_loglik(
     interpret: Optional[bool] = None,
     precision="high",
     vmem_limit_bytes: Optional[int] = DEFAULT_LOGLIK_VMEM_LIMIT,
+    interleave: int = DEFAULT_LOGLIK_INTERLEAVE,
 ):
     """Fused Gaussian log-likelihood: ``(params, raw_params) → (B,)``.
 
@@ -302,6 +325,7 @@ def make_fused_loglik(
         precision=precision,
         reduce="sumsq",
         vmem_limit_bytes=vmem_limit_bytes,
+        interleave=interleave,
     )
 
     def loglik(params: MLPParams, raw_params: jax.Array) -> jax.Array:
