@@ -14,8 +14,9 @@ Candidates (fastest wins, subject to the accuracy gate):
 * ``xla-highest`` — the accuracy-contract path (exact-f32 matmuls);
 * ``xla-high`` — 3-pass-bf16 (bf16x3) MXU matmuls, f32 accumulation;
 * ``xla-default`` — single-pass-bf16 MXU matmuls, f32 accumulation;
-* ``pallas`` — the fused whole-network kernel
-  (:mod:`tpu21cmvae.ops.pallas.fused_mlp`).
+* ``pallas-{highest,high}`` — the fused whole-network kernel
+  (:mod:`tpu21cmvae.ops.pallas.fused_mlp`) at the exact-f32 and
+  stacked in-kernel bf16x3 tiers.
 
 Accuracy gate: a candidate is eligible only if its max error relative to
 signal amplitude vs the contract path is ≤ 1.5e-3 — under half of the

@@ -37,7 +37,7 @@ def test_notebook_executes_clean():
     nb = nbformat.read(NOTEBOOK, as_version=4)
     client = nbclient.NotebookClient(
         nb,
-        timeout=600,
+        timeout=900,  # headroom for loaded CI machines; ~4 min idle
         kernel_name="python3",
         resources={"metadata": {"path": ROOT}},
     )

@@ -67,7 +67,7 @@ def test_pretrained_vae_golden(refdata):
         os.path.join(REPO, "pretrained", "vae_synthetic.npz"), refdata
     )
     err = vae.test_error()
-    assert err.mean() < 0.9  # trained to 0.690 %
+    assert err.mean() < 0.6  # trained to 0.443 % (tuned arch, β=3e-5)
     # the interpretable latent space is usable out of the box
     curves = vae.latent_traversal(dim=0, values=np.linspace(-2, 2, 5))
     assert curves.shape == (5, 451) and np.isfinite(curves).all()

@@ -15,5 +15,7 @@ from tpu21cmvae.ops.pallas.fused_mlp import (  # noqa: F401
 )
 from tpu21cmvae.ops.pallas.fused_loglik import (  # noqa: F401
     fold_loglik_constants,
+    gram_fold,
     make_fused_loglik,
+    make_fused_loglik_gram,
 )

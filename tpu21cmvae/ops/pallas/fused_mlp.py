@@ -23,15 +23,18 @@ parity tests run everywhere; production dispatch goes through
 :func:`make_fused_emulate`, which the benchmark compares against the XLA
 path and uses only if faster.
 
-Measured verdict (v5e, 1M-row batches, amortized pipelined timing): the
-fused kernel at single-pass bf16 runs ~16 ms vs XLA's ~10 ms at the same
-precision and ~20 ms at the safe bf16x3 tier. This workload is
-**MXU-pass-bound, not HBM-bound** (forcing bf16 inter-layer storage on
-the XLA path made it *slower*), so the kernel's fusion advantage —
-keeping inter-layer activations out of HBM — buys nothing here, and
-XLA's batched matmul scheduling wins. The kernel therefore ships as the
-native-layer capability (benchmarked and parity-gated, auto-selected
-only when fastest); the production fast path is the XLA bf16x3 tier.
+Measured verdict (v5e, 1M-row batches, amortized pipelined timing —
+full tables in docs/PERF.md): the workload is **MXU-pass-bound, not
+HBM-bound** (forcing bf16 inter-layer storage on the XLA path made it
+*slower*), so fusion's usual win — keeping activations out of HBM —
+buys little. Three in-kernel optimizations (skinny first layer on the
+VPU, the bf16x3 products stacked into one matmul, interleaved
+independent sub-chains) bring the kernel within a few percent of XLA at
+the accuracy-gated bf16x3 tier, but XLA's matmul codegen stays narrowly
+ahead on these shapes. The kernel ships as the native-layer capability
+(benchmarked and parity-gated, auto-selected only when fastest); the
+production fast path remains the XLA bf16x3 tier, chosen by
+measurement in bench.py / bench_mcmc.py on every run.
 """
 
 from __future__ import annotations
