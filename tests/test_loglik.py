@@ -213,6 +213,31 @@ def test_two_stage_family_loglik(splits, obs):
         assert one.shape == (1,)
 
 
+def test_loglik_is_differentiable(model, obs):
+    """HMC/NUTS need ∇logL: the XLA backends differentiate natively and
+    the pallas backend routes its backward through the XLA twin
+    (custom_vjp) — gradients agree across all backends/methods."""
+    raw = jnp.asarray(model.data.par_test[:5], jnp.float32)
+
+    def gradnorm(fn):
+        g = jax.grad(lambda r: jnp.sum(fn(model.params, r)))(raw)
+        return np.asarray(g)
+
+    ref = gradnorm(
+        make_loglik(model.config, model.normalizer, obs, 25.0,
+                    backend="xla", method="direct", precision="highest")
+    )
+    assert np.isfinite(ref).all() and np.abs(ref).max() > 0
+    for backend, method in (("xla", "gram"), ("pallas", "direct"),
+                            ("pallas", "gram")):
+        g = gradnorm(
+            make_loglik(model.config, model.normalizer, obs, 25.0,
+                        backend=backend, method=method, precision="highest",
+                        block_rows=64, interpret=True)
+        )
+        np.testing.assert_allclose(g, ref, rtol=1e-3, atol=1e-2)
+
+
 def test_fused_mlp_skinny_single_layer():
     """A 1-layer skinny-input network: the skinny path IS the output
     layer (no ReLU), with and without the sumsq reduce tail."""

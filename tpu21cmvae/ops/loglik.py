@@ -92,7 +92,7 @@ def make_loglik(
         )
 
         build = make_fused_loglik if method == "direct" else make_fused_loglik_gram
-        return build(
+        fused = build(
             config,
             norm,
             obs,
@@ -101,6 +101,28 @@ def make_loglik(
             interpret=interpret,
             precision="high" if precision is None else precision,
         )
+        # Gradient-based samplers (HMC/NUTS) need ∇logL; the kernel is
+        # forward-only, so route the backward through the composed XLA
+        # path at the same tier — exact same math, fully differentiable.
+        xla_twin = make_loglik(
+            config, norm, obs, noise_var,
+            backend="xla", method=method, precision=precision,
+        )
+
+        @jax.custom_vjp
+        def loglik(params, raw_params):
+            return fused(params, raw_params)
+
+        def fwd(params, raw_params):
+            return fused(params, raw_params), (params, raw_params)
+
+        def bwd(residuals, g):
+            params, raw_params = residuals
+            _, vjp = jax.vjp(xla_twin, params, raw_params)
+            return vjp(g)
+
+        loglik.defvjp(fwd, bwd)
+        return loglik
     if backend != "xla":
         raise ValueError(f"backend must be 'xla' or 'pallas'; got {backend!r}")
     from tpu21cmvae.ops.pallas.fused_mlp import resolve_precision
