@@ -275,3 +275,53 @@ def test_fused_mlp_bf16x3_generic():
     want = np.asarray(mlp_apply(params, x))
     assert got.shape == (100, 33)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_fisher_matches_finite_difference(model):
+    """Fisher via jacfwd == finite-difference Jacobian contraction, and
+    forecast errors are positive and finite at a test fiducial."""
+    from tpu21cmvae.ops.fisher import (
+        forecast_errors,
+        make_fisher,
+        make_signal_jacobian,
+    )
+
+    theta = jnp.asarray(model.data.par_test[3], jnp.float32)
+    jac = make_signal_jacobian(model.config, model.normalizer)
+    J = np.asarray(jac(model.params, theta))
+    assert J.shape == (model.config.n_bins, 7)
+
+    # central finite differences on the public predict
+    eps = 1e-3 * np.maximum(np.abs(np.asarray(theta)), 1e-3)
+    J_fd = np.empty_like(J)
+    for k in range(7):
+        tp = np.asarray(theta).copy(); tp[k] += eps[k]
+        tm = np.asarray(theta).copy(); tm[k] -= eps[k]
+        J_fd[:, k] = (model.predict(tp) - model.predict(tm)) / (2 * eps[k])
+    scale = np.abs(J).max(axis=0, keepdims=True)
+    # atol bounds FD truncation error on the log10-curved parameters
+    np.testing.assert_allclose(J / scale, J_fd / scale, atol=2e-2)
+
+    fisher = make_fisher(model.config, model.normalizer, noise_var=25.0)
+    F = np.asarray(fisher(model.params, theta))
+    assert F.shape == (7, 7)
+    np.testing.assert_allclose(F, F.T, rtol=1e-5)  # symmetric
+    want = (J / 25.0).T @ J
+    np.testing.assert_allclose(F, want, rtol=1e-4)
+
+    sig = np.asarray(forecast_errors(F))
+    assert sig.shape == (7,) and np.isfinite(sig).all() and (sig >= 0).all()
+    # batched fiducials via vmap
+    thetas = jnp.asarray(model.data.par_test[:4], jnp.float32)
+    Fb = jax.vmap(lambda t: fisher(model.params, t))(thetas)
+    assert Fb.shape == (4, 7, 7)
+    assert np.asarray(forecast_errors(Fb)).shape == (4, 7)
+
+
+def test_model_fisher_forecast_entry(model):
+    F, sig = model.fisher_forecast(model.data.par_test[0], noise_var=25.0)
+    assert F.shape == (7, 7) and sig.shape == (7,)
+    assert np.isfinite(sig).all()
+    Fb, sb = model.fisher_forecast(model.data.par_test[:3], noise_var=25.0)
+    assert Fb.shape == (3, 7, 7) and sb.shape == (3, 7)
+    np.testing.assert_allclose(Fb[0], F, rtol=1e-5)

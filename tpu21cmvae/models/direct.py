@@ -222,6 +222,27 @@ class DirectEmulator:
             )
         )
 
+    def fisher_forecast(self, theta, noise_var=1.0):
+        """Fisher matrix and 1-σ marginalized forecast errors at raw
+        fiducial parameter vector(s) (see :mod:`tpu21cmvae.ops.fisher`;
+        Cramér–Rao bound for a Gaussian-noise global-signal experiment).
+
+        Returns ``(F, sigma)``: shapes ``(7, 7), (7,)`` for a single
+        fiducial or ``(n, 7, 7), (n, 7)`` for a batch.
+        """
+        from tpu21cmvae.ops.fisher import forecast_errors, make_fisher
+
+        fisher = make_fisher(self.config, self.normalizer, noise_var)
+        th = jnp.atleast_2d(jnp.asarray(theta, jnp.float32))
+        F = jax.jit(jax.vmap(lambda t: fisher(self.params, t)))(th)
+        sig = forecast_errors(F)
+        single = np.ndim(theta) == 1
+        return (
+            (np.asarray(F[0]), np.asarray(sig[0]))
+            if single
+            else (np.asarray(F), np.asarray(sig))
+        )
+
     def predict(self, params) -> np.ndarray:
         """Emulate global signal(s) from raw astrophysical parameters.
 

@@ -11,3 +11,8 @@ from tpu21cmvae.ops.losses import (  # noqa: F401
     relative_mse,
 )
 from tpu21cmvae.ops.loglik import make_loglik  # noqa: F401
+from tpu21cmvae.ops.fisher import (  # noqa: F401
+    forecast_errors,
+    make_fisher,
+    make_signal_jacobian,
+)
