@@ -1,0 +1,114 @@
+"""The HTTP serving layer: a warm emulator answering JSON requests.
+
+Runs the real stdlib server on a free port in a daemon thread and talks
+to it with urllib — full request/response round trips on the virtual
+CPU mesh, asserting parity with the in-process model.
+"""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tpu21cmvae.models.direct import DirectEmulator
+from tpu21cmvae.serve import EmulatorService, make_server
+from tpu21cmvae.utils.config import DirectEmulatorConfig
+
+
+@pytest.fixture(scope="module")
+def model(splits):
+    return DirectEmulator(
+        splits, config=DirectEmulatorConfig(hidden_dims=(48, 56))
+    )
+
+
+@pytest.fixture(scope="module")
+def server(model):
+    srv = make_server(model, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def _url(server, path):
+    host, port = server.server_address[:2]
+    return f"http://{host}:{port}{path}"
+
+
+def _post(server, path, payload):
+    req = urllib.request.Request(
+        _url(server, path),
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def test_health(server, model):
+    with urllib.request.urlopen(_url(server, "/health"), timeout=60) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok"
+    assert h["kind"] == "DirectEmulator"
+    assert h["n_bins"] == model.config.n_bins
+    assert h["par_labels"][0] == "fstar"
+
+
+def test_predict_endpoint_matches_model(server, model, splits):
+    rows = np.asarray(splits.par_test[:13], np.float32)
+    out = _post(server, "/predict", {"params": rows.tolist()})
+    got = np.asarray(out["signals"], np.float32)
+    want = model.predict(rows)
+    assert got.shape == (13, model.config.n_bins)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_loglik_endpoint_and_program_cache(server, model, splits):
+    obs = model.predict(splits.par_test[0])
+    rows = np.asarray(splits.par_test[:9], np.float32)
+    out = _post(server, "/loglik", {
+        "params": rows.tolist(), "obs": obs.tolist(), "noise_var": 25.0,
+    })
+    got = np.asarray(out["loglik"])
+    assert got.shape == (9,)
+    import jax.numpy as jnp
+
+    want = np.asarray(
+        model.loglik_fn(jnp.asarray(obs, jnp.float32), 25.0)(
+            model.params, jnp.asarray(rows)
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-2)
+    # second call with the same obs hits the cached program
+    svc = server.service
+    n_cached = len(svc._loglik)
+    _post(server, "/loglik", {
+        "params": rows.tolist(), "obs": obs.tolist(), "noise_var": 25.0,
+    })
+    assert len(svc._loglik) == n_cached
+
+
+def test_bad_request_is_400_not_crash(server):
+    req = urllib.request.Request(
+        _url(server, "/predict"), data=b'{"wrong": 1}',
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected HTTP 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "error" in json.loads(e.read())
+
+
+def test_service_embeddable(model, splits):
+    """EmulatorService works without HTTP (embedding path) + warmup."""
+    svc = EmulatorService(model)
+    svc.warmup((1, 64))
+    out = svc.predict(splits.par_test[:3])
+    assert out.shape == (3, model.config.n_bins)
+    one = svc.predict(splits.par_test[0])
+    assert one.shape == (1, model.config.n_bins)

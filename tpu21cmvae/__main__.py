@@ -11,6 +11,8 @@ The reference has no CLI — every workflow lives in notebook cells
     export-h5  write a saved model's MLP weights as Keras-layout HDF5
     verify     accuracy-contract battery (golden numbers + structural
                checks) with a JSON report
+    serve      saved model behind HTTP (JSON /predict + /loglik,
+               bucketed batching, warm compiled programs)
 """
 
 from __future__ import annotations
@@ -135,6 +137,12 @@ def cmd_export_h5(args):
         print(f"wrote {args.out}")
 
 
+def cmd_serve(args):
+    from tpu21cmvae.serve import main as serve_main
+
+    serve_main(args.model, args.host, args.port, args.warmup)
+
+
 def cmd_verify(args):
     from tpu21cmvae.verify import format_report, run_verification, write_report
 
@@ -210,6 +218,17 @@ def main(argv=None):
     p.add_argument("model")
     p.add_argument("--out", default="model.h5")
     p.set_defaults(fn=cmd_export_h5)
+
+    p = sub.add_parser(
+        "serve",
+        help="serve a saved model over HTTP (JSON /predict + /loglik)",
+    )
+    p.add_argument("model")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--warmup", type=int, default=1024,
+                   help="precompile predict buckets up to this many rows")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(
         "verify",

@@ -1,0 +1,161 @@
+"""Minimal production serving layer: a warm emulator behind HTTP.
+
+The reference is driven from notebooks only (SURVEY.md §1); deploying it
+means ~40 ms-per-signal `Model.predict` calls in-process. Here a saved
+checkpoint loads once, the predict program compiles once per batch
+bucket (:class:`~tpu21cmvae.parallel.inference.ShardedEmulator` pads
+ragged request sizes to a bounded set of compiled shapes), and any
+client speaks JSON over HTTP — no JAX, no Python version coupling, no
+TensorFlow.
+
+    python -m tpu21cmvae serve pretrained/direct_synthetic.npz \
+        --port 8765 --warmup 1024
+
+Endpoints (all JSON):
+
+* ``GET  /health``     → model kind, parameter labels, device, bins.
+* ``POST /predict``    ``{"params": [[7 floats], …]}`` → ``{"signals":
+  [[451 floats], …]}`` (mK).
+* ``POST /loglik``     ``{"params": …, "obs": [451 floats],
+  "noise_var": scalar-or-[451]}`` → ``{"loglik": [floats]}``. Likelihood
+  programs are cached per (obs, noise_var) so an MCMC driver pays one
+  compile per observation, not per request.
+
+The handler is intentionally single-threaded: device dispatch is
+serialized anyway, and one warm program saturates the chip at mega-batch
+sizes (docs/PERF.md) — scale-out is more replicas behind a load
+balancer, not threads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from collections import OrderedDict
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+class EmulatorService:
+    """The request-independent core: warm model + program caches.
+
+    Split from the HTTP plumbing so it is directly testable and
+    embeddable (e.g. behind a different transport).
+    """
+
+    def __init__(self, model, mesh=None, loglik_cache: int = 8):
+        from tpu21cmvae.parallel.inference import ShardedEmulator
+
+        self.model = model
+        self._sharded = ShardedEmulator.for_model(model, mesh=mesh)
+        self._mesh = self._sharded.mesh
+        self._loglik: "OrderedDict[str, ShardedEmulator]" = OrderedDict()
+        self._loglik_cap = loglik_cache
+
+    def warmup(self, batch_sizes=(1, 256, 1024)) -> None:
+        """Precompile the predict buckets a deployment expects."""
+        self._sharded.warmup(batch_sizes,
+                             n_params=self.model.config.n_params)
+
+    def health(self) -> dict:
+        import jax
+
+        return {
+            "status": "ok",
+            "kind": type(self.model).__name__,
+            "n_params": self.model.config.n_params,
+            "n_bins": self.model.config.n_bins,
+            "par_labels": list(getattr(self.model, "par_labels", [])),
+            "devices": [str(d) for d in self._mesh.devices.ravel()],
+        }
+
+    def predict(self, params) -> np.ndarray:
+        return np.atleast_2d(self._sharded(np.asarray(params, np.float32)))
+
+    def loglik(self, params, obs, noise_var=1.0) -> np.ndarray:
+        from tpu21cmvae.parallel.inference import ShardedEmulator
+
+        obs = np.asarray(obs, np.float32)
+        nv = np.asarray(noise_var, np.float32)
+        key = hashlib.sha256(
+            obs.tobytes() + nv.tobytes() + nv.shape.__repr__().encode()
+        ).hexdigest()
+        svc = self._loglik.get(key)
+        if svc is None:
+            fn = self.model.loglik_fn(obs, nv)
+            svc = ShardedEmulator(fn, self.model.params, mesh=self._mesh)
+            self._loglik[key] = svc
+            if len(self._loglik) > self._loglik_cap:
+                self._loglik.popitem(last=False)  # evict oldest program
+        else:
+            self._loglik.move_to_end(key)
+        return np.atleast_1d(svc(np.asarray(params, np.float32)))
+
+
+def _make_handler(service: EmulatorService):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *args):  # quiet by default
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._reply(200, service.health())
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/predict":
+                    out = service.predict(req["params"])
+                    self._reply(200, {"signals": out.tolist()})
+                elif self.path == "/loglik":
+                    out = service.loglik(
+                        req["params"], req["obs"], req.get("noise_var", 1.0)
+                    )
+                    self._reply(200, {"loglik": out.tolist()})
+                else:
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+            except (KeyError, ValueError, TypeError) as e:
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def make_server(
+    model, host: str = "127.0.0.1", port: int = 8765, mesh=None
+) -> HTTPServer:
+    """Build (but do not start) the HTTP server; ``serve_forever()`` it,
+    or drive it from a thread in tests. ``port=0`` picks a free port
+    (``server.server_address[1]``)."""
+    service = EmulatorService(model, mesh=mesh)
+    server = HTTPServer((host, port), _make_handler(service))
+    server.service = service  # expose for warmup / introspection
+    return server
+
+
+def main(model_path: str, host: str, port: int, warmup: Optional[int]):
+    from tpu21cmvae.models import load_model
+
+    model = load_model(model_path)
+    server = make_server(model, host=host, port=port)
+    if warmup:
+        print(f"warming predict buckets up to {warmup} rows...")
+        server.service.warmup((1, warmup))
+    host, port = server.server_address[:2]
+    print(f"serving {model_path} on http://{host}:{port} "
+          "(GET /health, POST /predict, POST /loglik)")
+    server.serve_forever()
