@@ -49,6 +49,7 @@ from tpu21cmvae.ops.loglik import make_loglik  # noqa: F401
 from tpu21cmvae.models.direct import DirectEmulator  # noqa: F401
 from tpu21cmvae.models.autoencoder import AutoEncoder, AutoEncoderEmulator  # noqa: F401
 from tpu21cmvae.models.vae import VAE, VAEEmulator  # noqa: F401
+from tpu21cmvae.models.ensemble import DeepEnsemble  # noqa: F401
 from tpu21cmvae.utils.config import (  # noqa: F401
     AE_EMULATOR_TRAIN_DEFAULT,
     AE_EMULATOR_TRAIN_STRONG,
