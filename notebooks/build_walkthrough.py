@@ -106,9 +106,13 @@ CELL_TRAIN = """\
 # device_loop=True compiles the WHOLE run as one XLA program.
 from tpu21cmvae.utils.config import DirectEmulatorConfig, TrainConfig
 
+# (CI executes this notebook on a CPU mesh and trims the epochs via
+# TPU21CMVAE_NB_FAST; interactively you get the full run.)
+EPOCHS = 10 if os.environ.get("TPU21CMVAE_NB_FAST") else 30
+
 custom = t.DirectEmulator(data, config=DirectEmulatorConfig(hidden_dims=(96, 96)))
 loss, val_loss = custom.train(
-    train_config=TrainConfig(epochs=30, early_stop_patience=None),
+    train_config=TrainConfig(epochs=EPOCHS, early_stop_patience=None),
     device_loop=True,
 )
 print(f"custom model: mean rel err {custom.test_error().mean():.3f}%")

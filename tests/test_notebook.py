@@ -34,6 +34,7 @@ def test_notebook_is_current():
 
 def test_notebook_executes_clean():
     os.environ.setdefault("MPLBACKEND", "Agg")
+    os.environ["TPU21CMVAE_NB_FAST"] = "1"  # trim the training cell in CI
     nb = nbformat.read(NOTEBOOK, as_version=4)
     client = nbclient.NotebookClient(
         nb,
