@@ -56,3 +56,17 @@ def test_mismatched_architectures_rejected(splits):
         DeepEnsemble([a, b])
     with pytest.raises(ValueError):
         DeepEnsemble([])
+
+
+def test_mismatched_normalizers_rejected(splits):
+    """Members trained against different normalization constants must be
+    refused: the vmapped predict closes over member 0's Normalizer, so
+    mixing statistics would silently corrupt predictions (regression)."""
+    from tpu21cmvae.data import synthetic_dataset
+
+    other = synthetic_dataset(n_train=256, n_val=64, n_test=64, seed=99)
+    cfg = DirectEmulatorConfig(hidden_dims=(32,))
+    a = DirectEmulator(splits, config=cfg)
+    b = DirectEmulator(other, config=cfg)
+    with pytest.raises(ValueError, match="normalization constants"):
+        DeepEnsemble([a, b])

@@ -112,3 +112,22 @@ def test_service_embeddable(model, splits):
     assert out.shape == (3, model.config.n_bins)
     one = svc.predict(splits.par_test[0])
     assert one.shape == (1, model.config.n_bins)
+
+
+def test_idle_keepalive_client_does_not_block_server(server, model, splits):
+    """The single-connection server must close after each response; an
+    idle keep-alive client holding its socket open must not starve the
+    next client (regression: HTTP/1.1 + no timeout hung /health)."""
+    import http.client
+
+    host, port = server.server_address[:2]
+    c1 = http.client.HTTPConnection(host, port, timeout=30)
+    c1.request("GET", "/health")  # keep-alive by default in HTTP/1.1
+    r1 = c1.getresponse()
+    assert r1.status == 200
+    assert r1.getheader("Connection") == "close"
+    r1.read()
+    # c1 stays open (idle); a second client must still get served
+    with urllib.request.urlopen(_url(server, "/health"), timeout=30) as r2:
+        assert json.loads(r2.read())["status"] == "ok"
+    c1.close()

@@ -222,19 +222,38 @@ class DirectEmulator:
             )
         )
 
+    def fisher_fn(self, noise_var=1.0):
+        """Jitted batched Fisher-matrix function ``(weights, thetas) →
+        (n, 7, 7)`` (see :mod:`tpu21cmvae.ops.fisher`). Hold the result
+        when scanning many fiducials — like :meth:`predict_fn` /
+        :meth:`loglik_fn`, each build compiles its own program."""
+        from tpu21cmvae.ops.fisher import make_fisher
+
+        fisher = make_fisher(self.config, self.normalizer, noise_var)
+        return jax.jit(jax.vmap(fisher, in_axes=(None, 0)))
+
     def fisher_forecast(self, theta, noise_var=1.0):
         """Fisher matrix and 1-σ marginalized forecast errors at raw
         fiducial parameter vector(s) (see :mod:`tpu21cmvae.ops.fisher`;
         Cramér–Rao bound for a Gaussian-noise global-signal experiment).
 
         Returns ``(F, sigma)``: shapes ``(7, 7), (7,)`` for a single
-        fiducial or ``(n, 7, 7), (n, 7)`` for a batch.
+        fiducial or ``(n, 7, 7), (n, 7)`` for a batch. The compiled
+        program is cached per noise spec, so calling this in a loop
+        over fiducials does not retrace (compile is ~20-60 s on a
+        remote-attached TPU).
         """
-        from tpu21cmvae.ops.fisher import forecast_errors, make_fisher
+        from tpu21cmvae.ops.fisher import forecast_errors
 
-        fisher = make_fisher(self.config, self.normalizer, noise_var)
+        nv = np.asarray(noise_var, np.float32)
+        key = (nv.shape, nv.tobytes())
+        if not hasattr(self, "_fisher_cache"):
+            self._fisher_cache = {}
+        fn = self._fisher_cache.get(key)
+        if fn is None:
+            fn = self._fisher_cache[key] = self.fisher_fn(nv)
         th = jnp.atleast_2d(jnp.asarray(theta, jnp.float32))
-        F = jax.jit(jax.vmap(lambda t: fisher(self.params, t)))(th)
+        F = fn(self.params, th)
         sig = forecast_errors(F)
         single = np.ndim(theta) == 1
         return (

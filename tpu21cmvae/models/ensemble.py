@@ -39,9 +39,26 @@ class DeepEnsemble:
                     "ensemble members must share one architecture; got "
                     f"{m.config} vs {cfg}"
                 )
+        # the vmapped predict closes over member 0's Normalizer, so every
+        # member MUST share the same normalization constants — silently
+        # mixing weights trained against different statistics would make
+        # predictions and the advertised uncertainty wrong
+        n0 = members[0].normalizer
+        for i, m in enumerate(members[1:], start=1):
+            same = jax.tree_util.tree_all(
+                jax.tree_util.tree_map(
+                    lambda a, b: jnp.allclose(a, b), n0, m.normalizer
+                )
+            )
+            if not same:
+                raise ValueError(
+                    f"member {i}'s normalization constants differ from "
+                    "member 0's — ensemble members must be trained "
+                    "against the same training-set statistics"
+                )
         self.members: List[DirectEmulator] = list(members)
         self.config = cfg
-        self.normalizer = members[0].normalizer
+        self.normalizer = n0
         self.frequencies = members[0].frequencies
         self.redshifts = members[0].redshifts
         self.par_labels = members[0].par_labels

@@ -60,8 +60,6 @@ class EmulatorService:
                              n_params=self.model.config.n_params)
 
     def health(self) -> dict:
-        import jax
-
         return {
             "status": "ok",
             "kind": type(self.model).__name__,
@@ -97,6 +95,11 @@ class EmulatorService:
 def _make_handler(service: EmulatorService):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        # the server handles ONE connection at a time (device dispatch
+        # serializes anyway), so an idle keep-alive client must never
+        # hold the socket: close after every response, and bound reads
+        # so a half-open connection can't block the accept loop
+        timeout = 30
 
         def log_message(self, *args):  # quiet by default
             pass
@@ -106,8 +109,10 @@ def _make_handler(service: EmulatorService):
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            self.send_header("Connection", "close")
             self.end_headers()
             self.wfile.write(body)
+            self.close_connection = True
 
         def do_GET(self):
             if self.path == "/health":

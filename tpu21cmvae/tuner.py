@@ -26,6 +26,7 @@ searches (latent_dim, encoder/decoder stacks) for the AE family;
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Callable, List, Optional, Tuple
 
@@ -197,6 +198,55 @@ def _loss_cache(make):
     return get
 
 
+# Module-level loss factories shared by every tune_* function: one
+# closure per (hyperparameters, normalization constants) across ALL
+# searches in a process, so the loss-identity-keyed program caches hit
+# across separate tune_* calls too, not just across rungs of one call.
+
+@functools.lru_cache(maxsize=None)
+def _em_mse_loss(act):
+    """Stage-B params→latent loss (plain MSE; normalizer-independent)."""
+    from tpu21cmvae.ops.losses import mse
+    from tpu21cmvae.ops.mlp import mlp_apply
+
+    def em_loss(p, bx, by):
+        return mse(by, mlp_apply(p, bx, act))
+
+    return em_loss
+
+
+_REL_LOSS_CACHE: dict = {}
+
+
+def _direct_rel_loss(act, sm):
+    """Direct-emulator relative-MSE loss, cached per (act, scaled_mean)."""
+    key = ("direct", act, np.asarray(sm).tobytes())
+    if key not in _REL_LOSS_CACHE:
+        from tpu21cmvae.ops.losses import relative_mse
+        from tpu21cmvae.ops.mlp import mlp_apply
+
+        def loss_fn(p, bx, by):
+            return relative_mse(by, mlp_apply(p, bx, act), sm)
+
+        _REL_LOSS_CACHE[key] = loss_fn
+    return _REL_LOSS_CACHE[key]
+
+
+def _ae_rel_loss(act, sm):
+    """Autoencoder reconstruction relative-MSE loss, cached likewise."""
+    key = ("ae", act, np.asarray(sm).tobytes())
+    if key not in _REL_LOSS_CACHE:
+        from tpu21cmvae.ops.losses import relative_mse
+        from tpu21cmvae.ops.mlp import mlp_apply
+
+        def ae_loss(p, bx, by):
+            rec = mlp_apply(p["dec"], mlp_apply(p["enc"], bx, act), act)
+            return relative_mse(by, rec, sm)
+
+        _REL_LOSS_CACHE[key] = ae_loss
+    return _REL_LOSS_CACHE[key]
+
+
 def tune_direct(
     data: DataSplits,
     n_trials: int = 20,
@@ -214,7 +264,6 @@ def tune_direct(
     """
     import jax
 
-    from tpu21cmvae.ops.losses import relative_mse
     from tpu21cmvae.ops.mlp import init_mlp, mlp_apply
     from tpu21cmvae.ops.transforms import unpreproc
     from tpu21cmvae.train.loop import fit
@@ -225,13 +274,8 @@ def tune_direct(
     sm = norm.scaled_mean
     signal_val = np.asarray(data.signal_val)
 
-    def make_loss(act):
-        def loss_fn(p, bx, by):
-            return relative_mse(by, mlp_apply(p, bx, act), sm)
-
-        return loss_fn
-
-    get_loss = _loss_cache(make_loss)
+    def get_loss(act):
+        return _direct_rel_loss(act, sm)
 
     def sample(rng):
         return DirectEmulatorConfig(
@@ -276,7 +320,6 @@ def tune_autoencoder(
     mK) on the validation split."""
     import jax
 
-    from tpu21cmvae.ops.losses import mse, relative_mse
     from tpu21cmvae.ops.mlp import init_mlp, mlp_apply
     from tpu21cmvae.ops.transforms import unpreproc
     from tpu21cmvae.train.loop import fit
@@ -293,21 +336,10 @@ def tune_autoencoder(
     sm = norm.scaled_mean
     signal_val = np.asarray(data.signal_val)
 
-    def make_ae_loss(act):
-        def ae_loss(p, bx, by):
-            rec = mlp_apply(p["dec"], mlp_apply(p["enc"], bx, act), act)
-            return relative_mse(by, rec, sm)
+    def get_ae_loss(act):
+        return _ae_rel_loss(act, sm)
 
-        return ae_loss
-
-    def make_em_loss(act):
-        def em_loss(p, bx, by):
-            return mse(by, mlp_apply(p, bx, act))
-
-        return em_loss
-
-    get_ae_loss = _loss_cache(make_ae_loss)
-    get_em_loss = _loss_cache(make_em_loss)
+    get_em_loss = _em_mse_loss
 
     def sample(rng):
         return AutoEncoderConfig(
@@ -413,7 +445,6 @@ def tune_direct_halving(
     """
     import jax
 
-    from tpu21cmvae.ops.losses import relative_mse
     from tpu21cmvae.ops.mlp import init_mlp, mlp_apply
     from tpu21cmvae.ops.transforms import unpreproc
     from tpu21cmvae.train.loop import fit
@@ -449,13 +480,8 @@ def tune_direct_halving(
                 )
             )
 
-    def make_loss(act):
-        def loss_fn(p, bx, by):
-            return relative_mse(by, mlp_apply(p, bx, act), sm)
-
-        return loss_fn
-
-    get_loss = _loss_cache(make_loss)
+    def get_loss(act):
+        return _direct_rel_loss(act, sm)
 
     survivors = []
     for k, cfg in enumerate(configs):
@@ -528,7 +554,6 @@ def tune_autoencoder_halving(
     import jax
 
     from tpu21cmvae.models.autoencoder import AutoEncoder
-    from tpu21cmvae.ops.losses import mse, relative_mse
     from tpu21cmvae.ops.mlp import init_mlp, mlp_apply
     from tpu21cmvae.ops.transforms import unpreproc
     from tpu21cmvae.train.loop import fit
@@ -575,21 +600,10 @@ def tune_autoencoder_halving(
             "t0": time.perf_counter(),
         })
 
-    def make_ae_loss(act):
-        def ae_loss(p, bx, by):
-            rec = mlp_apply(p["dec"], mlp_apply(p["enc"], bx, act), act)
-            return relative_mse(by, rec, sm)
+    def get_ae_loss(act):
+        return _ae_rel_loss(act, sm)
 
-        return ae_loss
-
-    def make_em_loss(act):
-        def em_loss(p, bx, by):
-            return mse(by, mlp_apply(p, bx, act))
-
-        return em_loss
-
-    get_ae_loss = _loss_cache(make_ae_loss)
-    get_em_loss = _loss_cache(make_em_loss)
+    get_em_loss = _em_mse_loss
 
     for rung in range(rungs):
         for s in survivors:
@@ -648,8 +662,6 @@ def _vae_weight_count(cfg: VAEConfig) -> int:
     heads (mu, logvar) + decoder + params→latent MLP. Differs from the
     deterministic AE count — the VAE encoder ends in TWO linear heads
     (:class:`tpu21cmvae.models.vae.VAE`)."""
-    from tpu21cmvae.utils.config import MLPConfig
-
     trunk_sizes = (cfg.n_bins, *cfg.enc_hidden_dims)
     trunk = sum(
         trunk_sizes[i] * trunk_sizes[i + 1] + trunk_sizes[i + 1]
@@ -713,7 +725,6 @@ def tune_vae(
     import jax
 
     from tpu21cmvae.models.vae import VAE
-    from tpu21cmvae.ops.losses import mse
     from tpu21cmvae.ops.mlp import init_mlp, mlp_apply
     from tpu21cmvae.ops.transforms import unpreproc
     from tpu21cmvae.train.loop import fit
@@ -731,13 +742,7 @@ def tune_vae(
     signal_val = np.asarray(data.signal_val)
     get_vae_loss = _make_vae_losses(sm)
 
-    def make_em_loss(act):
-        def em_loss(p, bx, by):
-            return mse(by, mlp_apply(p, bx, act))
-
-        return em_loss
-
-    get_em_loss = _loss_cache(make_em_loss)
+    get_em_loss = _em_mse_loss
 
     def sample(rng):
         return VAEConfig(
@@ -811,7 +816,6 @@ def tune_vae_halving(
     import jax
 
     from tpu21cmvae.models.vae import VAE
-    from tpu21cmvae.ops.losses import mse
     from tpu21cmvae.ops.mlp import init_mlp, mlp_apply
     from tpu21cmvae.ops.transforms import unpreproc
     from tpu21cmvae.train.loop import fit
@@ -823,13 +827,7 @@ def tune_vae_halving(
     sm = norm.scaled_mean
     get_vae_loss = _make_vae_losses(sm)
 
-    def make_em_loss(act):
-        def em_loss(p, bx, by):
-            return mse(by, mlp_apply(p, bx, act))
-
-        return em_loss
-
-    get_em_loss = _loss_cache(make_em_loss)
+    get_em_loss = _em_mse_loss
 
     vae_cfg = TrainConfig(
         epochs=rung_epochs, learning_rate=1e-3,
