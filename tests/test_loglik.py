@@ -325,3 +325,35 @@ def test_model_fisher_forecast_entry(model):
     Fb, sb = model.fisher_forecast(model.data.par_test[:3], noise_var=25.0)
     assert Fb.shape == (3, 7, 7) and sb.shape == (3, 7)
     np.testing.assert_allclose(Fb[0], F, rtol=1e-5)
+
+
+def test_gram_honors_activation(splits, obs):
+    """method='gram' must use the configured activation, not hardcoded
+    ReLU (regression: tanh models got silently wrong likelihoods)."""
+    m = DirectEmulator(
+        splits,
+        config=DirectEmulatorConfig(hidden_dims=(32, 48), activation="tanh"),
+    )
+    raw = jnp.asarray(splits.par_test[:16], jnp.float32)
+    want = np.asarray(_composed(m, obs, 25.0, raw))
+    fn = make_loglik(m.config, m.normalizer, obs, 25.0,
+                     backend="xla", method="gram", precision="highest")
+    got = np.asarray(fn(m.params, raw))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=0.5)
+
+
+def test_pallas_ab_tier_strings_work(model, obs):
+    """'high-stacked'/'high-split' must build through make_loglik
+    (regression: the gradient twin crashed on kernel-only tiers)."""
+    raw = jnp.asarray(model.data.par_test[:8], jnp.float32)
+    want = np.asarray(_composed(model, obs, 25.0, raw))
+    for tier in ("high-stacked", "high-split"):
+        fn = make_loglik(
+            model.config, model.normalizer, obs, 25.0,
+            backend="pallas", method="direct", precision=tier,
+            block_rows=8, interpret=True,
+        )
+        got = np.asarray(fn(model.params, raw))
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=1.0)
+        g = jax.grad(lambda r: jnp.sum(fn(model.params, r)))(raw)
+        assert np.isfinite(np.asarray(g)).all()

@@ -131,3 +131,30 @@ def test_idle_keepalive_client_does_not_block_server(server, model, splits):
     with urllib.request.urlopen(_url(server, "/health"), timeout=30) as r2:
         assert json.loads(r2.read())["status"] == "ok"
     c1.close()
+
+
+def test_malformed_loglik_does_not_poison_cache(server, model, splits):
+    """A bad request must 400 WITHOUT caching a broken program for the
+    same observation (regression), and shape errors are caught upfront."""
+    obs = model.predict(splits.par_test[0])
+    rows = np.asarray(splits.par_test[:4], np.float32).tolist()
+    bad = {"params": rows, "obs": [obs.tolist()], "noise_var": 25.0}
+    try:
+        _post(server, "/loglik", bad)
+        assert False, "expected HTTP 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "flat list" in json.loads(e.read())["error"]
+    # the SAME obs, well-formed, must now succeed
+    out = _post(server, "/loglik", {
+        "params": rows, "obs": obs.tolist(), "noise_var": 25.0,
+    })
+    assert np.isfinite(out["loglik"]).all()
+
+
+def test_warmup_up_to_covers_all_buckets(model):
+    svc = EmulatorService(model)
+    svc.warmup(up_to=64)  # quantum 8 → buckets 8, 16, 32, 64
+    # all four programs are now compiled; calls at any size are warm
+    for n in (3, 11, 30, 60):
+        assert svc.predict(np.zeros((n, 7), np.float32)).shape[0] == n

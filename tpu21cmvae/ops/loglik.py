@@ -104,9 +104,15 @@ def make_loglik(
         # Gradient-based samplers (HMC/NUTS) need ∇logL; the kernel is
         # forward-only, so route the backward through the composed XLA
         # path at the same tier — exact same math, fully differentiable.
+        # The kernel-only A/B tier strings map to the XLA HIGH tier.
+        twin_precision = precision
+        if isinstance(precision, str) and precision.lower().replace(
+            "_", "-"
+        ) in ("high-stacked", "high-split"):
+            twin_precision = "high"
         xla_twin = make_loglik(
             config, norm, obs, noise_var,
-            backend="xla", method=method, precision=precision,
+            backend="xla", method=method, precision=twin_precision,
         )
 
         @jax.custom_vjp
@@ -138,12 +144,20 @@ def make_loglik(
 
         scale = noise_scale(noise_var, config.n_bins)
 
-        from tpu21cmvae.ops.mlp import SKINNY_DENSE_MAX_IN, skinny_dense
+        from tpu21cmvae.ops.mlp import (
+            SKINNY_DENSE_MAX_IN,
+            resolve_activation,
+            skinny_dense,
+        )
+
+        # gram only requires the OUTPUT layer to be linear (always true
+        # for these MLPs); trunk layers use the configured activation
+        act = resolve_activation(config.activation)
 
         def loglik_gram(params, raw_params):
             trunk, G, u, c = gram_fold(params, norm, obs, scale)
             h = _log_clamp(jnp.atleast_2d(raw_params.astype(jnp.float32)))
-            for i, layer in enumerate(trunk):  # trunk layers are hidden → ReLU
+            for i, layer in enumerate(trunk):  # trunk layers are hidden
                 if i == 0 and layer["w"].shape[0] <= SKINNY_DENSE_MAX_IN:
                     h = skinny_dense(h, layer["w"], layer["b"])  # exact, VPU
                 else:
@@ -151,7 +165,7 @@ def make_loglik(
                         jnp.matmul(h, layer["w"], precision=precision)
                         + layer["b"]
                     )
-                h = jax.nn.relu(h)
+                h = act(h)
             g = jnp.matmul(h, G, precision=precision)
             return -0.5 * (jnp.sum((g + 2.0 * u) * h, axis=-1) + c)
 

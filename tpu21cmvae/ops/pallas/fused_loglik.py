@@ -211,8 +211,8 @@ def make_fused_loglik_gram(
         interpret = _should_interpret()
     if block_rows % interleave:
         raise ValueError(
-            f"block_rows ({block_rows}) must divide evenly into "
-            f"interleave ({interleave}) sub-chains"
+            f"interleave ({interleave}) must divide block_rows "
+            f"({block_rows}) evenly"
         )
     # trunk = sizes[:-1]; the skinny first layer runs as VPU FMA
     trunk_modes, prec = layer_mode_plan(sizes[:-1], precision)

@@ -368,8 +368,8 @@ def make_fused_mlp(
         raise ValueError(f"reduce must be 'none' or 'sumsq'; got {reduce!r}")
     if block_rows % interleave:
         raise ValueError(
-            f"block_rows ({block_rows}) must divide evenly into "
-            f"interleave ({interleave}) sub-chains"
+            f"interleave ({interleave}) must divide block_rows "
+            f"({block_rows}) evenly"
         )
     if interpret is None:
         interpret = _should_interpret()

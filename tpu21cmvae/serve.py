@@ -54,8 +54,17 @@ class EmulatorService:
         self._loglik: "OrderedDict[str, ShardedEmulator]" = OrderedDict()
         self._loglik_cap = loglik_cache
 
-    def warmup(self, batch_sizes=(1, 256, 1024)) -> None:
-        """Precompile the predict buckets a deployment expects."""
+    def warmup(self, batch_sizes=(1, 256, 1024), up_to: Optional[int] = None
+               ) -> None:
+        """Precompile predict buckets. ``up_to=N`` compiles EVERY bucket
+        a request of ≤ N rows can hit (quantum·2^k), so no client ever
+        pays a cold 20-60 s compile mid-request."""
+        if up_to is not None:
+            sizes, b = [], self._sharded.quantum
+            while b < up_to:
+                sizes.append(b)
+                b *= 2
+            batch_sizes = sizes + [b]
         self._sharded.warmup(batch_sizes,
                              n_params=self.model.config.n_params)
 
@@ -76,20 +85,35 @@ class EmulatorService:
         from tpu21cmvae.parallel.inference import ShardedEmulator
 
         obs = np.asarray(obs, np.float32)
+        n_bins = self.model.config.n_bins
+        if obs.shape != (n_bins,):
+            raise ValueError(
+                f"obs must be a flat list of {n_bins} floats; got shape "
+                f"{obs.shape}"
+            )
         nv = np.asarray(noise_var, np.float32)
+        if nv.shape not in ((), (n_bins,)):
+            raise ValueError(
+                f"noise_var must be a scalar or {n_bins} per-bin values; "
+                f"got shape {nv.shape}"
+            )
         key = hashlib.sha256(
-            obs.tobytes() + nv.tobytes() + nv.shape.__repr__().encode()
+            obs.tobytes() + nv.tobytes() + repr(nv.shape).encode()
         ).hexdigest()
         svc = self._loglik.get(key)
         if svc is None:
             fn = self.model.loglik_fn(obs, nv)
             svc = ShardedEmulator(fn, self.model.params, mesh=self._mesh)
+        else:
+            self._loglik.move_to_end(key)
+        out = np.atleast_1d(svc(np.asarray(params, np.float32)))
+        # cache only after a successful call, so a request that fails at
+        # trace time cannot poison the key for later valid requests
+        if key not in self._loglik:
             self._loglik[key] = svc
             if len(self._loglik) > self._loglik_cap:
                 self._loglik.popitem(last=False)  # evict oldest program
-        else:
-            self._loglik.move_to_end(key)
-        return np.atleast_1d(svc(np.asarray(params, np.float32)))
+        return out
 
 
 def _make_handler(service: EmulatorService):
@@ -136,6 +160,9 @@ def _make_handler(service: EmulatorService):
                     self._reply(404, {"error": f"unknown path {self.path}"})
             except (KeyError, ValueError, TypeError) as e:
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:  # device/runtime failures → JSON 500,
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+                # not a dropped socket the client can't interpret
 
     return Handler
 
@@ -158,8 +185,8 @@ def main(model_path: str, host: str, port: int, warmup: Optional[int]):
     model = load_model(model_path)
     server = make_server(model, host=host, port=port)
     if warmup:
-        print(f"warming predict buckets up to {warmup} rows...")
-        server.service.warmup((1, warmup))
+        print(f"warming ALL predict buckets up to {warmup} rows...")
+        server.service.warmup(up_to=warmup)
     host, port = server.server_address[:2]
     print(f"serving {model_path} on http://{host}:{port} "
           "(GET /health, POST /predict, POST /loglik)")

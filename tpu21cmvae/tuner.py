@@ -203,7 +203,7 @@ def _loss_cache(make):
 # searches in a process, so the loss-identity-keyed program caches hit
 # across separate tune_* calls too, not just across rungs of one call.
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)
 def _em_mse_loss(act):
     """Stage-B params→latent loss (plain MSE; normalizer-independent)."""
     from tpu21cmvae.ops.losses import mse
@@ -215,7 +215,16 @@ def _em_mse_loss(act):
     return em_loss
 
 
+# bounded: each closure pins its captured scaled_mean device buffer, so
+# a long-lived process tuning across many datasets must not grow forever
+_REL_LOSS_CACHE_CAP = 32
 _REL_LOSS_CACHE: dict = {}
+
+
+def _rel_cache_put(key, fn):
+    _REL_LOSS_CACHE[key] = fn
+    if len(_REL_LOSS_CACHE) > _REL_LOSS_CACHE_CAP:
+        _REL_LOSS_CACHE.pop(next(iter(_REL_LOSS_CACHE)))  # evict oldest
 
 
 def _direct_rel_loss(act, sm):
@@ -228,7 +237,7 @@ def _direct_rel_loss(act, sm):
         def loss_fn(p, bx, by):
             return relative_mse(by, mlp_apply(p, bx, act), sm)
 
-        _REL_LOSS_CACHE[key] = loss_fn
+        _rel_cache_put(key, loss_fn)
     return _REL_LOSS_CACHE[key]
 
 
@@ -243,7 +252,7 @@ def _ae_rel_loss(act, sm):
             rec = mlp_apply(p["dec"], mlp_apply(p["enc"], bx, act), act)
             return relative_mse(by, rec, sm)
 
-        _REL_LOSS_CACHE[key] = ae_loss
+        _rel_cache_put(key, ae_loss)
     return _REL_LOSS_CACHE[key]
 
 

@@ -72,16 +72,25 @@ def _run(name: str, fn: Callable[[], Check]) -> Check:
         return Check(name, "FAIL", f"{type(e).__name__}: {e}")
 
 
-def check_direct_golden(data, direct_h5: Optional[str]) -> Check:
+def check_direct_golden(data, direct_h5: Optional[str], model=None) -> Check:
+    """``model``: a DirectEmulator already built from ``direct_h5``
+    (avoids a second h5 load + predict compile on TPU runs)."""
     name = "direct_golden"
     if not (direct_h5 and os.path.exists(direct_h5)):
         return Check(name, "SKIP", "pretrained emulator.h5 not provided")
-    from tpu21cmvae.models.direct import DirectEmulator
+    if model is None:
+        from tpu21cmvae.models.direct import DirectEmulator
 
-    model = DirectEmulator.from_keras_h5(direct_h5, data)
-    rel = model.test_error(relative=True)
-    ab = model.test_error(relative=False)
-    band = model.test_error(relative=False, flow=50.0, fhigh=100.0)
+        model = DirectEmulator.from_keras_h5(direct_h5, data)
+    # predict the test split ONCE; all error statistics derive from it
+    from tpu21cmvae.utils.metrics import error
+
+    pred = model.predict(data.par_test)
+    nu = model.frequencies
+    rel = error(data.signal_test, pred, relative=True)
+    ab = error(data.signal_test, pred, relative=False)
+    band = error(data.signal_test, pred, relative=False, nu_arr=nu,
+                 flow=50.0, fhigh=100.0)
     got = {
         "rel_mean": rel.mean(), "rel_median": np.median(rel),
         "abs_mean": ab.mean(), "abs_median": np.median(ab),
@@ -201,6 +210,7 @@ def run_verification(
 
     if direct_h5 and os.path.exists(direct_h5):
         probe = DirectEmulator.from_keras_h5(direct_h5, data)
+        golden_model = probe  # reuse: one h5 load, one predict compile
     else:
         from tpu21cmvae.utils.config import TrainConfig
 
@@ -210,9 +220,11 @@ def run_verification(
                                      early_stop_patience=None),
             device_loop=True,
         )
+        golden_model = None
 
     checks = [
-        _run("direct_golden", lambda: check_direct_golden(data, direct_h5)),
+        _run("direct_golden",
+             lambda: check_direct_golden(data, direct_h5, golden_model)),
         _run("ae_golden", lambda: check_ae_golden(data, keras_dir)),
         _run("batched_vs_single",
              lambda: check_batched_vs_single(data, probe)),
