@@ -71,3 +71,19 @@ def test_pretrained_vae_golden(refdata):
     # the interpretable latent space is usable out of the box
     curves = vae.latent_traversal(dim=0, values=np.linspace(-2, 2, 5))
     assert curves.shape == (5, 451) and np.isfinite(curves).all()
+
+
+def test_pretrained_ensemble_golden(refdata):
+    """The shipped 3-member ensemble: mean error beats every member
+    (trained to 0.150 % vs 0.17/0.33/0.30 %) and uncertainty works."""
+    from tpu21cmvae.models.ensemble import DeepEnsemble
+
+    ens = DeepEnsemble.load(
+        os.path.join(REPO, "pretrained", "ensemble_direct"), refdata
+    )
+    assert len(ens.members) == 3
+    err = ens.test_error()
+    assert err.mean() < 0.25
+    mean, std = ens.predict_with_uncertainty(refdata.par_test[:8])
+    assert mean.shape == std.shape == (8, refdata.n_bins)
+    assert np.isfinite(std).all() and std.max() > 0
