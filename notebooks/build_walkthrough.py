@@ -163,6 +163,32 @@ plt.tight_layout()
 plt.show()
 """
 
+CELL_ENSEMBLE = """\
+# Per-prediction uncertainty from the shipped deep ensemble (three
+# seed replicas behind one vmapped device call -- an emulation error
+# bar the reference's point-estimator API cannot provide)
+from tpu21cmvae import DeepEnsemble
+
+ens = DeepEnsemble.load(os.path.join(ROOT, "pretrained", "ensemble_direct"),
+                        data)
+mean_sig, sigma = ens.predict_with_uncertainty(data.par_test[0])
+print(f"ensemble mean test error: {ens.test_error().mean():.3f}%  "
+      f"(typical per-bin sigma {sigma.mean():.3f} mK)")
+
+plt.figure(figsize=(7, 4))
+plt.plot(ens.frequencies, mean_sig, label="ensemble mean")
+plt.fill_between(ens.frequencies, mean_sig - 3 * sigma,
+                 mean_sig + 3 * sigma, alpha=0.35,
+                 label=r"$\\pm 3\\sigma$ emulation uncertainty")
+plt.plot(ens.frequencies, data.signal_test[0], "--", lw=1,
+         label="simulated")
+plt.xlabel(r"$\\nu$ [MHz]")
+plt.ylabel(r"$\\delta T_b$ [mK]")
+plt.legend()
+plt.tight_layout()
+plt.show()
+"""
+
 MD_OUTRO = """\
 ## Where to go next
 
@@ -188,6 +214,7 @@ def build() -> nbf.NotebookNode:
         nbf.v4.new_code_cell(CELL_TRAIN),
         nbf.v4.new_code_cell(CELL_AE),
         nbf.v4.new_code_cell(CELL_VAE),
+        nbf.v4.new_code_cell(CELL_ENSEMBLE),
         nbf.v4.new_markdown_cell(MD_OUTRO),
     ]
     nb.cells = cells
