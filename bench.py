@@ -105,7 +105,19 @@ def _candidates(model):
         # dot lowering lacks natively). Single-pass bf16 is ~1.4e-2
         # rel-to-amp on trained weights and can never pass the 1.5e-3
         # gate — docs/PERF.md — so it is not a candidate.
-        for tier in ("highest", "high"):
+        # per-tier measured-best kernel configs on v5e (docs/PERF.md):
+        # the bf16x3 tier gains from 4×512-row interleaved sub-chains
+        # per 2048-row block; exact-f32's larger live set prefers the
+        # plain 1024-row block
+        tier_kwargs = {
+            "highest": {},
+            "high": {
+                "block_rows": 2048,
+                "interleave": 4,
+                "vmem_limit_bytes": 110 * 1024 * 1024,
+            },
+        }
+        for tier, kw in tier_kwargs.items():
             cands.append(
                 (
                     f"pallas-{tier}",
@@ -115,6 +127,7 @@ def _candidates(model):
                             model.normalizer,
                             precision=tier,
                             weight_dtype=jnp.float32,
+                            **kw,
                         )
                     ),
                 )

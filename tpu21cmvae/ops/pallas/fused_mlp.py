@@ -450,6 +450,8 @@ def make_fused_emulate(
     interpret: Optional[bool] = None,
     precision="highest",
     weight_dtype=jnp.float32,
+    interleave: int = 1,
+    vmem_limit_bytes: Optional[int] = None,
 ):
     """Fused flagship inference: ``(params, raw_params) → signals`` in mK.
 
@@ -470,6 +472,8 @@ def make_fused_emulate(
         interpret=interpret,
         precision=precision,
         weight_dtype=weight_dtype,
+        interleave=interleave,
+        vmem_limit_bytes=vmem_limit_bytes,
     )
 
     def emulate(params: MLPParams, raw_params: jax.Array) -> jax.Array:
