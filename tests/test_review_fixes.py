@@ -238,3 +238,43 @@ def test_retrain_best_ae_honors_config(splits):
     model = retrain_best(res, splits,
                          train_config=dataclasses.replace(fast, epochs=3))
     assert len(model.history["autoencoder"].loss) == 3  # config honored
+
+
+def test_xla_loglik_accepts_kernel_tier_strings(splits, normalizer):
+    """The kernel-only A/B tier strings ("high-stacked"/"high-split")
+    lower to the XLA HIGH tier instead of raising an opaque KeyError."""
+    from tpu21cmvae.models.direct import DirectEmulator
+    from tpu21cmvae.ops.loglik import make_loglik
+    from tpu21cmvae.utils.config import DirectEmulatorConfig
+
+    model = DirectEmulator(
+        splits, config=DirectEmulatorConfig(hidden_dims=(24, 16))
+    )
+    obs = np.asarray(splits.signal_test[0], np.float32)
+    raw = jnp.asarray(splits.par_test[:4], jnp.float32)
+    want = make_loglik(
+        model.config, normalizer, obs, 25.0, precision="high"
+    )(model.params, raw)
+    for tier in ("high-stacked", "high_split"):
+        got = make_loglik(
+            model.config, normalizer, obs, 25.0, precision=tier
+        )(model.params, raw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
+def test_fisher_forecast_cache_is_bounded(splits):
+    """Distinct per-bin noise specs must not pin unbounded compiled
+    programs (LRU, cap 8 — mirrors serve.py's loglik cache)."""
+    from tpu21cmvae.models.direct import DirectEmulator
+    from tpu21cmvae.utils.config import DirectEmulatorConfig
+
+    model = DirectEmulator(splits, config=DirectEmulatorConfig(hidden_dims=(8,)))
+    theta = splits.par_test[0]
+    for i in range(10):
+        noise = np.full(splits.n_bins, 1.0 + 0.1 * i, np.float32)
+        F, sig = model.fisher_forecast(theta, noise)
+        assert np.isfinite(sig).all()
+    assert len(model._fisher_cache) <= 8
+    # the most recent spec is still cached (LRU evicts oldest first)
+    key = (noise.shape, noise.tobytes())
+    assert key in model._fisher_cache

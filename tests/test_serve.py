@@ -158,3 +158,24 @@ def test_warmup_up_to_covers_all_buckets(model):
     # all four programs are now compiled; calls at any size are warm
     for n in (3, 11, 30, 60):
         assert svc.predict(np.zeros((n, 7), np.float32)).shape[0] == n
+
+
+def test_oversized_body_rejected_413(server):
+    """A client-declared Content-Length above the cap is refused before
+    the single-threaded server reads (or compiles for) any of it."""
+    import urllib.error
+
+    from tpu21cmvae.serve import MAX_BODY_BYTES
+
+    req = urllib.request.Request(
+        _url(server, "/predict"),
+        data=b"x" * 64,  # body itself is tiny; the DECLARED length is huge
+        headers={
+            "Content-Type": "application/json",
+            "Content-Length": str(MAX_BODY_BYTES + 1),
+        },
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=60)
+    assert exc.value.code == 413
+    assert "limit" in json.loads(exc.value.read())["error"]

@@ -239,19 +239,26 @@ class DirectEmulator:
 
         Returns ``(F, sigma)``: shapes ``(7, 7), (7,)`` for a single
         fiducial or ``(n, 7, 7), (n, 7)`` for a batch. The compiled
-        program is cached per noise spec, so calling this in a loop
-        over fiducials does not retrace (compile is ~20-60 s on a
-        remote-attached TPU).
+        program is cached per noise spec (bounded LRU, 8 entries — same
+        policy as the serve layer's likelihood cache), so calling this
+        in a loop over fiducials does not retrace (compile is ~20-60 s
+        on a remote-attached TPU).
         """
+        import collections
+
         from tpu21cmvae.ops.fisher import forecast_errors
 
         nv = np.asarray(noise_var, np.float32)
         key = (nv.shape, nv.tobytes())
         if not hasattr(self, "_fisher_cache"):
-            self._fisher_cache = {}
+            self._fisher_cache = collections.OrderedDict()
         fn = self._fisher_cache.get(key)
         if fn is None:
             fn = self._fisher_cache[key] = self.fisher_fn(nv)
+            if len(self._fisher_cache) > 8:
+                self._fisher_cache.popitem(last=False)
+        else:
+            self._fisher_cache.move_to_end(key)
         th = jnp.atleast_2d(jnp.asarray(theta, jnp.float32))
         F = fn(self.params, th)
         sig = forecast_errors(F)

@@ -133,6 +133,13 @@ def make_loglik(
         raise ValueError(f"backend must be 'xla' or 'pallas'; got {backend!r}")
     from tpu21cmvae.ops.pallas.fused_mlp import resolve_precision
 
+    # the kernel-only A/B tier strings lower to the XLA HIGH tier here
+    # (same accuracy class), mirroring the pallas branch's twin mapping
+    if isinstance(precision, str) and precision.lower().replace("_", "-") in (
+        "high-stacked",
+        "high-split",
+    ):
+        precision = "high"
     precision = resolve_precision(
         jax.lax.Precision.HIGH if precision is None else precision
     )

@@ -37,6 +37,12 @@ from typing import Optional
 
 import numpy as np
 
+#: Largest accepted POST body. 16 MB of JSON is ~10^5 predict rows —
+#: far above any sane per-request batch (bigger batches should stream as
+#: multiple requests anyway); everything larger is rejected with 413
+#: before the single-threaded server reads or compiles anything.
+MAX_BODY_BYTES = 16 << 20
+
 
 class EmulatorService:
     """The request-independent core: warm model + program caches.
@@ -147,6 +153,15 @@ def _make_handler(service: EmulatorService):
         def do_POST(self):
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > MAX_BODY_BYTES:
+                    # bound what one client can make the single-threaded
+                    # server read + compile (each new batch bucket costs
+                    # a 20-60 s cold compile on a tunnel-attached TPU)
+                    self._reply(413, {
+                        "error": f"request body {n} bytes exceeds the "
+                        f"{MAX_BODY_BYTES}-byte limit; split the batch"
+                    })
+                    return
                 req = json.loads(self.rfile.read(n) or b"{}")
                 if self.path == "/predict":
                     out = service.predict(req["params"])
