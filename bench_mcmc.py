@@ -36,8 +36,30 @@ while in the tails errors proportional to the depth below the mode
 cannot flip any decision that wasn't already marginal at the 1.5e-3
 level (the same relative budget as bench.py's prediction gate).
 
+Gradient table (``∇logL`` — the HMC/NUTS inner loop,
+:func:`tpu21cmvae.ops.loglik.make_loglik_and_grad`): candidates cross
+backend (xla autodiff / xla analytic / pallas fused) × method × value
+tier × backward tier. Two gates apply:
+
+* the VALUE output passes the same ΔlogL gate as the forward table —
+  the Metropolis accept step consumes it, so it bounds posterior
+  correctness;
+* the GRADIENT passes ``‖Δg‖ ≤ GRAD_RTOL·(‖g_ref‖ + rms‖g_ref‖)``
+  per row (far + near sets) against the exact-f32 autodiff reference.
+  Rationale: leapfrog with ANY deterministic approximate force field
+  remains reversible and volume-preserving, so with a gated value in
+  the accept step the posterior stays exact regardless of gradient
+  error — the gate only needs to keep the acceptance-rate cost
+  negligible, and a 1 % relative force error perturbs the integrated
+  trajectory (and hence ΔH) at the same order, far below leapfrog's
+  own O(ε²) discretization error at practical step sizes. The rms term
+  keeps near-mode rows (where ‖g‖ → 0 and relative error diverges
+  harmlessly) from dominating.
+
 Methodology matches bench.py: warm up the compile, then amortized
 repeated-call timing on a resident device batch with block_until_ready.
+``--out PATH`` writes the full machine-readable tables (both sections)
+as JSON; stdout stays the driver's single selected-forward line.
 """
 
 from __future__ import annotations
@@ -56,6 +78,7 @@ BATCH = 1 << 20
 ITERS = 20
 GATE_ATOL = 0.25  # |dlogL| allowed at the posterior mode
 GATE_RTOL = 1.5e-3  # per unit of depth below the mode
+GRAD_RTOL = 1e-2  # ‖Δg‖ per (‖g_ref‖ + rms‖g_ref‖) — see module docstring
 _CHECK = 1 << 16  # far-field rows used for the accuracy gate
 _NEAR = 4096  # near-mode rows
 NOISE_VAR = 25.0  # mK² — a plausible radiometer noise level
@@ -129,6 +152,57 @@ def _gate_violation(got: np.ndarray, ref: np.ndarray) -> float:
     return float((np.abs(got - ref) - (GATE_ATOL + GATE_RTOL * depth)).max())
 
 
+def _grad_gate_violation(got: np.ndarray, ref: np.ndarray) -> float:
+    """Worst excess of per-row ‖Δg‖ over the gradient allowance (≤0 ok)."""
+    norm = np.linalg.norm(ref, axis=1)
+    rms = float(np.sqrt(np.mean(norm**2)))
+    err = np.linalg.norm(got - ref, axis=1)
+    return float((err - GRAD_RTOL * (norm + rms)).max())
+
+
+def _grad_candidates(model, obs):
+    """(name, fn) value+gradient candidates: backend × variant × value
+    tier × backward tier (backward-tier suffix ``/g<tier>`` where it
+    differs from the value tier)."""
+    from tpu21cmvae.ops.loglik import make_loglik_and_grad
+
+    specs = [
+        # autodiff baselines (backward tier == value tier by construction)
+        ("xla-direct-ad-highest", dict(method="direct", variant="autodiff",
+                                       precision="highest")),
+        ("xla-direct-ad-high", dict(method="direct", variant="autodiff",
+                                    precision="high")),
+        ("xla-gram-ad-highest", dict(method="gram", variant="autodiff",
+                                     precision="highest")),
+        ("xla-gram-ad-high", dict(method="gram", variant="autodiff",
+                                  precision="high")),
+        # analytic gram backward (h@G reuse; independent backward tier)
+        ("xla-gram-an-highest", dict(precision="highest",
+                                     grad_precision="highest")),
+        ("xla-gram-an-high", dict(precision="high")),
+        ("xla-gram-an-high/gdefault", dict(precision="high",
+                                           grad_precision="default")),
+        # fused pallas value+grad kernel (activations never leave VMEM)
+        ("pallas-gram-highest", dict(backend="pallas", precision="highest",
+                                     grad_precision="highest")),
+        ("pallas-gram-high", dict(backend="pallas", precision="high")),
+        ("pallas-gram-high/gdefault", dict(backend="pallas",
+                                           precision="high",
+                                           grad_precision="default")),
+    ]
+    cands = []
+    for name, kw in specs:
+        try:
+            fn = jax.jit(make_loglik_and_grad(
+                model.config, model.normalizer, obs, NOISE_VAR, **kw
+            ))
+        except Exception as e:  # pragma: no cover
+            print(f"bench_mcmc: grad {name} unavailable: {e}", file=sys.stderr)
+            continue
+        cands.append((name, fn))
+    return cands
+
+
 def _time_fn(fn, params, x) -> float:
     jax.block_until_ready(fn(params, x))  # compile + warm
     t0 = time.perf_counter()
@@ -138,13 +212,13 @@ def _time_fn(fn, params, x) -> float:
     return (time.perf_counter() - t0) / ITERS
 
 
-def main():
+def main(out_path=None):
     model, raw, near, obs = _build()
     x = jnp.asarray(raw)
     xnear = jnp.asarray(near)
     params = model.params
 
-    from tpu21cmvae.ops.loglik import make_loglik
+    from tpu21cmvae.ops.loglik import make_loglik, make_loglik_and_grad
 
     contract = jax.jit(
         make_loglik(model.config, model.normalizer, obs, NOISE_VAR,
@@ -153,6 +227,7 @@ def main():
     ref_far = np.asarray(contract(params, x[:_CHECK]))
     ref_near = np.asarray(contract(params, xnear))
 
+    rows = []
     best_name, best_dt = None, float("inf")
     for name, fn in _candidates(model, obs):
         try:
@@ -167,6 +242,8 @@ def main():
                     f"(worst excess {viol:.2e} above allowance)",
                     file=sys.stderr,
                 )
+                rows.append({"candidate": name, "gate_margin": round(-viol, 4),
+                             "rejected": True})
                 continue
             dt = _time_fn(fn, params, x)
             print(
@@ -174,6 +251,8 @@ def main():
                 f"{BATCH / dt / 1e6:.1f}M loglik/s",
                 file=sys.stderr,
             )
+            rows.append({"candidate": name, "gate_margin": round(-viol, 4),
+                         "mloglik_per_s": round(BATCH / dt / 1e6, 1)})
         except Exception as e:
             print(f"bench_mcmc: {name} failed: {e}", file=sys.stderr)
             continue
@@ -185,6 +264,112 @@ def main():
             "no benchmark candidate passed the accuracy gate and timing"
         )
     lps = BATCH / best_dt
+
+    # -- gradient table (∇logL — the HMC inner loop) ----------------------
+    grad_ref_fn = jax.jit(make_loglik_and_grad(
+        model.config, model.normalizer, obs, NOISE_VAR,
+        backend="xla", method="direct", variant="autodiff",
+        precision="highest",
+    ))
+    gref_far = tuple(np.asarray(a) for a in grad_ref_fn(params, x[:_CHECK]))
+    gref_near = tuple(np.asarray(a) for a in grad_ref_fn(params, xnear))
+
+    grad_rows = []
+    gbest_name, gbest_dt = None, float("inf")
+    for name, fn in _grad_candidates(model, obs):
+        try:
+            vf, gf = fn(params, x[:_CHECK])
+            vn, gn = fn(params, xnear)
+            v_viol = max(
+                _gate_violation(np.asarray(vf), gref_far[0]),
+                _gate_violation(np.asarray(vn), gref_near[0]),
+            )
+            g_viol = max(
+                _grad_gate_violation(np.asarray(gf), gref_far[1]),
+                _grad_gate_violation(np.asarray(gn), gref_near[1]),
+            )
+            if not (v_viol <= 0.0 and g_viol <= 0.0):
+                print(
+                    f"bench_mcmc: grad {name} gate-rejected (value excess "
+                    f"{v_viol:.2e}, grad excess {g_viol:.2e})",
+                    file=sys.stderr,
+                )
+                grad_rows.append({
+                    "candidate": name, "value_margin": round(-v_viol, 4),
+                    "grad_margin": round(-g_viol, 4), "rejected": True,
+                })
+                continue
+            dt = _time_fn(fn, params, x)
+            print(
+                f"bench_mcmc: grad {name} gates ok (value {-v_viol:.2e}, "
+                f"grad {-g_viol:.2e}), {BATCH / dt / 1e6:.1f}M valgrad/s",
+                file=sys.stderr,
+            )
+            grad_rows.append({
+                "candidate": name, "value_margin": round(-v_viol, 4),
+                "grad_margin": round(-g_viol, 4),
+                "mvalgrad_per_s": round(BATCH / dt / 1e6, 1),
+            })
+        except Exception as e:
+            print(f"bench_mcmc: grad {name} failed: {e}", file=sys.stderr)
+            continue
+        if dt < gbest_dt:
+            gbest_name, gbest_dt = name, dt
+
+    grad_section = None
+    if gbest_name is not None:
+        gps = BATCH / gbest_dt
+        contract_row = next(
+            (r for r in grad_rows
+             if r["candidate"] == "xla-direct-ad-highest"
+             and "mvalgrad_per_s" in r),
+            None,
+        )
+        grad_section = {
+            "selected": {
+                "metric": f"valgrad_per_sec_batched[{gbest_name}]",
+                "value": round(gps, 1),
+                "unit": "valgrad/s",
+                # the reference offers NO gradients at all; speedup is
+                # vs the exact-f32 autodiff contract path here
+                "vs_contract_autodiff": (
+                    round(gps / (contract_row["mvalgrad_per_s"] * 1e6), 2)
+                    if contract_row else None
+                ),
+            },
+            "candidates": grad_rows,
+            "gate": (
+                f"value: |dlogL| <= {GATE_ATOL} + {GATE_RTOL}*depth; "
+                f"grad: ||dg|| <= {GRAD_RTOL}*(||g_ref|| + rms||g_ref||)"
+            ),
+        }
+        print(
+            f"bench_mcmc: grad selected {gbest_name}, "
+            f"{gps / 1e6:.1f}M valgrad/s",
+            file=sys.stderr,
+        )
+
+    if out_path:
+        report = {
+            "selected": {
+                "metric": f"loglik_per_sec_batched[{best_name}]",
+                "value": round(lps, 1),
+                "unit": "loglik/s",
+                "vs_baseline": round(lps / BASELINE_LOGLIK_PER_SEC, 1),
+            },
+            "candidates": rows,
+            "grad": grad_section,
+            "hardware": f"{jax.devices()[0].device_kind} "
+                        f"({len(jax.devices())} chip)",
+            "batch": BATCH,
+            "gate": (
+                f"|dlogL| <= {GATE_ATOL} + {GATE_RTOL} * depth-below-mode, "
+                "far + near sets"
+            ),
+        }
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=1)
+
     print(
         json.dumps(
             {
@@ -198,4 +383,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None,
+                    help="write full candidate tables (forward + grad) "
+                         "as JSON to this path")
+    main(ap.parse_args().out)

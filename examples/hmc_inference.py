@@ -3,11 +3,19 @@ through the likelihood, entirely on device.
 
 The reference supports ~25 likelihood evaluations/s with no gradients at
 all (reference ``README.rst:11``); composing ∇logL by hand would mean
-differentiating through Keras predict. Here the Gaussian log-likelihood
-(:mod:`tpu21cmvae.ops.loglik`) is a pure JAX function — folded, gram-
-collapsed, precision-tiered — so ``jax.grad`` gives the score for free
-and a whole HMC ensemble (leapfrog + Metropolis correction) runs as ONE
-``lax.scan`` program per chain segment.
+differentiating through Keras predict. Here the value AND per-row
+gradient of the Gaussian log-likelihood come from ONE device function
+(:func:`tpu21cmvae.ops.loglik.make_loglik_and_grad` — the bench-selected
+analytic/fused gram backward, see docs/PERF.md), and a whole HMC
+ensemble (leapfrog + Metropolis correction) runs as one ``lax.scan``
+program per chain segment.
+
+The forward model defaults to the SHIPPED converged checkpoint
+(``pretrained/direct_synthetic.npz``, 0.159 % mean error) — the
+fast-tier accuracy gates are calibrated on trained weights, and a
+40-epoch toy model is exactly the random-init trap the bench gate
+exists to avoid (bench.py docstring). ``--retrain`` forces the inline
+toy training anyway.
 
 Usage:
     python examples/hmc_inference.py --walkers 4096 --steps 100 \
@@ -17,16 +25,37 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu21cmvae import DirectEmulator, make_loglik
+from tpu21cmvae import DirectEmulator
 from tpu21cmvae.data import synthetic_dataset
 from tpu21cmvae.data.synthetic import PAR_RANGES, synthetic_params
-from tpu21cmvae.utils.config import TrainConfig
+
+PRETRAINED = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "pretrained", "direct_synthetic.npz",
+)
+
+
+def load_model(retrain: bool, train_epochs: int) -> DirectEmulator:
+    if os.path.exists(PRETRAINED) and not retrain:
+        print(f"loading shipped converged checkpoint {PRETRAINED}")
+        return DirectEmulator.from_checkpoint(PRETRAINED)
+    from tpu21cmvae.utils.config import TrainConfig
+
+    print("training a toy forward model inline (pass no --retrain and "
+          "keep pretrained/ for converged weights)...")
+    data = synthetic_dataset(n_train=4096, n_val=512, n_test=512, seed=0)
+    model = DirectEmulator(data)
+    model.train(
+        train_config=TrainConfig(epochs=train_epochs), device_loop=True
+    )
+    return model
 
 
 def main():
@@ -34,18 +63,17 @@ def main():
     ap.add_argument("--walkers", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--leapfrog", type=int, default=8)
+    ap.add_argument("--retrain", action="store_true",
+                    help="train a toy model inline instead of loading "
+                         "the shipped checkpoint")
     ap.add_argument("--train-epochs", type=int, default=40)
     args = ap.parse_args()
 
-    data = synthetic_dataset(n_train=4096, n_val=512, n_test=512, seed=0)
-    model = DirectEmulator(data)
-    print("training the forward model...")
-    model.train(
-        train_config=TrainConfig(epochs=args.train_epochs), device_loop=True
-    )
+    model = load_model(args.retrain, args.train_epochs)
 
-    truth = data.par_test[0]
-    obs = model.predict(truth) + np.random.default_rng(1).normal(0, 5.0, 451)
+    rng = np.random.default_rng(1)
+    truth = synthetic_params(1, rng)[0].astype(np.float32)
+    obs = model.predict(truth) + rng.normal(0, 5.0, 451)
     obs = jnp.asarray(obs, jnp.float32)
     noise_var = 25.0
 
@@ -53,46 +81,57 @@ def main():
     hi = jnp.asarray(PAR_RANGES[:, 1], jnp.float32)
     span = hi - lo
 
-    # HMC needs a smooth unbounded target: sample in a whitened
-    # y-space with a sigmoid map into the prior box (the Jacobian term
-    # keeps the flat box prior exact).
+    # HMC needs a smooth unbounded target: sample in a whitened y-space
+    # with a sigmoid map into the prior box (the Jacobian term keeps the
+    # flat box prior exact).
     def to_params(y):
         return lo + span * jax.nn.sigmoid(y)
 
     def log_jac(y):  # log |d params / d y| for the sigmoid map
         return jnp.sum(jax.nn.log_sigmoid(y) + jax.nn.log_sigmoid(-y), -1)
 
-    loglik = make_loglik(
-        model.config, model.normalizer, obs, noise_var, method="gram"
-    )
+    # value AND per-row gradient in one device call — the bench-selected
+    # gram backward (bench_mcmc.py grad table; docs/PERF.md). Gradient-
+    # tier error only costs acceptance rate: leapfrog with a
+    # deterministic approximate force field stays reversible and
+    # volume-preserving, and the accept step uses the gated value.
+    valgrad = model.loglik_and_grad_fn(obs, noise_var)
     weights = model.params
 
-    def logp(y):
-        return loglik(weights, to_params(y)) + log_jac(y)
+    def logp_and_grad(y):
+        ll, g_raw = valgrad(weights, to_params(y))
+        s = jax.nn.sigmoid(y)
+        lp = ll + log_jac(y)
+        # chain rule through the box map: draw/dy = span·s·(1−s);
+        # d log_jac/dy = 1 − 2s
+        glp = g_raw * (span * s * (1.0 - s)) + (1.0 - 2.0 * s)
+        return lp, glp
 
-    grad_logp = jax.grad(lambda y: jnp.sum(logp(y)))
     eps = 0.01
 
     def hmc_step(state, key):
-        y, lp = state
+        y, lp, glp = state
         kp, ku = jax.random.split(key)
         p0 = jax.random.normal(kp, y.shape, y.dtype)
-        # leapfrog
-        p = p0 + 0.5 * eps * grad_logp(y)
+        # leapfrog: `leapfrog` value+gradient evaluations per step (the
+        # initial gradient is carried in the chain state)
+        p = p0 + 0.5 * eps * glp
         q = y
         for _ in range(args.leapfrog - 1):
             q = q + eps * p
-            p = p + eps * grad_logp(q)
+            _, g = logp_and_grad(q)
+            p = p + eps * g
         q = q + eps * p
-        p = p + 0.5 * eps * grad_logp(q)
-        lp_new = logp(q)
+        lp_new, g_new = logp_and_grad(q)
+        p = p + 0.5 * eps * g_new
         dh = (lp_new - lp) - 0.5 * (
             jnp.sum(p**2, -1) - jnp.sum(p0**2, -1)
         )
         accept = jnp.log(jax.random.uniform(ku, (y.shape[0],))) < dh
         y = jnp.where(accept[:, None], q, y)
         lp = jnp.where(accept, lp_new, lp)
-        return (y, lp), jnp.mean(accept)
+        glp = jnp.where(accept[:, None], g_new, glp)
+        return (y, lp, glp), jnp.mean(accept)
 
     @jax.jit
     def run_chain(state, keys):
@@ -103,7 +142,7 @@ def main():
     # invert the sigmoid map to get starting y's inside the box
     frac = np.clip((draws - np.asarray(lo)) / np.asarray(span), 1e-4, 1 - 1e-4)
     y0 = jnp.asarray(np.log(frac / (1 - frac)), jnp.float32)
-    state = (y0, logp(y0))
+    state = (y0, *logp_and_grad(y0))
 
     keys = jax.random.split(jax.random.key(0), args.steps)
     print(f"running {args.steps} HMC steps × {args.walkers} walkers "
@@ -114,11 +153,12 @@ def main():
     state, rates = run_chain(state, keys)
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
-    # each leapfrog step needs one gradient (≈ fwd+bwd) evaluation
-    gevals = args.steps * args.walkers * (args.leapfrog + 1)
+    # exactly `leapfrog` fused value+gradient evaluations per HMC step
+    # (the Metropolis value rides along in the last one for free)
+    evals = args.steps * args.walkers * args.leapfrog
     print(f"accept rate {np.asarray(rates).mean():.2f}; "
-          f"{gevals:.2e} gradient evaluations in {dt:.2f}s "
-          f"→ {gevals / dt:.3e} grad-evals/s")
+          f"{evals:.2e} value+gradient evaluations in {dt:.2f}s "
+          f"→ {evals / dt:.3e} valgrad-evals/s")
 
     post = np.asarray(jax.device_get(to_params(state[0])))
     for label, t, m in zip(model.par_labels, truth, post.mean(axis=0)):

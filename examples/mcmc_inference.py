@@ -25,23 +25,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu21cmvae import DirectEmulator
-from tpu21cmvae.data import synthetic_dataset
 from tpu21cmvae.data.synthetic import PAR_RANGES, synthetic_params
-from tpu21cmvae.utils.config import TrainConfig
+
+from hmc_inference import load_model  # shipped-checkpoint-or-toy loader
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--walkers", type=int, default=8192)
     ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--retrain", action="store_true",
+                    help="train a toy model inline instead of loading "
+                         "the shipped converged checkpoint")
     ap.add_argument("--train-epochs", type=int, default=40)
     args = ap.parse_args()
 
-    data = synthetic_dataset(n_train=4096, n_val=512, n_test=512, seed=0)
-    model = DirectEmulator(data)
-    print("training the forward model...")
-    model.train(train_config=TrainConfig(epochs=args.train_epochs), device_loop=True)
+    model = load_model(args.retrain, args.train_epochs)
 
     from tpu21cmvae.parallel.mesh import make_mesh, replicate, shard_batch
 
@@ -49,8 +48,9 @@ def main():
     print(f"mesh: {mesh.devices.size} device(s)")
 
     # Synthetic observation: the signal of a known parameter vector + noise.
-    truth = data.par_test[0]
-    obs = model.predict(truth) + np.random.default_rng(1).normal(0, 5.0, 451)
+    rng1 = np.random.default_rng(1)
+    truth = synthetic_params(1, rng1)[0].astype(np.float32)
+    obs = model.predict(truth) + rng1.normal(0, 5.0, 451)
     obs = jnp.asarray(obs, jnp.float32)
     noise_var = 25.0
 

@@ -357,3 +357,177 @@ def test_pallas_ab_tier_strings_work(model, obs):
         np.testing.assert_allclose(got, want, rtol=5e-3, atol=1.0)
         g = jax.grad(lambda r: jnp.sum(fn(model.params, r)))(raw)
         assert np.isfinite(np.asarray(g)).all()
+
+
+# -- value+gradient builders (make_loglik_and_grad) ------------------------
+
+
+def _ad_reference(model, obs, noise_var, raw):
+    """Contract gradient: autodiff through the exact-f32 direct path."""
+    from tpu21cmvae.ops.loglik import make_loglik_and_grad
+
+    fn = make_loglik_and_grad(
+        model.config, model.normalizer, obs, noise_var,
+        backend="xla", method="direct", variant="autodiff",
+        precision="highest",
+    )
+    return fn(model.params, raw)
+
+
+def test_loglik_and_grad_autodiff_matches_grad(model, obs, splits):
+    """The ones-cotangent VJP equals per-row jax.grad (block-diag J)."""
+    from tpu21cmvae.ops.loglik import make_loglik, make_loglik_and_grad
+
+    raw = jnp.asarray(splits.par_test[:7], jnp.float32)
+    val, g = _ad_reference(model, obs, 25.0, raw)
+    assert val.shape == (7,) and g.shape == (7, model.config.n_params)
+    base = make_loglik(
+        model.config, model.normalizer, obs, 25.0, precision="highest",
+        method="direct",
+    )
+    for i in (0, 3):
+        gi = jax.grad(lambda r: base(model.params, r[None, :])[0])(raw[i])
+        # batched-vjp vs single-row grad trace different programs →
+        # different fusion → fp-noise-level differences only
+        np.testing.assert_allclose(
+            np.asarray(g[i]), np.asarray(gi),
+            rtol=1e-4, atol=1e-5 * float(np.abs(np.asarray(gi)).max()),
+        )
+
+
+def test_analytic_gram_grad_matches_autodiff(model, obs, splits):
+    """Hand-written backward (h@G reuse, explicit ReLU masks, log-clamp
+    chain) == autodiff through the same gram forward, at HIGHEST."""
+    from tpu21cmvae.ops.loglik import make_loglik_and_grad
+
+    raw = np.asarray(splits.par_test[:65], np.float32)
+    raw[3, 2] = 0.0  # fx == 0 clamp row: gradient must be 0 in that slot
+    raw = jnp.asarray(raw)
+    ana = make_loglik_and_grad(
+        model.config, model.normalizer, obs, 25.0,
+        backend="xla", method="gram", variant="analytic",
+        precision="highest", grad_precision="highest",
+    )
+    ad = make_loglik_and_grad(
+        model.config, model.normalizer, obs, 25.0,
+        backend="xla", method="gram", variant="autodiff",
+        precision="highest",
+    )
+    va, ga = ana(model.params, raw)
+    vd, gd = ad(model.params, raw)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vd), rtol=1e-6)
+    scale = np.abs(np.asarray(gd)).max()
+    np.testing.assert_allclose(
+        np.asarray(ga), np.asarray(gd), rtol=1e-5, atol=1e-6 * scale
+    )
+    assert np.asarray(ga)[3, 2] == 0.0  # clamp kills the fx gradient
+
+
+def test_analytic_gram_grad_vs_contract(model, obs, splits):
+    """Analytic gram ∇logL tracks the exact direct-path gradient."""
+    raw = jnp.asarray(splits.par_test[:33], jnp.float32)
+    from tpu21cmvae.ops.loglik import make_loglik_and_grad
+
+    ana = make_loglik_and_grad(
+        model.config, model.normalizer, obs, 25.0,
+        precision="highest", grad_precision="highest",
+    )  # defaults: xla + gram + analytic
+    va, ga = ana(model.params, raw)
+    vr, gr = _ad_reference(model, obs, 25.0, raw)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vr), rtol=1e-4)
+    norm = np.linalg.norm(np.asarray(gr), axis=1)
+    err = np.linalg.norm(np.asarray(ga) - np.asarray(gr), axis=1)
+    assert (err <= 1e-4 * (norm + norm.mean())).all()
+
+
+@pytest.mark.parametrize("tiers", [("highest", "highest"), ("high", "high"),
+                                   ("high", "default")])
+def test_fused_grad_kernel_matches_analytic(model, obs, splits, tiers):
+    """Pallas value+grad kernel (interpret) == the analytic XLA twin at
+    matching tiers, on a non-tile batch with an fx == 0 row."""
+    from tpu21cmvae.ops.loglik import make_loglik_and_grad
+
+    prec, gprec = tiers
+    raw = np.asarray(splits.par_test[:37], np.float32)
+    raw[5, 2] = 0.0
+    raw = jnp.asarray(raw)
+    fused = make_loglik_and_grad(
+        model.config, model.normalizer, obs, 25.0,
+        backend="pallas", precision=prec, grad_precision=gprec,
+        block_rows=16, interpret=True,
+    )
+    ana = make_loglik_and_grad(
+        model.config, model.normalizer, obs, 25.0,
+        backend="xla", precision=prec, grad_precision=gprec,
+    )
+    vf, gf = fused(model.params, raw)
+    va, ga = ana(model.params, raw)
+    assert vf.shape == (37,) and gf.shape == (37, model.config.n_params)
+    # same tier class ⇒ tight agreement (not identical: stacked vs
+    # separate dots associate differently)
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(va),
+                               rtol=2e-4, atol=2e-3 * np.abs(va).max())
+    scale = np.abs(np.asarray(ga)).max()
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(ga),
+                               rtol=2e-3, atol=2e-3 * scale)
+    assert np.asarray(gf)[5, 2] == 0.0
+
+
+def test_fused_grad_kernel_single_row(model, obs):
+    from tpu21cmvae.ops.loglik import make_loglik_and_grad
+
+    fused = make_loglik_and_grad(
+        model.config, model.normalizer, obs, 25.0,
+        backend="pallas", block_rows=8, interpret=True,
+    )
+    v, g = fused(model.params, jnp.asarray(model.data.par_test[0], jnp.float32))
+    assert v.shape == (1,) and g.shape == (1, model.config.n_params)
+    assert np.isfinite(np.asarray(v)).all() and np.isfinite(np.asarray(g)).all()
+
+
+def test_loglik_and_grad_rejects_bad_combos(model, obs):
+    from tpu21cmvae.ops.loglik import make_loglik_and_grad
+
+    with pytest.raises(ValueError, match="gram"):
+        make_loglik_and_grad(
+            model.config, model.normalizer, obs, backend="pallas",
+            method="direct",
+        )
+    with pytest.raises(ValueError, match="variant"):
+        make_loglik_and_grad(
+            model.config, model.normalizer, obs, variant="nope"
+        )
+    with pytest.raises(ValueError, match="analytic"):
+        make_loglik_and_grad(
+            model.config, model.normalizer, obs, method="direct",
+            variant="analytic",
+        )
+
+
+def test_grad_finite_difference(model, obs, splits):
+    """∇logL from the analytic path agrees with central differences."""
+    from tpu21cmvae.ops.loglik import make_loglik, make_loglik_and_grad
+
+    base = make_loglik(
+        model.config, model.normalizer, obs, 25.0, precision="highest",
+        method="gram",
+    )
+    ana = make_loglik_and_grad(
+        model.config, model.normalizer, obs, 25.0,
+        precision="highest", grad_precision="highest",
+    )
+    theta = np.asarray(splits.par_test[1], np.float64)
+    _, g = ana(model.params, jnp.asarray(theta, jnp.float32))
+    g = np.asarray(g)[0]
+    for j in range(model.config.n_params):
+        h = 1e-3 * max(abs(theta[j]), 1e-3)
+        tp, tm = theta.copy(), theta.copy()
+        tp[j] += h
+        tm[j] -= h
+        fd = (
+            float(base(model.params, jnp.asarray(tp, jnp.float32))[0])
+            - float(base(model.params, jnp.asarray(tm, jnp.float32))[0])
+        ) / (2 * h)
+        assert abs(g[j] - fd) <= 2e-2 * (abs(fd) + np.abs(g).mean() + 1.0), (
+            j, g[j], fd
+        )

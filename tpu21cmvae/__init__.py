@@ -45,7 +45,7 @@ from tpu21cmvae.ops.transforms import (  # noqa: F401
     unpreproc,
     par_transform,
 )
-from tpu21cmvae.ops.loglik import make_loglik  # noqa: F401
+from tpu21cmvae.ops.loglik import make_loglik, make_loglik_and_grad  # noqa: F401
 from tpu21cmvae.models.direct import DirectEmulator  # noqa: F401
 from tpu21cmvae.models.autoencoder import AutoEncoder, AutoEncoderEmulator  # noqa: F401
 from tpu21cmvae.models.vae import VAE, VAEEmulator  # noqa: F401

@@ -222,6 +222,38 @@ class DirectEmulator:
             )
         )
 
+    def loglik_and_grad_fn(
+        self,
+        obs,
+        noise_var=1.0,
+        *,
+        backend: str = "xla",
+        method: str = "gram",
+        precision=None,
+        grad_precision=None,
+    ):
+        """Jitted ``(weights, raw_params) → (logL, dlogL/draw)`` — the
+        HMC/NUTS inner loop as one device call (see
+        :func:`tpu21cmvae.ops.loglik.make_loglik_and_grad` for variants,
+        tiers, and the measured selection in docs/PERF.md). The default
+        is the hand-written analytic gram backward; gradient tier errors
+        only cost sampler acceptance rate, never posterior correctness
+        (the accept step uses the gated value)."""
+        from tpu21cmvae.ops.loglik import make_loglik_and_grad
+
+        return jax.jit(
+            make_loglik_and_grad(
+                self.config,
+                self.normalizer,
+                obs,
+                noise_var,
+                backend=backend,
+                method=method,
+                precision=precision,
+                grad_precision=grad_precision,
+            )
+        )
+
     def fisher_fn(self, noise_var=1.0):
         """Jitted batched Fisher-matrix function ``(weights, thetas) →
         (n, 7, 7)`` (see :mod:`tpu21cmvae.ops.fisher`). Hold the result

@@ -192,3 +192,152 @@ def make_loglik(
         return -0.5 * jnp.sum((pred - obs) ** 2 * invvar, axis=-1)
 
     return loglik
+
+
+def make_loglik_and_grad(
+    config: DirectEmulatorConfig,
+    norm: Normalizer,
+    obs,
+    noise_var=1.0,
+    *,
+    backend: str = "xla",
+    method: str = "gram",
+    variant: Optional[str] = None,
+    precision=None,
+    grad_precision=None,
+    block_rows: Optional[int] = None,
+    interpret: Optional[bool] = None,
+):
+    """Build ``fn(params, raw_params) → (logL, dlogL/draw)`` with shapes
+    ``(B,), (B, n_params)`` — the gradient-based-sampler (HMC/NUTS)
+    inner loop as one device call. The per-row gradient is with respect
+    to the RAW astrophysical parameters (the sampling variables); chain
+    any reparameterization (e.g. a sigmoid box map) outside.
+
+    Variants (the ∇logL benchmark in ``bench_mcmc.py`` crosses them and
+    selects by measurement under a gradient accuracy gate):
+
+    * ``backend="xla", variant="autodiff"`` — ``jax.vjp`` through
+      :func:`make_loglik` at the same backend/method/tier. The baseline;
+      stores every trunk activation to HBM between forward and backward.
+    * ``backend="xla", method="gram", variant="analytic"`` (default) —
+      hand-written backward. Two structural wins over autodiff: the gram
+      head's gradient REUSES the forward's ``h@G`` product (``G = WWᵀ``
+      is exactly symmetric, so ``d(h·G·hᵀ)/dh = 2(h@G)`` — autodiff
+      spends a second hidden×hidden matmul here), and the backward tier
+      is independently selectable via ``grad_precision``.
+    * ``backend="pallas", method="gram"`` — the whole value+gradient as
+      ONE kernel
+      (:func:`tpu21cmvae.ops.pallas.fused_loglik.make_fused_loglik_grad_gram`):
+      activations never leave VMEM, the backward re-reads nothing from
+      HBM.
+
+    ``grad_precision`` (analytic/pallas only) tiers the backward
+    matmuls separately from the value's ``precision``. A cheaper
+    backward than value tier is admissible for HMC: leapfrog with any
+    deterministic approximate force field remains reversible and
+    volume-preserving, so the Metropolis accept step (which uses the
+    gated VALUE) keeps the posterior exact — gradient error only costs
+    acceptance rate (measured bounds in docs/PERF.md).
+    """
+    if variant is None:
+        # gram has a hand-written/fused backward on both backends; the
+        # direct method only exists as autodiff
+        variant = "autodiff" if method == "direct" else "analytic"
+    if backend == "pallas":
+        if method != "gram" or variant == "autodiff":
+            raise ValueError(
+                "the fused value+grad kernel exists for method='gram' only "
+                "(the direct method's backward adds a strictly larger "
+                "(n_bins, hidden) matmul — use the gram form or the XLA "
+                f"autodiff variant); got method={method!r}, "
+                f"variant={variant!r}"
+            )
+        from tpu21cmvae.ops.pallas.fused_loglik import (
+            DEFAULT_GRAD_BLOCK_ROWS,
+            make_fused_loglik_grad_gram,
+        )
+
+        return make_fused_loglik_grad_gram(
+            config,
+            norm,
+            obs,
+            noise_var,
+            block_rows=block_rows or DEFAULT_GRAD_BLOCK_ROWS,
+            interpret=interpret,
+            precision="high" if precision is None else precision,
+            grad_precision=grad_precision,
+        )
+    if backend != "xla":
+        raise ValueError(f"backend must be 'xla' or 'pallas'; got {backend!r}")
+    if variant == "autodiff":
+        base = make_loglik(
+            config, norm, obs, noise_var,
+            backend=backend, method=method, precision=precision,
+        )
+
+        def loglik_grad_ad(params, raw_params):
+            raw = jnp.atleast_2d(jnp.asarray(raw_params, jnp.float32))
+            val, vjp = jax.vjp(lambda r: base(params, r), raw)
+            # each row's logL depends only on its own row, so the ones-
+            # cotangent VJP IS the per-row gradient (block-diagonal J)
+            (g,) = vjp(jnp.ones_like(val))
+            return val, g
+
+        return loglik_grad_ad
+    if variant != "analytic":
+        raise ValueError(
+            f"variant must be 'autodiff' or 'analytic'; got {variant!r}"
+        )
+    if method != "gram":
+        raise ValueError("the analytic backward exists for method='gram' only")
+    if config.activation != "relu":
+        raise NotImplementedError(
+            "the analytic backward hard-codes ReLU masks; got "
+            f"activation={config.activation!r} — use variant='autodiff'"
+        )
+    from tpu21cmvae.ops.mlp import SKINNY_DENSE_MAX_IN, skinny_dense
+    from tpu21cmvae.ops.pallas.fused_loglik import gram_fold, noise_scale
+    from tpu21cmvae.ops.pallas.fused_mlp import (
+        _log_clamp,
+        _log_clamp_grad,
+        resolve_precision,
+    )
+
+    def _tier(p, default):
+        if isinstance(p, str) and p.lower().replace("_", "-") in (
+            "high-stacked", "high-split",
+        ):
+            p = "high"
+        return resolve_precision(default if p is None else p)
+
+    fwd_prec = _tier(precision, jax.lax.Precision.HIGH)
+    bwd_prec = _tier(grad_precision, fwd_prec)
+    hp = jax.lax.Precision.HIGHEST
+    scale = noise_scale(noise_var, config.n_bins)
+
+    def loglik_grad(params, raw_params):
+        trunk, G, u, c = gram_fold(params, norm, obs, scale)
+        x = jnp.atleast_2d(raw_params.astype(jnp.float32))
+        h = _log_clamp(x)
+        acts = []
+        for i, layer in enumerate(trunk):
+            if i == 0 and layer["w"].shape[0] <= SKINNY_DENSE_MAX_IN:
+                h = skinny_dense(h, layer["w"], layer["b"])  # exact, VPU
+            else:
+                h = jnp.matmul(h, layer["w"], precision=fwd_prec) + layer["b"]
+            h = jnp.maximum(h, 0.0)
+            acts.append(h)
+        g1 = jnp.matmul(h, G, precision=fwd_prec)
+        quad = jnp.sum((g1 + 2.0 * u) * h, axis=-1) + c
+        e = g1 + u  # = ½·dquad/dh — G symmetric, h@G reused
+        for i in range(len(trunk) - 1, -1, -1):
+            e = jnp.where(acts[i] > 0.0, e, 0.0)
+            # first-layer backward contracts to n_params wide — tiny;
+            # run it exact (same spirit as the skinny forward path)
+            pr = hp if i == 0 else bwd_prec
+            e = jnp.matmul(e, trunk[i]["w"].T, precision=pr)
+        grad = -(_log_clamp_grad(x) * e)
+        return -0.5 * quad, grad
+
+    return loglik_grad

@@ -39,8 +39,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu21cmvae.ops.mlp import MLPParams
 from tpu21cmvae.ops.pallas.fused_mlp import (
+    _dot_refs,
     _layer_matmul,
     _log_clamp,
+    _log_clamp_grad,
     _refs_per_layer,
     _should_interpret,
     _split_hi_lo,
@@ -152,26 +154,7 @@ def _loglik_gram_kernel(trunk_modes, mode, precision, interleave, *refs):
                 _layer_matmul(h, wb[lo:hi], lmode, precision), 0.0
             )
             lo = hi
-        if mode == "bf16x3":
-            g_hi, g_lo = g_refs[0][:], g_refs[1][:]
-            h_hi, h_lo = _split_hi_lo(h)
-            g = (
-                jnp.dot(h_hi, g_hi, preferred_element_type=jnp.float32)
-                + jnp.dot(h_hi, g_lo, preferred_element_type=jnp.float32)
-                + jnp.dot(h_lo, g_hi, preferred_element_type=jnp.float32)
-            )
-        elif mode == "bf16x3s":  # stacked: one dot over the 3K contraction
-            g3 = g_refs[0][:]
-            h_hi, h_lo = _split_hi_lo(h)
-            h3 = jnp.concatenate([h_hi, h_hi, h_lo], axis=1)
-            g = jnp.dot(h3, g3, preferred_element_type=jnp.float32)
-        else:
-            gm = g_refs[0][:]
-            hh = h.astype(jnp.bfloat16) if mode == "bf16" else h
-            g = jnp.dot(
-                hh, gm, preferred_element_type=jnp.float32,
-                precision=precision,
-            )
+        g = _dot_refs(h, g_refs, mode, precision)
         return jnp.sum((g + 2.0 * u_ref[:]) * h, axis=1, keepdims=True)
 
     rows = x_ref.shape[0] // interleave
@@ -284,6 +267,233 @@ def make_fused_loglik_gram(
         return -0.5 * (quad + c)
 
     return loglik
+
+
+# Value+grad kernel: the live set per sub-chain additionally holds every
+# trunk activation (for the in-kernel backward) and the transposed
+# weights, so the default row block is half the forward-only kernel's.
+DEFAULT_GRAD_BLOCK_ROWS = 1024
+DEFAULT_GRAD_INTERLEAVE = 2
+
+
+def _wt_refs_per_layer(lmode: str, grad_mode: str) -> int:
+    if lmode == "skinny":  # backward reuses the forward weight ref (VPU)
+        return 0
+    return 2 if grad_mode == "bf16x3" else 1
+
+
+def _loglik_grad_gram_kernel(
+    trunk_modes, mode, grad_mode, fwd_prec, bwd_prec, interleave, *refs
+):
+    """Forward gram chain AND its input-gradient in one kernel.
+
+    ``refs`` = (x, <trunk wb refs>, <G refs>, u, <WTᵀ refs>, out_quad,
+    out_grad). The forward is :func:`_loglik_gram_kernel`'s chain with
+    every activation kept in VMEM; the backward then runs in-kernel —
+    ReLU masks from the live activations, transposed-weight matmuls at
+    the (independently tiered) ``grad_mode``, the skinny first layer as
+    exact VPU lane reductions on the forward weight ref, and the gram
+    head's gradient REUSING the forward's ``h@G`` product (G = WWᵀ is
+    exactly symmetric, so ``d(h·G·hᵀ)/dh = 2(h@G)`` — no extra matmul).
+    Composed in XLA the backward re-reads every stored (B, width)
+    activation block from HBM; here nothing row-shaped ever leaves VMEM
+    except the (rows, 1) value and (rows, n_in) gradient.
+
+    Outputs: ``out_quad = ‖r‖² − b·b`` per row and ``out_grad = 0.5 ·
+    d‖r‖²/dx`` — the caller applies the −0.5 likelihood scale to both.
+    """
+    n_g = 2 if mode == "bf16x3" else 1
+    n_wb = sum(_refs_per_layer(m) for m in trunk_modes)
+    n_wt_each = [_wt_refs_per_layer(m, grad_mode) for m in trunk_modes]
+    x_ref, *rest, quad_ref, grad_ref = refs
+    wb = rest[:n_wb]
+    g_refs = rest[n_wb: n_wb + n_g]
+    u_ref = rest[n_wb + n_g]
+    wt = rest[n_wb + n_g + 1:]
+
+    def chain(xs):
+        h = _log_clamp(xs)
+        acts = []
+        lo = 0
+        for lmode in trunk_modes:
+            hi = lo + _refs_per_layer(lmode)
+            h = jnp.maximum(
+                _layer_matmul(h, wb[lo:hi], lmode, fwd_prec), 0.0
+            )
+            acts.append(h)
+            lo = hi
+        g1 = _dot_refs(h, g_refs, mode, fwd_prec)
+        quad = jnp.sum((g1 + 2.0 * u_ref[:]) * h, axis=1, keepdims=True)
+        # dquad/dh = 2·(g1 + u); carry the half, caller scales by −1
+        e = g1 + u_ref[:]
+        wb_pos, wt_pos = n_wb, len(wt)
+        for i in range(len(trunk_modes) - 1, -1, -1):
+            lmode = trunk_modes[i]
+            wb_pos -= _refs_per_layer(lmode)
+            wt_pos -= n_wt_each[i]
+            e = jnp.where(acts[i] > 0.0, e, 0.0)  # ReLU mask, in VMEM
+            if lmode == "skinny":
+                w = wb[wb_pos][:]  # forward (n_in, out) weight, exact f32
+                e = jnp.concatenate(
+                    [
+                        jnp.sum(e * w[j: j + 1, :], axis=1, keepdims=True)
+                        for j in range(w.shape[0])
+                    ],
+                    axis=1,
+                )
+            else:
+                e = _dot_refs(
+                    e, wt[wt_pos: wt_pos + n_wt_each[i]], grad_mode, bwd_prec
+                )
+        return quad, _log_clamp_grad(xs) * e
+
+    rows = x_ref.shape[0] // interleave
+    for s in range(interleave):
+        sl = slice(s * rows, (s + 1) * rows)
+        q, dx = chain(x_ref[sl, :])
+        quad_ref[sl, :] = q
+        grad_ref[sl, :] = dx
+
+
+def make_fused_loglik_grad_gram(
+    config: DirectEmulatorConfig,
+    norm: Normalizer,
+    obs,
+    noise_var=1.0,
+    *,
+    block_rows: int = DEFAULT_GRAD_BLOCK_ROWS,
+    interpret: Optional[bool] = None,
+    precision="high",
+    grad_precision=None,
+    vmem_limit_bytes: Optional[int] = DEFAULT_LOGLIK_VMEM_LIMIT,
+    interleave: int = DEFAULT_GRAD_INTERLEAVE,
+):
+    """Fused gram value-and-gradient: ``(params, raw) → (logL, dlogL/draw)``
+    with shapes ``(B,), (B, n_params)`` — the HMC/NUTS inner loop as ONE
+    kernel (see :func:`tpu21cmvae.ops.loglik.make_loglik_and_grad` for
+    the XLA twins and the selection benchmark).
+
+    ``precision`` tiers the forward (value) matmuls; ``grad_precision``
+    (default: same tier) independently tiers the backward — gradient
+    error only perturbs HMC's acceptance rate, never the posterior
+    (leapfrog with any deterministic force field stays reversible and
+    volume-preserving while the accept step uses the gated value), so a
+    cheaper backward tier is admissible where the value tier is not.
+    """
+    if config.activation != "relu":
+        raise NotImplementedError(
+            "Fused kernel supports the reference's relu MLPs only; got "
+            f"activation={config.activation!r}"
+        )
+    obs = jnp.asarray(obs, jnp.float32)
+    scale = noise_scale(noise_var, config.n_bins)
+    sizes = config.mlp().sizes
+    hidden = sizes[-2]
+    in_dim = sizes[0]
+    if interpret is None:
+        interpret = _should_interpret()
+    if block_rows % interleave:
+        raise ValueError(
+            f"interleave ({interleave}) must divide block_rows "
+            f"({block_rows}) evenly"
+        )
+    trunk_modes, fwd_prec = layer_mode_plan(sizes[:-1], precision)
+    grad_mode, bwd_prec = resolve_mode(
+        precision if grad_precision is None else grad_precision
+    )
+    mode, _ = resolve_mode(precision)
+    kernel = functools.partial(
+        _loglik_grad_gram_kernel,
+        trunk_modes, mode, grad_mode, fwd_prec, bwd_prec, interleave,
+    )
+
+    n_weight_refs = (
+        sum(_refs_per_layer(m) for m in trunk_modes)
+        + (2 if mode == "bf16x3" else 1)  # G (or its hi/lo halves)
+        + 1  # u
+        + sum(_wt_refs_per_layer(m, grad_mode) for m in trunk_modes)
+    )
+    wb_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_weight_refs)
+    ]
+    trunk_pairs = sum(a * b for a, b in zip(sizes[:-2], sizes[1:-1]))
+    # fwd trunk + gram head + bwd trunk (≈ fwd trunk again)
+    flops_per_row = 2 * (2 * trunk_pairs + hidden * hidden)
+
+    def _flat_wt(w):
+        wt = w.T
+        if grad_mode == "bf16x3":
+            return list(_split_hi_lo(wt))
+        if grad_mode == "bf16x3s":
+            hi, lo = _split_hi_lo(wt)
+            return [jnp.concatenate([hi, lo, hi], axis=0)]
+        if grad_mode == "bf16":
+            return [wt.astype(jnp.bfloat16)]
+        return [wt.astype(jnp.float32)]
+
+    def loglik_grad(params: MLPParams, raw_params: jax.Array):
+        trunk, G, u, c = gram_fold(params, norm, obs, scale)
+        x = raw_params.astype(jnp.float32)
+        if x.ndim == 1:
+            x = x[None, :]
+        n = x.shape[0]
+        nb = pl.cdiv(n, block_rows)
+        padded = nb * block_rows
+        if padded != n:
+            x = jnp.pad(x, ((0, padded - n), (0, 0)), constant_values=1.0)
+        flat = flatten_layer_weights(trunk, trunk_modes)
+        if mode == "bf16x3":
+            flat.extend(_split_hi_lo(G))
+        elif mode == "bf16x3s":
+            g_hi, g_lo = _split_hi_lo(G)
+            flat.append(jnp.concatenate([g_hi, g_lo, g_hi], axis=0))
+        else:
+            flat.append(G)
+        flat.append(u.reshape(1, -1))
+        for layer, lmode in zip(trunk, trunk_modes):
+            if lmode != "skinny":
+                flat.extend(_flat_wt(layer["w"]))
+        quad, dx = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(
+                    (block_rows, in_dim),
+                    lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                *wb_specs,
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (block_rows, 1), lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (block_rows, in_dim), lambda i: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((padded, 1), jnp.float32),
+                jax.ShapeDtypeStruct((padded, in_dim), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=padded * flops_per_row,
+                bytes_accessed=4 * padded * (2 * in_dim + 1),
+                transcendentals=padded * 3,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    ("arbitrary",) if interpret else ("parallel",)
+                ),
+                vmem_limit_bytes=vmem_limit_bytes,
+            ),
+            interpret=interpret,
+        )(x, *flat)
+        return -0.5 * (quad[:n, 0] + c), -dx[:n]
+
+    return loglik_grad
 
 
 def make_fused_loglik(

@@ -123,6 +123,23 @@ def _log_clamp(x: jax.Array) -> jax.Array:
     return jnp.where(is_log, jnp.log10(jnp.where(is_log, clamped, 1.0)), x)
 
 
+_LN10 = 2.302585092994046
+
+
+def _log_clamp_grad(x: jax.Array) -> jax.Array:
+    """Elementwise derivative of :func:`_log_clamp` — ``1/(x·ln10)`` on
+    the log columns (0 where the ``fx == 0`` clamp fired, matching
+    autodiff through the ``where``), 1 elsewhere. Shared by the analytic
+    and fused likelihood backward passes (:mod:`tpu21cmvae.ops.loglik`,
+    :mod:`tpu21cmvae.ops.pallas.fused_loglik`)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    is_log = col < _N_LOG_COLS
+    clamp_fired = (col == _N_LOG_COLS - 1) & (x == 0.0)
+    safe = jnp.where(is_log & ~clamp_fired, x, 1.0)
+    d = jnp.where(is_log, 1.0 / (safe * _LN10), 1.0)
+    return jnp.where(clamp_fired, 0.0, d)
+
+
 def _split_hi_lo(x: jax.Array):
     """Decompose f32 into (hi, lo) bf16 halves with x ≈ hi + lo.
 
@@ -212,22 +229,23 @@ def _mlp_kernel(
         out_ref[sl, :] = chain(x_ref[sl, :])
 
 
-def _layer_matmul(h, refs, mode, precision):
-    """One dense layer ``h @ W + b`` on a layer's refs, f32 accumulation.
+def _dot_refs(h, wrefs, mode, precision):
+    """``h @ W`` (no bias) on a layer's weight refs, f32 accumulation.
 
-    ``refs`` is (w, b) — or (w_hi, w_lo, b) in bf16x3 mode, where the
+    ``wrefs`` is (w,) — or (w_hi, w_lo) in bf16x3 mode, where the
     product is ``hi·hi + hi·lo + lo·hi`` with in-kernel activation
     splitting (see :func:`_split_hi_lo`). ``"skinny"`` unrolls the
     (static, small) fan-in as broadcast multiply-adds on the VPU.
+    Shared by the forward layers, the gram head, and the fused backward
+    pass (which runs the same modes on pre-transposed weights).
     """
     if mode == "bf16x3":
-        w_hi, w_lo, b = (r[:] for r in refs)
+        w_hi, w_lo = (r[:] for r in wrefs)
         h_hi, h_lo = _split_hi_lo(h)
         return (
             jnp.dot(h_hi, w_hi, preferred_element_type=jnp.float32)
             + jnp.dot(h_hi, w_lo, preferred_element_type=jnp.float32)
             + jnp.dot(h_lo, w_hi, preferred_element_type=jnp.float32)
-            + b
         )
     if mode == "bf16x3s":
         # same three products as bf16x3 but STACKED along the
@@ -235,23 +253,28 @@ def _layer_matmul(h, refs, mode, precision):
         # Whi]. One large dot schedules better than three skinny ones
         # and wastes less tile padding (e.g. K=288: 3×384-padded passes
         # → one 896-padded pass).
-        w3, b = refs[0][:], refs[1][:]
+        w3 = wrefs[0][:]
         h_hi, h_lo = _split_hi_lo(h)
         h3 = jnp.concatenate([h_hi, h_hi, h_lo], axis=1)
-        return jnp.dot(h3, w3, preferred_element_type=jnp.float32) + b
+        return jnp.dot(h3, w3, preferred_element_type=jnp.float32)
     if mode == "skinny":
-        w, b = refs
-        acc = b[:] + h[:, 0:1] * w[0:1, :]
+        (w,) = wrefs
+        acc = h[:, 0:1] * w[0:1, :]
         for k in range(1, w.shape[0]):
             acc = acc + h[:, k: k + 1] * w[k: k + 1, :]
         return acc
-    w, b = refs[0][:], refs[1][:]
+    w = wrefs[0][:]
     if mode == "bf16":
         h = h.astype(jnp.bfloat16)
-    return (
-        jnp.dot(h, w, preferred_element_type=jnp.float32, precision=precision)
-        + b
+    return jnp.dot(
+        h, w, preferred_element_type=jnp.float32, precision=precision
     )
+
+
+def _layer_matmul(h, refs, mode, precision):
+    """One dense layer ``h @ W + b``: :func:`_dot_refs` plus the bias
+    (always the layer's last ref, shape (1, out))."""
+    return _dot_refs(h, refs[:-1], mode, precision) + refs[-1][:]
 
 
 def resolve_mode(precision, weight_dtype=jnp.float32):
