@@ -65,12 +65,47 @@ class ShardedEmulator:
         )
 
     @classmethod
-    def for_model(cls, model, mesh: Optional[Mesh] = None, **kwargs):
+    def for_model(
+        cls,
+        model,
+        mesh: Optional[Mesh] = None,
+        backend: str = "xla",
+        precision=None,
+        **kwargs,
+    ):
         """Build from any model exposing ``predict_fn()`` + ``params``
-        (all three families; works for any (weights, raw)→signal fn)."""
+        (all three families; works for any (weights, raw)→signal fn).
+
+        ``backend="pallas"`` (direct family only) serves through the
+        fused whole-chain kernel instead, partitioned over the mesh via
+        ``shard_map`` (:func:`tpu21cmvae.parallel.fused.sharded_fused_predict`)
+        — a bare ``pallas_call`` under jit would make XLA gather the
+        sharded batch onto every device. ``precision`` picks the tier
+        (pallas default: the gate-passing in-kernel bf16x3)."""
+        mesh = mesh if mesh is not None else make_mesh()
+        if backend == "pallas":
+            from tpu21cmvae.parallel.fused import sharded_fused_predict
+
+            fn = sharded_fused_predict(
+                model.config,
+                model.normalizer,
+                mesh,
+                precision="high" if precision is None else precision,
+            )
+            return cls(fn, model.params, mesh=mesh, **kwargs)
+        if backend != "xla":
+            raise ValueError(
+                f"backend must be 'xla' or 'pallas'; got {backend!r}"
+            )
         # predict_fn() is already jitted; wrapping it in the sharded jit
-        # here just inlines it — XLA sees one program with the shardings
-        return cls(model.predict_fn(), model.params, mesh=mesh, **kwargs)
+        # here just inlines it — XLA sees one program with the shardings.
+        # (only the direct family's predict_fn takes a precision tier)
+        fn = (
+            model.predict_fn()
+            if precision is None
+            else model.predict_fn(precision=precision)
+        )
+        return cls(fn, model.params, mesh=mesh, **kwargs)
 
     def __call__(self, raw_params) -> np.ndarray:
         """Emulate a batch of parameter draws; returns host ndarray.
