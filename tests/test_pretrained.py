@@ -61,13 +61,32 @@ def test_pretrained_needs_no_training_data():
 
 
 def test_pretrained_vae_golden(refdata):
+    """Round-3 checkpoint (halving-tuned latent 7, β=3e-6, strong
+    recipes): beats the reference's published AE-based 0.39 % with the
+    majority of the latent space ACTIVE — no posterior collapse."""
+    import jax
+
     from tpu21cmvae.models import load_model
+    from tpu21cmvae.ops.transforms import preproc
 
     vae = load_model(
         os.path.join(REPO, "pretrained", "vae_synthetic.npz"), refdata
     )
     err = vae.test_error()
-    assert err.mean() < 0.6  # trained to 0.443 % (tuned arch, β=3e-5)
+    assert err.mean() < 0.35  # trained to 0.278 % (scripts/train_vae_r3.py)
+    assert np.median(err) < 0.35  # trained to 0.244 %
+    # ≥ half the latent dims are active: collapsed dims pin z_mean ≈ 0
+    # for every input (round-2 checkpoint had 4/13 — VERDICT weak)
+    y_val = preproc(
+        np.asarray(refdata.signal_val, np.float32), vae.normalizer
+    )
+    mu = np.asarray(
+        jax.jit(lambda p, y: vae.vae.encode(p, y)[0])(vae.vae.params, y_val)
+    )
+    active = int((mu.var(axis=0) > 0.01).sum())
+    assert 2 * active >= vae.config.latent_dim, (
+        f"{active}/{vae.config.latent_dim} active latents"
+    )
     # the interpretable latent space is usable out of the box
     curves = vae.latent_traversal(dim=0, values=np.linspace(-2, 2, 5))
     assert curves.shape == (5, 451) and np.isfinite(curves).all()
