@@ -90,12 +90,20 @@ def main():
     def log_jac(y):  # log |d params / d y| for the sigmoid map
         return jnp.sum(jax.nn.log_sigmoid(y) + jax.nn.log_sigmoid(-y), -1)
 
-    # value AND per-row gradient in one device call — the bench-selected
-    # gram backward (bench_mcmc.py grad table; docs/PERF.md). Gradient-
-    # tier error only costs acceptance rate: leapfrog with a
-    # deterministic approximate force field stays reversible and
-    # volume-preserving, and the accept step uses the gated value.
-    valgrad = model.loglik_and_grad_fn(obs, noise_var)
+    # value AND per-row gradient in one device call. Config = the
+    # bench-selected winner on v5e (bench_mcmc.py grad table,
+    # docs/PERF.md): the fused Pallas kernel (activations never leave
+    # VMEM) with the bf16x3 value tier and a single-pass-bf16 backward —
+    # 38M valgrad/s, +15% over the best XLA backward, +64% over
+    # autodiff. Gradient-tier error only costs acceptance rate: leapfrog
+    # with a deterministic approximate force field stays reversible and
+    # volume-preserving, and the accept step uses the gated value. (On
+    # non-TPU hosts the kernel runs in interpret mode — swap to
+    # backend="xla" there for speed.)
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    valgrad = model.loglik_and_grad_fn(
+        obs, noise_var, backend=backend, grad_precision="default"
+    )
     weights = model.params
 
     def logp_and_grad(y):

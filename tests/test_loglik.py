@@ -531,3 +531,27 @@ def test_grad_finite_difference(model, obs, splits):
         assert abs(g[j] - fd) <= 2e-2 * (abs(fd) + np.abs(g).mean() + 1.0), (
             j, g[j], fd
         )
+
+
+def test_contract_precision_alias(model, obs, splits):
+    """precision="contract" is the documented exact-f32 escape hatch —
+    bitwise identical to "highest" on every builder."""
+    from tpu21cmvae.ops.loglik import make_loglik, make_loglik_and_grad
+
+    raw = jnp.asarray(splits.par_test[:5], jnp.float32)
+    for method in ("direct", "gram"):
+        a = make_loglik(model.config, model.normalizer, obs, 25.0,
+                        method=method, precision="contract")(model.params, raw)
+        b = make_loglik(model.config, model.normalizer, obs, 25.0,
+                        method=method, precision="highest")(model.params, raw)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    va, ga = make_loglik_and_grad(
+        model.config, model.normalizer, obs, 25.0,
+        precision="contract", grad_precision="contract",
+    )(model.params, raw)
+    vb, gb = make_loglik_and_grad(
+        model.config, model.normalizer, obs, 25.0,
+        precision="highest", grad_precision="highest",
+    )(model.params, raw)
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))

@@ -130,3 +130,59 @@ def test_tuner_loss_cache_shares_closures():
     assert get("relu") is get("relu")
     assert get("relu") is not get("tanh")
     assert made == ["relu", "tanh"]
+
+
+def test_dropped_loss_closure_frees_factory_entries():
+    """The program factories key WEAKLY on the loss closure: dropping it
+    frees the jitted programs and captured device constants (round-2
+    VERDICT weak #6 — lru_cache pinned up to 128 closures forever)."""
+    import gc
+    import weakref
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu21cmvae.ops.mlp import init_mlp, mlp_apply
+    from tpu21cmvae.train.loop import fit
+    from tpu21cmvae.train.scan import fit_scan
+    from tpu21cmvae.utils.config import TrainConfig
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(32, 7)), jnp.float32)
+    y = jnp.asarray(np.random.default_rng(1).normal(size=(32, 11)), jnp.float32)
+    params = init_mlp(jax.random.key(0), (7, 8, 11))
+    cfg = TrainConfig(
+        epochs=1, batch_size=16, early_stop_patience=None,
+        plateau_patience=None,
+    )
+
+    def run_once(tag, fitter):
+        big = jnp.full((tag + 3, 11), float(tag))  # captured device const
+
+        def loss(p, bx, by):
+            return jnp.mean(
+                (mlp_apply(p, bx) - by) ** 2, axis=-1
+            ) + 0.0 * jnp.sum(big)
+
+        fitter(params, loss, x, y, x, y, cfg)
+        return weakref.ref(loss)
+
+    refs = [run_once(i, fit) for i in range(3)]
+    refs += [run_once(i, fit_scan) for i in range(3)]
+    gc.collect()
+    dead = [r() is None for r in refs]
+    assert all(dead), f"factory caches pin dropped loss closures: {dead}"
+
+
+def test_live_loss_closure_keeps_cache_hit():
+    """Weak keying must not cost the tuner its retrace-free reuse: the
+    same live closure returns the SAME built program object."""
+    from tpu21cmvae.train.loop import _make_epoch_fn
+    from tpu21cmvae.utils.config import TrainConfig
+
+    def loss(p, bx, by):  # pragma: no cover - never called
+        return bx
+
+    cfg = TrainConfig(epochs=1)
+    a = _make_epoch_fn(loss, cfg, 32, False, False, n_real=32)
+    b = _make_epoch_fn(loss, cfg, 32, False, False, n_real=32)
+    assert a is b

@@ -179,3 +179,86 @@ def test_oversized_body_rejected_413(server):
         urllib.request.urlopen(req, timeout=60)
     assert exc.value.code == 413
     assert "limit" in json.loads(exc.value.read())["error"]
+
+
+def test_warmup_loglik_first_request_is_warm(model, splits):
+    """A warmed (obs, noise_var) pair's first /loglik builds NO new
+    program: after warmup_loglik, the builder is poisoned and the
+    request must still succeed (cache hit); an unwarmed obs proves the
+    poison is effective."""
+    svc = EmulatorService(model, loglik_cache=4)
+    obs = np.asarray(splits.signal_test[0], np.float32)
+    svc.warmup_loglik([(obs, 25.0)], batch_sizes=(4,))
+
+    real_loglik_fn = svc.model.loglik_fn
+
+    def poisoned(*a, **k):
+        raise AssertionError("cold program build after warmup")
+
+    svc.model.loglik_fn = poisoned
+    try:
+        out = svc.loglik(splits.par_test[:3], obs, 25.0)
+        assert out.shape == (3,) and np.isfinite(out).all()
+        with pytest.raises(AssertionError, match="cold program build"):
+            svc.loglik(splits.par_test[:3], obs + 1.0, 25.0)
+    finally:
+        svc.model.loglik_fn = real_loglik_fn
+
+
+def test_warmed_loglik_entries_respect_lru_cap(model, splits):
+    svc = EmulatorService(model, loglik_cache=2)
+    base = np.asarray(splits.signal_test[0], np.float32)
+    svc.warmup_loglik([(base + i, 25.0) for i in range(4)], batch_sizes=(4,))
+    assert len(svc._loglik) <= 2
+
+
+def test_health_answers_during_long_device_call(server, model):
+    """The threading server + device lock keep /health responsive while
+    a device call (or cold compile) is in flight."""
+    import time as _time
+
+    svc = server.service
+    real = svc._sharded
+
+    class Slow:
+        def __call__(self, params):
+            _time.sleep(2.0)
+            return real(params)
+
+    svc._sharded = Slow()
+    try:
+        t = threading.Thread(
+            target=lambda: _post(
+                server, "/predict", {"params": [[0.05, 16, 1, 0.06, 1.3, 2, 30]]}
+            ),
+            daemon=True,
+        )
+        t.start()
+        _time.sleep(0.3)  # let the slow predict take the device lock
+        t0 = _time.perf_counter()
+        with urllib.request.urlopen(_url(server, "/health"), timeout=60) as r:
+            assert json.loads(r.read())["status"] == "ok"
+        assert _time.perf_counter() - t0 < 1.5
+        t.join(timeout=30)
+    finally:
+        svc._sharded = real
+
+
+def test_load_obs_specs_roundtrip(tmp_path, splits):
+    from tpu21cmvae.serve import load_obs_specs
+
+    obs = np.asarray(splits.signal_test[:2], np.float32)
+    jpath = tmp_path / "specs.json"
+    jpath.write_text(json.dumps([
+        {"obs": obs[0].tolist(), "noise_var": 25.0},
+        {"obs": obs[1].tolist()},
+    ]))
+    specs = load_obs_specs(str(jpath))
+    assert len(specs) == 2
+    np.testing.assert_allclose(specs[0][0], obs[0])
+    assert float(specs[0][1]) == 25.0 and float(specs[1][1]) == 1.0
+
+    npath = tmp_path / "specs.npz"
+    np.savez(npath, obs=obs, noise_var=np.float32(9.0))
+    specs = load_obs_specs(str(npath))
+    assert len(specs) == 2 and float(specs[1][1]) == 9.0

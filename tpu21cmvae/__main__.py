@@ -140,7 +140,8 @@ def cmd_export_h5(args):
 def cmd_serve(args):
     from tpu21cmvae.serve import main as serve_main
 
-    serve_main(args.model, args.host, args.port, args.warmup)
+    serve_main(args.model, args.host, args.port, args.warmup,
+               warmup_obs=args.warmup_obs)
 
 
 def cmd_verify(args):
@@ -228,6 +229,11 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--warmup", type=int, default=1024,
                    help="precompile predict buckets up to this many rows")
+    p.add_argument("--warmup-obs", default=None, metavar="FILE",
+                   help="also precompile likelihood programs for the "
+                        "(obs, noise_var) specs in FILE (.json or .npz "
+                        "— see tpu21cmvae.serve.load_obs_specs), so the "
+                        "first POST /loglik per observation is warm")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(

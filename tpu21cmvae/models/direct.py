@@ -205,8 +205,20 @@ class DirectEmulator:
         exact composed path; the fused Pallas kernel is within ~15 % and
         available via ``backend="pallas"``). ``method="gram"`` collapses
         the output layer into a quadratic form; ``method="direct"``
-        evaluates the full network. Pass ``precision="highest"`` for the
-        exact-f32 contract tier.
+        evaluates the full network.
+
+        **Accuracy contract of the default tier** (measured on the
+        converged checkpoint, docs/PERF.md MCMC table): far from the
+        posterior mode the error is relative, ≤ ~9e-4 of |logL|; NEAR
+        the mode the absolute error reaches **|ΔlogL| ≈ 0.43** — a
+        deterministic, smooth perturbation of the log-density below an
+        MH sampler's practical noise floor (it distorts acceptance by
+        ≤ e^±0.43 on proposals that were already coin-flips), but NOT
+        negligible for uses that read absolute log-density values
+        (evidence estimation, sharp likelihood-ratio tests). For those,
+        pass ``precision="contract"`` (alias of ``"highest"``: exact-f32
+        matmuls, near-mode error ≤ ~5e-3 for gram, 0 for
+        ``method="direct"``) at ~55 % of the default's throughput.
         """
         from tpu21cmvae.ops.loglik import make_loglik
 

@@ -77,10 +77,15 @@ def make_loglik(
     quadratic-form cancellation (measured error tables in docs/PERF.md).
 
     ``precision`` defaults per backend to the accuracy-gated fast tier
-    (``Precision.HIGH`` / in-kernel bf16x3 — ~1e-4 relative-to-amplitude
-    on trained weights, ≈3 % of the 0.34 % contract budget); pass
-    ``"highest"`` for the exact-f32 contract tier. Jit the result for
-    dispatch (it is shard-transparent: batch-sharded inputs propagate).
+    (``Precision.HIGH`` / in-kernel bf16x3). Measured on converged
+    weights (docs/PERF.md): far-field error is ≤ ~9e-4 relative to
+    |logL|, but NEAR the posterior mode the fast gram tier's absolute
+    error reaches |ΔlogL| ≈ 0.43 — fine for MH sampling (a smooth
+    deterministic perturbation below the accept step's practical noise
+    floor), not for reading absolute log-densities (evidence, sharp
+    likelihood ratios). Pass ``precision="contract"`` (= ``"highest"``,
+    exact-f32 matmuls) for those. Jit the result for dispatch (it is
+    shard-transparent: batch-sharded inputs propagate).
     """
     if method not in ("direct", "gram"):
         raise ValueError(f"method must be 'direct' or 'gram'; got {method!r}")

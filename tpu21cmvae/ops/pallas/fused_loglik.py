@@ -272,8 +272,12 @@ def make_fused_loglik_gram(
 # Value+grad kernel: the live set per sub-chain additionally holds every
 # trunk activation (for the in-kernel backward) and the transposed
 # weights, so the default row block is half the forward-only kernel's.
+# Config from the v5e in-process A/B sweep (block 512-2048 x interleave
+# 1-4, docs/PERF.md): 4-way interleave buys ~+3% (VPU/MXU overlap as in
+# the forward kernels); block 1024 ties 2048 within tunnel noise and
+# keeps the smaller VMEM footprint across tiers.
 DEFAULT_GRAD_BLOCK_ROWS = 1024
-DEFAULT_GRAD_INTERLEAVE = 2
+DEFAULT_GRAD_INTERLEAVE = 4
 
 
 def _wt_refs_per_layer(lmode: str, grad_mode: str) -> int:

@@ -57,6 +57,11 @@ _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
+    # the exact-f32 accuracy-contract tier under its contract name —
+    # the documented escape hatch wherever a fast tier's measured error
+    # bound is not acceptable (e.g. near-mode |ΔlogL| — see
+    # DirectEmulator.loglik_fn)
+    "contract": jax.lax.Precision.HIGHEST,
 }
 
 

@@ -19,20 +19,26 @@ Endpoints (all JSON):
 * ``POST /loglik``     ``{"params": …, "obs": [451 floats],
   "noise_var": scalar-or-[451]}`` → ``{"loglik": [floats]}``. Likelihood
   programs are cached per (obs, noise_var) so an MCMC driver pays one
-  compile per observation, not per request.
+  compile per observation, not per request — and zero compiles if the
+  observation was pre-warmed (``warmup_loglik`` / ``--warmup-obs``).
+  Served at the model's default tier: near-mode |ΔlogL| ≤ ~0.43 on the
+  flagship (safe for MH acceptance, not for absolute log-density reads
+  — ``DirectEmulator.loglik_fn`` documents the contract tier).
 
-The handler is intentionally single-threaded: device dispatch is
-serialized anyway, and one warm program saturates the chip at mega-batch
-sizes (docs/PERF.md) — scale-out is more replicas behind a load
-balancer, not threads.
+Device work is serialized by an explicit lock (one warm program
+saturates the chip at mega-batch sizes — docs/PERF.md; scale-out is
+more replicas behind a load balancer), but the server itself is
+threading: ``GET /health`` answers instantly even while a long device
+call (or a cold compile) is in flight.
 """
 
 from __future__ import annotations
 
 import hashlib
 import json
+import threading
 from collections import OrderedDict
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
@@ -59,20 +65,54 @@ class EmulatorService:
         self._mesh = self._sharded.mesh
         self._loglik: "OrderedDict[str, ShardedEmulator]" = OrderedDict()
         self._loglik_cap = loglik_cache
+        # device dispatch is serialized on purpose; holding the lock only
+        # around device work lets /health answer during long calls
+        self._device_lock = threading.Lock()
+
+    def _bucket_sizes(self, batch_sizes, up_to: Optional[int]):
+        if up_to is None:
+            return batch_sizes
+        sizes, b = [], self._sharded.quantum
+        while b < up_to:
+            sizes.append(b)
+            b *= 2
+        return sizes + [b]
 
     def warmup(self, batch_sizes=(1, 256, 1024), up_to: Optional[int] = None
                ) -> None:
         """Precompile predict buckets. ``up_to=N`` compiles EVERY bucket
         a request of ≤ N rows can hit (quantum·2^k), so no client ever
         pays a cold 20-60 s compile mid-request."""
-        if up_to is not None:
-            sizes, b = [], self._sharded.quantum
-            while b < up_to:
-                sizes.append(b)
-                b *= 2
-            batch_sizes = sizes + [b]
-        self._sharded.warmup(batch_sizes,
-                             n_params=self.model.config.n_params)
+        with self._device_lock:
+            self._sharded.warmup(
+                self._bucket_sizes(batch_sizes, up_to),
+                n_params=self.model.config.n_params,
+            )
+
+    def warmup_loglik(
+        self,
+        specs,
+        batch_sizes=(1, 256, 1024),
+        up_to: Optional[int] = None,
+    ) -> None:
+        """Precompile LIKELIHOOD programs for known observations.
+
+        ``specs``: iterable of ``(obs, noise_var)`` pairs (``noise_var``
+        scalar or per-bin). Without this, the first ``POST /loglik`` for
+        each new observation builds and compiles a fresh program while
+        the client waits — 20-60 s on a tunnel-attached TPU. An MCMC
+        driver's observation is known before sampling starts, so warm it
+        here (CLI: ``--warmup-obs FILE``); warmed entries count against
+        the LRU cache like any other."""
+        sizes = self._bucket_sizes(batch_sizes, up_to)
+        for spec in specs:
+            obs, nv = spec if isinstance(spec, tuple) else (spec, 1.0)
+            key, svc = self._loglik_lookup(
+                np.asarray(obs, np.float32), np.asarray(nv, np.float32)
+            )
+            with self._device_lock:
+                svc.warmup(sizes, n_params=self.model.config.n_params)
+            self._loglik_commit(key, svc)
 
     def health(self) -> dict:
         return {
@@ -85,19 +125,20 @@ class EmulatorService:
         }
 
     def predict(self, params) -> np.ndarray:
-        return np.atleast_2d(self._sharded(np.asarray(params, np.float32)))
+        with self._device_lock:
+            return np.atleast_2d(self._sharded(np.asarray(params, np.float32)))
 
-    def loglik(self, params, obs, noise_var=1.0) -> np.ndarray:
+    def _loglik_lookup(self, obs: np.ndarray, nv: np.ndarray):
+        """Validated arrays → (cache key, ShardedEmulator) — built cold
+        when absent; the caller commits after first success."""
         from tpu21cmvae.parallel.inference import ShardedEmulator
 
-        obs = np.asarray(obs, np.float32)
         n_bins = self.model.config.n_bins
         if obs.shape != (n_bins,):
             raise ValueError(
                 f"obs must be a flat list of {n_bins} floats; got shape "
                 f"{obs.shape}"
             )
-        nv = np.asarray(noise_var, np.float32)
         if nv.shape not in ((), (n_bins,)):
             raise ValueError(
                 f"noise_var must be a scalar or {n_bins} per-bin values; "
@@ -112,23 +153,32 @@ class EmulatorService:
             svc = ShardedEmulator(fn, self.model.params, mesh=self._mesh)
         else:
             self._loglik.move_to_end(key)
-        out = np.atleast_1d(svc(np.asarray(params, np.float32)))
-        # cache only after a successful call, so a request that fails at
-        # trace time cannot poison the key for later valid requests
+        return key, svc
+
+    def _loglik_commit(self, key: str, svc) -> None:
         if key not in self._loglik:
             self._loglik[key] = svc
             if len(self._loglik) > self._loglik_cap:
                 self._loglik.popitem(last=False)  # evict oldest program
+
+    def loglik(self, params, obs, noise_var=1.0) -> np.ndarray:
+        key, svc = self._loglik_lookup(
+            np.asarray(obs, np.float32), np.asarray(noise_var, np.float32)
+        )
+        with self._device_lock:
+            out = np.atleast_1d(svc(np.asarray(params, np.float32)))
+        # cache only after a successful call, so a request that fails at
+        # trace time cannot poison the key for later valid requests
+        self._loglik_commit(key, svc)
         return out
 
 
 def _make_handler(service: EmulatorService):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
-        # the server handles ONE connection at a time (device dispatch
-        # serializes anyway), so an idle keep-alive client must never
-        # hold the socket: close after every response, and bound reads
-        # so a half-open connection can't block the accept loop
+        # device dispatch serializes on the service lock, so keep-alive
+        # buys nothing: close after every response, and bound reads so a
+        # half-open connection can't pin its handler thread forever
         timeout = 30
 
         def log_message(self, *args):  # quiet by default
@@ -184,17 +234,58 @@ def _make_handler(service: EmulatorService):
 
 def make_server(
     model, host: str = "127.0.0.1", port: int = 8765, mesh=None
-) -> HTTPServer:
+) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server; ``serve_forever()`` it,
     or drive it from a thread in tests. ``port=0`` picks a free port
-    (``server.server_address[1]``)."""
+    (``server.server_address[1]``). Threading server + per-service
+    device lock: ``/health`` stays responsive during long device calls."""
     service = EmulatorService(model, mesh=mesh)
-    server = HTTPServer((host, port), _make_handler(service))
+    server = ThreadingHTTPServer((host, port), _make_handler(service))
+    server.daemon_threads = True
     server.service = service  # expose for warmup / introspection
     return server
 
 
-def main(model_path: str, host: str, port: int, warmup: Optional[int]):
+def load_obs_specs(path: str):
+    """``--warmup-obs`` file → ``[(obs, noise_var), …]``.
+
+    ``.json``: one object or a list of objects
+    ``{"obs": [n_bins floats], "noise_var": scalar-or-[n_bins]}``
+    (``noise_var`` defaults to 1.0). ``.npz``: array ``obs`` of shape
+    (n_bins,) or (k, n_bins) plus optional ``noise_var``.
+    """
+    if path.endswith(".npz"):
+        blob = np.load(path)
+        obs = np.atleast_2d(np.asarray(blob["obs"], np.float32))
+        nv = (
+            np.asarray(blob["noise_var"], np.float32)
+            if "noise_var" in blob
+            else np.float32(1.0)
+        )
+        nvs = (
+            nv if nv.ndim == 2 else np.broadcast_to(nv, (obs.shape[0],) + nv.shape)
+        )
+        return [(o, n) for o, n in zip(obs, nvs)]
+    with open(path) as f:
+        doc = json.load(f)
+    if isinstance(doc, dict):
+        doc = [doc]
+    return [
+        (
+            np.asarray(d["obs"], np.float32),
+            np.asarray(d.get("noise_var", 1.0), np.float32),
+        )
+        for d in doc
+    ]
+
+
+def main(
+    model_path: str,
+    host: str,
+    port: int,
+    warmup: Optional[int],
+    warmup_obs: Optional[str] = None,
+):
     from tpu21cmvae.models import load_model
 
     model = load_model(model_path)
@@ -202,6 +293,11 @@ def main(model_path: str, host: str, port: int, warmup: Optional[int]):
     if warmup:
         print(f"warming ALL predict buckets up to {warmup} rows...")
         server.service.warmup(up_to=warmup)
+    if warmup_obs:
+        specs = load_obs_specs(warmup_obs)
+        print(f"warming likelihood programs for {len(specs)} "
+              f"observation(s) from {warmup_obs}...")
+        server.service.warmup_loglik(specs, up_to=warmup or None)
     host, port = server.server_address[:2]
     print(f"serving {model_path} on http://{host}:{port} "
           "(GET /health, POST /predict, POST /loglik)")

@@ -53,7 +53,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu21cmvae.train.adam import adam_init, adam_update
-from tpu21cmvae.train.loop import History, LossFn
+from tpu21cmvae.train.loop import History, LossFn, _weak_fn_cache
 from tpu21cmvae.utils.config import TrainConfig
 
 
@@ -127,7 +127,7 @@ def fit_scan(
     return params, opt_state, history
 
 
-@functools.lru_cache(maxsize=128)
+@_weak_fn_cache
 def _build_train_all(
     loss_fn: LossFn,
     cfg: TrainConfig,
@@ -143,8 +143,9 @@ def _build_train_all(
     Cached on ``(loss_fn identity, cfg, static sizes, flags)`` — callers
     normalize ``cfg.seed`` to 0 and pass the PRNG keys as arguments, so
     same-shape runs (tuner trials, SHA rungs) reuse one callable and hit
-    jax's jit cache with zero retraces. Bounded: the cache pins up to
-    ``maxsize`` loss closures (and their captured constants) alive.
+    jax's jit cache with zero retraces. The loss-closure key is WEAK
+    (``loop._WeakFnCache``): dropping the closure frees its programs and
+    captured constants.
     """
     bs = cfg.batch_size
     nb = -(-n // bs)

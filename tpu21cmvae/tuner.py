@@ -216,7 +216,11 @@ def _em_mse_loss(act):
 
 
 # bounded: each closure pins its captured scaled_mean device buffer, so
-# a long-lived process tuning across many datasets must not grow forever
+# a long-lived process tuning across many datasets must not grow forever.
+# Eviction here is REAL since the train factories moved their program
+# caches onto the closure itself (train/loop.py::_WeakFnCache): dropping
+# a closure from this dict frees its compiled programs and constants too
+# (tests/test_retrace.py::test_dropped_loss_closure_frees_factory_entries).
 _REL_LOSS_CACHE_CAP = 32
 _REL_LOSS_CACHE: dict = {}
 

@@ -135,3 +135,55 @@ def debug_guard(nans: bool = True, infs: bool = False):
     finally:
         jax.config.update("jax_debug_nans", prev_nan)
         jax.config.update("jax_debug_infs", prev_inf)
+
+
+# -- roofline / MFU accounting (round-3 VERDICT item 9) --------------------
+
+#: TPU v5e (v5 lite) peak dense bf16 matmul throughput per chip. Public
+#: spec number; every f32-precision tier decomposes into bf16 MXU passes
+#: against this same peak (HIGHEST=6, HIGH=3, DEFAULT=1 — ops/mlp.py).
+V5E_BF16_PEAK_FLOPS = 197e12
+
+#: MXU passes per f32-equivalent matmul for each precision tier.
+TIER_PASSES = {"highest": 6, "contract": 6, "high": 3, "default": 1}
+
+
+def _pad128(d: int) -> int:
+    return -(-int(d) // 128) * 128
+
+
+def matmul_flops_per_row(sizes, skip_first: bool = True):
+    """``(logical, padded)`` matmul FLOPs per batch row for a dense
+    chain of ``sizes``. ``padded`` counts what the MXU actually
+    multiplies: both dims of every weight tile rounded up to the
+    128-lane granularity. ``skip_first`` drops a skinny first layer that
+    runs on the VPU instead (``ops/mlp.py::skinny_dense``)."""
+    pairs = list(zip(sizes[:-1], sizes[1:]))
+    if skip_first and pairs and sizes[0] <= 8:
+        pairs = pairs[1:]
+    logical = 2 * sum(a * b for a, b in pairs)
+    padded = 2 * sum(_pad128(a) * _pad128(b) for a, b in pairs)
+    return logical, padded
+
+
+def mfu_line(
+    label: str,
+    rows_per_s: float,
+    logical_flops_per_row: float,
+    padded_flops_per_row: float,
+    tier: str,
+    peak: float = V5E_BF16_PEAK_FLOPS,
+) -> str:
+    """One-line roofline statement: logical-FLOPs MFU against the bf16
+    peak, plus the effective MXU occupancy once tile padding and the
+    tier's multi-pass decomposition are charged — the honest 'how close
+    to speed-of-light' number for regressions to be judged against."""
+    passes = TIER_PASSES.get(tier.lower(), 1)
+    logical_rate = rows_per_s * logical_flops_per_row
+    occupancy = rows_per_s * padded_flops_per_row * passes / peak
+    return (
+        f"MFU[{label}]: {logical_rate / 1e12:.1f} TFLOP/s logical = "
+        f"{logical_rate / peak * 100:.1f}% of v5e bf16 peak; with tile "
+        f"padding x {passes} MXU passes ({tier}) -> "
+        f"{occupancy * 100:.0f}% effective MXU occupancy"
+    )
