@@ -347,3 +347,31 @@ def test_atomic_write_cleans_up_on_failure(tmp_path):
             raise RuntimeError("boom")
     assert not os.path.exists(target)
     assert os.listdir(str(tmp_path)) == []  # no stray .part files
+
+
+def test_cli_sample(tmp_path, splits):
+    """`sample` runs on-device MH end to end: model + obs file in,
+    chain npz + summary out."""
+    import json as _json
+
+    from tpu21cmvae.__main__ import main
+    from tpu21cmvae.models.direct import DirectEmulator
+    from tpu21cmvae.utils.config import DirectEmulatorConfig
+
+    model = DirectEmulator(
+        splits, config=DirectEmulatorConfig(hidden_dims=(16,))
+    )
+    ckpt = str(tmp_path / "m.npz")
+    model.save(ckpt)
+    obs = model.predict(splits.par_test[0])
+    obs_file = str(tmp_path / "obs.json")
+    with open(obs_file, "w") as f:
+        _json.dump({"obs": obs.tolist(), "noise_var": 25.0}, f)
+    out = str(tmp_path / "chain.npz")
+    main(["sample", ckpt, "--obs", obs_file, "--sampler", "mh",
+          "--walkers", "32", "--steps", "20", "--warmup", "10",
+          "--thin", "5", "--out", out])
+    blob = np.load(out)
+    assert blob["final"].shape == (32, 7)
+    assert blob["chain"].shape == (4, 32, 7)
+    assert np.isfinite(blob["logp"]).all()

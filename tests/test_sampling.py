@@ -1,0 +1,135 @@
+"""On-device posterior samplers (tpu21cmvae/sampling.py).
+
+The target is an easy synthetic inverse problem: observe a trained tiny
+emulator's own signal + noise, sample, and check the machinery — chain
+shapes, box containment, adaptation behavior, and that the posterior
+concentrates relative to the prior. Runs on the virtual CPU mesh with
+small walker counts.
+"""
+
+import numpy as np
+import pytest
+
+from tpu21cmvae.models.direct import DirectEmulator
+from tpu21cmvae.utils.config import DirectEmulatorConfig, TrainConfig
+
+
+@pytest.fixture(scope="module")
+def setup(splits):
+    model = DirectEmulator(
+        splits, config=DirectEmulatorConfig(hidden_dims=(32, 24))
+    )
+    model.train(
+        train_config=TrainConfig(
+            epochs=25, early_stop_patience=None, plateau_patience=None
+        ),
+        device_loop=True,
+    )
+    rng = np.random.default_rng(7)
+    truth = np.asarray(splits.par_test[1], np.float32)
+    obs = model.predict(truth) + rng.normal(0, 3.0, splits.n_bins)
+    return model, truth, obs
+
+
+def _bounds(splits):
+    par = np.asarray(splits.par_train, np.float64)
+    lo, hi = par.min(0), par.max(0)
+    pad = 0.05 * (hi - lo) + 1e-6
+    lo, hi = lo - pad, hi + pad
+    # the first three parameters are log-transformed by par_transform —
+    # the prior box must stay positive there (fx == 0 alone is clamped)
+    lo[:3] = np.maximum(lo[:3], 1e-6)
+    return np.stack([lo, hi], axis=1).astype(np.float32)
+
+
+def test_mh_sampler_machinery(setup, splits):
+    from tpu21cmvae.sampling import sample_mh
+
+    model, truth, obs = setup
+    bounds = _bounds(splits)
+    res = sample_mh(
+        model.loglik_fn(obs, 9.0), model.params,
+        n_walkers=256, n_steps=60, n_warmup=40, thin=10,
+        bounds=bounds, seed=1,
+    )
+    assert res.final.shape == (256, 7)
+    assert res.chain.shape == (6, 256, 7)
+    assert res.flat.shape == (6 * 256, 7)
+    # all samples stay inside the box
+    assert (res.flat >= bounds[:, 0] - 1e-5).all()
+    assert (res.flat <= bounds[:, 1] + 1e-5).all()
+    # acceptance is neither stuck nor saturated
+    assert 0.05 < float(res.accept_rate.mean()) < 0.999
+    assert np.isfinite(res.logp).all()
+    assert "accept rate" in res.summary(model.par_labels)
+
+
+def test_mh_posterior_concentrates(setup, splits):
+    """Post-warmup walkers concentrate: mean log-likelihood far above
+    the prior-draw average (the chain actually moved toward the data)."""
+    from tpu21cmvae.sampling import sample_mh
+
+    model, truth, obs = setup
+    bounds = _bounds(splits)
+    loglik = model.loglik_fn(obs, 9.0)
+    res = sample_mh(
+        loglik, model.params, n_walkers=256, n_steps=150, n_warmup=150,
+        thin=0, bounds=bounds, seed=2,
+    )
+    rng = np.random.default_rng(0)
+    prior = bounds[:, 0] + (bounds[:, 1] - bounds[:, 0]) * rng.random(
+        (256, 7)
+    ).astype(np.float32)
+    prior_lp = np.asarray(loglik(model.params, prior))
+    assert res.logp.mean() > prior_lp.mean() + 100.0
+
+
+def test_hmc_sampler_adapts_and_moves(setup, splits):
+    from tpu21cmvae.sampling import sample_hmc
+
+    model, truth, obs = setup
+    bounds = _bounds(splits)
+    valgrad = model.loglik_and_grad_fn(obs, 9.0)
+    res = sample_hmc(
+        valgrad, model.params, n_walkers=128, n_steps=40, n_warmup=60,
+        n_leapfrog=5, thin=5, bounds=bounds, seed=3,
+    )
+    assert res.final.shape == (128, 7)
+    assert res.chain.shape == (8, 128, 7)
+    assert (res.flat >= bounds[:, 0] - 1e-4).all()
+    assert (res.flat <= bounds[:, 1] + 1e-4).all()
+    # dual averaging produced a usable step and a healthy acceptance
+    assert res.step_size > 0
+    assert 0.2 < float(res.accept_rate.mean()) <= 1.0
+    assert np.isfinite(res.logp).all()
+
+
+def test_model_sample_posterior_entry(setup, splits):
+    model, truth, obs = setup
+    res = model.sample_posterior(
+        obs, 9.0, sampler="mh", bounds=_bounds(splits),
+        n_walkers=64, n_steps=30, n_warmup=20, thin=0, seed=4,
+    )
+    assert res.final.shape == (64, 7)
+    res_hmc = model.sample_posterior(
+        obs, 9.0, sampler="hmc", bounds=_bounds(splits),
+        n_walkers=32, n_steps=10, n_warmup=15, n_leapfrog=3, thin=0, seed=5,
+    )
+    assert res_hmc.final.shape == (32, 7)
+    with pytest.raises(ValueError, match="sampler"):
+        model.sample_posterior(obs, sampler="nuts")
+
+
+def test_sampler_resume_from_state(setup, splits):
+    """Passing x0 continues a chain — long runs can be segmented."""
+    from tpu21cmvae.sampling import sample_mh
+
+    model, truth, obs = setup
+    bounds = _bounds(splits)
+    loglik = model.loglik_fn(obs, 9.0)
+    a = sample_mh(loglik, model.params, n_walkers=64, n_steps=20,
+                  n_warmup=10, thin=0, bounds=bounds, seed=6)
+    b = sample_mh(loglik, model.params, n_walkers=64, n_steps=20,
+                  n_warmup=0, thin=0, bounds=bounds, seed=7, x0=a.final)
+    assert b.final.shape == a.final.shape
+    assert not np.allclose(a.final, b.final)  # the chain kept moving

@@ -13,6 +13,8 @@ The reference has no CLI — every workflow lives in notebook cells
                checks) with a JSON report
     serve      saved model behind HTTP (JSON /predict + /loglik,
                bucketed batching, warm compiled programs)
+    sample     on-device MH/HMC posterior sampling for an observed
+               spectrum; writes the chain as .npz
 """
 
 from __future__ import annotations
@@ -144,6 +146,36 @@ def cmd_serve(args):
                warmup_obs=args.warmup_obs)
 
 
+def cmd_sample(args):
+    from tpu21cmvae.models import load_model
+    from tpu21cmvae.serve import load_obs_specs
+
+    model = load_model(args.model)
+    specs = load_obs_specs(args.obs)
+    if len(specs) != 1:
+        print(f"--obs file must contain exactly one observation; got "
+              f"{len(specs)}", file=sys.stderr)
+        return 2
+    obs, noise_var = specs[0]
+    kwargs = dict(
+        n_walkers=args.walkers, n_steps=args.steps, n_warmup=args.warmup,
+        thin=args.thin, seed=args.seed,
+    )
+    if args.sampler == "hmc":
+        kwargs["n_leapfrog"] = args.leapfrog
+    res = model.sample_posterior(
+        obs, noise_var, sampler=args.sampler, **kwargs
+    )
+    print(res.summary(getattr(model, "par_labels", None)))
+    np.savez_compressed(
+        args.out, chain=res.chain, final=res.final, logp=res.logp,
+        accept_rate=res.accept_rate, step_size=res.step_size,
+    )
+    print(f"wrote {args.out} (chain {res.chain.shape}, "
+          f"final {res.final.shape})")
+    return 0
+
+
 def cmd_verify(args):
     from tpu21cmvae.verify import format_report, run_verification, write_report
 
@@ -235,6 +267,26 @@ def main(argv=None):
                         "— see tpu21cmvae.serve.load_obs_specs), so the "
                         "first POST /loglik per observation is warm")
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser(
+        "sample",
+        help="on-device posterior sampling (MH/HMC) for an observed "
+             "spectrum",
+    )
+    p.add_argument("model")
+    p.add_argument("--obs", required=True, metavar="FILE",
+                   help="observation spec (.json or .npz with obs and "
+                        "optional noise_var — serve.load_obs_specs "
+                        "format, exactly one entry)")
+    p.add_argument("--sampler", choices=["hmc", "mh"], default="hmc")
+    p.add_argument("--walkers", type=int, default=4096)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--warmup", type=int, default=100)
+    p.add_argument("--leapfrog", type=int, default=8)
+    p.add_argument("--thin", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="chain.npz")
+    p.set_defaults(fn=cmd_sample)
 
     p = sub.add_parser(
         "verify",

@@ -266,6 +266,43 @@ class DirectEmulator:
             )
         )
 
+    def sample_posterior(
+        self,
+        obs,
+        noise_var=1.0,
+        *,
+        sampler: str = "hmc",
+        bounds=None,
+        **kwargs,
+    ):
+        """Sample the posterior over the 7 astrophysical parameters given
+        an observed spectrum — the reference's intended end use
+        (reference ``README.rst:9-11``), which it leaves to external
+        samplers at ~25 likelihood evaluations/s. Here the entire chain
+        runs on device (:mod:`tpu21cmvae.sampling`): ``sampler="mh"``
+        uses the bench-selected fused likelihood, ``sampler="hmc"``
+        (default) the fused value+gradient kernel, with dual-averaging
+        step adaptation. ``bounds``: (7, 2) prior box (defaults to the
+        21cmGEM-shaped ranges); remaining kwargs forward to
+        :func:`~tpu21cmvae.sampling.sample_mh` /
+        :func:`~tpu21cmvae.sampling.sample_hmc`. Returns a
+        :class:`~tpu21cmvae.sampling.SampleResult`.
+        """
+        from tpu21cmvae.sampling import sample_hmc, sample_mh
+
+        if sampler == "mh":
+            return sample_mh(
+                self.loglik_fn(obs, noise_var), self.params,
+                bounds=bounds, **kwargs,
+            )
+        if sampler != "hmc":
+            raise ValueError(f"sampler must be 'mh' or 'hmc'; got {sampler!r}")
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        valgrad = self.loglik_and_grad_fn(
+            obs, noise_var, backend=backend, grad_precision="default"
+        )
+        return sample_hmc(valgrad, self.params, bounds=bounds, **kwargs)
+
     def fisher_fn(self, noise_var=1.0):
         """Jitted batched Fisher-matrix function ``(weights, thetas) →
         (n, 7, 7)`` (see :mod:`tpu21cmvae.ops.fisher`). Hold the result

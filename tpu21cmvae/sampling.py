@@ -1,0 +1,299 @@
+"""On-device posterior samplers over the emulator likelihood.
+
+The reference's intended use is as the forward model inside an MCMC
+sampler (reference ``README.rst:9-11``; Bye et al. 2022 §4), but it
+ships no sampling support — users glue ~40 ms-per-signal ``predict``
+calls into emcee. Here the whole sampler IS the device program: every
+walker-step of Metropolis-Hastings or HMC runs inside one ``lax.scan``
+with zero host round trips, consuming the bench-selected likelihood
+paths (:func:`tpu21cmvae.ops.loglik.make_loglik` /
+:func:`~tpu21cmvae.ops.loglik.make_loglik_and_grad` — measured tiers in
+docs/PERF.md: ~6×10⁷ MH likelihood evals/s, ~4×10⁷ HMC value+gradient
+evals/s on one v5e chip).
+
+Design notes:
+
+* Priors are flat boxes (the 21cmGEM prior shape). MH proposes in raw
+  parameter space and clips to the box; HMC samples in an unbounded
+  ``y``-space with a sigmoid map into the box — the log-Jacobian term
+  keeps the flat prior exact, and the map doubles as a diagonal
+  preconditioner (each parameter's scale is its prior span). The box
+  must lie inside the model's valid domain — in particular the first
+  three parameters are log-transformed (reference ``preprocess.py:74``),
+  so their lower bounds must be positive (both samplers also
+  self-recover walkers whose log-posterior goes non-finite).
+* HMC warmup adapts the step size by dual averaging (Hoffman & Gelman
+  2014, Alg. 5) toward a target acceptance rate — entirely inside the
+  warmup scan's carry; the sampling phase runs at the adapted step.
+* Approximate fast-tier gradients are safe by construction: leapfrog
+  with any deterministic force field is reversible and
+  volume-preserving, so the Metropolis accept step (which uses the
+  accuracy-gated VALUE tier) keeps the posterior exact — gradient-tier
+  error only costs acceptance rate (bench_mcmc.py gate rationale).
+* Samplers return thinned chains as device-shaped arrays plus final
+  state, so a long run can be continued by passing the state back in.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["SampleResult", "sample_mh", "sample_hmc"]
+
+
+@dataclasses.dataclass
+class SampleResult:
+    """Posterior samples and diagnostics from one sampler run.
+
+    ``chain``: thinned post-warmup samples, shape
+    ``(n_kept, n_walkers, n_params)`` in RAW parameter units (empty
+    first axis when ``thin=0`` — final state only). ``final``: the last
+    walker positions ``(n_walkers, n_params)``. ``logp``: final
+    log-posterior per walker. ``accept_rate``: per-step mean acceptance
+    over the sampling phase. ``step_size``: the (adapted) HMC step, or
+    the MH proposal scale.
+    """
+
+    chain: np.ndarray
+    final: np.ndarray
+    logp: np.ndarray
+    accept_rate: np.ndarray
+    step_size: float
+
+    @property
+    def flat(self) -> np.ndarray:
+        """Chain flattened to ``(n_kept · n_walkers, n_params)``."""
+        return self.chain.reshape(-1, self.chain.shape[-1])
+
+    def summary(self, labels=None) -> str:
+        samples = self.flat if self.chain.size else self.final
+        mean, std = samples.mean(0), samples.std(0)
+        labels = labels or [f"p{i}" for i in range(samples.shape[-1])]
+        lines = [
+            f"  {l:>8}: {m:12.5g} ± {s:10.4g}"
+            for l, m, s in zip(labels, mean, std)
+        ]
+        return (
+            f"accept rate {float(np.mean(self.accept_rate)):.2f}, "
+            f"step {self.step_size:.3g}\n" + "\n".join(lines)
+        )
+
+
+def _resolve_bounds(bounds) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if bounds is None:
+        from tpu21cmvae.data.synthetic import PAR_RANGES
+
+        bounds = PAR_RANGES
+    b = np.asarray(bounds, np.float32)
+    return jnp.asarray(b[:, 0]), jnp.asarray(b[:, 1])
+
+
+def _init_walkers(key, n_walkers, lo, hi):
+    u = jax.random.uniform(key, (n_walkers, lo.shape[0]), jnp.float32)
+    return lo + (hi - lo) * u
+
+
+def sample_mh(
+    loglik,
+    params,
+    *,
+    n_walkers: int = 8192,
+    n_steps: int = 500,
+    n_warmup: int = 200,
+    bounds=None,
+    step_frac: float = 0.01,
+    thin: int = 10,
+    seed: int = 0,
+    x0=None,
+) -> SampleResult:
+    """Metropolis-Hastings ensemble over ``loglik(params, raw) → (B,)``.
+
+    ``loglik`` is any jittable batched log-likelihood — typically
+    ``DirectEmulator.loglik_fn(obs, noise_var)`` (the bench-selected
+    gram/bf16x3 tier). Proposals are isotropic Gaussians scaled per
+    parameter by ``step_frac`` of the prior span, clipped to the box
+    (the clip is a valid reversible proposal for a flat-box prior
+    target that is zero outside the box). ``thin > 0`` keeps every
+    ``thin``-th post-warmup step. Runs as two ``lax.scan`` programs
+    (warmup, sampling) — zero host round trips inside the chains.
+    """
+    lo, hi = _resolve_bounds(bounds)
+    scale = step_frac * (hi - lo)
+    key = jax.random.key(seed)
+    k_init, k_warm, k_run = jax.random.split(key, 3)
+    x = (
+        jnp.asarray(x0, jnp.float32)
+        if x0 is not None
+        else _init_walkers(k_init, n_walkers, lo, hi)
+    )
+
+    def mh_step(state, k):
+        x, lp = state
+        k1, k2 = jax.random.split(k)
+        prop = jnp.clip(
+            x + scale * jax.random.normal(k1, x.shape, x.dtype), lo, hi
+        )
+        lp_prop = loglik(params, prop)
+        acc = jnp.log(jax.random.uniform(k2, (x.shape[0],))) < lp_prop - lp
+        # a walker whose current lp is non-finite (e.g. started outside
+        # the model's valid domain) would otherwise stick forever: every
+        # NaN comparison rejects. Always step it onto a finite proposal.
+        acc = acc | (~jnp.isfinite(lp) & jnp.isfinite(lp_prop))
+        x = jnp.where(acc[:, None], prop, x)
+        lp = jnp.where(acc, lp_prop, lp)
+        return (x, lp), (jnp.mean(acc), x if thin else None)
+
+    @jax.jit
+    def run(x, warm_keys, run_keys):
+        lp = loglik(params, x)
+        (x, lp), _ = jax.lax.scan(mh_step, (x, lp), warm_keys)
+        (x, lp), (rates, kept) = jax.lax.scan(mh_step, (x, lp), run_keys)
+        return x, lp, rates, kept
+
+    warm_keys = jax.random.split(k_warm, max(n_warmup, 1))
+    run_keys = jax.random.split(k_run, n_steps)
+    x, lp, rates, kept = run(x, warm_keys, run_keys)
+    chain = (
+        np.asarray(kept)[thin - 1:: thin]
+        if thin
+        else np.empty((0,) + x.shape, np.float32)
+    )
+    return SampleResult(
+        chain=chain,
+        final=np.asarray(x),
+        logp=np.asarray(lp),
+        accept_rate=np.asarray(rates),
+        step_size=float(np.asarray(scale).mean()),
+    )
+
+
+def sample_hmc(
+    valgrad,
+    params,
+    *,
+    n_walkers: int = 4096,
+    n_steps: int = 200,
+    n_warmup: int = 100,
+    n_leapfrog: int = 8,
+    bounds=None,
+    target_accept: float = 0.8,
+    init_step: float = 0.01,
+    thin: int = 5,
+    seed: int = 0,
+    x0=None,
+) -> SampleResult:
+    """HMC ensemble over ``valgrad(params, raw) → (logL, dlogL/draw)``.
+
+    ``valgrad`` is typically ``DirectEmulator.loglik_and_grad_fn(obs,
+    noise_var)`` (bench-selected fused value+gradient kernel on TPU).
+    Sampling happens in the sigmoid-whitened ``y``-space (flat box prior
+    exact via the Jacobian term); warmup adapts the leapfrog step by
+    dual averaging toward ``target_accept``, then the sampling phase
+    runs at the adapted step. Both phases are single ``lax.scan``
+    programs.
+    """
+    lo, hi = _resolve_bounds(bounds)
+    span = hi - lo
+    key = jax.random.key(seed)
+    k_init, k_warm, k_run = jax.random.split(key, 3)
+    x = (
+        jnp.asarray(x0, jnp.float32)
+        if x0 is not None
+        else _init_walkers(k_init, n_walkers, lo, hi)
+    )
+    frac = jnp.clip((x - lo) / span, 1e-4, 1.0 - 1e-4)
+    y = jnp.log(frac / (1.0 - frac))
+
+    def to_params(y):
+        return lo + span * jax.nn.sigmoid(y)
+
+    def logp_and_grad(y):
+        ll, g_raw = valgrad(params, to_params(y))
+        s = jax.nn.sigmoid(y)
+        lp = ll + jnp.sum(
+            jax.nn.log_sigmoid(y) + jax.nn.log_sigmoid(-y), axis=-1
+        )
+        glp = g_raw * (span * s * (1.0 - s)) + (1.0 - 2.0 * s)
+        return lp, glp
+
+    def hmc_step(y, lp, glp, eps, k):
+        kp, ku = jax.random.split(k)
+        p0 = jax.random.normal(kp, y.shape, y.dtype)
+        p = p0 + 0.5 * eps * glp
+        q = y
+        g = glp
+        for _ in range(n_leapfrog - 1):
+            q = q + eps * p
+            _, g = logp_and_grad(q)
+            p = p + eps * g
+        q = q + eps * p
+        lp_new, g_new = logp_and_grad(q)
+        p = p + 0.5 * eps * g_new
+        dh = (lp_new - lp) - 0.5 * (jnp.sum(p**2, -1) - jnp.sum(p0**2, -1))
+        acc = jnp.log(jax.random.uniform(ku, (y.shape[0],))) < dh
+        # recover walkers with a non-finite current lp (see sample_mh)
+        acc = acc | (~jnp.isfinite(lp) & jnp.isfinite(lp_new))
+        y = jnp.where(acc[:, None], q, y)
+        lp = jnp.where(acc, lp_new, lp)
+        glp = jnp.where(acc[:, None], g_new, glp)
+        # mean Metropolis probability (capped at 1) drives adaptation
+        return y, lp, glp, jnp.mean(jnp.minimum(1.0, jnp.exp(dh)))
+
+    # dual averaging (Hoffman & Gelman 2014, Alg. 5) — all in-carry
+    mu = jnp.log(10.0 * init_step)
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+
+    def warm_step(state, ik):
+        i, k = ik
+        y, lp, glp, log_eps, log_eps_bar, h_bar = state
+        y, lp, glp, a_mean = hmc_step(y, lp, glp, jnp.exp(log_eps), k)
+        t = i + 1.0
+        h_bar = (1.0 - 1.0 / (t + t0)) * h_bar + (
+            target_accept - a_mean
+        ) / (t + t0)
+        log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+        w = t ** (-kappa)
+        log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+        return (y, lp, glp, log_eps, log_eps_bar, h_bar), a_mean
+
+    def run_step(state, k):
+        y, lp, glp, eps = state
+        y, lp, glp, a_mean = hmc_step(y, lp, glp, eps, k)
+        return (y, lp, glp, eps), (a_mean, to_params(y) if thin else None)
+
+    @jax.jit
+    def run(y, warm_ik, run_keys):
+        lp, glp = logp_and_grad(y)
+        state = (y, lp, glp, jnp.log(init_step), jnp.log(init_step),
+                 jnp.float32(0.0))
+        state, _ = jax.lax.scan(warm_step, state, warm_ik)
+        y, lp, glp, _, log_eps_bar, _ = state
+        eps = jnp.exp(log_eps_bar)
+        (y, lp, glp, eps), (rates, kept) = jax.lax.scan(
+            run_step, (y, lp, glp, eps), run_keys
+        )
+        return y, lp, rates, kept, eps
+
+    warm_ik = (
+        jnp.arange(max(n_warmup, 1), dtype=jnp.float32),
+        jax.random.split(k_warm, max(n_warmup, 1)),
+    )
+    run_keys = jax.random.split(k_run, n_steps)
+    y, lp, rates, kept, eps = run(y, warm_ik, run_keys)
+    chain = (
+        np.asarray(kept)[thin - 1:: thin]
+        if thin
+        else np.empty((0, y.shape[0], y.shape[1]), np.float32)
+    )
+    return SampleResult(
+        chain=chain,
+        final=np.asarray(to_params(y)),
+        logp=np.asarray(lp),
+        accept_rate=np.asarray(rates),
+        step_size=float(eps),
+    )
