@@ -294,6 +294,37 @@ class AutoEncoderEmulator:
             self.predict_fn(), obs, noise_var
         ))
 
+    def loglik_and_grad_fn(self, obs, noise_var=1.0):
+        """Jitted ``(weights, raw) → (logL, dlogL/draw)`` over the
+        em→decoder pipeline (autodiff — the HMC inner loop for this
+        family; the direct family has faster analytic/fused variants)."""
+        from tpu21cmvae.ops.loglik import make_loglik_and_grad_from_predict
+
+        return jax.jit(make_loglik_and_grad_from_predict(
+            self.predict_fn(), obs, noise_var
+        ))
+
+    def sample_posterior(
+        self, obs, noise_var=1.0, *, sampler: str = "hmc", bounds=None,
+        **kwargs,
+    ):
+        """On-device posterior sampling over this family's likelihood —
+        same contract as :meth:`DirectEmulator.sample_posterior`
+        (see :mod:`tpu21cmvae.sampling`)."""
+        from tpu21cmvae.sampling import sample_hmc, sample_mh
+
+        if sampler == "mh":
+            return sample_mh(
+                self.loglik_fn(obs, noise_var), self.params,
+                bounds=bounds, **kwargs,
+            )
+        if sampler != "hmc":
+            raise ValueError(f"sampler must be 'mh' or 'hmc'; got {sampler!r}")
+        return sample_hmc(
+            self.loglik_and_grad_fn(obs, noise_var), self.params,
+            bounds=bounds, **kwargs,
+        )
+
     @property
     def params(self):
         """Weights pytree for :meth:`predict_fn` (emulator + decoder)."""

@@ -52,6 +52,25 @@ def make_loglik_from_predict(predict_fn, obs, noise_var=1.0):
     return loglik
 
 
+def make_loglik_and_grad_from_predict(predict_fn, obs, noise_var=1.0):
+    """Value + per-row gradient companion of
+    :func:`make_loglik_from_predict` for ANY ``(weights, raw) →
+    signals`` prediction function (the two-stage families' sampler
+    path) — autodiff with a ones-cotangent VJP (each row's logL depends
+    only on its own row). The direct family's
+    :func:`make_loglik_and_grad` has faster analytic/fused variants.
+    """
+    base = make_loglik_from_predict(predict_fn, obs, noise_var)
+
+    def loglik_and_grad(weights, raw_params):
+        raw = jnp.atleast_2d(jnp.asarray(raw_params, jnp.float32))
+        val, vjp = jax.vjp(lambda r: base(weights, r), raw)
+        (g,) = vjp(jnp.ones_like(val))
+        return val, g
+
+    return loglik_and_grad
+
+
 def make_loglik(
     config: DirectEmulatorConfig,
     norm: Normalizer,

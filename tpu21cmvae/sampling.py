@@ -70,6 +70,57 @@ class SampleResult:
         """Chain flattened to ``(n_kept · n_walkers, n_params)``."""
         return self.chain.reshape(-1, self.chain.shape[-1])
 
+    def rhat(self) -> np.ndarray:
+        """Split-R̂ per parameter (Gelman–Rubin with split chains;
+        Vehtari et al. 2021 eq. 4) treating each walker as a chain.
+        Values near 1 indicate the walkers have mixed; needs a stored
+        chain with ≥ 4 kept steps (``thin > 0``)."""
+        n = self.chain.shape[0]
+        if n < 4:
+            raise ValueError(
+                f"rhat needs >= 4 kept steps, have {n}; run with thin > 0"
+            )
+        half = n // 2
+        # (2·n_walkers) split chains × half steps × n_params
+        c = np.concatenate([self.chain[:half], self.chain[half: 2 * half]],
+                           axis=1).astype(np.float64)
+        m = c.mean(axis=0)  # per-chain mean
+        w = c.var(axis=0, ddof=1).mean(axis=0)  # within-chain
+        b = half * m.var(axis=0, ddof=1)  # between-chain
+        var_plus = (half - 1) / half * w + b / half
+        return np.sqrt(var_plus / np.maximum(w, 1e-300))
+
+    def ess(self) -> np.ndarray:
+        """Effective sample size per parameter across all walkers:
+        walker-averaged autocorrelations with Geyer's initial-positive-
+        sequence truncation (Vehtari et al. 2021 §3.2). Needs a stored
+        chain (``thin > 0``); autocorrelation is measured at the thinned
+        cadence, so this is the ESS of the RETURNED samples."""
+        n, n_walkers, n_params = self.chain.shape
+        if n < 4:
+            raise ValueError(
+                f"ess needs >= 4 kept steps, have {n}; run with thin > 0"
+            )
+        c = self.chain.astype(np.float64)
+        c = c - c.mean(axis=0, keepdims=True)
+        out = np.empty(n_params)
+        for j in range(n_params):
+            # FFT autocovariance per walker, averaged
+            x = c[:, :, j]
+            f = np.fft.rfft(x, n=2 * n, axis=0)
+            acov = np.fft.irfft(f * np.conj(f), axis=0)[:n].mean(axis=1)
+            acov /= np.arange(n, 0, -1)  # unbiased normalization
+            rho = acov / max(acov[0], 1e-300)
+            # Geyer: sum consecutive pairs while positive
+            tau = 1.0
+            for t in range(1, n - 1, 2):
+                pair = rho[t] + rho[t + 1]
+                if pair <= 0:
+                    break
+                tau += 2.0 * pair
+            out[j] = n * n_walkers / tau
+        return out
+
     def summary(self, labels=None) -> str:
         samples = self.flat if self.chain.size else self.final
         mean, std = samples.mean(0), samples.std(0)
@@ -98,6 +149,12 @@ def _init_walkers(key, n_walkers, lo, hi):
     return lo + (hi - lo) * u
 
 
+def _dual_averaging_consts(init: float):
+    """(mu, gamma, t0, kappa) — Hoffman & Gelman (2014) Alg. 5 defaults,
+    shared by the HMC step and the MH proposal-scale adaptation."""
+    return jnp.log(10.0 * init), 0.05, 10.0, 0.75
+
+
 def sample_mh(
     loglik,
     params,
@@ -107,6 +164,8 @@ def sample_mh(
     n_warmup: int = 200,
     bounds=None,
     step_frac: float = 0.01,
+    target_accept: float = 0.3,
+    adapt: bool = True,
     thin: int = 10,
     seed: int = 0,
     x0=None,
@@ -118,12 +177,15 @@ def sample_mh(
     gram/bf16x3 tier). Proposals are isotropic Gaussians scaled per
     parameter by ``step_frac`` of the prior span, clipped to the box
     (the clip is a valid reversible proposal for a flat-box prior
-    target that is zero outside the box). ``thin > 0`` keeps every
-    ``thin``-th post-warmup step. Runs as two ``lax.scan`` programs
-    (warmup, sampling) — zero host round trips inside the chains.
+    target that is zero outside the box). During warmup the GLOBAL
+    scale multiplier adapts by dual averaging toward ``target_accept``
+    (0.3 ≈ random-walk-optimal in moderate dimension); ``adapt=False``
+    pins ``step_frac``. ``thin > 0`` keeps every ``thin``-th
+    post-warmup step. Runs as two ``lax.scan`` programs (warmup,
+    sampling) — zero host round trips inside the chains.
     """
     lo, hi = _resolve_bounds(bounds)
-    scale = step_frac * (hi - lo)
+    base_scale = step_frac * (hi - lo)
     key = jax.random.key(seed)
     k_init, k_warm, k_run = jax.random.split(key, 3)
     x = (
@@ -132,11 +194,11 @@ def sample_mh(
         else _init_walkers(k_init, n_walkers, lo, hi)
     )
 
-    def mh_step(state, k):
-        x, lp = state
+    def mh_step(x, lp, mult, k):
         k1, k2 = jax.random.split(k)
         prop = jnp.clip(
-            x + scale * jax.random.normal(k1, x.shape, x.dtype), lo, hi
+            x + mult * base_scale * jax.random.normal(k1, x.shape, x.dtype),
+            lo, hi,
         )
         lp_prop = loglik(params, prop)
         acc = jnp.log(jax.random.uniform(k2, (x.shape[0],))) < lp_prop - lp
@@ -146,18 +208,53 @@ def sample_mh(
         acc = acc | (~jnp.isfinite(lp) & jnp.isfinite(lp_prop))
         x = jnp.where(acc[:, None], prop, x)
         lp = jnp.where(acc, lp_prop, lp)
-        return (x, lp), (jnp.mean(acc), x if thin else None)
+        return x, lp, jnp.mean(acc)
+
+    mu, gamma, t0, kappa = _dual_averaging_consts(1.0)
+
+    def warm_step(state, ik):
+        i, k = ik
+        x, lp, log_m, log_m_bar, h_bar = state
+        x, lp, a = mh_step(x, lp, jnp.exp(log_m), k)
+        t = i + 1.0
+        h_bar = (1.0 - 1.0 / (t + t0)) * h_bar + (target_accept - a) / (t + t0)
+        log_m = jnp.where(adapt, mu - jnp.sqrt(t) / gamma * h_bar, log_m)
+        w = t ** (-kappa)
+        log_m_bar = jnp.where(
+            adapt, w * log_m + (1.0 - w) * log_m_bar, log_m_bar
+        )
+        return (x, lp, log_m, log_m_bar, h_bar), a
+
+    def run_step(state, k):
+        x, lp, mult = state
+        x, lp, a = mh_step(x, lp, mult, k)
+        return (x, lp, mult), (a, x if thin else None)
 
     @jax.jit
-    def run(x, warm_keys, run_keys):
+    def run(x, warm_ik, run_keys):
         lp = loglik(params, x)
-        (x, lp), _ = jax.lax.scan(mh_step, (x, lp), warm_keys)
-        (x, lp), (rates, kept) = jax.lax.scan(mh_step, (x, lp), run_keys)
-        return x, lp, rates, kept
+        # n_warmup is static: with 0, skip the warmup scan entirely
+        # (continuation runs via x0 must not take hidden extra steps)
+        if n_warmup > 0:
+            state = (
+                x, lp, jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0)
+            )
+            state, _ = jax.lax.scan(warm_step, state, warm_ik)
+            x, lp, _, log_m_bar, _ = state
+            mult = jnp.exp(log_m_bar)
+        else:
+            mult = jnp.float32(1.0)
+        (x, lp, mult), (rates, kept) = jax.lax.scan(
+            run_step, (x, lp, mult), run_keys
+        )
+        return x, lp, rates, kept, mult
 
-    warm_keys = jax.random.split(k_warm, max(n_warmup, 1))
+    warm_ik = (
+        jnp.arange(max(n_warmup, 1), dtype=jnp.float32),
+        jax.random.split(k_warm, max(n_warmup, 1)),
+    )
     run_keys = jax.random.split(k_run, n_steps)
-    x, lp, rates, kept = run(x, warm_keys, run_keys)
+    x, lp, rates, kept, mult = run(x, warm_ik, run_keys)
     chain = (
         np.asarray(kept)[thin - 1:: thin]
         if thin
@@ -168,7 +265,7 @@ def sample_mh(
         final=np.asarray(x),
         logp=np.asarray(lp),
         accept_rate=np.asarray(rates),
-        step_size=float(np.asarray(scale).mean()),
+        step_size=float(mult) * float(np.asarray(base_scale).mean()),
     )
 
 
@@ -269,11 +366,14 @@ def sample_hmc(
     @jax.jit
     def run(y, warm_ik, run_keys):
         lp, glp = logp_and_grad(y)
-        state = (y, lp, glp, jnp.log(init_step), jnp.log(init_step),
-                 jnp.float32(0.0))
-        state, _ = jax.lax.scan(warm_step, state, warm_ik)
-        y, lp, glp, _, log_eps_bar, _ = state
-        eps = jnp.exp(log_eps_bar)
+        if n_warmup > 0:  # static — no hidden warmup step on continuation
+            state = (y, lp, glp, jnp.log(init_step), jnp.log(init_step),
+                     jnp.float32(0.0))
+            state, _ = jax.lax.scan(warm_step, state, warm_ik)
+            y, lp, glp, _, log_eps_bar, _ = state
+            eps = jnp.exp(log_eps_bar)
+        else:
+            eps = jnp.float32(init_step)
         (y, lp, glp, eps), (rates, kept) = jax.lax.scan(
             run_step, (y, lp, glp, eps), run_keys
         )
