@@ -34,6 +34,16 @@ weights — reference `README.rst:11`).
 CELL_SETUP = """\
 import os
 
+# CI executes this notebook headless on the CPU platform (the ambient
+# environment may pin a remote TPU tunnel via sitecustomize — it even
+# overrides JAX_PLATFORMS=cpu, so pin the backend through the config,
+# which wins as long as no device has been touched yet). Interactive
+# runs keep whatever accelerator the environment provides.
+if os.environ.get("TPU21CMVAE_NB_FAST"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import matplotlib.pyplot as plt
 import numpy as np
 
@@ -189,13 +199,52 @@ plt.tight_layout()
 plt.show()
 """
 
+CELL_SAMPLING = """\
+# Posterior inference -- the emulator's intended end use (reference
+# README.rst:9-11), which the reference leaves to external samplers at
+# ~25 likelihood evaluations/s. Here the ENTIRE chain runs on device
+# (tpu21cmvae/sampling.py): observe a known signal + noise, then sample
+# the 7 astrophysical parameters with adaptive Metropolis-Hastings.
+# (HMC over the fused value+gradient kernel is one keyword away:
+# sampler="hmc"; measured throughputs in docs/PERF.md.)
+rng = np.random.default_rng(11)
+truth = np.asarray(data.par_test[2], np.float32)
+obs = model.predict(truth) + rng.normal(0, 5.0, data.n_bins)
+
+par = np.asarray(data.par_train, np.float64)
+lo, hi = par.min(0), par.max(0)
+lo[:3] = np.maximum(lo[:3], 1e-6)  # log-columns need a positive box
+bounds = np.stack([lo, hi], axis=1)
+
+STEPS = 60 if os.environ.get("TPU21CMVAE_NB_FAST") else 300
+res = model.sample_posterior(
+    obs, noise_var=25.0, sampler="mh", bounds=bounds,
+    n_walkers=512, n_steps=STEPS, n_warmup=STEPS, thin=10, seed=0,
+)
+print(res.summary(model.par_labels))
+print("truth:", np.round(truth, 4).tolist())
+print("split-Rhat:", np.round(res.rhat(), 2), " (1 = mixed)")
+
+fig, axes = plt.subplots(1, 3, figsize=(10, 3))
+for ax, dim in zip(axes, (3, 4, 6)):  # tau, alpha, Rmfp
+    ax.hist(res.flat[:, dim], bins=30, density=True, alpha=0.7)
+    ax.axvline(truth[dim], color="k", ls="--", label="truth")
+    ax.set_xlabel(model.par_labels[dim])
+axes[0].set_ylabel("posterior density")
+axes[0].legend()
+plt.tight_layout()
+plt.show()
+"""
+
 MD_OUTRO = """\
 ## Where to go next
 
 - `examples/` — headless versions of every workflow here, plus
-  MCMC-scale sharded inference (`examples/mcmc_inference.py`).
+  MCMC-scale sharded inference (`examples/mcmc_inference.py`) and
+  gradient-based HMC over the fused value+grad kernel
+  (`examples/hmc_inference.py`).
 - `python -m tpu21cmvae --help` — the full CLI (train / evaluate /
-  predict / tune / export-h5 / verify).
+  predict / tune / export-h5 / verify / serve / sample).
 - `docs/MIGRATION.md` — the reference-API → tpu21cmvae mapping.
 - `docs/PERF.md` — measured TPU throughput and precision tiers.
 """
@@ -215,6 +264,7 @@ def build() -> nbf.NotebookNode:
         nbf.v4.new_code_cell(CELL_AE),
         nbf.v4.new_code_cell(CELL_VAE),
         nbf.v4.new_code_cell(CELL_ENSEMBLE),
+        nbf.v4.new_code_cell(CELL_SAMPLING),
         nbf.v4.new_markdown_cell(MD_OUTRO),
     ]
     nb.cells = cells
