@@ -228,3 +228,48 @@ def test_two_stage_families_sample_posterior(splits):
             n_walkers=16, n_steps=5, n_warmup=5, thin=0,
         )
         assert np.isfinite(res_mh.logp).all()
+
+
+def test_emcee_log_prob_adapter(setup, splits):
+    """The emcee adapter: numpy contract, -inf outside the box, device
+    likelihood inside, single-row float return."""
+    from tpu21cmvae.sampling import make_emcee_log_prob
+
+    model, truth, obs = setup
+    bounds = _bounds(splits)
+    loglik = model.loglik_fn(obs, 9.0)
+    log_prob = make_emcee_log_prob(loglik, model.params, bounds=bounds)
+
+    coords = np.asarray(splits.par_test[:8], np.float64)
+    lp = log_prob(coords)
+    want = np.asarray(loglik(model.params, coords.astype(np.float32)))
+    np.testing.assert_allclose(lp, want, rtol=1e-6)
+
+    out = coords.copy()
+    out[0, 1] = bounds[1, 1] + 1.0  # push one row outside the box
+    lp2 = log_prob(out)
+    assert lp2[0] == -np.inf and np.isfinite(lp2[1:]).all()
+
+    one = log_prob(coords[2])
+    assert isinstance(one, float) and np.isclose(one, lp[2])
+
+
+def test_emcee_integration():
+    """Real emcee over the adapter, when emcee is installed."""
+    emcee = pytest.importorskip("emcee")
+    import jax.numpy as jnp
+
+    from tpu21cmvae.sampling import make_emcee_log_prob
+
+    # trivial quadratic 'likelihood' keeps this independent of fixtures
+    def loglik(params, x):
+        return -0.5 * jnp.sum((x - params) ** 2, axis=-1)
+
+    center = jnp.zeros(3)
+    bounds = np.array([[-5.0, 5.0]] * 3)
+    log_prob = make_emcee_log_prob(loglik, center, bounds=bounds)
+    rng = np.random.default_rng(0)
+    sampler = emcee.EnsembleSampler(16, 3, log_prob, vectorize=True)
+    sampler.run_mcmc(rng.normal(0, 0.5, (16, 3)), 200, progress=False)
+    flat = sampler.get_chain(discard=100, flat=True)
+    assert abs(flat.mean()) < 0.5 and 0.5 < flat.std() < 2.0

@@ -46,7 +46,12 @@ from tpu21cmvae.ops.transforms import (  # noqa: F401
     par_transform,
 )
 from tpu21cmvae.ops.loglik import make_loglik, make_loglik_and_grad  # noqa: F401
-from tpu21cmvae.sampling import SampleResult, sample_hmc, sample_mh  # noqa: F401
+from tpu21cmvae.sampling import (  # noqa: F401
+    SampleResult,
+    make_emcee_log_prob,
+    sample_hmc,
+    sample_mh,
+)
 from tpu21cmvae.models.direct import DirectEmulator  # noqa: F401
 from tpu21cmvae.models.autoencoder import AutoEncoder, AutoEncoderEmulator  # noqa: F401
 from tpu21cmvae.models.vae import VAE, VAEEmulator  # noqa: F401
