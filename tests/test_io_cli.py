@@ -375,3 +375,31 @@ def test_cli_sample(tmp_path, splits):
     assert blob["final"].shape == (32, 7)
     assert blob["chain"].shape == (4, 32, 7)
     assert np.isfinite(blob["logp"]).all()
+
+
+def test_cli_fit(tmp_path, splits):
+    """`fit` runs the multi-start ML fit end to end: model + obs file
+    in, fit npz + summary out."""
+    import json as _json
+
+    from tpu21cmvae.__main__ import main
+    from tpu21cmvae.models.direct import DirectEmulator
+    from tpu21cmvae.utils.config import DirectEmulatorConfig
+
+    model = DirectEmulator(
+        splits, config=DirectEmulatorConfig(hidden_dims=(16,))
+    )
+    ckpt = str(tmp_path / "m.npz")
+    model.save(ckpt)
+    obs = model.predict(splits.par_test[0])
+    obs_file = str(tmp_path / "obs.json")
+    with open(obs_file, "w") as f:
+        _json.dump({"obs": obs.tolist(), "noise_var": 25.0}, f)
+    out = str(tmp_path / "fit.npz")
+    main(["fit", ckpt, "--obs", obs_file, "--starts", "32",
+          "--steps", "60", "--out", out])
+    blob = np.load(out)
+    assert blob["params"].shape == (32, 7)
+    assert blob["best"].shape == (7,)
+    assert np.isfinite(blob["best_logp"])
+    assert blob["logp"].max() == blob["best_logp"]

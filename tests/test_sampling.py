@@ -273,3 +273,215 @@ def test_emcee_integration():
     sampler.run_mcmc(rng.normal(0, 0.5, (16, 3)), 200, progress=False)
     flat = sampler.get_chain(discard=100, flat=True)
     assert abs(flat.mean()) < 0.5 and 0.5 < flat.std() < 2.0
+
+
+def test_ensemble_sampler_machinery(setup, splits):
+    from tpu21cmvae.sampling import sample_ensemble
+
+    model, truth, obs = setup
+    bounds = _bounds(splits)
+    res = sample_ensemble(
+        model.loglik_fn(obs, 9.0), model.params,
+        n_walkers=256, n_steps=60, n_warmup=40, thin=10,
+        bounds=bounds, seed=1,
+    )
+    assert res.final.shape == (256, 7)
+    assert res.chain.shape == (6, 256, 7)
+    assert (res.flat >= bounds[:, 0] - 1e-5).all()
+    assert (res.flat <= bounds[:, 1] + 1e-5).all()
+    # stretch-move acceptance on a smooth 7-d target is healthy
+    assert 0.05 < float(res.accept_rate.mean()) < 0.999
+    assert np.isfinite(res.logp).all()
+    assert res.step_size == 2.0  # reports the stretch scale
+
+
+def test_ensemble_posterior_concentrates(setup, splits):
+    """Post-warmup walkers shrink toward the truth relative to the
+    prior span, like the MH version of this test."""
+    from tpu21cmvae.sampling import sample_ensemble
+
+    model, truth, obs = setup
+    bounds = _bounds(splits)
+    res = sample_ensemble(
+        model.loglik_fn(obs, 9.0), model.params,
+        n_walkers=512, n_steps=150, n_warmup=150, thin=10,
+        bounds=bounds, seed=2,
+    )
+    span = bounds[:, 1] - bounds[:, 0]
+    spread = res.flat.std(0)
+    # concentrated well below the flat-prior std (span/sqrt(12))
+    assert (spread < 0.8 * span / np.sqrt(12.0)).mean() >= 0.5
+
+
+def test_ensemble_exact_on_analytic_gaussian():
+    """Statistical correctness: on an analytic Gaussian target the
+    stretch move must reproduce the known mean and covariance scale
+    (this checks the z^(d-1) acceptance factor — an implementation
+    with the wrong exponent biases the variance by tens of percent)."""
+    import jax.numpy as jnp
+
+    from tpu21cmvae.sampling import sample_ensemble
+
+    mu = np.array([0.5, -1.0, 2.0], np.float32)
+    sig = np.array([0.3, 0.7, 0.2], np.float32)
+
+    def loglik(params, x):
+        return -0.5 * jnp.sum(((x - mu) / sig) ** 2, axis=-1)
+
+    bounds = np.stack([mu - 8 * sig, mu + 8 * sig], axis=1)
+    res = sample_ensemble(
+        loglik, None, n_walkers=128, n_steps=600, n_warmup=300,
+        thin=5, bounds=bounds, seed=3,
+    )
+    flat = res.flat
+    # mean within a few MC standard errors; std within 10 %
+    assert np.allclose(flat.mean(0), mu, atol=4 * sig / np.sqrt(200))
+    assert np.allclose(flat.std(0), sig, rtol=0.10)
+
+
+def test_ensemble_input_validation():
+    from tpu21cmvae.sampling import sample_ensemble
+
+    bounds = np.array([[0.0, 1.0]] * 3)
+    dummy = lambda p, x: x.sum(-1)  # noqa: E731
+    with pytest.raises(ValueError, match="even"):
+        sample_ensemble(dummy, None, n_walkers=17, bounds=bounds)
+    with pytest.raises(ValueError, match="2\\*n_params"):
+        sample_ensemble(dummy, None, n_walkers=6, bounds=bounds)
+    with pytest.raises(ValueError, match="stretch scale"):
+        sample_ensemble(dummy, None, n_walkers=16, a=1.0, bounds=bounds)
+
+
+def test_ensemble_resume_and_model_entry(setup, splits):
+    from tpu21cmvae.sampling import sample_ensemble
+
+    model, truth, obs = setup
+    bounds = _bounds(splits)
+    loglik = model.loglik_fn(obs, 9.0)
+    a = sample_ensemble(loglik, model.params, n_walkers=64, n_steps=20,
+                        n_warmup=10, thin=0, bounds=bounds, seed=6)
+    b = sample_ensemble(loglik, model.params, n_walkers=64, n_steps=20,
+                        n_warmup=0, thin=0, bounds=bounds, seed=7,
+                        x0=a.final)
+    assert b.final.shape == a.final.shape
+    assert not np.allclose(a.final, b.final)  # the chain kept moving
+    res = model.sample_posterior(
+        obs, 9.0, sampler="ensemble", bounds=bounds,
+        n_walkers=64, n_steps=20, n_warmup=10, thin=0, seed=8,
+    )
+    assert res.final.shape == (64, 7)
+
+
+def test_fit_map_analytic_gaussian():
+    """fit_map must land on the analytic optimum from random starts."""
+    import jax.numpy as jnp
+
+    from tpu21cmvae.sampling import fit_map
+
+    mu = np.array([0.5, -1.0, 2.0], np.float32)
+    sig = np.array([0.3, 0.7, 0.2], np.float32)
+
+    def valgrad(params, x):
+        ll = -0.5 * jnp.sum(((x - mu) / sig) ** 2, axis=-1)
+        return ll, -(x - mu) / sig**2
+
+    bounds = np.stack([mu - 5 * sig, mu + 5 * sig], axis=1)
+    res = fit_map(valgrad, None, n_starts=64, n_steps=400, bounds=bounds,
+                  seed=0)
+    assert res.params.shape == (64, 3)
+    assert np.allclose(res.best, mu, atol=0.02 * sig)
+    assert res.best_logp > -1e-3
+    top_p, top_l = res.top(5)
+    assert top_p.shape == (5, 3)
+    assert (np.diff(top_l) <= 1e-6).all()  # sorted best-first
+    # the smooth unimodal target pulls essentially every start home
+    assert (top_l > -0.01).all()
+
+
+def test_fit_params_recovers_truth_and_seeds_sampler(setup, splits):
+    model, truth, obs = setup
+    bounds = _bounds(splits)
+    res = model.fit_params(
+        obs, 9.0, bounds=bounds, n_starts=128, n_steps=250, seed=1,
+    )
+    assert res.params.shape == (128, 7)
+    # the ML point must beat (or match) the generating truth's logL
+    ll_truth = float(np.asarray(
+        model.loglik_fn(obs, 9.0)(model.params, truth[None])
+    )[0])
+    assert res.best_logp >= ll_truth - 1.0
+    # ... and reproduce the observation at the noise floor
+    resid = np.asarray(model.predict(res.best)) - obs
+    assert np.sqrt((resid**2).mean()) < 2.0 * 3.0
+    # fits warm-start a sampler run
+    warm = model.sample_posterior(
+        obs, 9.0, sampler="ensemble", bounds=bounds,
+        n_walkers=128, n_steps=10, n_warmup=0, thin=0, seed=2,
+        x0=res.params,
+    )
+    assert warm.final.shape == (128, 7)
+
+
+def test_log_evidence_matches_analytic_gaussian():
+    """Stepping-stone logZ must match the closed form for a truncated
+    Gaussian likelihood under the flat box prior — this checks the
+    ladder, the per-rung MH targets, the replica exchange, and the
+    pooled estimator jointly (a wrong β exponent or a biased prior rung
+    moves logZ by O(1))."""
+    import math
+
+    import jax.numpy as jnp
+
+    from tpu21cmvae.sampling import log_evidence
+
+    mu = np.array([0.5, -1.0, 2.0], np.float32)
+    sig = np.array([0.3, 0.7, 0.2], np.float32)
+    lo, hi = mu - 4 * sig, mu + 4 * sig
+    bounds = np.stack([lo, hi], axis=1)
+
+    def loglik(params, x):
+        return -0.5 * jnp.sum(((x - mu) / sig) ** 2, axis=-1)
+
+    logz_true = -float(np.log(hi - lo).sum())
+    for d in range(3):
+        a = (lo[d] - mu[d]) / (math.sqrt(2) * sig[d])
+        b = (hi[d] - mu[d]) / (math.sqrt(2) * sig[d])
+        logz_true += math.log(sig[d] * math.sqrt(2 * math.pi)) + math.log(
+            0.5 * (math.erf(b) - math.erf(a))
+        )
+
+    res = log_evidence(loglik, None, n_rungs=24, n_walkers=256,
+                       n_steps=300, n_warmup=150, bounds=bounds, seed=0)
+    assert abs(res.logz - logz_true) < 0.15
+    assert res.rung_logz.shape == (23,)
+    assert np.isclose(res.rung_logz.sum(), res.logz)
+    # warmup adaptation reached the target acceptance on every rung
+    assert (abs(res.accept_rate - 0.3) < 0.15).all()
+    # the β=1 rung is a posterior sample set
+    assert np.allclose(res.posterior.mean(0), mu, atol=4 * sig / np.sqrt(50))
+    assert "log Z" in res.summary()
+
+
+def test_log_evidence_model_comparison(setup, splits):
+    """The generating model must win the evidence comparison against a
+    broken variant of itself (its signal scaled 20%) on the same data —
+    the end-use contract of log_evidence."""
+    import jax
+
+    model, truth, obs = setup
+    bounds = _bounds(splits)
+    kwargs = dict(n_rungs=12, n_walkers=128, n_steps=120, n_warmup=100,
+                  bounds=bounds, seed=0)
+    good = model.log_evidence(obs, 9.0, **kwargs)
+    base = model.loglik_fn(obs, 9.0)
+
+    def broken_loglik(params, raw):  # a forward model that can't fit
+        return base(params, raw) * 0.0 + jax.numpy.float32(-1e4)
+
+    from tpu21cmvae.sampling import log_evidence
+
+    bad = log_evidence(broken_loglik, model.params, **kwargs)
+    assert np.isclose(bad.logz, -1e4, atol=1.0)  # flat logL: Z = e^{-1e4}
+    assert good.logz > bad.logz + 100.0
+    with pytest.raises(ValueError, match="n_rungs"):
+        log_evidence(base, model.params, n_rungs=1, bounds=bounds)

@@ -47,8 +47,13 @@ from tpu21cmvae.ops.transforms import (  # noqa: F401
 )
 from tpu21cmvae.ops.loglik import make_loglik, make_loglik_and_grad  # noqa: F401
 from tpu21cmvae.sampling import (  # noqa: F401
+    EvidenceResult,
+    FitResult,
     SampleResult,
+    fit_map,
+    log_evidence,
     make_emcee_log_prob,
+    sample_ensemble,
     sample_hmc,
     sample_mh,
 )

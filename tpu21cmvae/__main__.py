@@ -13,8 +13,10 @@ The reference has no CLI — every workflow lives in notebook cells
                checks) with a JSON report
     serve      saved model behind HTTP (JSON /predict + /loglik,
                bucketed batching, warm compiled programs)
-    sample     on-device MH/HMC posterior sampling for an observed
-               spectrum; writes the chain as .npz
+    sample     on-device MH/ensemble/HMC posterior sampling for an
+               observed spectrum; writes the chain as .npz
+    fit        on-device multi-start maximum-likelihood parameter fit
+               for an observed spectrum; writes results as .npz
 """
 
 from __future__ import annotations
@@ -176,6 +178,30 @@ def cmd_sample(args):
     return 0
 
 
+def cmd_fit(args):
+    from tpu21cmvae.models import load_model
+    from tpu21cmvae.serve import load_obs_specs
+
+    model = load_model(args.model)
+    specs = load_obs_specs(args.obs)
+    if len(specs) != 1:
+        print(f"--obs file must contain exactly one observation; got "
+              f"{len(specs)}", file=sys.stderr)
+        return 2
+    obs, noise_var = specs[0]
+    res = model.fit_params(
+        obs, noise_var, n_starts=args.starts, n_steps=args.steps,
+        learning_rate=args.lr, seed=args.seed,
+    )
+    print(res.summary(getattr(model, "par_labels", None)))
+    np.savez_compressed(
+        args.out, params=res.params, logp=res.logp, best=res.best,
+        best_logp=res.best_logp,
+    )
+    print(f"wrote {args.out} ({res.params.shape[0]} starts)")
+    return 0
+
+
 def cmd_verify(args):
     from tpu21cmvae.verify import format_report, run_verification, write_report
 
@@ -270,15 +296,16 @@ def main(argv=None):
 
     p = sub.add_parser(
         "sample",
-        help="on-device posterior sampling (MH/HMC) for an observed "
-             "spectrum",
+        help="on-device posterior sampling (MH/ensemble/HMC) for an "
+             "observed spectrum",
     )
     p.add_argument("model")
     p.add_argument("--obs", required=True, metavar="FILE",
                    help="observation spec (.json or .npz with obs and "
                         "optional noise_var — serve.load_obs_specs "
                         "format, exactly one entry)")
-    p.add_argument("--sampler", choices=["hmc", "mh"], default="hmc")
+    p.add_argument("--sampler", choices=["hmc", "mh", "ensemble"],
+                   default="hmc")
     p.add_argument("--walkers", type=int, default=4096)
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--warmup", type=int, default=100)
@@ -287,6 +314,22 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="chain.npz")
     p.set_defaults(fn=cmd_sample)
+
+    p = sub.add_parser(
+        "fit",
+        help="on-device multi-start maximum-likelihood parameter fit "
+             "for an observed spectrum",
+    )
+    p.add_argument("model")
+    p.add_argument("--obs", required=True, metavar="FILE",
+                   help="observation spec (.json or .npz — "
+                        "serve.load_obs_specs format, exactly one entry)")
+    p.add_argument("--starts", type=int, default=1024)
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="fit.npz")
+    p.set_defaults(fn=cmd_fit)
 
     p = sub.add_parser(
         "verify",

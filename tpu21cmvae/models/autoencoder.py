@@ -311,16 +311,45 @@ class AutoEncoderEmulator:
         """On-device posterior sampling over this family's likelihood —
         same contract as :meth:`DirectEmulator.sample_posterior`
         (see :mod:`tpu21cmvae.sampling`)."""
-        from tpu21cmvae.sampling import sample_hmc, sample_mh
+        from tpu21cmvae.sampling import sample_ensemble, sample_hmc, sample_mh
 
         if sampler == "mh":
             return sample_mh(
                 self.loglik_fn(obs, noise_var), self.params,
                 bounds=bounds, **kwargs,
             )
+        if sampler == "ensemble":
+            return sample_ensemble(
+                self.loglik_fn(obs, noise_var), self.params,
+                bounds=bounds, **kwargs,
+            )
         if sampler != "hmc":
-            raise ValueError(f"sampler must be 'mh' or 'hmc'; got {sampler!r}")
+            raise ValueError(
+                f"sampler must be 'mh', 'ensemble' or 'hmc'; got {sampler!r}"
+            )
         return sample_hmc(
+            self.loglik_and_grad_fn(obs, noise_var), self.params,
+            bounds=bounds, **kwargs,
+        )
+
+    def log_evidence(self, obs, noise_var=1.0, *, bounds=None, **kwargs):
+        """Bayesian evidence for this family — same contract as
+        :meth:`DirectEmulator.log_evidence`
+        (:func:`tpu21cmvae.sampling.log_evidence`)."""
+        from tpu21cmvae.sampling import log_evidence
+
+        return log_evidence(
+            self.loglik_fn(obs, noise_var), self.params,
+            bounds=bounds, **kwargs,
+        )
+
+    def fit_params(self, obs, noise_var=1.0, *, bounds=None, **kwargs):
+        """Maximum-likelihood parameter fit against this family's
+        likelihood — same contract as :meth:`DirectEmulator.fit_params`
+        (:func:`tpu21cmvae.sampling.fit_map`)."""
+        from tpu21cmvae.sampling import fit_map
+
+        return fit_map(
             self.loglik_and_grad_fn(obs, noise_var), self.params,
             bounds=bounds, **kwargs,
         )

@@ -280,28 +280,72 @@ class DirectEmulator:
         (reference ``README.rst:9-11``), which it leaves to external
         samplers at ~25 likelihood evaluations/s. Here the entire chain
         runs on device (:mod:`tpu21cmvae.sampling`): ``sampler="mh"``
-        uses the bench-selected fused likelihood, ``sampler="hmc"``
-        (default) the fused value+gradient kernel, with dual-averaging
-        step adaptation. ``bounds``: (7, 2) prior box (defaults to the
-        21cmGEM-shaped ranges); remaining kwargs forward to
-        :func:`~tpu21cmvae.sampling.sample_mh` /
+        uses the bench-selected fused likelihood, ``sampler="ensemble"``
+        the affine-invariant stretch move (emcee's algorithm, no tuning
+        knobs), ``sampler="hmc"`` (default) the fused value+gradient
+        kernel, with dual-averaging step adaptation. ``bounds``: (7, 2)
+        prior box (defaults to the 21cmGEM-shaped ranges); remaining
+        kwargs forward to :func:`~tpu21cmvae.sampling.sample_mh` /
+        :func:`~tpu21cmvae.sampling.sample_ensemble` /
         :func:`~tpu21cmvae.sampling.sample_hmc`. Returns a
         :class:`~tpu21cmvae.sampling.SampleResult`.
         """
-        from tpu21cmvae.sampling import sample_hmc, sample_mh
+        from tpu21cmvae.sampling import sample_ensemble, sample_hmc, sample_mh
 
         if sampler == "mh":
             return sample_mh(
                 self.loglik_fn(obs, noise_var), self.params,
                 bounds=bounds, **kwargs,
             )
+        if sampler == "ensemble":
+            return sample_ensemble(
+                self.loglik_fn(obs, noise_var), self.params,
+                bounds=bounds, **kwargs,
+            )
         if sampler != "hmc":
-            raise ValueError(f"sampler must be 'mh' or 'hmc'; got {sampler!r}")
+            raise ValueError(
+                f"sampler must be 'mh', 'ensemble' or 'hmc'; got {sampler!r}"
+            )
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         valgrad = self.loglik_and_grad_fn(
             obs, noise_var, backend=backend, grad_precision="default"
         )
         return sample_hmc(valgrad, self.params, bounds=bounds, **kwargs)
+
+    def log_evidence(self, obs, noise_var=1.0, *, bounds=None, **kwargs):
+        """Bayesian evidence ``log Z`` for this model given an observed
+        spectrum (:func:`tpu21cmvae.sampling.log_evidence` —
+        stepping-stone integration over an on-device parallel-tempering
+        ladder; the model-comparison workflow 21-cm analyses run nested
+        samplers for). Compare families by their ``logz`` under the
+        same ``obs``/``bounds``. Returns an
+        :class:`~tpu21cmvae.sampling.EvidenceResult`, whose β=1 rung
+        doubles as posterior samples."""
+        from tpu21cmvae.sampling import log_evidence
+
+        return log_evidence(
+            self.loglik_fn(obs, noise_var), self.params,
+            bounds=bounds, **kwargs,
+        )
+
+    def fit_params(self, obs, noise_var=1.0, *, bounds=None, **kwargs):
+        """Maximum-likelihood fit of the 7 parameters to an observed
+        spectrum: on-device multi-start Adam ascent over the fused
+        value+gradient path (:func:`tpu21cmvae.sampling.fit_map` — the
+        workflow reference users hand to scipy.optimize around 40 ms
+        ``predict`` calls). ``bounds``: (7, 2) search box (defaults to
+        the 21cmGEM-shaped ranges); kwargs forward to ``fit_map``.
+        Returns a :class:`~tpu21cmvae.sampling.FitResult`; seed a
+        sampler with ``sample_posterior(..., x0=result.params)`` for a
+        warm-started posterior run.
+        """
+        from tpu21cmvae.sampling import fit_map
+
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        valgrad = self.loglik_and_grad_fn(
+            obs, noise_var, backend=backend, grad_precision="default"
+        )
+        return fit_map(valgrad, self.params, bounds=bounds, **kwargs)
 
     def fisher_fn(self, noise_var=1.0):
         """Jitted batched Fisher-matrix function ``(weights, thetas) →

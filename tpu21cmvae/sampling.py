@@ -44,8 +44,13 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "EvidenceResult",
+    "FitResult",
     "SampleResult",
+    "fit_map",
+    "log_evidence",
     "make_emcee_log_prob",
+    "sample_ensemble",
     "sample_hmc",
     "sample_mh",
 ]
@@ -194,6 +199,314 @@ def make_emcee_log_prob(loglik, params, bounds=None):
     return log_prob
 
 
+@dataclasses.dataclass
+class EvidenceResult:
+    """Bayesian evidence estimate from :func:`log_evidence`.
+
+    ``logz``: stepping-stone estimate of ``log Z = log ∫ L(θ) π(θ) dθ``
+    with ``π`` the flat box prior (normalized — ``log Z`` of a model
+    that ignores the data is the prior-averaged likelihood, directly
+    comparable across models and prior boxes). ``rung_logz``: the K-1
+    per-rung contributions (their sum is ``logz``; a single rung
+    dominating means the ladder is too coarse there — raise
+    ``n_rungs``). ``betas``: the temperature ladder. ``accept_rate`` /
+    ``swap_rate``: per-rung MH acceptance and per-edge replica-exchange
+    acceptance over the sampling phase (swap rates ≪ 0.1 also signal a
+    too-coarse ladder). ``posterior`` / ``logp``: the β=1 rung's final
+    walkers — posterior samples for free.
+    """
+
+    logz: float
+    rung_logz: np.ndarray
+    betas: np.ndarray
+    accept_rate: np.ndarray
+    swap_rate: np.ndarray
+    posterior: np.ndarray
+    logp: np.ndarray
+
+    def summary(self) -> str:
+        return (
+            f"log Z = {self.logz:.4f}  ({len(self.betas)} rungs, "
+            f"MH accept {float(self.accept_rate.mean()):.2f}, "
+            f"swap accept {float(self.swap_rate.mean()):.2f})"
+        )
+
+
+def log_evidence(
+    loglik,
+    params,
+    *,
+    n_rungs: int = 32,
+    n_walkers: int = 256,
+    n_steps: int = 400,
+    n_warmup: int = 200,
+    bounds=None,
+    step_frac: float = 0.05,
+    target_accept: float = 0.3,
+    ladder_power: float = 5.0,
+    seed: int = 0,
+) -> EvidenceResult:
+    """Bayesian evidence ``log Z`` by stepping-stone integration over a
+    parallel-tempering ladder (Xie et al. 2011; Earl & Deem 2005) —
+    model comparison, the workflow 21-cm analyses run nested samplers
+    (MultiNest/polychord) for, here as ONE on-device program.
+
+    A ladder of ``n_rungs`` tempered targets ``π_k ∝ L^{β_k}·π`` with
+    ``β_k = (k/(K-1))^ladder_power`` (geometric-ish spacing toward the
+    prior, where the integrand varies fastest) runs ``n_walkers``
+    Metropolis walkers per rung, ALL rungs advancing in one batched
+    likelihood call per step (K·W rows — the TPU doesn't care), with
+    walker-aligned replica-exchange swaps between adjacent rungs every
+    step (alternating even/odd edges) so hot rungs keep cold rungs
+    mixed. Per-rung proposal scales adapt independently during warmup
+    (dual averaging toward ``target_accept``). The sampling phase pools
+    every (step, walker) sample into the stepping-stone estimator
+
+        log Z = Σ_k log E_{π_k}[ L^{β_{k+1}-β_k} ]
+
+    evaluated by streaming logsumexp — and because β=0 samples the
+    prior exactly and β=1 the posterior, the run also returns posterior
+    samples. Proposals outside the box are rejected (target zero
+    outside — exact for the flat prior; at β=0 a clipped proposal would
+    pile walkers on the faces and bias the prior rung). Runtime is
+    dominated by ``(n_warmup+n_steps) · n_rungs · n_walkers`` likelihood
+    rows — ~5×10⁶ for the defaults, well under a second of device time
+    at the measured ~6×10⁷ loglik/s (docs/PERF.md).
+    """
+    lo, hi = _resolve_bounds(bounds)
+    n_params = int(lo.shape[0])
+    if n_rungs < 2:
+        raise ValueError(f"n_rungs must be >= 2; got {n_rungs}")
+    mid = (lo + hi) / 2.0
+    betas = (jnp.arange(n_rungs) / (n_rungs - 1.0)) ** ladder_power
+    dbeta = betas[1:] - betas[:-1]  # (K-1,)
+    base_scale = step_frac * (hi - lo)
+    key = jax.random.key(seed)
+    k_init, k_warm, k_run = jax.random.split(key, 3)
+    x = _init_walkers(
+        k_init, n_rungs * n_walkers, lo, hi
+    ).reshape(n_rungs, n_walkers, n_params)
+
+    def safe_ll(flat):
+        inside = ((flat >= lo) & (flat <= hi)).all(axis=1)
+        ll = loglik(params, jnp.where(inside[:, None], flat, mid))
+        return ll, inside
+
+    def mh_all(x, ll, mult, k):
+        """One Metropolis step on every rung — a single (K·W)-row
+        likelihood batch."""
+        k1, k2 = jax.random.split(k)
+        prop = x + (mult[:, None, None] * base_scale) * jax.random.normal(
+            k1, x.shape, x.dtype
+        )
+        ll_prop_flat, inside_flat = safe_ll(prop.reshape(-1, n_params))
+        ll_prop = ll_prop_flat.reshape(n_rungs, n_walkers)
+        inside = inside_flat.reshape(n_rungs, n_walkers)
+        logr = jnp.where(inside, betas[:, None] * (ll_prop - ll), -jnp.inf)
+        u = jax.random.uniform(k2, (n_rungs, n_walkers))
+        acc = jnp.log(u) < logr
+        x = jnp.where(acc[:, :, None], prop, x)
+        ll = jnp.where(acc, ll_prop, ll)
+        return x, ll, jnp.mean(acc, axis=1)  # (K,) per-rung accept
+
+    def swaps(x, ll, parity, k):
+        """Walker-aligned replica exchange on alternating edges —
+        zero likelihood evaluations."""
+        u = jax.random.uniform(k, (n_rungs - 1, n_walkers))
+        edge = (jnp.arange(n_rungs - 1) % 2) == parity  # (K-1,)
+        logr = dbeta[:, None] * (ll[:-1] - ll[1:])
+        acc = (jnp.log(u) < logr) & edge[:, None]  # (K-1, W)
+        pad_lo = jnp.zeros((1, n_walkers), bool)
+        take_next = jnp.concatenate([acc, pad_lo])  # rung k ← k+1
+        take_prev = jnp.concatenate([pad_lo, acc])  # rung k ← k-1
+        x_next, x_prev = jnp.roll(x, -1, 0), jnp.roll(x, 1, 0)
+        ll_next, ll_prev = jnp.roll(ll, -1, 0), jnp.roll(ll, 1, 0)
+        x = jnp.where(
+            take_next[:, :, None], x_next,
+            jnp.where(take_prev[:, :, None], x_prev, x),
+        )
+        ll = jnp.where(take_next, ll_next, jnp.where(take_prev, ll_prev, ll))
+        # per-edge accept rate among PROPOSED swaps (each edge proposes
+        # every other step, so scale the masked mean by 2)
+        return x, ll, 2.0 * jnp.mean(acc, axis=1)
+
+    mu, gamma, t0, kappa = _dual_averaging_consts(1.0)
+
+    def warm_step(state, ik):
+        i, k = ik
+        km, ks = jax.random.split(k)
+        x, ll, log_m, log_m_bar, h_bar = state
+        x, ll, a = mh_all(x, ll, jnp.exp(log_m), km)
+        x, ll, _ = swaps(x, ll, jnp.mod(i, 2.0), ks)
+        t = i + 1.0
+        h_bar = (1.0 - 1.0 / (t + t0)) * h_bar + (target_accept - a) / (
+            t + t0
+        )
+        log_m = mu - jnp.sqrt(t) / gamma * h_bar
+        w = t ** (-kappa)
+        log_m_bar = w * log_m + (1.0 - w) * log_m_bar
+        return (x, ll, log_m, log_m_bar, h_bar), None
+
+    def run_step(state, ik):
+        i, k = ik
+        km, ks = jax.random.split(k)
+        x, ll, mult = state
+        x, ll, a = mh_all(x, ll, mult, km)
+        x, ll, s = swaps(x, ll, jnp.mod(i, 2.0), ks)
+        # per-step stepping-stone contribution: logsumexp over walkers
+        # of dβ_k · logL at rung k (pooled across steps on the host)
+        ss = jax.scipy.special.logsumexp(dbeta[:, None] * ll[:-1], axis=1)
+        return (x, ll, mult), (a, s, ss)
+
+    @jax.jit
+    def run(x, warm_ik, run_ik):
+        ll, _ = safe_ll(x.reshape(-1, n_params))
+        ll = ll.reshape(n_rungs, n_walkers)
+        zeros = jnp.zeros((n_rungs,), jnp.float32)
+        state = (x, ll, zeros, zeros, zeros)
+        if n_warmup > 0:
+            state, _ = jax.lax.scan(warm_step, state, warm_ik)
+        x, ll, _, log_m_bar, _ = state
+        (x, ll, _), (rates, srates, ss) = jax.lax.scan(
+            run_step, (x, ll, jnp.exp(log_m_bar)), run_ik
+        )
+        return x, ll, rates, srates, ss
+
+    warm_ik = (
+        jnp.arange(max(n_warmup, 1), dtype=jnp.float32),
+        jax.random.split(k_warm, max(n_warmup, 1)),
+    )
+    run_ik = (
+        jnp.arange(n_steps, dtype=jnp.float32),
+        jax.random.split(k_run, n_steps),
+    )
+    x, ll, rates, srates, ss = run(x, warm_ik, run_ik)
+    ss = np.asarray(ss, np.float64)  # (n_steps, K-1)
+    # pool all steps × walkers: log mean = logsumexp - log(T·W)
+    rung_logz = np.logaddexp.reduce(ss, axis=0) - np.log(
+        n_steps * n_walkers
+    )
+    return EvidenceResult(
+        logz=float(rung_logz.sum()),
+        rung_logz=rung_logz,
+        betas=np.asarray(betas),
+        accept_rate=np.asarray(rates).mean(axis=0),
+        swap_rate=np.asarray(srates).mean(axis=0),
+        posterior=np.asarray(x[-1]),
+        logp=np.asarray(ll[-1]),
+    )
+
+
+@dataclasses.dataclass
+class FitResult:
+    """Multi-start maximum-likelihood fit output (:func:`fit_map`).
+
+    ``params``: final position of every start, ``(n_starts, n_params)``
+    raw units. ``logp``: final log-likelihood per start. ``best`` /
+    ``best_logp``: the single best start. Multi-modality shows up as
+    clusters in ``params`` with distinct ``logp`` plateaus.
+    """
+
+    params: np.ndarray
+    logp: np.ndarray
+    best: np.ndarray
+    best_logp: float
+
+    def top(self, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """The ``k`` best (params, logp) rows, best first."""
+        order = np.argsort(-self.logp)[:k]
+        return self.params[order], self.logp[order]
+
+    def summary(self, labels=None) -> str:
+        labels = labels or [f"p{i}" for i in range(self.params.shape[-1])]
+        lines = [
+            f"  {l:>8}: {v:12.6g}" for l, v in zip(labels, self.best)
+        ]
+        return f"best logL {self.best_logp:.6g}\n" + "\n".join(lines)
+
+
+def fit_map(
+    valgrad,
+    params,
+    *,
+    n_starts: int = 1024,
+    n_steps: int = 300,
+    bounds=None,
+    learning_rate: float = 0.05,
+    seed: int = 0,
+    x0=None,
+) -> FitResult:
+    """Multi-start maximum-likelihood fit of the astrophysical
+    parameters: Adam ascent on ``valgrad(params, raw) → (logL, grad)``
+    from ``n_starts`` prior draws at once, the whole optimization as one
+    ``lax.scan`` on device.
+
+    This replaces the scipy.optimize / grid-search loop reference users
+    wrap around 40 ms ``predict`` calls (reference ``README.rst:9-11``
+    names fitting observed spectra as the intended use; the reference
+    ships no fitter). A thousand restarts cost what one costs — the
+    batch rides the same fused value+gradient path the HMC sampler uses
+    (docs/PERF.md: ~4×10⁷ value+gradient evals/s on one v5e chip), and
+    multi-start is the practical defense against local optima in the
+    7-parameter landscape.
+
+    The ascent runs in the same sigmoid-whitened unbounded space as
+    :func:`sample_hmc` (per-parameter scale = prior span; iterates can
+    never leave the box) but WITHOUT the flat-prior Jacobian term — the
+    optimum of the raw-space likelihood is wanted, not the mode of the
+    transformed density. ``learning_rate`` is in whitened units where
+    the box spans ~12 sigmoid units end to end. Use the result to seed
+    samplers: ``sample_*(..., x0=result.params)``.
+    """
+    lo, hi = _resolve_bounds(bounds)
+    span = hi - lo
+    key = jax.random.key(seed)
+    x = (
+        jnp.asarray(x0, jnp.float32)
+        if x0 is not None
+        else _init_walkers(key, n_starts, lo, hi)
+    )
+    frac = jnp.clip((x - lo) / span, 1e-4, 1.0 - 1e-4)
+    y0 = jnp.log(frac / (1.0 - frac))
+
+    def ll_and_grad_y(y):
+        s = jax.nn.sigmoid(y)
+        ll, g_raw = valgrad(params, lo + span * s)
+        return ll, g_raw * (span * s * (1.0 - s))
+
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def adam_step(state, t):
+        y, m, v = state
+        ll, g = ll_and_grad_y(y)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)  # dead start ≠ NaN poison
+        m = b1 * m + (1.0 - b1) * g
+        v = b2 * v + (1.0 - b2) * g * g
+        mh = m / (1.0 - b1 ** t)
+        vh = v / (1.0 - b2 ** t)
+        y = y + learning_rate * mh / (jnp.sqrt(vh) + eps)  # ascent
+        return (y, m, v), ll
+
+    @jax.jit
+    def run(y):
+        state = (y, jnp.zeros_like(y), jnp.zeros_like(y))
+        (y, _, _), _ = jax.lax.scan(
+            adam_step, state, jnp.arange(1, n_steps + 1, dtype=jnp.float32)
+        )
+        ll, _ = ll_and_grad_y(y)
+        return lo + span * jax.nn.sigmoid(y), ll
+
+    x_fin, ll = run(y0)
+    x_np, ll_np = np.asarray(x_fin), np.asarray(ll)
+    best = int(np.nanargmax(ll_np))
+    return FitResult(
+        params=x_np,
+        logp=ll_np,
+        best=x_np[best],
+        best_logp=float(ll_np[best]),
+    )
+
+
 def _dual_averaging_consts(init: float):
     """(mu, gamma, t0, kappa) — Hoffman & Gelman (2014) Alg. 5 defaults,
     shared by the HMC step and the MH proposal-scale adaptation."""
@@ -311,6 +624,136 @@ def sample_mh(
         logp=np.asarray(lp),
         accept_rate=np.asarray(rates),
         step_size=float(mult) * float(np.asarray(base_scale).mean()),
+    )
+
+
+def sample_ensemble(
+    loglik,
+    params,
+    *,
+    n_walkers: int = 8192,
+    n_steps: int = 500,
+    n_warmup: int = 100,
+    bounds=None,
+    a: float = 2.0,
+    thin: int = 10,
+    seed: int = 0,
+    x0=None,
+) -> SampleResult:
+    """Affine-invariant ensemble sampler (Goodman & Weare 2010 stretch
+    move — the algorithm behind emcee), entirely on device.
+
+    The reference's published analyses drive its ~25-predictions/s
+    emulator from host-side emcee (reference ``README.rst:9-11``);
+    :func:`make_emcee_log_prob` reproduces that setup with a batched
+    device likelihood. This is the step further: the ensemble itself
+    lives on device, the whole chain is one ``lax.scan`` program, and
+    each stretch move is two half-ensemble likelihood batches — zero
+    host round trips and no tuning parameter besides the stretch scale
+    ``a`` (affine invariance makes the move self-scaling, so unlike
+    :func:`sample_mh` there is nothing to adapt during warmup; warmup
+    steps are ordinary moves whose samples are discarded).
+
+    Parallelization is the red-black split emcee uses for vectorized
+    moves (Foreman-Mackey et al. 2013 §3): walkers split into two fixed
+    halves; half A proposes ``x_j + z (x_i - x_j)`` against partners
+    ``j`` drawn from half B with ``z ~ g(z) ∝ 1/√z`` on ``[1/a, a]``,
+    accepted with probability ``min(1, z^(d-1) · L'/L)``; then B moves
+    against the UPDATED A (required for detailed balance). Proposals
+    outside the flat prior box score ``-inf`` (evaluated on a safe
+    midpoint row so the emulator's log-transform never sees a negative
+    parameter — reference ``preprocess.py:74``). ``n_walkers`` must be
+    even and at least ``2 · n_params + 2`` so each half-ensemble spans
+    parameter space. Returns a :class:`SampleResult` whose
+    ``step_size`` field reports the stretch scale ``a``.
+    """
+    lo, hi = _resolve_bounds(bounds)
+    n_params = int(lo.shape[0])
+    if n_walkers % 2:
+        raise ValueError(f"n_walkers must be even; got {n_walkers}")
+    if n_walkers < 2 * n_params + 2:
+        raise ValueError(
+            f"n_walkers must be >= 2*n_params+2 = {2 * n_params + 2} "
+            f"for the stretch move to span parameter space; got {n_walkers}"
+        )
+    if a <= 1.0:
+        raise ValueError(f"stretch scale a must be > 1; got {a}")
+    mid = (lo + hi) / 2.0
+    key = jax.random.key(seed)
+    k_init, k_warm, k_run = jax.random.split(key, 3)
+    x = (
+        jnp.asarray(x0, jnp.float32)
+        if x0 is not None
+        else _init_walkers(k_init, n_walkers, lo, hi)
+    )
+    half = n_walkers // 2
+
+    def safe_loglik(xs):
+        inside = ((xs >= lo) & (xs <= hi)).all(axis=1)
+        lp = loglik(params, jnp.where(inside[:, None], xs, mid))
+        return jnp.where(inside, lp, -jnp.inf)
+
+    def half_move(xa, lpa, xb, k):
+        kz, kj, ku = jax.random.split(k, 3)
+        # z ~ g(z) ∝ 1/√z on [1/a, a] via inverse CDF
+        u = jax.random.uniform(kz, (xa.shape[0],), xa.dtype)
+        z = ((a - 1.0) * u + 1.0) ** 2 / a
+        j = jax.random.randint(kj, (xa.shape[0],), 0, xb.shape[0])
+        xj = xb[j]
+        prop = xj + z[:, None] * (xa - xj)
+        lp_prop = safe_loglik(prop)
+        log_ratio = (n_params - 1.0) * jnp.log(z) + lp_prop - lpa
+        acc = jnp.log(jax.random.uniform(ku, (xa.shape[0],))) < log_ratio
+        # self-recover walkers with a non-finite current lp (see sample_mh)
+        acc = acc | (~jnp.isfinite(lpa) & jnp.isfinite(lp_prop))
+        xa = jnp.where(acc[:, None], prop, xa)
+        lpa = jnp.where(acc, lp_prop, lpa)
+        return xa, lpa, jnp.mean(acc)
+
+    def move(x, lp, k):
+        ka, kb = jax.random.split(k)
+        xa, lpa = x[:half], lp[:half]
+        xb, lpb = x[half:], lp[half:]
+        xa, lpa, ra = half_move(xa, lpa, xb, ka)
+        xb, lpb, rb = half_move(xb, lpb, xa, kb)
+        return (
+            jnp.concatenate([xa, xb]),
+            jnp.concatenate([lpa, lpb]),
+            0.5 * (ra + rb),
+        )
+
+    def warm_step(state, k):
+        x, lp = state
+        x, lp, _ = move(x, lp, k)
+        return (x, lp), None
+
+    def run_step(state, k):
+        x, lp = state
+        x, lp, r = move(x, lp, k)
+        return (x, lp), (r, x if thin else None)
+
+    @jax.jit
+    def run(x, warm_keys, run_keys):
+        lp = safe_loglik(x)
+        if n_warmup > 0:  # static — no hidden warmup step on continuation
+            (x, lp), _ = jax.lax.scan(warm_step, (x, lp), warm_keys)
+        (x, lp), (rates, kept) = jax.lax.scan(run_step, (x, lp), run_keys)
+        return x, lp, rates, kept
+
+    warm_keys = jax.random.split(k_warm, max(n_warmup, 1))
+    run_keys = jax.random.split(k_run, n_steps)
+    x, lp, rates, kept = run(x, warm_keys, run_keys)
+    chain = (
+        np.asarray(kept)[thin - 1:: thin]
+        if thin
+        else np.empty((0,) + x.shape, np.float32)
+    )
+    return SampleResult(
+        chain=chain,
+        final=np.asarray(x),
+        logp=np.asarray(lp),
+        accept_rate=np.asarray(rates),
+        step_size=float(a),
     )
 
 
