@@ -403,3 +403,30 @@ def test_cli_fit(tmp_path, splits):
     assert blob["best"].shape == (7,)
     assert np.isfinite(blob["best_logp"])
     assert blob["logp"].max() == blob["best_logp"]
+
+
+def test_cli_evidence(tmp_path, splits):
+    """`evidence` runs the tempered-ladder log Z estimate end to end."""
+    import json as _json
+
+    from tpu21cmvae.__main__ import main
+    from tpu21cmvae.models.direct import DirectEmulator
+    from tpu21cmvae.utils.config import DirectEmulatorConfig
+
+    model = DirectEmulator(
+        splits, config=DirectEmulatorConfig(hidden_dims=(16,))
+    )
+    ckpt = str(tmp_path / "m.npz")
+    model.save(ckpt)
+    obs = model.predict(splits.par_test[0])
+    obs_file = str(tmp_path / "obs.json")
+    with open(obs_file, "w") as f:
+        _json.dump({"obs": obs.tolist(), "noise_var": 25.0}, f)
+    out = str(tmp_path / "ev.npz")
+    main(["evidence", ckpt, "--obs", obs_file, "--rungs", "8",
+          "--walkers", "64", "--steps", "40", "--warmup", "30",
+          "--out", out])
+    blob = np.load(out)
+    assert np.isfinite(blob["logz"])
+    assert blob["rung_logz"].shape == (7,)
+    assert blob["posterior"].shape == (64, 7)

@@ -17,6 +17,8 @@ The reference has no CLI — every workflow lives in notebook cells
                observed spectrum; writes the chain as .npz
     fit        on-device multi-start maximum-likelihood parameter fit
                for an observed spectrum; writes results as .npz
+    evidence   on-device Bayesian evidence (stepping-stone over a
+               parallel-tempering ladder) for model comparison
 """
 
 from __future__ import annotations
@@ -202,6 +204,31 @@ def cmd_fit(args):
     return 0
 
 
+def cmd_evidence(args):
+    from tpu21cmvae.models import load_model
+    from tpu21cmvae.serve import load_obs_specs
+
+    model = load_model(args.model)
+    specs = load_obs_specs(args.obs)
+    if len(specs) != 1:
+        print(f"--obs file must contain exactly one observation; got "
+              f"{len(specs)}", file=sys.stderr)
+        return 2
+    obs, noise_var = specs[0]
+    res = model.log_evidence(
+        obs, noise_var, n_rungs=args.rungs, n_walkers=args.walkers,
+        n_steps=args.steps, n_warmup=args.warmup, seed=args.seed,
+    )
+    print(res.summary())
+    np.savez_compressed(
+        args.out, logz=res.logz, rung_logz=res.rung_logz,
+        betas=res.betas, accept_rate=res.accept_rate,
+        swap_rate=res.swap_rate, posterior=res.posterior, logp=res.logp,
+    )
+    print(f"wrote {args.out} (log Z = {res.logz:.4f})")
+    return 0
+
+
 def cmd_verify(args):
     from tpu21cmvae.verify import format_report, run_verification, write_report
 
@@ -330,6 +357,23 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="fit.npz")
     p.set_defaults(fn=cmd_fit)
+
+    p = sub.add_parser(
+        "evidence",
+        help="on-device Bayesian evidence (log Z) for an observed "
+             "spectrum, for model comparison across families",
+    )
+    p.add_argument("model")
+    p.add_argument("--obs", required=True, metavar="FILE",
+                   help="observation spec (.json or .npz — "
+                        "serve.load_obs_specs format, exactly one entry)")
+    p.add_argument("--rungs", type=int, default=32)
+    p.add_argument("--walkers", type=int, default=256)
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--warmup", type=int, default=200)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="evidence.npz")
+    p.set_defaults(fn=cmd_evidence)
 
     p = sub.add_parser(
         "verify",

@@ -533,9 +533,13 @@ def sample_mh(
     ``loglik`` is any jittable batched log-likelihood — typically
     ``DirectEmulator.loglik_fn(obs, noise_var)`` (the bench-selected
     gram/bf16x3 tier). Proposals are isotropic Gaussians scaled per
-    parameter by ``step_frac`` of the prior span, clipped to the box
-    (the clip is a valid reversible proposal for a flat-box prior
-    target that is zero outside the box). During warmup the GLOBAL
+    parameter by ``step_frac`` of the prior span; proposals outside the
+    prior box are REJECTED (the target is zero there — exact Metropolis
+    with a symmetric proposal; a clipped proposal is not symmetric at
+    the faces and piles stationary mass on the boundary, which matters
+    for near-flat targets). The likelihood is evaluated on a safe
+    midpoint row for outside proposals so the emulator's log-transform
+    never sees a negative parameter. During warmup the GLOBAL
     scale multiplier adapts by dual averaging toward ``target_accept``
     (0.3 ≈ random-walk-optimal in moderate dimension); ``adapt=False``
     pins ``step_frac``. ``thin > 0`` keeps every ``thin``-th
@@ -544,21 +548,23 @@ def sample_mh(
     """
     lo, hi = _resolve_bounds(bounds)
     base_scale = step_frac * (hi - lo)
+    mid = (lo + hi) / 2.0
     key = jax.random.key(seed)
     k_init, k_warm, k_run = jax.random.split(key, 3)
     x = (
-        jnp.asarray(x0, jnp.float32)
+        # initialization (not part of the chain): pull stray rows into
+        # the box so every walker starts on the target's support
+        jnp.clip(jnp.asarray(x0, jnp.float32), lo, hi)
         if x0 is not None
         else _init_walkers(k_init, n_walkers, lo, hi)
     )
 
     def mh_step(x, lp, mult, k):
         k1, k2 = jax.random.split(k)
-        prop = jnp.clip(
-            x + mult * base_scale * jax.random.normal(k1, x.shape, x.dtype),
-            lo, hi,
-        )
-        lp_prop = loglik(params, prop)
+        prop = x + mult * base_scale * jax.random.normal(k1, x.shape, x.dtype)
+        inside = ((prop >= lo) & (prop <= hi)).all(axis=1)
+        lp_prop = loglik(params, jnp.where(inside[:, None], prop, mid))
+        lp_prop = jnp.where(inside, lp_prop, -jnp.inf)
         acc = jnp.log(jax.random.uniform(k2, (x.shape[0],))) < lp_prop - lp
         # a walker whose current lp is non-finite (e.g. started outside
         # the model's valid domain) would otherwise stick forever: every
@@ -682,7 +688,9 @@ def sample_ensemble(
     key = jax.random.key(seed)
     k_init, k_warm, k_run = jax.random.split(key, 3)
     x = (
-        jnp.asarray(x0, jnp.float32)
+        # initialization (not part of the chain): pull stray rows into
+        # the box so every walker starts on the target's support
+        jnp.clip(jnp.asarray(x0, jnp.float32), lo, hi)
         if x0 is not None
         else _init_walkers(k_init, n_walkers, lo, hi)
     )
