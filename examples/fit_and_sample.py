@@ -14,6 +14,10 @@ device programs over the fused likelihood paths:
    stretch move (emcee's algorithm) with the walkers seeded from the
    fit's final positions, so warmup only has to decorrelate, not find
    the mode.
+3. :func:`tpu21cmvae.sampling.log_evidence` — stepping-stone log Z over
+   a parallel-tempering ladder (model comparison), its rungs likewise
+   seeded from the fit (prior-initialized ladders do not equilibrate on
+   sharp 21-cm posteriors — check ``logz_err``).
 
 Usage:
     python examples/fit_and_sample.py --walkers 1024 --steps 400
@@ -89,6 +93,15 @@ def main():
     for i, label in enumerate(model.par_labels):
         print(f"{label:>8} {truth[i]:11.4g} {fit.best[i]:11.4g} "
               f"{flat[:, i].mean():11.4g} {flat[:, i].std():11.4g}")
+
+    # ---- stage 3: Bayesian evidence, ladder seeded from the fit ------
+    t0 = time.perf_counter()
+    n_ev = min(256, args.starts)
+    ev = model.log_evidence(
+        obs, noise_var, bounds=PAR_RANGES, x0=fit.params[:n_ev],
+        n_rungs=32, n_walkers=n_ev, n_steps=400, n_warmup=200, seed=2,
+    )
+    print(f"evidence: {time.perf_counter() - t0:.2f}s  {ev.summary()}")
 
 
 if __name__ == "__main__":

@@ -236,6 +236,41 @@ plt.tight_layout()
 plt.show()
 """
 
+CELL_FIT_EVIDENCE = """\
+# The rest of the analysis pipeline, still without leaving the device:
+# (1) fit_params -- multi-start maximum-likelihood fit (the
+#     scipy.optimize loop reference users hand-roll), every restart in
+#     one lax.scan over the fused value+gradient path;
+# (2) sampler="ensemble" -- the Goodman & Weare stretch move (emcee's
+#     algorithm), warm-started from the fit;
+# (3) log_evidence -- stepping-stone log Z over a parallel-tempering
+#     ladder, for Bayesian model comparison across families.
+FAST = bool(os.environ.get("TPU21CMVAE_NB_FAST"))
+fit = model.fit_params(
+    obs, 25.0, bounds=bounds,
+    n_starts=256, n_steps=120 if FAST else 300, seed=0,
+)
+print(fit.summary(model.par_labels))
+
+seeds, _ = fit.top(256)
+res_ens = model.sample_posterior(
+    obs, 25.0, sampler="ensemble", bounds=bounds,
+    n_walkers=256, n_steps=80 if FAST else 300,
+    n_warmup=40 if FAST else 100, thin=10, seed=1, x0=seeds,
+)
+print("ensemble accept rate:",
+      round(float(res_ens.accept_rate.mean()), 2))
+
+ev = model.log_evidence(
+    obs, 25.0, bounds=bounds, n_rungs=8 if FAST else 16,
+    n_walkers=64 if FAST else 128, n_steps=60 if FAST else 200,
+    n_warmup=40 if FAST else 100, seed=0,
+)
+print(ev.summary())
+print("compare families by logz under the same obs/bounds, e.g. "
+      "ae_em.log_evidence(obs, 25.0, bounds=bounds).logz")
+"""
+
 MD_OUTRO = """\
 ## Where to go next
 
@@ -244,7 +279,8 @@ MD_OUTRO = """\
   gradient-based HMC over the fused value+grad kernel
   (`examples/hmc_inference.py`).
 - `python -m tpu21cmvae --help` — the full CLI (train / evaluate /
-  predict / tune / export-h5 / verify / serve / sample).
+  predict / tune / export-h5 / verify / serve / sample / fit /
+  evidence).
 - `docs/MIGRATION.md` — the reference-API → tpu21cmvae mapping.
 - `docs/PERF.md` — measured TPU throughput and precision tiers.
 """
@@ -265,6 +301,7 @@ def build() -> nbf.NotebookNode:
         nbf.v4.new_code_cell(CELL_VAE),
         nbf.v4.new_code_cell(CELL_ENSEMBLE),
         nbf.v4.new_code_cell(CELL_SAMPLING),
+        nbf.v4.new_code_cell(CELL_FIT_EVIDENCE),
         nbf.v4.new_markdown_cell(MD_OUTRO),
     ]
     nb.cells = cells

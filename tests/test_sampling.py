@@ -401,10 +401,13 @@ def test_fit_map_analytic_gaussian():
 def test_fit_params_recovers_truth_and_seeds_sampler(setup, splits):
     model, truth, obs = setup
     bounds = _bounds(splits)
+    # 512 starts x 500 steps is the measured reliability recipe on this
+    # rugged landscape (see sampling.py::log_evidence warm-start notes);
+    # weaker fits pass or fail seed-to-seed
     res = model.fit_params(
-        obs, 9.0, bounds=bounds, n_starts=128, n_steps=250, seed=1,
+        obs, 9.0, bounds=bounds, n_starts=512, n_steps=500, seed=1,
     )
-    assert res.params.shape == (128, 7)
+    assert res.params.shape == (512, 7)
     # the ML point must beat (or match) the generating truth's logL
     ll_truth = float(np.asarray(
         model.loglik_fn(obs, 9.0)(model.params, truth[None])
@@ -417,7 +420,7 @@ def test_fit_params_recovers_truth_and_seeds_sampler(setup, splits):
     warm = model.sample_posterior(
         obs, 9.0, sampler="ensemble", bounds=bounds,
         n_walkers=128, n_steps=10, n_warmup=0, thin=0, seed=2,
-        x0=res.params,
+        x0=res.top(128)[0],
     )
     assert warm.final.shape == (128, 7)
 

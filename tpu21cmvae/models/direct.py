@@ -312,7 +312,9 @@ class DirectEmulator:
         )
         return sample_hmc(valgrad, self.params, bounds=bounds, **kwargs)
 
-    def log_evidence(self, obs, noise_var=1.0, *, bounds=None, **kwargs):
+    def log_evidence(
+        self, obs, noise_var=1.0, *, bounds=None, warm_start=True, **kwargs
+    ):
         """Bayesian evidence ``log Z`` for this model given an observed
         spectrum (:func:`tpu21cmvae.sampling.log_evidence` —
         stepping-stone integration over an on-device parallel-tempering
@@ -320,9 +322,28 @@ class DirectEmulator:
         samplers for). Compare families by their ``logz`` under the
         same ``obs``/``bounds``. Returns an
         :class:`~tpu21cmvae.sampling.EvidenceResult`, whose β=1 rung
-        doubles as posterior samples."""
+        doubles as posterior samples.
+
+        ``warm_start`` (default True) first runs a short
+        :meth:`fit_params` and seeds every ladder rung from its final
+        positions — without it, cold rungs must find the mode from the
+        prior by random walk, which does not equilibrate within sane
+        budgets on real 21-cm posteriors (measured >100-nat seed
+        scatter; see :func:`~tpu21cmvae.sampling.log_evidence`).
+        Check ``result.logz_err`` before trusting ``result.logz``."""
         from tpu21cmvae.sampling import log_evidence
 
+        if warm_start and "x0" not in kwargs:
+            # 500 polish steps from >=1024 starts is the measured
+            # reliability floor for finding the dominant mode (200-step
+            # fits miss it seed-to-seed by >100 nats; see sampling.py)
+            fit = self.fit_params(
+                obs, noise_var, bounds=bounds,
+                n_starts=max(1024, kwargs.get("n_walkers", 256)),
+                n_steps=500, seed=kwargs.get("seed", 0) + 101,
+            )
+            kwargs.setdefault("n_walkers", 256)
+            kwargs["x0"] = fit.top(kwargs["n_walkers"])[0]
         return log_evidence(
             self.loglik_fn(obs, noise_var), self.params,
             bounds=bounds, **kwargs,

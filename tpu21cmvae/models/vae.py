@@ -247,12 +247,25 @@ class VAEEmulator:
             bounds=bounds, **kwargs,
         )
 
-    def log_evidence(self, obs, noise_var=1.0, *, bounds=None, **kwargs):
+    def log_evidence(
+        self, obs, noise_var=1.0, *, bounds=None, warm_start=True, **kwargs
+    ):
         """Bayesian evidence for this family — same contract as
-        :meth:`DirectEmulator.log_evidence`
-        (:func:`tpu21cmvae.sampling.log_evidence`)."""
+        :meth:`DirectEmulator.log_evidence` (incl. the fit-seeded
+        warm start; :func:`tpu21cmvae.sampling.log_evidence`)."""
         from tpu21cmvae.sampling import log_evidence
 
+        if warm_start and "x0" not in kwargs:
+            # 500 polish steps from >=1024 starts is the measured
+            # reliability floor for finding the dominant mode (200-step
+            # fits miss it seed-to-seed by >100 nats; see sampling.py)
+            fit = self.fit_params(
+                obs, noise_var, bounds=bounds,
+                n_starts=max(1024, kwargs.get("n_walkers", 256)),
+                n_steps=500, seed=kwargs.get("seed", 0) + 101,
+            )
+            kwargs.setdefault("n_walkers", 256)
+            kwargs["x0"] = fit.top(kwargs["n_walkers"])[0]
         return log_evidence(
             self.loglik_fn(obs, noise_var), self.params,
             bounds=bounds, **kwargs,

@@ -206,10 +206,16 @@ class EvidenceResult:
     ``logz``: stepping-stone estimate of ``log Z = log ∫ L(θ) π(θ) dθ``
     with ``π`` the flat box prior (normalized — ``log Z`` of a model
     that ignores the data is the prior-averaged likelihood, directly
-    comparable across models and prior boxes). ``rung_logz``: the K-1
-    per-rung contributions (their sum is ``logz``; a single rung
-    dominating means the ladder is too coarse there — raise
-    ``n_rungs``). ``betas``: the temperature ladder. ``accept_rate`` /
+    comparable across models and prior boxes). ``logz_err``: split-half
+    Monte-Carlo error (the two step-halves of the sampling phase
+    estimated independently; half their |difference| per rung, combined
+    in quadrature) — a CONVERGENCE alarm more than a confidence
+    interval: values ≳ 1 mean the ladder never equilibrated and the
+    estimate itself is untrustworthy (raise ``n_steps``/``n_warmup``,
+    seed ``x0`` from :func:`fit_map`, or add rungs). ``rung_logz`` /
+    ``rung_logz_err``: the K-1 per-rung contributions (their sum is
+    ``logz``; a single rung dominating means the ladder is too coarse
+    there). ``betas``: the temperature ladder. ``accept_rate`` /
     ``swap_rate``: per-rung MH acceptance and per-edge replica-exchange
     acceptance over the sampling phase (swap rates ≪ 0.1 also signal a
     too-coarse ladder). ``posterior`` / ``logp``: the β=1 rung's final
@@ -217,7 +223,9 @@ class EvidenceResult:
     """
 
     logz: float
+    logz_err: float
     rung_logz: np.ndarray
+    rung_logz_err: np.ndarray
     betas: np.ndarray
     accept_rate: np.ndarray
     swap_rate: np.ndarray
@@ -225,10 +233,17 @@ class EvidenceResult:
     logp: np.ndarray
 
     def summary(self) -> str:
+        note = (
+            "  ** logz_err > 1: NOT converged — raise n_steps/n_warmup, "
+            "seed x0 from fit_map, or add rungs **"
+            if self.logz_err > 1.0
+            else ""
+        )
         return (
-            f"log Z = {self.logz:.4f}  ({len(self.betas)} rungs, "
+            f"log Z = {self.logz:.4f} ± {self.logz_err:.3f}  "
+            f"({len(self.betas)} rungs, "
             f"MH accept {float(self.accept_rate.mean()):.2f}, "
-            f"swap accept {float(self.swap_rate.mean()):.2f})"
+            f"swap accept {float(self.swap_rate.mean()):.2f}){note}"
         )
 
 
@@ -245,6 +260,7 @@ def log_evidence(
     target_accept: float = 0.3,
     ladder_power: float = 5.0,
     seed: int = 0,
+    x0=None,
 ) -> EvidenceResult:
     """Bayesian evidence ``log Z`` by stepping-stone integration over a
     parallel-tempering ladder (Xie et al. 2011; Earl & Deem 2005) —
@@ -272,6 +288,17 @@ def log_evidence(
     dominated by ``(n_warmup+n_steps) · n_rungs · n_walkers`` likelihood
     rows — ~5×10⁶ for the defaults, well under a second of device time
     at the measured ~6×10⁷ loglik/s (docs/PERF.md).
+
+    ``x0``: optional ``(n_walkers, n_params)`` warm-start applied to
+    EVERY rung (e.g. ``fit_map(...).params`` — see
+    ``examples/fit_and_sample.py``). Initialization does not bias the
+    estimator, but the direction matters enormously for equilibration
+    time: hot (β≈0) rungs diffuse OUT from the mode in a few adapted
+    steps, while cold rungs starting from the prior must FIND the mode
+    by random walk — on a sharp 21-cm posterior that can take more
+    steps than any sane budget (measured: prior-init at the default
+    budget scatters logZ by >100 nats seed-to-seed; fit-seeded runs
+    agree to ≲1). ALWAYS check ``logz_err`` before using ``logz``.
     """
     lo, hi = _resolve_bounds(bounds)
     n_params = int(lo.shape[0])
@@ -283,9 +310,20 @@ def log_evidence(
     base_scale = step_frac * (hi - lo)
     key = jax.random.key(seed)
     k_init, k_warm, k_run = jax.random.split(key, 3)
-    x = _init_walkers(
-        k_init, n_rungs * n_walkers, lo, hi
-    ).reshape(n_rungs, n_walkers, n_params)
+    if x0 is not None:
+        seed_rows = jnp.clip(jnp.asarray(x0, jnp.float32), lo, hi)
+        if seed_rows.shape != (n_walkers, n_params):
+            raise ValueError(
+                f"x0 must have shape ({n_walkers}, {n_params}); "
+                f"got {seed_rows.shape}"
+            )
+        x = jnp.broadcast_to(
+            seed_rows[None], (n_rungs, n_walkers, n_params)
+        )
+    else:
+        x = _init_walkers(
+            k_init, n_rungs * n_walkers, lo, hi
+        ).reshape(n_rungs, n_walkers, n_params)
 
     def safe_ll(flat):
         inside = ((flat >= lo) & (flat <= hi)).all(axis=1)
@@ -386,9 +424,19 @@ def log_evidence(
     rung_logz = np.logaddexp.reduce(ss, axis=0) - np.log(
         n_steps * n_walkers
     )
+    # split-half MC error: the two step-halves estimated independently;
+    # a drifting (unequilibrated) ladder shows up as a large split
+    half = n_steps // 2
+    a = np.logaddexp.reduce(ss[:half], axis=0) - np.log(half * n_walkers)
+    b = np.logaddexp.reduce(ss[half: 2 * half], axis=0) - np.log(
+        half * n_walkers
+    )
+    rung_err = 0.5 * np.abs(a - b)
     return EvidenceResult(
         logz=float(rung_logz.sum()),
+        logz_err=float(np.sqrt((rung_err**2).sum())),
         rung_logz=rung_logz,
+        rung_logz_err=rung_err,
         betas=np.asarray(betas),
         accept_rate=np.asarray(rates).mean(axis=0),
         swap_rate=np.asarray(srates).mean(axis=0),
@@ -484,7 +532,13 @@ def fit_map(
         v = b2 * v + (1.0 - b2) * g * g
         mh = m / (1.0 - b1 ** t)
         vh = v / (1.0 - b2 ** t)
-        y = y + learning_rate * mh / (jnp.sqrt(vh) + eps)  # ascent
+        # cosine decay to 5% of the initial rate: large early steps to
+        # cross the rugged landscape, small late steps to polish the
+        # optimum below the Adam-jitter floor
+        lr = learning_rate * (0.05 + 0.95 * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * (t - 1.0) / n_steps)
+        ))
+        y = y + lr * mh / (jnp.sqrt(vh) + eps)  # ascent
         return (y, m, v), ll
 
     @jax.jit
