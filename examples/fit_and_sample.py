@@ -14,10 +14,12 @@ device programs over the fused likelihood paths:
    stretch move (emcee's algorithm) with the walkers seeded from the
    fit's final positions, so warmup only has to decorrelate, not find
    the mode.
-3. :func:`tpu21cmvae.sampling.log_evidence` — stepping-stone log Z over
-   a parallel-tempering ladder (model comparison), its rungs likewise
-   seeded from the fit (prior-initialized ladders do not equilibrate on
-   sharp 21-cm posteriors — check ``logz_err``).
+3. :func:`tpu21cmvae.nested.nested_sampling` (via
+   ``model.log_evidence`` — the default method) — batched nested
+   sampling log Z for model comparison. Measured ~0.04-nat seed
+   spread on real posteriors, where the PT-ladder alternative
+   (``method="ladder"``) is metastable and scatters by ~100 nats
+   (docs/PERF.md).
 
 Usage:
     python examples/fit_and_sample.py --walkers 1024 --steps 400
@@ -94,12 +96,10 @@ def main():
         print(f"{label:>8} {truth[i]:11.4g} {fit.best[i]:11.4g} "
               f"{flat[:, i].mean():11.4g} {flat[:, i].std():11.4g}")
 
-    # ---- stage 3: Bayesian evidence, ladder seeded from the fit ------
+    # ---- stage 3: Bayesian evidence by nested sampling ---------------
     t0 = time.perf_counter()
-    n_ev = min(256, args.starts)
     ev = model.log_evidence(
-        obs, noise_var, bounds=PAR_RANGES, x0=fit.params[:n_ev],
-        n_rungs=32, n_walkers=n_ev, n_steps=400, n_warmup=200, seed=2,
+        obs, noise_var, bounds=PAR_RANGES, n_live=2048, seed=2,
     )
     print(f"evidence: {time.perf_counter() - t0:.2f}s  {ev.summary()}")
 

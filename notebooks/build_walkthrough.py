@@ -243,8 +243,10 @@ CELL_FIT_EVIDENCE = """\
 #     one lax.scan over the fused value+gradient path;
 # (2) sampler="ensemble" -- the Goodman & Weare stretch move (emcee's
 #     algorithm), warm-started from the fit;
-# (3) log_evidence -- stepping-stone log Z over a parallel-tempering
-#     ladder, for Bayesian model comparison across families.
+# (3) log_evidence -- Bayesian model comparison across families by
+#     batched nested sampling (the MultiNest/PolyChord workflow as one
+#     device program; measured ~0.04-nat seed spread where the
+#     PT-ladder alternative scatters by ~100 -- docs/PERF.md).
 FAST = bool(os.environ.get("TPU21CMVAE_NB_FAST"))
 fit = model.fit_params(
     obs, 25.0, bounds=bounds,
@@ -262,9 +264,8 @@ print("ensemble accept rate:",
       round(float(res_ens.accept_rate.mean()), 2))
 
 ev = model.log_evidence(
-    obs, 25.0, bounds=bounds, n_rungs=8 if FAST else 16,
-    n_walkers=64 if FAST else 128, n_steps=60 if FAST else 200,
-    n_warmup=40 if FAST else 100, seed=0,
+    obs, 25.0, bounds=bounds, n_live=256 if FAST else 1024,
+    n_mh=8 if FAST else 24, seed=0,
 )
 print(ev.summary())
 print("compare families by logz under the same obs/bounds, e.g. "

@@ -423,10 +423,19 @@ def test_cli_evidence(tmp_path, splits):
     with open(obs_file, "w") as f:
         _json.dump({"obs": obs.tolist(), "noise_var": 25.0}, f)
     out = str(tmp_path / "ev.npz")
-    main(["evidence", ckpt, "--obs", obs_file, "--rungs", "8",
-          "--walkers", "64", "--steps", "40", "--warmup", "30",
-          "--out", out])
+    main(["evidence", ckpt, "--obs", obs_file, "--method", "ladder",
+          "--rungs", "8", "--walkers", "64", "--steps", "40",
+          "--warmup", "30", "--out", out])
     blob = np.load(out)
     assert np.isfinite(blob["logz"])
+    assert np.isfinite(blob["ladder_drift"])
     assert blob["rung_logz"].shape == (7,)
     assert blob["posterior"].shape == (64, 7)
+    # default method: nested sampling
+    out2 = str(tmp_path / "ev_ns.npz")
+    main(["evidence", ckpt, "--obs", obs_file, "--live", "256",
+          "--mh-steps", "8", "--out", out2])
+    blob2 = np.load(out2)
+    assert np.isfinite(blob2["logz"])
+    assert np.isfinite(blob2["logz_err"])
+    assert blob2["posterior"].shape == (4096, 7)

@@ -475,7 +475,7 @@ def test_log_evidence_model_comparison(setup, splits):
     bounds = _bounds(splits)
     kwargs = dict(n_rungs=12, n_walkers=128, n_steps=120, n_warmup=100,
                   bounds=bounds, seed=0)
-    good = model.log_evidence(obs, 9.0, **kwargs)
+    good = model.log_evidence(obs, 9.0, method="ladder", **kwargs)
     base = model.loglik_fn(obs, 9.0)
 
     def broken_loglik(params, raw):  # a forward model that can't fit

@@ -215,16 +215,31 @@ def cmd_evidence(args):
               f"{len(specs)}", file=sys.stderr)
         return 2
     obs, noise_var = specs[0]
-    res = model.log_evidence(
-        obs, noise_var, n_rungs=args.rungs, n_walkers=args.walkers,
-        n_steps=args.steps, n_warmup=args.warmup, seed=args.seed,
-    )
-    print(res.summary())
-    np.savez_compressed(
-        args.out, logz=res.logz, rung_logz=res.rung_logz,
-        betas=res.betas, accept_rate=res.accept_rate,
-        swap_rate=res.swap_rate, posterior=res.posterior, logp=res.logp,
-    )
+    if args.method == "nested":
+        res = model.log_evidence(
+            obs, noise_var, method="nested", n_live=args.live,
+            n_mh=args.mh_steps, seed=args.seed,
+        )
+        print(res.summary())
+        np.savez_compressed(
+            args.out, logz=res.logz, logz_err=res.logz_err, h=res.h,
+            samples=res.samples, logl=res.logl, log_w=res.log_w,
+            posterior=res.posterior(4096, seed=args.seed),
+        )
+    else:
+        res = model.log_evidence(
+            obs, noise_var, method="ladder", n_rungs=args.rungs,
+            n_walkers=args.walkers, n_steps=args.steps,
+            n_warmup=args.warmup, seed=args.seed,
+        )
+        print(res.summary())
+        np.savez_compressed(
+            args.out, logz=res.logz, logz_err=res.logz_err,
+            ladder_drift=res.ladder_drift, rung_logz=res.rung_logz,
+            betas=res.betas, accept_rate=res.accept_rate,
+            swap_rate=res.swap_rate, posterior=res.posterior,
+            logp=res.logp,
+        )
     print(f"wrote {args.out} (log Z = {res.logz:.4f})")
     return 0
 
@@ -367,6 +382,16 @@ def main(argv=None):
     p.add_argument("--obs", required=True, metavar="FILE",
                    help="observation spec (.json or .npz — "
                         "serve.load_obs_specs format, exactly one entry)")
+    p.add_argument("--method", choices=("nested", "ladder"),
+                   default="nested",
+                   help="nested sampling (robust default; measured "
+                        "~0.04-nat seed spread on real posteriors) or "
+                        "the PT stepping-stone ladder (cross-check "
+                        "only — check its drift/err diagnostics)")
+    p.add_argument("--live", type=int, default=2048,
+                   help="nested: number of live points")
+    p.add_argument("--mh-steps", type=int, default=24,
+                   help="nested: constrained-MH steps per replacement")
     p.add_argument("--rungs", type=int, default=32)
     p.add_argument("--walkers", type=int, default=256)
     p.add_argument("--steps", type=int, default=400)

@@ -313,24 +313,42 @@ class DirectEmulator:
         return sample_hmc(valgrad, self.params, bounds=bounds, **kwargs)
 
     def log_evidence(
-        self, obs, noise_var=1.0, *, bounds=None, warm_start=True, **kwargs
+        self, obs, noise_var=1.0, *, bounds=None, method="nested",
+        warm_start=True, **kwargs
     ):
         """Bayesian evidence ``log Z`` for this model given an observed
-        spectrum (:func:`tpu21cmvae.sampling.log_evidence` —
-        stepping-stone integration over an on-device parallel-tempering
-        ladder; the model-comparison workflow 21-cm analyses run nested
-        samplers for). Compare families by their ``logz`` under the
-        same ``obs``/``bounds``. Returns an
-        :class:`~tpu21cmvae.sampling.EvidenceResult`, whose β=1 rung
-        doubles as posterior samples.
+        spectrum — the model-comparison workflow 21-cm analyses run
+        nested samplers (MultiNest/PolyChord) for, as one on-device
+        program. Compare families by their ``logz`` under the same
+        ``obs``/``bounds``.
 
-        ``warm_start`` (default True) first runs a short
-        :meth:`fit_params` and seeds every ladder rung from its final
-        positions — without it, cold rungs must find the mode from the
-        prior by random walk, which does not equilibrate within sane
-        budgets on real 21-cm posteriors (measured >100-nat seed
-        scatter; see :func:`~tpu21cmvae.sampling.log_evidence`).
-        Check ``result.logz_err`` before trusting ``result.logz``."""
+        ``method="nested"`` (default) runs batched nested sampling
+        (:func:`tpu21cmvae.nested.nested_sampling` — returns a
+        :class:`~tpu21cmvae.nested.NestedResult` whose weighted dead
+        points double as posterior samples). This is the robust path:
+        measured seed-to-seed spread ~1 nat on real trained-emulator
+        posteriors where the ladder method scatters by ~100
+        (docs/PERF.md).
+
+        ``method="ladder"`` runs parallel-tempering stepping-stone
+        integration (:func:`tpu21cmvae.sampling.log_evidence`; returns
+        an :class:`~tpu21cmvae.sampling.EvidenceResult`). Kept for
+        cross-checks on easy posteriors — on rugged emulator
+        posteriors it is metastable at any sane rung count; ALWAYS
+        check ``logz_err`` and ``ladder_drift``. ``warm_start``
+        (default True, ladder only) seeds every rung from a
+        1024-start :meth:`fit_params`."""
+        if method == "nested":
+            from tpu21cmvae.nested import nested_sampling
+
+            return nested_sampling(
+                self.loglik_fn(obs, noise_var), self.params,
+                bounds=bounds, **kwargs,
+            )
+        if method != "ladder":
+            raise ValueError(
+                f"method must be 'nested' or 'ladder'; got {method!r}"
+            )
         from tpu21cmvae.sampling import log_evidence
 
         if warm_start and "x0" not in kwargs:

@@ -248,11 +248,25 @@ class VAEEmulator:
         )
 
     def log_evidence(
-        self, obs, noise_var=1.0, *, bounds=None, warm_start=True, **kwargs
+        self, obs, noise_var=1.0, *, bounds=None, method="nested",
+        warm_start=True, **kwargs
     ):
         """Bayesian evidence for this family — same contract as
-        :meth:`DirectEmulator.log_evidence` (incl. the fit-seeded
-        warm start; :func:`tpu21cmvae.sampling.log_evidence`)."""
+        :meth:`DirectEmulator.log_evidence` (``method="nested"``
+        default via :func:`tpu21cmvae.nested.nested_sampling`;
+        ``"ladder"`` with the fit-seeded warm start via
+        :func:`tpu21cmvae.sampling.log_evidence`)."""
+        if method == "nested":
+            from tpu21cmvae.nested import nested_sampling
+
+            return nested_sampling(
+                self.loglik_fn(obs, noise_var), self.params,
+                bounds=bounds, **kwargs,
+            )
+        if method != "ladder":
+            raise ValueError(
+                f"method must be 'nested' or 'ladder'; got {method!r}"
+            )
         from tpu21cmvae.sampling import log_evidence
 
         if warm_start and "x0" not in kwargs:

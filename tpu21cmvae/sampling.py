@@ -212,7 +212,19 @@ class EvidenceResult:
     in quadrature) — a CONVERGENCE alarm more than a confidence
     interval: values ≳ 1 mean the ladder never equilibrated and the
     estimate itself is untrustworthy (raise ``n_steps``/``n_warmup``,
-    seed ``x0`` from :func:`fit_map`, or add rungs). ``rung_logz`` /
+    seed ``x0`` from :func:`fit_map`, or add rungs).
+    ``ladder_drift``: the full-ladder estimate minus the estimate a
+    HALF-density sub-ladder (every other rung, same chains — zero extra
+    likelihood cost) would give. This is the alarm the split-half error
+    cannot sound: a metastable run has tiny within-run variance but
+    large discretization/equilibration bias, and the bias moves with
+    rung density — measured on real trained-emulator posteriors the
+    estimate drifts by HUNDREDS of nats between K=32 and K=256 while
+    ``logz_err`` reads ~0.2. Treat ``|ladder_drift|`` as the scale of
+    the remaining bias; if it is large, use
+    :func:`tpu21cmvae.nested.nested_sampling` (robust on such
+    posteriors by construction) or keep doubling ``n_rungs`` until it
+    is not. ``rung_logz`` /
     ``rung_logz_err``: the K-1 per-rung contributions (their sum is
     ``logz``; a single rung dominating means the ladder is too coarse
     there). ``betas``: the temperature ladder. ``accept_rate`` /
@@ -224,6 +236,7 @@ class EvidenceResult:
 
     logz: float
     logz_err: float
+    ladder_drift: float
     rung_logz: np.ndarray
     rung_logz_err: np.ndarray
     betas: np.ndarray
@@ -233,15 +246,25 @@ class EvidenceResult:
     logp: np.ndarray
 
     def summary(self) -> str:
-        note = (
-            "  ** logz_err > 1: NOT converged — raise n_steps/n_warmup, "
-            "seed x0 from fit_map, or add rungs **"
-            if self.logz_err > 1.0
-            else ""
-        )
+        drift_bad = abs(self.ladder_drift) > max(1.0, 3.0 * self.logz_err)
+        if drift_bad:
+            note = (
+                f"  ** ladder_drift = {self.ladder_drift:+.1f}: NOT "
+                "converged in rung count — the estimate would move by "
+                "~this much under refinement; use nested_sampling "
+                "(the robust path) or double n_rungs until the drift "
+                "is small **"
+            )
+        elif self.logz_err > 1.0:
+            note = (
+                "  ** logz_err > 1: NOT converged — raise "
+                "n_steps/n_warmup, seed x0 from fit_map, or add rungs **"
+            )
+        else:
+            note = ""
         return (
             f"log Z = {self.logz:.4f} ± {self.logz_err:.3f}  "
-            f"({len(self.betas)} rungs, "
+            f"({len(self.betas)} rungs, drift {self.ladder_drift:+.2f}, "
             f"MH accept {float(self.accept_rate.mean()):.2f}, "
             f"swap accept {float(self.swap_rate.mean()):.2f}){note}"
         )
@@ -297,8 +320,13 @@ def log_evidence(
     steps, while cold rungs starting from the prior must FIND the mode
     by random walk — on a sharp 21-cm posterior that can take more
     steps than any sane budget (measured: prior-init at the default
-    budget scatters logZ by >100 nats seed-to-seed; fit-seeded runs
-    agree to ≲1). ALWAYS check ``logz_err`` before using ``logz``.
+    budget scatters logZ by >100 nats seed-to-seed). ALWAYS check
+    ``logz_err`` AND ``ladder_drift`` before using ``logz`` — on real
+    trained-emulator posteriors this estimator is typically NOT
+    convergeable at any sane rung count (metastable rugged landscape;
+    see the ``EvidenceResult.ladder_drift`` docs), and
+    :func:`tpu21cmvae.nested.nested_sampling` is the robust default
+    the model-level ``log_evidence`` methods use.
     """
     lo, hi = _resolve_bounds(bounds)
     n_params = int(lo.shape[0])
@@ -385,6 +413,12 @@ def log_evidence(
         log_m_bar = w * log_m + (1.0 - w) * log_m_bar
         return (x, ll, log_m, log_m_bar, h_bar), None
 
+    # half-density sub-ladder (every other rung, keeping β=1) for the
+    # drift alarm — its stepping-stone estimate reuses the same chains
+    coarse_idx = np.append(np.arange(0, n_rungs - 1, 2), n_rungs - 1)
+    coarse_src = jnp.asarray(coarse_idx[:-1])
+    coarse_dbeta = jnp.diff(betas[jnp.asarray(coarse_idx)])
+
     def run_step(state, ik):
         i, k = ik
         km, ks = jax.random.split(k)
@@ -394,7 +428,10 @@ def log_evidence(
         # per-step stepping-stone contribution: logsumexp over walkers
         # of dβ_k · logL at rung k (pooled across steps on the host)
         ss = jax.scipy.special.logsumexp(dbeta[:, None] * ll[:-1], axis=1)
-        return (x, ll, mult), (a, s, ss)
+        ss_c = jax.scipy.special.logsumexp(
+            coarse_dbeta[:, None] * ll[coarse_src], axis=1
+        )
+        return (x, ll, mult), (a, s, ss, ss_c)
 
     @jax.jit
     def run(x, warm_ik, run_ik):
@@ -405,10 +442,10 @@ def log_evidence(
         if n_warmup > 0:
             state, _ = jax.lax.scan(warm_step, state, warm_ik)
         x, ll, _, log_m_bar, _ = state
-        (x, ll, _), (rates, srates, ss) = jax.lax.scan(
+        (x, ll, _), (rates, srates, ss, ss_c) = jax.lax.scan(
             run_step, (x, ll, jnp.exp(log_m_bar)), run_ik
         )
-        return x, ll, rates, srates, ss
+        return x, ll, rates, srates, ss, ss_c
 
     warm_ik = (
         jnp.arange(max(n_warmup, 1), dtype=jnp.float32),
@@ -418,11 +455,17 @@ def log_evidence(
         jnp.arange(n_steps, dtype=jnp.float32),
         jax.random.split(k_run, n_steps),
     )
-    x, ll, rates, srates, ss = run(x, warm_ik, run_ik)
+    x, ll, rates, srates, ss, ss_c = run(x, warm_ik, run_ik)
     ss = np.asarray(ss, np.float64)  # (n_steps, K-1)
+    ss_c = np.asarray(ss_c, np.float64)
     # pool all steps × walkers: log mean = logsumexp - log(T·W)
     rung_logz = np.logaddexp.reduce(ss, axis=0) - np.log(
         n_steps * n_walkers
+    )
+    coarse_logz = float(
+        (
+            np.logaddexp.reduce(ss_c, axis=0) - np.log(n_steps * n_walkers)
+        ).sum()
     )
     # split-half MC error: the two step-halves estimated independently;
     # a drifting (unequilibrated) ladder shows up as a large split
@@ -435,6 +478,7 @@ def log_evidence(
     return EvidenceResult(
         logz=float(rung_logz.sum()),
         logz_err=float(np.sqrt((rung_err**2).sum())),
+        ladder_drift=float(rung_logz.sum()) - coarse_logz,
         rung_logz=rung_logz,
         rung_logz_err=rung_err,
         betas=np.asarray(betas),
