@@ -289,6 +289,12 @@ class DirectEmulator:
         :func:`~tpu21cmvae.sampling.sample_ensemble` /
         :func:`~tpu21cmvae.sampling.sample_hmc`. Returns a
         :class:`~tpu21cmvae.sampling.SampleResult`.
+
+        On strongly multimodal posteriors all three chain samplers can
+        go metastable (stuck in one mode — check ``rhat`` across
+        independent seeds); :meth:`log_evidence`'s nested-sampling
+        default explores modes in volume proportion and its
+        ``result.posterior(n)`` gives robust equal-weight draws.
         """
         from tpu21cmvae.sampling import sample_ensemble, sample_hmc, sample_mh
 
