@@ -70,3 +70,137 @@ def test_mismatched_normalizers_rejected(splits):
     b = DirectEmulator(other, config=cfg)
     with pytest.raises(ValueError, match="normalization constants"):
         DeepEnsemble([a, b])
+
+
+# -- inference stack: mixture likelihood, sampling, evidence, serving ------
+
+
+@pytest.fixture(scope="module")
+def obs(ensemble, splits):
+    sig = ensemble.predict(splits.par_test[0])
+    return np.asarray(
+        sig + np.random.default_rng(7).normal(0, 5.0, sig.shape), np.float32
+    )
+
+
+def test_mixture_loglik_is_logmeanexp(ensemble, splits, obs):
+    """Mixture logL == logsumexp of member logLs − log M, member logLs
+    taken from each member's OWN loglik_fn at the same tier."""
+    import jax
+
+    raw = splits.par_test[:9]
+    mix = ensemble.loglik_fn(obs, 25.0, method="direct",
+                             precision="highest")
+    got = np.asarray(mix(ensemble.stacked_params, raw))
+    member_lls = np.stack([
+        np.asarray(
+            m.loglik_fn(obs, 25.0, method="direct", precision="highest")(
+                m.params, raw
+            )
+        )
+        for m in ensemble.members
+    ])
+    want = jax.scipy.special.logsumexp(
+        member_lls, axis=0
+    ) - np.log(len(ensemble.members))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-4)
+
+
+def test_single_member_mixture_degenerates(splits, obs):
+    """A 1-member ensemble's mixture logL is exactly that member's logL."""
+    m = DirectEmulator(splits, config=DirectEmulatorConfig(hidden_dims=(32,)))
+    ens = DeepEnsemble([m])
+    raw = splits.par_test[:5]
+    got = np.asarray(
+        ens.loglik_fn(obs, 25.0, precision="highest")(ens.stacked_params, raw)
+    )
+    want = np.asarray(
+        m.loglik_fn(obs, 25.0, precision="highest")(m.params, raw)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+
+
+def test_mixture_valgrad_matches_autodiff(ensemble, splits, obs):
+    """The softmax-weighted member-gradient combination == autodiff of
+    the mixture log-likelihood itself."""
+    import jax
+    import jax.numpy as jnp
+
+    raw = jnp.asarray(splits.par_test[:6], jnp.float32)
+    mix = ensemble.loglik_fn(obs, 25.0, method="direct",
+                             precision="highest")
+    vg = ensemble.loglik_and_grad_fn(
+        obs, 25.0, method="direct", precision="highest",
+        grad_precision="highest",
+    )
+    got_val, got_grad = vg(ensemble.stacked_params, raw)
+    auto_val, auto_grad = jax.vmap(
+        jax.value_and_grad(
+            lambda row: mix(ensemble.stacked_params, row[None])[0]
+        )
+    )(raw)
+    np.testing.assert_allclose(np.asarray(got_val), np.asarray(auto_val),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_grad), np.asarray(auto_grad),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_ensemble_sampling_and_fit(ensemble, obs):
+    """MH + HMC chains and the ML fit run end-to-end on the mixture."""
+    res = ensemble.sample_posterior(
+        obs, 25.0, sampler="mh", n_walkers=32, n_steps=20, n_warmup=10,
+        thin=5, seed=0,
+    )
+    assert res.final.shape == (32, 7) and np.isfinite(res.logp).all()
+    res = ensemble.sample_posterior(
+        obs, 25.0, sampler="hmc", n_walkers=16, n_steps=8, n_warmup=4,
+        n_leapfrog=3, thin=2, seed=0,
+    )
+    assert res.final.shape == (16, 7) and np.isfinite(res.logp).all()
+    fit = ensemble.fit_params(obs, 25.0, n_starts=32, n_steps=20, seed=0)
+    assert fit.params.shape == (32, 7) and np.isfinite(fit.best).all()
+
+
+def test_ensemble_evidence_smoke(ensemble, obs):
+    res = ensemble.log_evidence(
+        obs, 25.0, n_live=64, n_mh=8, max_iters=192, seed=0,
+    )
+    assert np.isfinite(res.logz)
+
+
+def test_predict_fn_is_ensemble_mean(ensemble, splits):
+    fn = ensemble.predict_fn()
+    raw = splits.par_test[:4]
+    got = np.asarray(fn(ensemble.params, raw))
+    np.testing.assert_allclose(got, ensemble.predict(raw), atol=1e-5)
+
+
+def test_load_model_dispatches_directory(ensemble, splits, tmp_path):
+    from tpu21cmvae.models import load_model
+
+    ensemble.save(str(tmp_path))
+    back = load_model(str(tmp_path), splits)
+    assert isinstance(back, DeepEnsemble)
+    np.testing.assert_allclose(
+        back.predict(splits.par_test[:3]),
+        ensemble.predict(splits.par_test[:3]),
+        atol=1e-6,
+    )
+
+
+def test_ensemble_serves(ensemble, splits, obs):
+    """EmulatorService works on an ensemble unmodified: /predict is the
+    ensemble mean, /loglik the member mixture."""
+    from tpu21cmvae.serve import EmulatorService
+
+    svc = EmulatorService(ensemble)
+    raw = splits.par_test[:8]
+    np.testing.assert_allclose(
+        svc.predict(raw), ensemble.predict(raw), atol=1e-4, rtol=1e-4
+    )
+    mix = ensemble.loglik_fn(obs, 25.0)
+    np.testing.assert_allclose(
+        svc.loglik(raw, obs, 25.0),
+        np.asarray(mix(ensemble.stacked_params, raw)),
+        rtol=1e-4, atol=1e-3,
+    )

@@ -4,7 +4,8 @@ The reference has no CLI — every workflow lives in notebook cells
 (SURVEY.md §1). These subcommands cover the full lifecycle headless:
 
     download   fetch the 21cmGEM dataset to the local cache
-    train      train a model family (direct / ae / vae) and save it
+    train      train a model family (direct / ae / vae / ensemble) and
+               save it
     evaluate   test-set error table for a saved model
     predict    emulate signals for parameter rows from a .npy/.csv file
     tune       architecture search
@@ -61,7 +62,16 @@ def cmd_train(args):
     from tpu21cmvae.utils.config import DIRECT_TRAIN_DEFAULT
 
     data = _get_data(args)
-    if args.family == "direct":
+    if args.family == "ensemble":
+        from tpu21cmvae.models.ensemble import DeepEnsemble
+
+        cfg = DIRECT_TRAIN_DEFAULT
+        if args.epochs:
+            cfg = dataclasses.replace(cfg, epochs=args.epochs)
+        model = DeepEnsemble.train(
+            data, n_members=args.members, train_config=cfg, verbose=True
+        )
+    elif args.family == "direct":
         model = DirectEmulator(data)
         cfg = DIRECT_TRAIN_DEFAULT
         if args.epochs:
@@ -122,7 +132,15 @@ def cmd_export_h5(args):
 
     model = _load_model(args.model)
     act = model.config.activation
-    if not hasattr(model, "params") or not isinstance(model.params, tuple):
+    if hasattr(model, "members"):  # DeepEnsemble: one h5 per member
+        import os
+
+        base, _ = os.path.splitext(args.out)
+        for i, m in enumerate(model.members):
+            path = f"{base}_member_{i:02d}.h5"
+            save_keras_mlp(path, m.params, activation=act)
+            print(f"wrote {path}")
+    elif not hasattr(model, "params") or not isinstance(model.params, tuple):
         # two-stage families: export each stage MLP as its own file
         import os
 
@@ -293,17 +311,21 @@ def main(argv=None):
     p.set_defaults(fn=cmd_download)
 
     p = sub.add_parser("train", help="train a model family")
-    p.add_argument("family", choices=["direct", "ae", "vae"])
+    p.add_argument("family", choices=["direct", "ae", "vae", "ensemble"])
     p.add_argument("--dataset")
     p.add_argument("--download", action="store_true",
                    help="use the real dataset (fetch to cache if needed)")
     p.add_argument("--epochs", type=int)
-    p.add_argument("--out", default="model.npz")
+    p.add_argument("--members", type=int, default=5,
+                   help="replica count for family=ensemble")
+    p.add_argument("--out", default="model.npz",
+                   help="checkpoint path (a DIRECTORY for family=ensemble)")
     p.add_argument("--checkpoint-dir")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("evaluate", help="test-set error of a saved model")
-    p.add_argument("model")
+    p.add_argument("model",
+                   help="checkpoint .npz, or a deep-ensemble directory")
     p.add_argument("--dataset")
     p.add_argument("--download", action="store_true")
     p.set_defaults(fn=cmd_evaluate)
@@ -341,7 +363,10 @@ def main(argv=None):
         help="on-device posterior sampling (MH/ensemble/HMC) for an "
              "observed spectrum",
     )
-    p.add_argument("model")
+    p.add_argument("model",
+                   help="checkpoint .npz, or a deep-ensemble directory "
+                        "(chains then target the member-MIXTURE "
+                        "likelihood: emulation uncertainty marginalized)")
     p.add_argument("--obs", required=True, metavar="FILE",
                    help="observation spec (.json or .npz with obs and "
                         "optional noise_var — serve.load_obs_specs "

@@ -69,6 +69,15 @@ class DeepEnsemble:
         base = members[0].predict_fn()
         self._vpredict = jax.jit(jax.vmap(base, in_axes=(0, None)))
 
+    @property
+    def params(self):
+        """The stacked member weights — the pytree every inference
+        function below takes as its first argument, so the ensemble
+        plugs into :class:`~tpu21cmvae.parallel.inference.ShardedEmulator`,
+        :class:`~tpu21cmvae.serve.EmulatorService` and the samplers
+        exactly like a single model."""
+        return self.stacked_params
+
     # -- construction ------------------------------------------------------
 
     @classmethod
@@ -120,6 +129,192 @@ class DeepEnsemble:
         return cls.from_checkpoints(paths, data)
 
     # -- inference ---------------------------------------------------------
+
+    def predict_fn(self, precision=None):
+        """Jitted pure ``(stacked_weights, raw_params) → (B, n_bins)``
+        ensemble-MEAN prediction — the hold-this-function twin of
+        :meth:`predict`, shaped like ``DirectEmulator.predict_fn`` so
+        mesh-sharded serving (``ShardedEmulator.for_model``) works on an
+        ensemble unchanged. The member axis rides a ``vmap`` → one
+        device call of member-batched matmuls, not N sequential calls."""
+        base = self.members[0].predict_fn(precision=precision)
+        vp = jax.vmap(base, in_axes=(0, None))
+
+        def mean_predict(stacked, raw):
+            return jnp.mean(vp(stacked, raw), axis=0)
+
+        return jax.jit(mean_predict)
+
+    def loglik_fn(
+        self,
+        obs,
+        noise_var=1.0,
+        *,
+        backend: str = "xla",
+        method: str = "gram",
+        precision=None,
+    ):
+        """Jitted MIXTURE log-likelihood ``(stacked_weights, raw) → (B,)``.
+
+        Each member defines its own Gaussian likelihood
+        ``p(obs | θ, member m)``; with a uniform prior over members the
+        emulation (model) uncertainty marginalizes out as an equal-weight
+        mixture::
+
+            log p(obs | θ) = logsumexp_m log p(obs | θ, m) − log M
+
+        — the inference-time counterpart of
+        :meth:`predict_with_uncertainty`: where members disagree, the
+        mixture is flatter than any single member's likelihood, so the
+        posterior honestly widens by the emulation error instead of
+        centering overconfidently on one replica's quirks. (The
+        reference is a point estimator with no uncertainty channel at
+        all — reference ``emulator.py:409-439`` only reports test-set
+        statistics.)
+
+        Implementation: the member axis rides a ``vmap`` over the
+        bench-selected single-model likelihood
+        (:func:`tpu21cmvae.ops.loglik.make_loglik`), so an M-member
+        mixture over a B-row batch is ONE device call of member-batched
+        matmuls. Tier contract per member is as documented on
+        :meth:`DirectEmulator.loglik_fn` (near-mode |ΔlogL| ≈ 0.43 at
+        the default tier; ``precision="contract"`` for absolute
+        log-density uses — the logsumexp is dominated by the best
+        member, so member-level bounds carry through to the mixture).
+        """
+        from tpu21cmvae.ops.loglik import make_loglik
+
+        member = make_loglik(
+            self.config, self.normalizer, obs, noise_var,
+            backend=backend, method=method, precision=precision,
+        )
+        vll = jax.vmap(member, in_axes=(0, None))
+        log_m = float(np.log(len(self.members)))
+
+        def mixture(stacked, raw):
+            return jax.scipy.special.logsumexp(vll(stacked, raw), axis=0) - log_m
+
+        return jax.jit(mixture)
+
+    def loglik_and_grad_fn(
+        self,
+        obs,
+        noise_var=1.0,
+        *,
+        backend: str = "xla",
+        method: str = "gram",
+        precision=None,
+        grad_precision=None,
+    ):
+        """Jitted ``(stacked_weights, raw) → (logL, dlogL/draw)`` for the
+        mixture likelihood — the HMC/MAP inner loop. The mixture
+        gradient is the member-posterior-weighted sum of member
+        gradients (exact: ∇ logsumexp_m l_m = Σ_m softmax(l_m) ∇l_m), so
+        the hand-written analytic gram backward selected by the grad
+        bench (docs/PERF.md) is reused per member under one ``vmap``."""
+        from tpu21cmvae.ops.loglik import make_loglik_and_grad
+
+        member = make_loglik_and_grad(
+            self.config, self.normalizer, obs, noise_var,
+            backend=backend, method=method,
+            precision=precision, grad_precision=grad_precision,
+        )
+        vvg = jax.vmap(member, in_axes=(0, None))
+        log_m = float(np.log(len(self.members)))
+
+        def mixture_vg(stacked, raw):
+            lm, gm = vvg(stacked, raw)          # (M, B), (M, B, P)
+            val = jax.scipy.special.logsumexp(lm, axis=0) - log_m
+            w = jax.nn.softmax(lm, axis=0)      # member posterior at θ
+            return val, jnp.sum(w[..., None] * gm, axis=0)
+
+        return jax.jit(mixture_vg)
+
+    def sample_posterior(
+        self,
+        obs,
+        noise_var=1.0,
+        *,
+        sampler: str = "hmc",
+        bounds=None,
+        **kwargs,
+    ):
+        """Uncertainty-aware posterior sampling: the chain targets the
+        MIXTURE likelihood (:meth:`loglik_fn`), so the returned credible
+        regions include the emulation error the member spread measures —
+        samplers, kwargs and the metastability caveat exactly as on
+        :meth:`DirectEmulator.sample_posterior`."""
+        from tpu21cmvae.sampling import sample_ensemble, sample_hmc, sample_mh
+
+        if sampler == "mh":
+            return sample_mh(
+                self.loglik_fn(obs, noise_var), self.stacked_params,
+                bounds=bounds, **kwargs,
+            )
+        if sampler == "ensemble":
+            return sample_ensemble(
+                self.loglik_fn(obs, noise_var), self.stacked_params,
+                bounds=bounds, **kwargs,
+            )
+        if sampler != "hmc":
+            raise ValueError(
+                f"sampler must be 'mh', 'ensemble' or 'hmc'; got {sampler!r}"
+            )
+        valgrad = self.loglik_and_grad_fn(
+            obs, noise_var, grad_precision="default"
+        )
+        return sample_hmc(valgrad, self.stacked_params, bounds=bounds, **kwargs)
+
+    def fit_params(self, obs, noise_var=1.0, *, bounds=None, **kwargs):
+        """Maximum-likelihood fit of the parameters under the mixture
+        likelihood (multi-start Adam ascent,
+        :func:`tpu21cmvae.sampling.fit_map`) — see
+        :meth:`DirectEmulator.fit_params`."""
+        from tpu21cmvae.sampling import fit_map
+
+        valgrad = self.loglik_and_grad_fn(
+            obs, noise_var, grad_precision="default"
+        )
+        return fit_map(valgrad, self.stacked_params, bounds=bounds, **kwargs)
+
+    def log_evidence(
+        self, obs, noise_var=1.0, *, bounds=None, method="nested",
+        warm_start=True, **kwargs
+    ):
+        """Bayesian evidence under the mixture likelihood — semantics,
+        method choice and caveats as on
+        :meth:`DirectEmulator.log_evidence`. Because the mixture reads
+        ABSOLUTE log-densities, the member likelihood is built at the
+        default gate-passing tier whose near-mode |ΔlogL| ≈ 0.43 is ~an
+        order below nested sampling's own ~1-nat spread; pass
+        ``precision="contract"`` through ``kwargs`` is not supported
+        here — build via :meth:`loglik_fn` + ``nested_sampling`` directly
+        for a contract-tier run."""
+        if method == "nested":
+            from tpu21cmvae.nested import nested_sampling
+
+            return nested_sampling(
+                self.loglik_fn(obs, noise_var), self.stacked_params,
+                bounds=bounds, **kwargs,
+            )
+        if method != "ladder":
+            raise ValueError(
+                f"method must be 'nested' or 'ladder'; got {method!r}"
+            )
+        from tpu21cmvae.sampling import log_evidence
+
+        if warm_start and "x0" not in kwargs:
+            fit = self.fit_params(
+                obs, noise_var, bounds=bounds,
+                n_starts=max(1024, kwargs.get("n_walkers", 256)),
+                n_steps=500, seed=kwargs.get("seed", 0) + 101,
+            )
+            kwargs.setdefault("n_walkers", 256)
+            kwargs["x0"] = fit.top(kwargs["n_walkers"])[0]
+        return log_evidence(
+            self.loglik_fn(obs, noise_var), self.stacked_params,
+            bounds=bounds, **kwargs,
+        )
 
     def member_predictions(self, params) -> np.ndarray:
         """(n_members, n, 451) raw member signals for a parameter batch."""
