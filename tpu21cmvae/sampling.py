@@ -877,6 +877,8 @@ def sample_hmc(
     thin: int = 5,
     seed: int = 0,
     x0=None,
+    jitter: bool = True,
+    precondition: bool = True,
 ) -> SampleResult:
     """HMC ensemble over ``valgrad(params, raw) → (logL, dlogL/draw)``.
 
@@ -887,6 +889,25 @@ def sample_hmc(
     dual averaging toward ``target_accept``, then the sampling phase
     runs at the adapted step. Both phases are single ``lax.scan``
     programs.
+
+    Two robustness features (both valid-MCMC — they change mixing
+    speed, never the target):
+
+    * ``precondition`` — a diagonal metric from ENSEMBLE statistics:
+      halfway through warmup the per-dimension step rescales by the
+      cross-walker std of ``y`` (thousands of walkers give an
+      instantaneous variance estimate — no within-chain adaptation
+      windows, the accelerator-ensemble analogue of NUTS's metric
+      warmup), and dual averaging restarts at the rescaled step. Fixes
+      the slow-mixing axis when the posterior's y-space scales differ
+      by orders of magnitude.
+    * ``jitter`` — each iteration draws its leapfrog count uniformly
+      from ``{⌈n_leapfrog/2⌉ … n_leapfrog}`` (shared by all walkers;
+      independent of state, so detailed balance is untouched). Breaks
+      the periodic-orbit resonances a fixed trajectory length is
+      vulnerable to (Neal 2011 §3.2). The count is a traced scalar: the
+      leapfrog runs as a ``lax.fori_loop`` with a dynamic trip count —
+      one compiled program, no per-length retraces.
     """
     lo, hi = _resolve_bounds(bounds)
     span = hi - lo
@@ -912,16 +933,29 @@ def sample_hmc(
         glp = g_raw * (span * s * (1.0 - s)) + (1.0 - 2.0 * s)
         return lp, glp
 
-    def hmc_step(y, lp, glp, eps, k):
+    l_min = max(1, (n_leapfrog + 1) // 2)
+
+    def draw_l(k):
+        if not jitter or l_min == n_leapfrog:
+            return jnp.int32(n_leapfrog)
+        return jax.random.randint(k, (), l_min, n_leapfrog + 1)
+
+    def hmc_step(y, lp, glp, eps, n_leap, k):
+        # ``eps``: per-dimension step vector (scalar step × metric scale
+        # — a diagonal mass matrix absorbed into the step, the standard
+        # equivalence); ``n_leap``: traced leapfrog count.
         kp, ku = jax.random.split(k)
         p0 = jax.random.normal(kp, y.shape, y.dtype)
         p = p0 + 0.5 * eps * glp
-        q = y
-        g = glp
-        for _ in range(n_leapfrog - 1):
+
+        def leap(_, qpg):
+            q, p, g = qpg
             q = q + eps * p
             _, g = logp_and_grad(q)
             p = p + eps * g
+            return q, p, g
+
+        q, p, g = jax.lax.fori_loop(0, n_leap - 1, leap, (y, p, glp))
         q = q + eps * p
         lp_new, g_new = logp_and_grad(q)
         p = p + 0.5 * eps * g_new
@@ -935,14 +969,17 @@ def sample_hmc(
         # mean Metropolis probability (capped at 1) drives adaptation
         return y, lp, glp, jnp.mean(jnp.minimum(1.0, jnp.exp(dh)))
 
-    # dual averaging (Hoffman & Gelman 2014, Alg. 5) — all in-carry
-    mu = jnp.log(10.0 * init_step)
+    # dual averaging (Hoffman & Gelman 2014, Alg. 5) — all in-carry;
+    # ``mu`` is traced so a post-preconditioning restart can re-anchor
     gamma, t0, kappa = 0.05, 10.0, 0.75
 
     def warm_step(state, ik):
         i, k = ik
-        y, lp, glp, log_eps, log_eps_bar, h_bar = state
-        y, lp, glp, a_mean = hmc_step(y, lp, glp, jnp.exp(log_eps), k)
+        kl, kh = jax.random.split(k)
+        y, lp, glp, sd, mu, log_eps, log_eps_bar, h_bar = state
+        y, lp, glp, a_mean = hmc_step(
+            y, lp, glp, jnp.exp(log_eps) * sd, draw_l(kl), kh
+        )
         t = i + 1.0
         h_bar = (1.0 - 1.0 / (t + t0)) * h_bar + (
             target_accept - a_mean
@@ -950,35 +987,59 @@ def sample_hmc(
         log_eps = mu - jnp.sqrt(t) / gamma * h_bar
         w = t ** (-kappa)
         log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
-        return (y, lp, glp, log_eps, log_eps_bar, h_bar), a_mean
+        return (y, lp, glp, sd, mu, log_eps, log_eps_bar, h_bar), a_mean
+
+    def warm_phase(y, lp, glp, sd, eps0, ik):
+        state = (
+            y, lp, glp, sd, jnp.log(10.0 * eps0), jnp.log(eps0),
+            jnp.log(eps0), jnp.float32(0.0),
+        )
+        state, _ = jax.lax.scan(warm_step, state, ik)
+        y, lp, glp, _, _, _, log_eps_bar, _ = state
+        return y, lp, glp, jnp.exp(log_eps_bar)
 
     def run_step(state, k):
         y, lp, glp, eps = state
-        y, lp, glp, a_mean = hmc_step(y, lp, glp, eps, k)
+        kl, kh = jax.random.split(k)
+        y, lp, glp, a_mean = hmc_step(y, lp, glp, eps, draw_l(kl), kh)
         return (y, lp, glp, eps), (a_mean, to_params(y) if thin else None)
 
+    # metric estimation needs enough walkers for a stable cross-walker
+    # std and enough warmup for phase 2 to re-adapt the step
+    use_metric = precondition and n_warmup >= 20 and y.shape[0] >= 16
+    n_warm1 = n_warmup // 2 if use_metric else n_warmup
+
     @jax.jit
-    def run(y, warm_ik, run_keys):
+    def run(y, warm1_ik, warm2_ik, run_keys):
         lp, glp = logp_and_grad(y)
-        if n_warmup > 0:  # static — no hidden warmup step on continuation
-            state = (y, lp, glp, jnp.log(init_step), jnp.log(init_step),
-                     jnp.float32(0.0))
-            state, _ = jax.lax.scan(warm_step, state, warm_ik)
-            y, lp, glp, _, log_eps_bar, _ = state
-            eps = jnp.exp(log_eps_bar)
-        else:
-            eps = jnp.float32(init_step)
-        (y, lp, glp, eps), (rates, kept) = jax.lax.scan(
-            run_step, (y, lp, glp, eps), run_keys
+        sd = jnp.ones((y.shape[1],), y.dtype)
+        eps = jnp.float32(init_step)
+        if n_warm1 > 0:  # static — no hidden warmup step on continuation
+            y, lp, glp, eps = warm_phase(y, lp, glp, sd, eps, warm1_ik)
+        if use_metric:
+            # cross-walker scale, normalized to leave the GLOBAL step
+            # magnitude to dual averaging; clipped so a not-yet-spread
+            # (or degenerate) dimension cannot zero its step
+            raw_sd = jnp.std(y, axis=0)
+            sd = raw_sd / jnp.maximum(jnp.exp(
+                jnp.mean(jnp.log(jnp.maximum(raw_sd, 1e-6)))
+            ), 1e-6)
+            sd = jnp.clip(sd, 0.1, 10.0)
+            y, lp, glp, eps = warm_phase(y, lp, glp, sd, eps, warm2_ik)
+        (y, lp, glp, _), (rates, kept) = jax.lax.scan(
+            run_step, (y, lp, glp, eps * sd), run_keys
         )
         return y, lp, rates, kept, eps
 
-    warm_ik = (
-        jnp.arange(max(n_warmup, 1), dtype=jnp.float32),
-        jax.random.split(k_warm, max(n_warmup, 1)),
-    )
+    def ik(k, n):
+        n = max(n, 1)
+        return (jnp.arange(n, dtype=jnp.float32), jax.random.split(k, n))
+
+    k_warm1, k_warm2 = jax.random.split(k_warm)
     run_keys = jax.random.split(k_run, n_steps)
-    y, lp, rates, kept, eps = run(y, warm_ik, run_keys)
+    y, lp, rates, kept, eps = run(
+        y, ik(k_warm1, n_warm1), ik(k_warm2, n_warmup - n_warm1), run_keys
+    )
     chain = (
         np.asarray(kept)[thin - 1:: thin]
         if thin
