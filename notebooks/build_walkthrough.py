@@ -272,6 +272,26 @@ print("compare families by logz under the same obs/bounds, e.g. "
       "ae_em.log_evidence(obs, 25.0, bounds=bounds).logz")
 """
 
+CELL_MIXTURE = """\
+# Uncertainty-aware posteriors: the deep ensemble's inference stack
+# targets the member-MIXTURE likelihood (logsumexp over the vmapped
+# member likelihoods minus log M), so credible regions honestly widen
+# by the emulation error the member spread measures -- compare the
+# same observation under member 0 alone vs the 3-member mixture.
+mix_kwargs = dict(
+    sampler="mh", bounds=bounds, n_walkers=256,
+    n_steps=60 if FAST else 300, n_warmup=60 if FAST else 150,
+    thin=10, seed=2,
+)
+flat_member = ens.members[0].sample_posterior(obs, 25.0, **mix_kwargs).flat
+flat_mix = ens.sample_posterior(obs, 25.0, **mix_kwargs).flat
+ratio = flat_mix.std(0) / flat_member.std(0)
+for lab, r in zip(ens.par_labels, ratio):
+    print(f"{lab:>8}: mixture/member posterior width = {r:.2f}")
+print("(ratios > 1: the posterior widened by the emulation error; "
+      "near 1: members agree there, the data sets the width)")
+"""
+
 MD_OUTRO = """\
 ## Where to go next
 
@@ -303,6 +323,7 @@ def build() -> nbf.NotebookNode:
         nbf.v4.new_code_cell(CELL_ENSEMBLE),
         nbf.v4.new_code_cell(CELL_SAMPLING),
         nbf.v4.new_code_cell(CELL_FIT_EVIDENCE),
+        nbf.v4.new_code_cell(CELL_MIXTURE),
         nbf.v4.new_markdown_cell(MD_OUTRO),
     ]
     nb.cells = cells
