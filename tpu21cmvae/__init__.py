@@ -58,6 +58,7 @@ from tpu21cmvae.sampling import (  # noqa: F401
     sample_mh,
 )
 from tpu21cmvae.nested import NestedResult, nested_sampling  # noqa: F401
+from tpu21cmvae.priors import GaussianBoxPrior  # noqa: F401
 from tpu21cmvae.models.direct import DirectEmulator  # noqa: F401
 from tpu21cmvae.models.autoencoder import AutoEncoder, AutoEncoderEmulator  # noqa: F401
 from tpu21cmvae.models.vae import VAE, VAEEmulator  # noqa: F401

@@ -128,6 +128,7 @@ def nested_sampling(
     max_iters: int = 4096,
     iters_per_chunk: int = 32,
     seed: int = 0,
+    prior_transform=None,
 ) -> NestedResult:
     """Evidence by batched nested sampling over the flat box prior.
 
@@ -148,9 +149,31 @@ def nested_sampling(
     for the defaults on a 50-nat-compression posterior, i.e. well
     under a minute through the tunnel-attached chip and seconds once
     resident (docs/PERF.md measures the real-posterior case).
+
+    ``prior_transform``: optional unit-cube map (the MultiNest/dynesty
+    convention — e.g.
+    :meth:`tpu21cmvae.priors.GaussianBoxPrior.prior_transform`): a
+    traceable ``(B, P) u ∈ [0,1]^P → θ`` such that uniform ``u`` is
+    prior-distributed ``θ``. The sampler then explores in ``u``-space
+    where ANY prior is uniform — the plain ``logL > L*`` rule and the
+    exact volume bookkeeping carry over unchanged, which is why nested
+    sampling wants the transform view rather than a density. ``bounds``
+    then only fixes the dimensionality (the transform encodes the
+    geometry); returned ``samples`` are in RAW θ units either way, and
+    ``logz`` is the evidence under the transform's (normalized) prior.
     """
-    lo, hi = _resolve_bounds(bounds)
-    n_params = int(lo.shape[0])
+    lo_raw, hi_raw = _resolve_bounds(bounds)
+    n_params = int(lo_raw.shape[0])
+    if prior_transform is None:
+        lo, hi = lo_raw, hi_raw
+
+        def to_theta(u):
+            return u
+
+    else:
+        lo = jnp.zeros((n_params,), jnp.float32)
+        hi = jnp.ones((n_params,), jnp.float32)
+        to_theta = prior_transform
     if n_batch is None:
         n_batch = max(1, n_live // 8)
     if not 1 <= n_batch < n_live:
@@ -163,7 +186,7 @@ def nested_sampling(
 
     def safe_ll(flat):
         inside = ((flat >= lo) & (flat <= hi)).all(axis=1)
-        ll = loglik(params, jnp.where(inside[:, None], flat, mid))
+        ll = loglik(params, to_theta(jnp.where(inside[:, None], flat, mid)))
         return jnp.where(inside, ll, -jnp.inf)
 
     def one_iter(state, k):
@@ -274,6 +297,9 @@ def nested_sampling(
 
     all_ll = np.concatenate([dead_ll, ll_live])
     all_x = np.concatenate([dead_x, x_live])
+    if prior_transform is not None:
+        # internal coordinates were unit-cube u; report RAW θ
+        all_x = np.asarray(jax.jit(to_theta)(jnp.asarray(all_x, jnp.float32)))
     all_logx = np.concatenate([logx, np.full(n_live, logx_final)])
     log_w = np.concatenate([dead_ll + log_dx, ll_live + log_dx_live])
     logz = np.logaddexp.reduce(log_w)

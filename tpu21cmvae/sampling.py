@@ -159,6 +159,28 @@ def _init_walkers(key, n_walkers, lo, hi):
     return lo + (hi - lo) * u
 
 
+def _resolve_log_prior(log_prior):
+    """None → the flat box prior (a traced zero — XLA folds the add).
+
+    A supplied ``log_prior`` must be a traceable row-wise-independent
+    log-density over RAW parameters, ``(B, P) → (B,)``, finite inside
+    the prior box; normalization optional (see
+    :class:`tpu21cmvae.priors.GaussianBoxPrior`). The samplers keep the
+    box as a hard indicator on top of it.
+    """
+    if log_prior is None:
+        return lambda x: jnp.zeros(jnp.asarray(x).shape[:-1], jnp.float32)
+    return log_prior
+
+
+def _log_prior_val_grad(log_prior, x):
+    """(log π(x), ∇log π(x)) row-wise — valid because ``log_prior`` is
+    required to be row-independent (the sum's gradient separates)."""
+    lpr = log_prior(x)
+    g = jax.grad(lambda q: jnp.sum(log_prior(q)))(x)
+    return lpr, g
+
+
 def make_emcee_log_prob(loglik, params, bounds=None):
     """Adapter for external ensemble samplers (emcee et al.): wrap a
     jitted batched likelihood as a numpy-in/numpy-out log-probability
@@ -284,6 +306,7 @@ def log_evidence(
     ladder_power: float = 5.0,
     seed: int = 0,
     x0=None,
+    log_prior=None,
 ) -> EvidenceResult:
     """Bayesian evidence ``log Z`` by stepping-stone integration over a
     parallel-tempering ladder (Xie et al. 2011; Earl & Deem 2005) —
@@ -327,7 +350,16 @@ def log_evidence(
     see the ``EvidenceResult.ladder_drift`` docs), and
     :func:`tpu21cmvae.nested.nested_sampling` is the robust default
     the model-level ``log_evidence`` methods use.
+
+    ``log_prior``: optional log-density over RAW parameters — the
+    ladder becomes ``π_k ∝ L^{β_k}·π`` (β=0 samples π, prior factors
+    cancel in replica exchange) and ``logz`` estimates ``log ∫ L dπ̃``
+    with ``π̃`` the box-normalized version of the supplied prior
+    (sampled expectations self-normalize, so an unnormalized density
+    is fine). For nested sampling use the unit-cube ``prior_transform``
+    view instead (:mod:`tpu21cmvae.priors`).
     """
+    log_prior = _resolve_log_prior(log_prior)
     lo, hi = _resolve_bounds(bounds)
     n_params = int(lo.shape[0])
     if n_rungs < 2:
@@ -355,29 +387,41 @@ def log_evidence(
 
     def safe_ll(flat):
         inside = ((flat >= lo) & (flat <= hi)).all(axis=1)
-        ll = loglik(params, jnp.where(inside[:, None], flat, mid))
-        return ll, inside
+        safe = jnp.where(inside[:, None], flat, mid)
+        return loglik(params, safe), log_prior(safe), inside
 
-    def mh_all(x, ll, mult, k):
+    def mh_all(x, ll, lpr, mult, k):
         """One Metropolis step on every rung — a single (K·W)-row
-        likelihood batch."""
+        likelihood batch. Target at rung k is ``L^{β_k}·π``, so the
+        accept ratio carries the prior difference at full weight on
+        every rung (the β=0 rung samples π exactly)."""
         k1, k2 = jax.random.split(k)
         prop = x + (mult[:, None, None] * base_scale) * jax.random.normal(
             k1, x.shape, x.dtype
         )
-        ll_prop_flat, inside_flat = safe_ll(prop.reshape(-1, n_params))
-        ll_prop = ll_prop_flat.reshape(n_rungs, n_walkers)
+        ll_p_flat, lpr_p_flat, inside_flat = safe_ll(
+            prop.reshape(-1, n_params)
+        )
+        ll_prop = ll_p_flat.reshape(n_rungs, n_walkers)
+        lpr_prop = lpr_p_flat.reshape(n_rungs, n_walkers)
         inside = inside_flat.reshape(n_rungs, n_walkers)
-        logr = jnp.where(inside, betas[:, None] * (ll_prop - ll), -jnp.inf)
+        logr = jnp.where(
+            inside,
+            betas[:, None] * (ll_prop - ll) + (lpr_prop - lpr),
+            -jnp.inf,
+        )
         u = jax.random.uniform(k2, (n_rungs, n_walkers))
         acc = jnp.log(u) < logr
         x = jnp.where(acc[:, :, None], prop, x)
         ll = jnp.where(acc, ll_prop, ll)
-        return x, ll, jnp.mean(acc, axis=1)  # (K,) per-rung accept
+        lpr = jnp.where(acc, lpr_prop, lpr)
+        return x, ll, lpr, jnp.mean(acc, axis=1)  # (K,) per-rung accept
 
-    def swaps(x, ll, parity, k):
+    def swaps(x, ll, lpr, parity, k):
         """Walker-aligned replica exchange on alternating edges —
-        zero likelihood evaluations."""
+        zero likelihood evaluations. Prior factors cancel exactly in
+        the swap ratio (both rungs share π), but the carried prior
+        values move with their configurations."""
         u = jax.random.uniform(k, (n_rungs - 1, n_walkers))
         edge = (jnp.arange(n_rungs - 1) % 2) == parity  # (K-1,)
         logr = dbeta[:, None] * (ll[:-1] - ll[1:])
@@ -385,25 +429,29 @@ def log_evidence(
         pad_lo = jnp.zeros((1, n_walkers), bool)
         take_next = jnp.concatenate([acc, pad_lo])  # rung k ← k+1
         take_prev = jnp.concatenate([pad_lo, acc])  # rung k ← k-1
-        x_next, x_prev = jnp.roll(x, -1, 0), jnp.roll(x, 1, 0)
-        ll_next, ll_prev = jnp.roll(ll, -1, 0), jnp.roll(ll, 1, 0)
         x = jnp.where(
-            take_next[:, :, None], x_next,
-            jnp.where(take_prev[:, :, None], x_prev, x),
+            take_next[:, :, None], jnp.roll(x, -1, 0),
+            jnp.where(take_prev[:, :, None], jnp.roll(x, 1, 0), x),
         )
-        ll = jnp.where(take_next, ll_next, jnp.where(take_prev, ll_prev, ll))
+        ll, lpr = (
+            jnp.where(
+                take_next, jnp.roll(v, -1, 0),
+                jnp.where(take_prev, jnp.roll(v, 1, 0), v),
+            )
+            for v in (ll, lpr)
+        )
         # per-edge accept rate among PROPOSED swaps (each edge proposes
         # every other step, so scale the masked mean by 2)
-        return x, ll, 2.0 * jnp.mean(acc, axis=1)
+        return x, ll, lpr, 2.0 * jnp.mean(acc, axis=1)
 
     mu, gamma, t0, kappa = _dual_averaging_consts(1.0)
 
     def warm_step(state, ik):
         i, k = ik
         km, ks = jax.random.split(k)
-        x, ll, log_m, log_m_bar, h_bar = state
-        x, ll, a = mh_all(x, ll, jnp.exp(log_m), km)
-        x, ll, _ = swaps(x, ll, jnp.mod(i, 2.0), ks)
+        x, ll, lpr, log_m, log_m_bar, h_bar = state
+        x, ll, lpr, a = mh_all(x, ll, lpr, jnp.exp(log_m), km)
+        x, ll, lpr, _ = swaps(x, ll, lpr, jnp.mod(i, 2.0), ks)
         t = i + 1.0
         h_bar = (1.0 - 1.0 / (t + t0)) * h_bar + (target_accept - a) / (
             t + t0
@@ -411,7 +459,7 @@ def log_evidence(
         log_m = mu - jnp.sqrt(t) / gamma * h_bar
         w = t ** (-kappa)
         log_m_bar = w * log_m + (1.0 - w) * log_m_bar
-        return (x, ll, log_m, log_m_bar, h_bar), None
+        return (x, ll, lpr, log_m, log_m_bar, h_bar), None
 
     # half-density sub-ladder (every other rung, keeping β=1) for the
     # drift alarm — its stepping-stone estimate reuses the same chains
@@ -422,28 +470,29 @@ def log_evidence(
     def run_step(state, ik):
         i, k = ik
         km, ks = jax.random.split(k)
-        x, ll, mult = state
-        x, ll, a = mh_all(x, ll, mult, km)
-        x, ll, s = swaps(x, ll, jnp.mod(i, 2.0), ks)
+        x, ll, lpr, mult = state
+        x, ll, lpr, a = mh_all(x, ll, lpr, mult, km)
+        x, ll, lpr, s = swaps(x, ll, lpr, jnp.mod(i, 2.0), ks)
         # per-step stepping-stone contribution: logsumexp over walkers
         # of dβ_k · logL at rung k (pooled across steps on the host)
         ss = jax.scipy.special.logsumexp(dbeta[:, None] * ll[:-1], axis=1)
         ss_c = jax.scipy.special.logsumexp(
             coarse_dbeta[:, None] * ll[coarse_src], axis=1
         )
-        return (x, ll, mult), (a, s, ss, ss_c)
+        return (x, ll, lpr, mult), (a, s, ss, ss_c)
 
     @jax.jit
     def run(x, warm_ik, run_ik):
-        ll, _ = safe_ll(x.reshape(-1, n_params))
+        ll, lpr, _ = safe_ll(x.reshape(-1, n_params))
         ll = ll.reshape(n_rungs, n_walkers)
+        lpr = lpr.reshape(n_rungs, n_walkers)
         zeros = jnp.zeros((n_rungs,), jnp.float32)
-        state = (x, ll, zeros, zeros, zeros)
+        state = (x, ll, lpr, zeros, zeros, zeros)
         if n_warmup > 0:
             state, _ = jax.lax.scan(warm_step, state, warm_ik)
-        x, ll, _, log_m_bar, _ = state
-        (x, ll, _), (rates, srates, ss, ss_c) = jax.lax.scan(
-            run_step, (x, ll, jnp.exp(log_m_bar)), run_ik
+        x, ll, lpr, _, log_m_bar, _ = state
+        (x, ll, lpr, _), (rates, srates, ss, ss_c) = jax.lax.scan(
+            run_step, (x, ll, lpr, jnp.exp(log_m_bar)), run_ik
         )
         return x, ll, rates, srates, ss, ss_c
 
@@ -527,6 +576,7 @@ def fit_map(
     learning_rate: float = 0.05,
     seed: int = 0,
     x0=None,
+    log_prior=None,
 ) -> FitResult:
     """Multi-start maximum-likelihood fit of the astrophysical
     parameters: Adam ascent on ``valgrad(params, raw) → (logL, grad)``
@@ -549,6 +599,10 @@ def fit_map(
     transformed density. ``learning_rate`` is in whitened units where
     the box spans ~12 sigmoid units end to end. Use the result to seed
     samplers: ``sample_*(..., x0=result.params)``.
+
+    ``log_prior``: optional smooth log-density over RAW parameters —
+    when given, the ascent maximizes ``logL + log π`` (the raw-space
+    MAP) instead of the bare likelihood.
     """
     lo, hi = _resolve_bounds(bounds)
     span = hi - lo
@@ -563,7 +617,12 @@ def fit_map(
 
     def ll_and_grad_y(y):
         s = jax.nn.sigmoid(y)
-        ll, g_raw = valgrad(params, lo + span * s)
+        xr = lo + span * s
+        ll, g_raw = valgrad(params, xr)
+        if log_prior is not None:
+            lpr, g_pr = _log_prior_val_grad(log_prior, xr)
+            ll = ll + lpr
+            g_raw = g_raw + g_pr
         return ll, g_raw * (span * s * (1.0 - s))
 
     b1, b2, eps = 0.9, 0.999, 1e-8
@@ -625,6 +684,7 @@ def sample_mh(
     thin: int = 10,
     seed: int = 0,
     x0=None,
+    log_prior=None,
 ) -> SampleResult:
     """Metropolis-Hastings ensemble over ``loglik(params, raw) → (B,)``.
 
@@ -643,7 +703,13 @@ def sample_mh(
     pins ``step_frac``. ``thin > 0`` keeps every ``thin``-th
     post-warmup step. Runs as two ``lax.scan`` programs (warmup,
     sampling) — zero host round trips inside the chains.
+
+    ``log_prior``: optional traceable log-density over RAW parameters
+    added to the target (e.g.
+    ``GaussianBoxPrior(...).log_prior`` — see
+    :mod:`tpu21cmvae.priors`); the box stays a hard indicator on top.
     """
+    log_prior = _resolve_log_prior(log_prior)
     lo, hi = _resolve_bounds(bounds)
     base_scale = step_frac * (hi - lo)
     mid = (lo + hi) / 2.0
@@ -661,7 +727,8 @@ def sample_mh(
         k1, k2 = jax.random.split(k)
         prop = x + mult * base_scale * jax.random.normal(k1, x.shape, x.dtype)
         inside = ((prop >= lo) & (prop <= hi)).all(axis=1)
-        lp_prop = loglik(params, jnp.where(inside[:, None], prop, mid))
+        safe = jnp.where(inside[:, None], prop, mid)
+        lp_prop = loglik(params, safe) + log_prior(safe)
         lp_prop = jnp.where(inside, lp_prop, -jnp.inf)
         acc = jnp.log(jax.random.uniform(k2, (x.shape[0],))) < lp_prop - lp
         # a walker whose current lp is non-finite (e.g. started outside
@@ -694,7 +761,7 @@ def sample_mh(
 
     @jax.jit
     def run(x, warm_ik, run_keys):
-        lp = loglik(params, x)
+        lp = loglik(params, x) + log_prior(x)
         # n_warmup is static: with 0, skip the warmup scan entirely
         # (continuation runs via x0 must not take hidden extra steps)
         if n_warmup > 0:
@@ -743,6 +810,7 @@ def sample_ensemble(
     thin: int = 10,
     seed: int = 0,
     x0=None,
+    log_prior=None,
 ) -> SampleResult:
     """Affine-invariant ensemble sampler (Goodman & Weare 2010 stretch
     move — the algorithm behind emcee), entirely on device.
@@ -770,7 +838,11 @@ def sample_ensemble(
     even and at least ``2 · n_params + 2`` so each half-ensemble spans
     parameter space. Returns a :class:`SampleResult` whose
     ``step_size`` field reports the stretch scale ``a``.
+    ``log_prior``: optional log-density added to the target (see
+    :func:`sample_mh`); affine invariance is unaffected — the prior is
+    part of the target, not the move.
     """
+    log_prior = _resolve_log_prior(log_prior)
     lo, hi = _resolve_bounds(bounds)
     n_params = int(lo.shape[0])
     if n_walkers % 2:
@@ -796,7 +868,8 @@ def sample_ensemble(
 
     def safe_loglik(xs):
         inside = ((xs >= lo) & (xs <= hi)).all(axis=1)
-        lp = loglik(params, jnp.where(inside[:, None], xs, mid))
+        safe = jnp.where(inside[:, None], xs, mid)
+        lp = loglik(params, safe) + log_prior(safe)
         return jnp.where(inside, lp, -jnp.inf)
 
     def half_move(xa, lpa, xb, k):
@@ -879,6 +952,7 @@ def sample_hmc(
     x0=None,
     jitter: bool = True,
     precondition: bool = True,
+    log_prior=None,
 ) -> SampleResult:
     """HMC ensemble over ``valgrad(params, raw) → (logL, dlogL/draw)``.
 
@@ -908,6 +982,11 @@ def sample_hmc(
       vulnerable to (Neal 2011 §3.2). The count is a traced scalar: the
       leapfrog runs as a ``lax.fori_loop`` with a dynamic trip count —
       one compiled program, no per-length retraces.
+
+    ``log_prior``: optional SMOOTH traceable log-density over RAW
+    parameters added to the target (see :func:`sample_mh` /
+    :mod:`tpu21cmvae.priors`); its gradient enters the leapfrog force
+    via autodiff, so it must be differentiable inside the box.
     """
     lo, hi = _resolve_bounds(bounds)
     span = hi - lo
@@ -925,7 +1004,12 @@ def sample_hmc(
         return lo + span * jax.nn.sigmoid(y)
 
     def logp_and_grad(y):
-        ll, g_raw = valgrad(params, to_params(y))
+        xr = to_params(y)
+        ll, g_raw = valgrad(params, xr)
+        if log_prior is not None:
+            lpr, g_pr = _log_prior_val_grad(log_prior, xr)
+            ll = ll + lpr
+            g_raw = g_raw + g_pr
         s = jax.nn.sigmoid(y)
         lp = ll + jnp.sum(
             jax.nn.log_sigmoid(y) + jax.nn.log_sigmoid(-y), axis=-1
