@@ -405,6 +405,40 @@ def test_cli_fit(tmp_path, splits):
     assert blob["logp"].max() == blob["best_logp"]
 
 
+def test_cli_prior_flag(tmp_path, splits):
+    """`--prior IDX:MEAN:SIGMA` builds a GaussianBoxPrior: an
+    essentially-delta prior on tau pins the sampled chain there, and a
+    malformed spec exits with a clear message instead of a traceback."""
+    import json as _json
+
+    import pytest
+
+    from tpu21cmvae.__main__ import main
+    from tpu21cmvae.models.direct import DirectEmulator
+    from tpu21cmvae.utils.config import DirectEmulatorConfig
+
+    model = DirectEmulator(
+        splits, config=DirectEmulatorConfig(hidden_dims=(16,))
+    )
+    ckpt = str(tmp_path / "m.npz")
+    model.save(ckpt)
+    obs = model.predict(splits.par_test[0])
+    obs_file = str(tmp_path / "obs.json")
+    with open(obs_file, "w") as f:
+        _json.dump({"obs": obs.tolist(), "noise_var": 25.0}, f)
+    out = str(tmp_path / "chain.npz")
+    main(["sample", ckpt, "--obs", obs_file, "--sampler", "mh",
+          "--walkers", "64", "--steps", "100", "--warmup", "150",
+          "--thin", "5", "--prior", "3:0.054:0.0003", "--out", out])
+    chain = np.load(out)["chain"].reshape(-1, 7)
+    # default tau box is [0.04, 0.09] (flat mean 0.065); the tight
+    # prior pulls the chain to its center within a few prior sigma
+    assert abs(chain[:, 3].mean() - 0.054) < 0.003
+    with pytest.raises(SystemExit, match="IDX:MEAN:SIGMA"):
+        main(["sample", ckpt, "--obs", obs_file, "--prior", "bogus",
+              "--out", out])
+
+
 def test_cli_evidence(tmp_path, splits):
     """`evidence` runs the tempered-ladder log Z estimate end to end."""
     import json as _json

@@ -168,6 +168,26 @@ def cmd_serve(args):
                warmup_obs=args.warmup_obs)
 
 
+def _build_prior(specs):
+    """``--prior IDX:MEAN:SIGMA`` (repeatable) → GaussianBoxPrior over
+    the default 21cmGEM-shaped box, or None when no specs were given."""
+    if not specs:
+        return None
+    from tpu21cmvae.priors import GaussianBoxPrior
+
+    constraints = {}
+    for spec in specs:
+        try:
+            idx, mean, sigma = spec.split(":")
+            constraints[int(idx)] = (float(mean), float(sigma))
+        except ValueError:
+            raise SystemExit(
+                f"--prior expects IDX:MEAN:SIGMA (e.g. 3:0.054:0.006); "
+                f"got {spec!r}"
+            )
+    return GaussianBoxPrior.for_params(constraints)
+
+
 def cmd_sample(args):
     from tpu21cmvae.models import load_model
     from tpu21cmvae.serve import load_obs_specs
@@ -183,6 +203,9 @@ def cmd_sample(args):
         n_walkers=args.walkers, n_steps=args.steps, n_warmup=args.warmup,
         thin=args.thin, seed=args.seed,
     )
+    prior = _build_prior(args.prior)
+    if prior is not None:
+        kwargs["log_prior"] = prior.log_prior
     if args.sampler == "hmc":
         kwargs["n_leapfrog"] = args.leapfrog
     res = model.sample_posterior(
@@ -209,9 +232,11 @@ def cmd_fit(args):
               f"{len(specs)}", file=sys.stderr)
         return 2
     obs, noise_var = specs[0]
+    prior = _build_prior(args.prior)
     res = model.fit_params(
         obs, noise_var, n_starts=args.starts, n_steps=args.steps,
         learning_rate=args.lr, seed=args.seed,
+        log_prior=None if prior is None else prior.log_prior,
     )
     print(res.summary(getattr(model, "par_labels", None)))
     np.savez_compressed(
@@ -233,10 +258,14 @@ def cmd_evidence(args):
               f"{len(specs)}", file=sys.stderr)
         return 2
     obs, noise_var = specs[0]
+    prior = _build_prior(args.prior)
     if args.method == "nested":
         res = model.log_evidence(
             obs, noise_var, method="nested", n_live=args.live,
             n_mh=args.mh_steps, seed=args.seed,
+            prior_transform=(
+                None if prior is None else prior.prior_transform
+            ),
         )
         print(res.summary())
         np.savez_compressed(
@@ -249,6 +278,7 @@ def cmd_evidence(args):
             obs, noise_var, method="ladder", n_rungs=args.rungs,
             n_walkers=args.walkers, n_steps=args.steps,
             n_warmup=args.warmup, seed=args.seed,
+            log_prior=None if prior is None else prior.log_prior,
         )
         print(res.summary())
         np.savez_compressed(
@@ -379,6 +409,11 @@ def main(argv=None):
     p.add_argument("--leapfrog", type=int, default=8)
     p.add_argument("--thin", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--prior", action="append", metavar="IDX:MEAN:SIGMA",
+                   help="Gaussian prior on parameter IDX (repeatable; "
+                        "e.g. --prior 3:0.054:0.006 for a Planck-style "
+                        "tau constraint); unlisted parameters stay flat "
+                        "over the box")
     p.add_argument("--out", default="chain.npz")
     p.set_defaults(fn=cmd_sample)
 
@@ -395,6 +430,9 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--lr", type=float, default=0.05)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--prior", action="append", metavar="IDX:MEAN:SIGMA",
+                   help="Gaussian prior on parameter IDX (repeatable) — "
+                        "the fit then maximizes logL + log pi (MAP)")
     p.add_argument("--out", default="fit.npz")
     p.set_defaults(fn=cmd_fit)
 
@@ -422,6 +460,11 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=400)
     p.add_argument("--warmup", type=int, default=200)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--prior", action="append", metavar="IDX:MEAN:SIGMA",
+                   help="Gaussian prior on parameter IDX (repeatable); "
+                        "log Z is then the evidence under that prior "
+                        "(nested uses its unit-cube transform, the "
+                        "ladder its log-density)")
     p.add_argument("--out", default="evidence.npz")
     p.set_defaults(fn=cmd_evidence)
 
