@@ -129,6 +129,7 @@ def nested_sampling(
     iters_per_chunk: int = 32,
     seed: int = 0,
     prior_transform=None,
+    mesh=None,
 ) -> NestedResult:
     """Evidence by batched nested sampling over the flat box prior.
 
@@ -161,6 +162,14 @@ def nested_sampling(
     then only fixes the dimensionality (the transform encodes the
     geometry); returned ``samples`` are in RAW θ units either way, and
     ``logz`` is the evidence under the transform's (normalized) prior.
+
+    ``mesh``: optional :class:`jax.sharding.Mesh` — the live set and
+    the per-iteration MH chains shard over its devices (``n_live`` and
+    ``n_batch`` must divide evenly), so every constrained-likelihood
+    batch runs on local rows. The survivor argsort/gather touches only
+    the tiny ``(n_live, n_params)`` coordinate array; the replacement
+    chains are re-pinned to the mesh each iteration so the ``n_mh``
+    likelihood scan — where all the FLOPs are — stays partitioned.
     """
     lo_raw, hi_raw = _resolve_bounds(bounds)
     n_params = int(lo_raw.shape[0])
@@ -184,6 +193,25 @@ def nested_sampling(
     key = jax.random.key(seed)
     k_init, k_run = jax.random.split(key)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_dev = int(mesh.devices.size)
+        if n_live % n_dev or n_batch % n_dev:
+            raise ValueError(
+                f"n_live ({n_live}) and n_batch ({n_batch}) must divide "
+                f"evenly across the {n_dev}-device mesh"
+            )
+        _rows = NamedSharding(mesh, PartitionSpec(mesh.axis_names, None))
+
+        def pin_rows(a):
+            return jax.lax.with_sharding_constraint(a, _rows)
+
+    else:
+
+        def pin_rows(a):
+            return a
+
     def safe_ll(flat):
         inside = ((flat >= lo) & (flat <= hi)).all(axis=1)
         ll = loglik(params, to_theta(jnp.where(inside[:, None], flat, mid)))
@@ -204,7 +232,10 @@ def nested_sampling(
         starts = surv_idx[
             jax.random.randint(k_start, (n_batch,), 0, n_live - n_batch)
         ]
-        xc, llc = x[starts], ll[starts]
+        # re-pin the replacement chains: the survivor gather above would
+        # otherwise leave them replicated, serializing the MH likelihood
+        # scan below (the FLOP-dominant part) on every device
+        xc, llc = pin_rows(x[starts]), ll[starts]
         scale = jnp.exp(log_scale)
 
         def mh(carry, kk):
@@ -241,7 +272,7 @@ def nested_sampling(
 
     @jax.jit
     def init(k):
-        x = _init_walkers(k, n_live, lo, hi)
+        x = pin_rows(_init_walkers(k, n_live, lo, hi))
         return x, safe_ll(x)
 
     x, ll = init(k_init)

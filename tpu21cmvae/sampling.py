@@ -159,6 +159,30 @@ def _init_walkers(key, n_walkers, lo, hi):
     return lo + (hi - lo) * u
 
 
+def _shard_walkers(x, mesh):
+    """Commit a walker/start array to ``mesh``'s device axes along its
+    leading dimension, so GSPMD shards the ENTIRE chain program — every
+    likelihood matmul runs on local walker rows, and the only
+    collectives are the tiny scalar reductions the algorithms actually
+    need (accept-rate means, cross-walker statistics, replica-exchange
+    ``roll`` → ``ppermute`` on the rung axis). Everything else in the
+    samplers is per-walker, which is exactly the sharding-friendly
+    design: no code changes, the compiler partitions the one program it
+    already traced. ``mesh=None`` is the single-device no-op."""
+    if mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n_dev = int(mesh.devices.size)
+    if x.shape[0] % n_dev:
+        raise ValueError(
+            f"the leading walker dimension ({x.shape[0]}) must divide "
+            f"evenly across the {n_dev}-device mesh"
+        )
+    spec = PartitionSpec(mesh.axis_names, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
 def _resolve_log_prior(log_prior):
     """None → the flat box prior (a traced zero — XLA folds the add).
 
@@ -307,6 +331,7 @@ def log_evidence(
     seed: int = 0,
     x0=None,
     log_prior=None,
+    mesh=None,
 ) -> EvidenceResult:
     """Bayesian evidence ``log Z`` by stepping-stone integration over a
     parallel-tempering ladder (Xie et al. 2011; Earl & Deem 2005) —
@@ -358,6 +383,10 @@ def log_evidence(
     (sampled expectations self-normalize, so an unnormalized density
     is fine). For nested sampling use the unit-cube ``prior_transform``
     view instead (:mod:`tpu21cmvae.priors`).
+
+    ``mesh``: optional device mesh — the RUNG axis shards across it
+    (``n_rungs`` must divide evenly); replica exchange's neighbor roll
+    lowers to a ``ppermute`` over ICI, everything else is rung-local.
     """
     log_prior = _resolve_log_prior(log_prior)
     lo, hi = _resolve_bounds(bounds)
@@ -384,6 +413,9 @@ def log_evidence(
         x = _init_walkers(
             k_init, n_rungs * n_walkers, lo, hi
         ).reshape(n_rungs, n_walkers, n_params)
+    # mesh: shard the RUNG axis — per-rung work is independent except
+    # the replica-exchange roll, which lowers to ppermute over ICI
+    x = _shard_walkers(x, mesh)
 
     def safe_ll(flat):
         inside = ((flat >= lo) & (flat <= hi)).all(axis=1)
@@ -577,6 +609,7 @@ def fit_map(
     seed: int = 0,
     x0=None,
     log_prior=None,
+    mesh=None,
 ) -> FitResult:
     """Multi-start maximum-likelihood fit of the astrophysical
     parameters: Adam ascent on ``valgrad(params, raw) → (logL, grad)``
@@ -602,15 +635,18 @@ def fit_map(
 
     ``log_prior``: optional smooth log-density over RAW parameters —
     when given, the ascent maximizes ``logL + log π`` (the raw-space
-    MAP) instead of the bare likelihood.
+    MAP) instead of the bare likelihood. ``mesh``: optional device mesh
+    — starts are embarrassingly parallel and shard across it with zero
+    collectives inside the ascent (see :func:`sample_mh`).
     """
     lo, hi = _resolve_bounds(bounds)
     span = hi - lo
     key = jax.random.key(seed)
-    x = (
+    x = _shard_walkers(
         jnp.asarray(x0, jnp.float32)
         if x0 is not None
-        else _init_walkers(key, n_starts, lo, hi)
+        else _init_walkers(key, n_starts, lo, hi),
+        mesh,
     )
     frac = jnp.clip((x - lo) / span, 1e-4, 1.0 - 1e-4)
     y0 = jnp.log(frac / (1.0 - frac))
@@ -685,6 +721,7 @@ def sample_mh(
     seed: int = 0,
     x0=None,
     log_prior=None,
+    mesh=None,
 ) -> SampleResult:
     """Metropolis-Hastings ensemble over ``loglik(params, raw) → (B,)``.
 
@@ -708,6 +745,10 @@ def sample_mh(
     added to the target (e.g.
     ``GaussianBoxPrior(...).log_prior`` — see
     :mod:`tpu21cmvae.priors`); the box stays a hard indicator on top.
+
+    ``mesh``: optional :class:`jax.sharding.Mesh` — the walker axis
+    shards across its devices (walker count must divide evenly) and the
+    whole chain runs as one SPMD program; see :func:`_shard_walkers`.
     """
     log_prior = _resolve_log_prior(log_prior)
     lo, hi = _resolve_bounds(bounds)
@@ -715,12 +756,13 @@ def sample_mh(
     mid = (lo + hi) / 2.0
     key = jax.random.key(seed)
     k_init, k_warm, k_run = jax.random.split(key, 3)
-    x = (
+    x = _shard_walkers(
         # initialization (not part of the chain): pull stray rows into
         # the box so every walker starts on the target's support
         jnp.clip(jnp.asarray(x0, jnp.float32), lo, hi)
         if x0 is not None
-        else _init_walkers(k_init, n_walkers, lo, hi)
+        else _init_walkers(k_init, n_walkers, lo, hi),
+        mesh,
     )
 
     def mh_step(x, lp, mult, k):
@@ -811,6 +853,7 @@ def sample_ensemble(
     seed: int = 0,
     x0=None,
     log_prior=None,
+    mesh=None,
 ) -> SampleResult:
     """Affine-invariant ensemble sampler (Goodman & Weare 2010 stretch
     move — the algorithm behind emcee), entirely on device.
@@ -840,7 +883,9 @@ def sample_ensemble(
     ``step_size`` field reports the stretch scale ``a``.
     ``log_prior``: optional log-density added to the target (see
     :func:`sample_mh`); affine invariance is unaffected — the prior is
-    part of the target, not the move.
+    part of the target, not the move. ``mesh``: optional device mesh —
+    walkers shard across it (see :func:`sample_mh`); the cross-half
+    pairing gathers only the tiny ``(n_walkers/2, n_params)`` block.
     """
     log_prior = _resolve_log_prior(log_prior)
     lo, hi = _resolve_bounds(bounds)
@@ -857,12 +902,13 @@ def sample_ensemble(
     mid = (lo + hi) / 2.0
     key = jax.random.key(seed)
     k_init, k_warm, k_run = jax.random.split(key, 3)
-    x = (
+    x = _shard_walkers(
         # initialization (not part of the chain): pull stray rows into
         # the box so every walker starts on the target's support
         jnp.clip(jnp.asarray(x0, jnp.float32), lo, hi)
         if x0 is not None
-        else _init_walkers(k_init, n_walkers, lo, hi)
+        else _init_walkers(k_init, n_walkers, lo, hi),
+        mesh,
     )
     half = n_walkers // 2
 
@@ -953,6 +999,7 @@ def sample_hmc(
     jitter: bool = True,
     precondition: bool = True,
     log_prior=None,
+    mesh=None,
 ) -> SampleResult:
     """HMC ensemble over ``valgrad(params, raw) → (logL, dlogL/draw)``.
 
@@ -987,15 +1034,19 @@ def sample_hmc(
     parameters added to the target (see :func:`sample_mh` /
     :mod:`tpu21cmvae.priors`); its gradient enters the leapfrog force
     via autodiff, so it must be differentiable inside the box.
+    ``mesh``: optional device mesh — walkers shard across it (see
+    :func:`sample_mh`); the ensemble-statistics metric's cross-walker
+    std is the one (scalar-sized) collective per warmup phase.
     """
     lo, hi = _resolve_bounds(bounds)
     span = hi - lo
     key = jax.random.key(seed)
     k_init, k_warm, k_run = jax.random.split(key, 3)
-    x = (
+    x = _shard_walkers(
         jnp.asarray(x0, jnp.float32)
         if x0 is not None
-        else _init_walkers(k_init, n_walkers, lo, hi)
+        else _init_walkers(k_init, n_walkers, lo, hi),
+        mesh,
     )
     frac = jnp.clip((x - lo) / span, 1e-4, 1.0 - 1e-4)
     y = jnp.log(frac / (1.0 - frac))
