@@ -204,3 +204,18 @@ def test_ensemble_serves(ensemble, splits, obs):
         np.asarray(mix(ensemble.stacked_params, raw)),
         rtol=1e-4, atol=1e-3,
     )
+
+
+def test_posterior_predictive_mixture_widens(ensemble, splits):
+    """The ensemble's mixture predictive pools member predictions, so
+    its per-bin spread is at least any single member's (same samples);
+    the model-level method on a single member also round-trips."""
+    samples = np.asarray(splits.par_test[:32], np.float32)
+    band_e = ensemble.posterior_predictive(samples)
+    bands_m = [m.posterior_predictive(samples) for m in ensemble.members]
+    assert band_e.bands.shape == bands_m[0].bands.shape == (3, 451)
+    # law of total variance: pooled var = mean member var + between-
+    # member disagreement, so it dominates the AVERAGE member variance
+    mean_var = np.mean([b.std**2 for b in bands_m], axis=0)
+    assert (band_e.std**2 >= mean_var - 1e-6).all()
+    assert np.isfinite(band_e.bands).all()

@@ -534,3 +534,40 @@ def test_hmc_plain_path_still_exact(setup, splits):
     )
     assert res.final.shape == (64, 7)
     assert np.isfinite(res.logp).all() and res.step_size > 0
+
+
+def test_posterior_predictive_bands():
+    """Band statistics match analytic Gaussian propagation through a
+    linear 'emulator'; streaming in chunks is exact; noise widens."""
+    from tpu21cmvae.sampling import posterior_predictive
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(3, 11))
+    mu = np.array([1.0, -2.0, 0.5])
+    sig = np.array([0.3, 0.1, 0.2])
+    samples = mu + sig * rng.normal(size=(50_000, 3))
+
+    def predict(x):
+        return np.asarray(x) @ w
+
+    band = posterior_predictive(predict, samples)
+    np.testing.assert_allclose(band.mean, mu @ w, atol=0.02)
+    np.testing.assert_allclose(
+        band.std, np.sqrt(((sig[:, None] * w) ** 2).sum(0)), rtol=0.03
+    )
+    # default levels: (0.16, 0.5, 0.84) rows ascend; median ~ mean
+    assert (np.diff(band.bands, axis=0) > 0).all()
+    np.testing.assert_allclose(band.bands[1], band.mean, atol=0.03)
+    # the 68% band half-width of a Gaussian is ~1 std
+    np.testing.assert_allclose(
+        (band.bands[2] - band.bands[0]) / 2.0, band.std, rtol=0.05
+    )
+    # chunked streaming is exactly the single-batch result
+    band2 = posterior_predictive(predict, samples, max_batch=1777)
+    np.testing.assert_allclose(band2.bands, band.bands)
+    # observation noise widens every bin
+    bandn = posterior_predictive(predict, samples, noise_var=4.0, seed=1)
+    assert (bandn.std > band.std).all()
+    # a 1-D single sample row is accepted
+    one = posterior_predictive(predict, mu)
+    assert one.mean.shape == (11,)

@@ -49,10 +49,12 @@ from tpu21cmvae.ops.loglik import make_loglik, make_loglik_and_grad  # noqa: F40
 from tpu21cmvae.sampling import (  # noqa: F401
     EvidenceResult,
     FitResult,
+    PredictiveBand,
     SampleResult,
     fit_map,
     log_evidence,
     make_emcee_log_prob,
+    posterior_predictive,
     sample_ensemble,
     sample_hmc,
     sample_mh,

@@ -370,6 +370,14 @@ class AutoEncoderEmulator:
             bounds=bounds, **kwargs,
         )
 
+    def posterior_predictive(self, samples, **kwargs):
+        """Signal-space credible bands from posterior samples — same
+        contract as :meth:`DirectEmulator.posterior_predictive`
+        (:func:`tpu21cmvae.sampling.posterior_predictive`)."""
+        from tpu21cmvae.sampling import posterior_predictive
+
+        return posterior_predictive(self.predict, samples, **kwargs)
+
     def fit_params(self, obs, noise_var=1.0, *, bounds=None, **kwargs):
         """Maximum-likelihood parameter fit against this family's
         likelihood — same contract as :meth:`DirectEmulator.fit_params`

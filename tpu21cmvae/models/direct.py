@@ -393,6 +393,17 @@ class DirectEmulator:
         )
         return fit_map(valgrad, self.params, bounds=bounds, **kwargs)
 
+    def posterior_predictive(self, samples, **kwargs):
+        """Signal-space credible bands implied by posterior parameter
+        samples (``SampleResult.flat`` / ``NestedResult.posterior(n)``)
+        — the reconstructed-signal plot 21-cm analyses publish. See
+        :func:`tpu21cmvae.sampling.posterior_predictive` for the
+        ``quantiles`` / ``noise_var`` options; returns a
+        :class:`~tpu21cmvae.sampling.PredictiveBand`."""
+        from tpu21cmvae.sampling import posterior_predictive
+
+        return posterior_predictive(self.predict, samples, **kwargs)
+
     def fisher_fn(self, noise_var=1.0):
         """Jitted batched Fisher-matrix function ``(weights, thetas) →
         (n, 7, 7)`` (see :mod:`tpu21cmvae.ops.fisher`). Hold the result

@@ -339,6 +339,21 @@ class DeepEnsemble:
             return mean[0], std[0]
         return mean, std
 
+    def posterior_predictive(self, samples, **kwargs):
+        """MIXTURE posterior predictive: every member's prediction for
+        every posterior draw enters the pool, so the band carries the
+        emulation uncertainty on top of the parameter uncertainty —
+        consistent with the member-mixture likelihood the ensemble's
+        samplers target. Same options as
+        :meth:`DirectEmulator.posterior_predictive`."""
+        from tpu21cmvae.sampling import posterior_predictive
+
+        def pooled(raw):
+            preds = self.member_predictions(raw)  # (M, n, 451)
+            return preds.reshape(-1, preds.shape[-1])
+
+        return posterior_predictive(pooled, samples, **kwargs)
+
     # -- evaluation --------------------------------------------------------
 
     def test_error(self, relative: bool = True, flow=None, fhigh=None):
