@@ -292,6 +292,44 @@ print("(ratios > 1: the posterior widened by the emulation error; "
       "near 1: members agree there, the data sets the width)")
 """
 
+CELL_PRIOR_BAND = """\
+# External constraints + the reconstructed signal. One prior spec
+# (tpu21cmvae/priors.py) feeds the WHOLE stack: a smooth log-density
+# for the chain samplers / fitter (log_prior=...) and a unit-cube
+# transform for nested-sampling evidence (prior_transform=...) -- here
+# a Planck-style Gaussian on the optical depth tau. Then
+# posterior_predictive turns the flat chain into the per-bin credible
+# band of the emulated signal -- the reconstruction plot 21-cm
+# analyses publish.
+from tpu21cmvae import GaussianBoxPrior
+
+TAU = 3
+prior = GaussianBoxPrior.for_params(
+    {TAU: (float(truth[TAU]), 0.1 * float(truth[TAU]))}, bounds=bounds
+)
+res_con = model.sample_posterior(
+    obs, 25.0, sampler="mh", bounds=bounds, n_walkers=256,
+    n_steps=60 if FAST else 300, n_warmup=60 if FAST else 150,
+    thin=10, seed=3, log_prior=prior.log_prior,
+)
+print(f"tau posterior std: flat prior {res.flat[:, TAU].std():.4f} -> "
+      f"with the external constraint {res_con.flat[:, TAU].std():.4f}")
+
+band = model.posterior_predictive(res_con.flat)
+plt.figure(figsize=(7, 4))
+plt.fill_between(model.frequencies, band.bands[0], band.bands[2],
+                 alpha=0.35, label="68% credible band")
+plt.plot(model.frequencies, band.bands[1], label="posterior median")
+plt.plot(model.frequencies, model.predict(truth), "k--", lw=1,
+         label="true signal")
+plt.xlabel(r"$\\nu$ [MHz]")
+plt.ylabel(r"$\\delta T_b$ [mK]")
+plt.legend()
+plt.title("posterior-predictive signal reconstruction")
+plt.tight_layout()
+plt.show()
+"""
+
 MD_OUTRO = """\
 ## Where to go next
 
@@ -323,6 +361,7 @@ def build() -> nbf.NotebookNode:
         nbf.v4.new_code_cell(CELL_ENSEMBLE),
         nbf.v4.new_code_cell(CELL_SAMPLING),
         nbf.v4.new_code_cell(CELL_FIT_EVIDENCE),
+        nbf.v4.new_code_cell(CELL_PRIOR_BAND),
         nbf.v4.new_code_cell(CELL_MIXTURE),
         nbf.v4.new_markdown_cell(MD_OUTRO),
     ]
