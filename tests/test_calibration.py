@@ -1,0 +1,149 @@
+"""Stacked-observation inference + simulation-based calibration.
+
+The multi-observation likelihood must agree exactly with the single-
+observation one per block; batched sampling must reproduce per-
+observation posteriors; and SBC over the model's own forward model
+must come out calibrated (ranks uniform) — the end-to-end correctness
+certificate for the whole sampler+likelihood stack."""
+
+import numpy as np
+import pytest
+
+from tpu21cmvae.calibration import _ks_uniform_pvalue, sbc
+from tpu21cmvae.models.direct import DirectEmulator
+from tpu21cmvae.utils.config import DirectEmulatorConfig
+
+
+@pytest.fixture(scope="module")
+def model(splits):
+    return DirectEmulator(
+        splits, config=DirectEmulatorConfig(hidden_dims=(32,))
+    )
+
+
+@pytest.fixture(scope="module")
+def bounds(splits):
+    par = np.asarray(splits.par_train, np.float64)
+    lo, hi = par.min(0), par.max(0)
+    lo[:3] = np.maximum(lo[:3], 1e-6)
+    return np.stack([lo, hi], axis=1)
+
+
+def test_loglik_multi_matches_single(model, splits):
+    """Row o·W+w of the stacked likelihood == obs o's single-obs
+    likelihood on row w, for both methods."""
+    rng = np.random.default_rng(0)
+    obs_batch = model.predict(splits.par_test[:3]) + rng.normal(
+        0, 3.0, (3, 451)
+    )
+    raw = np.asarray(splits.par_test[:12], np.float32)  # 3 obs × 4 rows
+    for method in ("direct", "gram"):
+        multi = model.loglik_multi_fn(obs_batch, 25.0, method=method)
+        got = np.asarray(multi(model.params, raw)).reshape(3, 4)
+        for o in range(3):
+            single = model.loglik_fn(
+                obs_batch[o], 25.0, method=method
+            )
+            want = np.asarray(single(model.params, raw[o * 4:(o + 1) * 4]))
+            np.testing.assert_allclose(got[o], want, rtol=1e-5, atol=1e-3)
+    # per-bin shared noise accepted; per-obs noise rejected
+    model.loglik_multi_fn(obs_batch, np.full(451, 25.0))
+    with pytest.raises(ValueError, match="shared"):
+        model.loglik_multi_fn(obs_batch, np.full((3, 451), 25.0))
+    # non-dividing batches fail loudly
+    multi = model.loglik_multi_fn(obs_batch, 25.0)
+    with pytest.raises(ValueError, match="divide"):
+        multi(model.params, raw[:10])
+
+
+def test_loglik_and_grad_multi_matches_autodiff(model, splits):
+    import jax
+
+    rng = np.random.default_rng(1)
+    obs_batch = model.predict(splits.par_test[:2]) + rng.normal(
+        0, 3.0, (2, 451)
+    )
+    raw = np.asarray(splits.par_test[:8], np.float32)
+    from tpu21cmvae.ops.loglik import (
+        make_loglik_and_grad_multi,
+        make_loglik_multi,
+    )
+
+    vg = jax.jit(make_loglik_and_grad_multi(
+        model.config, model.normalizer, obs_batch, 25.0
+    ))
+    val, grad = vg(model.params, raw)
+    base = jax.jit(make_loglik_multi(
+        model.config, model.normalizer, obs_batch, 25.0
+    ))
+    want = np.asarray(base(model.params, raw))
+    np.testing.assert_allclose(np.asarray(val), want, rtol=1e-5, atol=1e-3)
+    assert grad.shape == (8, 7)
+    assert np.isfinite(np.asarray(grad)).all()
+
+
+def test_batched_sampling_matches_per_obs(model, splits, bounds):
+    """Two stacked observations sample the same posteriors their
+    individual runs do (moment agreement), and the result views
+    unstack consistently."""
+    rng = np.random.default_rng(2)
+    truths = np.asarray(splits.par_test[:2], np.float32)
+    obs_batch = model.predict(truths) + rng.normal(0, 5.0, (2, 451))
+    common = dict(n_steps=200, n_warmup=200, thin=5, bounds=bounds)
+    batch = model.sample_posterior_batch(
+        obs_batch, 25.0, sampler="mh", n_walkers=128, seed=0, **common
+    )
+    assert batch.chain.shape[1:] == (2, 128, 7)
+    assert batch.walkers_per_obs == 128
+    for o in range(2):
+        solo = model.sample_posterior(
+            obs_batch[o], 25.0, sampler="mh", n_walkers=128, seed=7,
+            **common,
+        )
+        got, want = batch.flat(o), solo.flat
+        span = bounds[:, 1] - bounds[:, 0]
+        # same posterior, different chains: means agree within a few
+        # multiples of the wider per-dim spread
+        tol = 4.0 * np.maximum(got.std(0), want.std(0)) / np.sqrt(50)
+        assert (np.abs(got.mean(0) - want.mean(0)) < tol + 0.02 * span).all()
+        # per_obs view is the same data as flat(o)
+        np.testing.assert_array_equal(
+            batch.per_obs(o).flat, got
+        )
+    with pytest.raises(ValueError, match="stretch"):
+        model.sample_posterior_batch(obs_batch, 25.0, sampler="ensemble")
+
+
+def test_batched_hmc_smoke(model, splits, bounds):
+    rng = np.random.default_rng(3)
+    obs_batch = model.predict(splits.par_test[:2]) + rng.normal(
+        0, 5.0, (2, 451)
+    )
+    batch = model.sample_posterior_batch(
+        obs_batch, 25.0, sampler="hmc", n_walkers=32, n_steps=30,
+        n_warmup=30, n_leapfrog=4, thin=5, bounds=bounds, seed=0,
+    )
+    assert batch.chain.shape[1:] == (2, 32, 7)
+    assert np.isfinite(batch.result.logp).all()
+
+
+def test_ks_uniform_pvalue():
+    rng = np.random.default_rng(4)
+    # uniform sample: large p; shifted sample: tiny p
+    assert _ks_uniform_pvalue(rng.uniform(size=500)) > 0.01
+    assert _ks_uniform_pvalue(rng.uniform(size=500) ** 3) < 1e-6
+
+
+def test_sbc_calibrated_on_own_forward_model(model, bounds):
+    """The full stack (uniform prior draws → forward model + noise →
+    batched MH posteriors → ranks) is calibrated: no parameter's rank
+    distribution rejects uniformity."""
+    res = sbc(
+        model, n_sims=96, n_walkers=64, n_steps=250, n_warmup=400,
+        thin=10, noise_var=25.0, bounds=bounds, seed=0,
+    )
+    assert res.ranks.shape == (96, 7)
+    assert (res.ranks >= 0).all() and (res.ranks <= 64).all()
+    # with 7 params at alpha=0.005 a calibrated run passes w.p. ~0.97
+    assert (res.pvalues > 0.005).all(), res.summary(model.par_labels)
+    assert "calibrated" in res.summary(model.par_labels)

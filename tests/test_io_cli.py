@@ -473,3 +473,24 @@ def test_cli_evidence(tmp_path, splits):
     assert np.isfinite(blob2["logz"])
     assert np.isfinite(blob2["logz_err"])
     assert blob2["posterior"].shape == (4096, 7)
+
+
+def test_cli_sbc(tmp_path, splits):
+    """`sbc` runs a small calibration study end to end and writes the
+    rank/p-value artifact."""
+    from tpu21cmvae.__main__ import main
+    from tpu21cmvae.models.direct import DirectEmulator
+    from tpu21cmvae.utils.config import DirectEmulatorConfig
+
+    model = DirectEmulator(
+        splits, config=DirectEmulatorConfig(hidden_dims=(16,))
+    )
+    ckpt = str(tmp_path / "m.npz")
+    model.save(ckpt)
+    out = str(tmp_path / "sbc.npz")
+    rc = main(["sbc", ckpt, "--sims", "24", "--walkers", "32",
+               "--steps", "60", "--warmup", "80", "--out", out])
+    blob = np.load(out)
+    assert blob["ranks"].shape == (24, 7)
+    assert blob["pvalues"].shape == (7,)
+    assert rc in (0, 1)  # verdict exit code, artifact either way

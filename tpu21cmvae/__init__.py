@@ -47,6 +47,7 @@ from tpu21cmvae.ops.transforms import (  # noqa: F401
 )
 from tpu21cmvae.ops.loglik import make_loglik, make_loglik_and_grad  # noqa: F401
 from tpu21cmvae.sampling import (  # noqa: F401
+    BatchSampleResult,
     EvidenceResult,
     FitResult,
     PredictiveBand,
@@ -61,6 +62,7 @@ from tpu21cmvae.sampling import (  # noqa: F401
 )
 from tpu21cmvae.nested import NestedResult, nested_sampling  # noqa: F401
 from tpu21cmvae.priors import GaussianBoxPrior  # noqa: F401
+from tpu21cmvae.calibration import SBCResult, sbc  # noqa: F401
 from tpu21cmvae.models.direct import DirectEmulator  # noqa: F401
 from tpu21cmvae.models.autoencoder import AutoEncoder, AutoEncoderEmulator  # noqa: F401
 from tpu21cmvae.models.vae import VAE, VAEEmulator  # noqa: F401

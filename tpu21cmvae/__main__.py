@@ -20,6 +20,9 @@ The reference has no CLI — every workflow lives in notebook cells
                for an observed spectrum; writes results as .npz
     evidence   on-device Bayesian evidence (stepping-stone over a
                parallel-tempering ladder) for model comparison
+    sbc        simulation-based calibration: hundreds of posteriors as
+               one stacked-observation chain program, rank-uniformity
+               verdict for the whole sampler+likelihood stack
 """
 
 from __future__ import annotations
@@ -292,6 +295,25 @@ def cmd_evidence(args):
     return 0
 
 
+def cmd_sbc(args):
+    from tpu21cmvae.calibration import sbc
+    from tpu21cmvae.models import load_model
+
+    model = load_model(args.model)
+    res = sbc(
+        model, n_sims=args.sims, n_walkers=args.walkers,
+        n_steps=args.steps, n_warmup=args.warmup,
+        noise_var=args.noise_var, seed=args.seed,
+    )
+    print(res.summary(getattr(model, "par_labels", None)))
+    np.savez_compressed(
+        args.out, ranks=res.ranks, pvalues=res.pvalues,
+        thetas=res.thetas, n_posterior=res.n_posterior,
+    )
+    print(f"wrote {args.out}")
+    return 0 if (res.pvalues > 0.005).all() else 1
+
+
 def cmd_verify(args):
     from tpu21cmvae.verify import format_report, run_verification, write_report
 
@@ -469,6 +491,23 @@ def main(argv=None):
     p.set_defaults(fn=cmd_evidence)
 
     p = sub.add_parser(
+        "sbc",
+        help="simulation-based calibration of the sampler+likelihood "
+             "stack against the model's own forward model (rank "
+             "uniformity; exit 1 if any parameter rejects)",
+    )
+    p.add_argument("model")
+    p.add_argument("--sims", type=int, default=128)
+    p.add_argument("--walkers", type=int, default=64,
+                   help="per simulation; sets the rank resolution")
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--warmup", type=int, default=400)
+    p.add_argument("--noise-var", type=float, default=25.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="sbc.npz")
+    p.set_defaults(fn=cmd_sbc)
+
+    p = sub.add_parser(
         "verify",
         help="run the accuracy-contract battery (golden numbers + "
              "batched-vs-single + band checks) and write a report",
@@ -495,7 +534,7 @@ def main(argv=None):
     p.set_defaults(fn=cmd_tune)
 
     args = ap.parse_args(argv)
-    args.fn(args)
+    return args.fn(args)
 
 
 if __name__ == "__main__":

@@ -266,6 +266,87 @@ class DirectEmulator:
             )
         )
 
+    def loglik_multi_fn(self, obs_batch, noise_var=1.0, *, method="gram",
+                        precision=None):
+        """Jitted stacked-observation likelihood ``(weights,
+        (O·W, 7)) → (O·W,)`` — ``O`` observations scored in one device
+        call, observation-major rows (see
+        :func:`tpu21cmvae.ops.loglik.make_loglik_multi`; the gram
+        structure is shared across observations). Powers
+        :meth:`sample_posterior_batch` and SBC
+        (:mod:`tpu21cmvae.calibration`)."""
+        from tpu21cmvae.ops.loglik import make_loglik_multi
+
+        return jax.jit(make_loglik_multi(
+            self.config, self.normalizer, obs_batch, noise_var,
+            method=method, precision=precision,
+        ))
+
+    def sample_posterior_batch(
+        self,
+        obs_batch,
+        noise_var=1.0,
+        *,
+        sampler: str = "mh",
+        n_walkers: int = 256,
+        bounds=None,
+        method: str = "gram",
+        precision=None,
+        **kwargs,
+    ):
+        """Posteriors for ``O`` observed spectra as ONE device program —
+        survey-scale inference. Walkers for every observation stack
+        observation-major into one ``(O · n_walkers)`` batch, so each
+        chain step is a single mega-batch likelihood call (the MXU-
+        saturating shape; per-observation sequential runs waste the
+        chip at small walker counts). ``n_walkers`` is PER OBSERVATION.
+        Returns a :class:`~tpu21cmvae.sampling.BatchSampleResult`.
+
+        ``sampler``: ``"mh"`` (default) or ``"hmc"`` — the stretch move
+        is refused here because its cross-walker pairing would propose
+        across observations (valid but mixing-hostile). Adaptation
+        scalars are shared across observations (aggregate acceptance);
+        per-observation step tuning matters only when the posteriors'
+        scales differ wildly — split such surveys into groups.
+        ``kwargs`` forward to the sampler (``mesh=`` shards the stacked
+        walker axis; keep ``O · n_walkers`` divisible by the mesh).
+        """
+        from tpu21cmvae.sampling import (
+            BatchSampleResult,
+            sample_hmc,
+            sample_mh,
+        )
+
+        obs_batch = np.atleast_2d(np.asarray(obs_batch, np.float32))
+        n_obs = obs_batch.shape[0]
+        total = n_obs * n_walkers
+        if sampler == "mh":
+            loglik = self.loglik_multi_fn(
+                obs_batch, noise_var, method=method, precision=precision
+            )
+            res = sample_mh(
+                loglik, self.params, n_walkers=total, bounds=bounds,
+                **kwargs,
+            )
+        elif sampler == "hmc":
+            from tpu21cmvae.ops.loglik import make_loglik_and_grad_multi
+
+            valgrad = jax.jit(make_loglik_and_grad_multi(
+                self.config, self.normalizer, obs_batch, noise_var,
+                method=method, precision=precision,
+            ))
+            res = sample_hmc(
+                valgrad, self.params, n_walkers=total, bounds=bounds,
+                **kwargs,
+            )
+        else:
+            raise ValueError(
+                "sampler must be 'mh' or 'hmc' for batched observations "
+                f"(the stretch move pairs across observations); got "
+                f"{sampler!r}"
+            )
+        return BatchSampleResult(n_obs=n_obs, result=res)
+
     def sample_posterior(
         self,
         obs,

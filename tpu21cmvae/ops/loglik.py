@@ -218,6 +218,169 @@ def make_loglik(
     return loglik
 
 
+def make_loglik_multi(
+    config: DirectEmulatorConfig,
+    norm: Normalizer,
+    obs_batch,
+    noise_var=1.0,
+    *,
+    method: str = "gram",
+    precision=None,
+):
+    """Stacked-observation likelihood: ``fn(params, raw (O·W, P)) →
+    (O·W,)`` where row ``o·W + w`` scores against ``obs_batch[o]`` —
+    survey-scale inference (many observed spectra) as ONE device
+    program. ``W`` is inferred from the batch (rows must be
+    observation-major and divide evenly by ``O``), so the SAME sampler
+    machinery (:func:`tpu21cmvae.sampling.sample_mh` /
+    :func:`~tpu21cmvae.sampling.sample_hmc`) runs ``O`` independent
+    posteriors at once — walkers for every observation advance in each
+    fused likelihood batch, exactly the mega-batch shape the MXU wants
+    (:meth:`DirectEmulator.sample_posterior_batch` wraps this; SBC in
+    :mod:`tpu21cmvae.calibration` is built on it).
+
+    ``obs_batch``: (O, n_bins) observed signals in mK. ``noise_var``:
+    scalar or per-bin (n_bins,) variance SHARED across observations
+    (per-observation noise would break the shared gram form — score
+    heterogeneous-noise surveys in groups). ``method="gram"`` keeps the
+    single-observation speed structure: ``G = WWᵀ`` and the trunk are
+    observation-independent (computed once), only the tiny ``u``/``c``
+    constants become per-observation rows. Precision semantics match
+    :func:`make_loglik`.
+    """
+    if method not in ("direct", "gram"):
+        raise ValueError(f"method must be 'direct' or 'gram'; got {method!r}")
+    obs_batch = jnp.atleast_2d(jnp.asarray(obs_batch, jnp.float32))
+    n_obs = int(obs_batch.shape[0])
+    if obs_batch.shape[1] != config.n_bins:
+        raise ValueError(
+            f"obs_batch must be (O, {config.n_bins}); got {obs_batch.shape}"
+        )
+    nv = jnp.asarray(noise_var, jnp.float32)
+    if nv.ndim > 1 or (nv.ndim == 1 and nv.shape[0] != config.n_bins):
+        raise ValueError(
+            "noise_var must be a scalar or a per-bin (n_bins,) vector "
+            f"shared across observations; got shape {nv.shape}"
+        )
+    from tpu21cmvae.ops.pallas.fused_mlp import resolve_precision
+
+    if isinstance(precision, str) and precision.lower().replace("_", "-") in (
+        "high-stacked",
+        "high-split",
+    ):
+        precision = "high"
+    precision = resolve_precision(
+        jax.lax.Precision.HIGH if precision is None else precision
+    )
+
+    def _rows_per_obs(raw):
+        b = raw.shape[0]
+        if b % n_obs:
+            raise ValueError(
+                f"batch of {b} rows does not divide across {n_obs} "
+                "observations; pass observation-major rows, W per obs"
+            )
+        return b // n_obs
+
+    if method == "direct":
+        invvar = jnp.broadcast_to(1.0 / nv, (config.n_bins,))
+        activation = config.activation
+
+        def loglik_direct(params, raw_params):
+            raw = jnp.atleast_2d(raw_params.astype(jnp.float32))
+            w = _rows_per_obs(raw)
+            x = par_transform(raw, norm)
+            pred = unpreproc(
+                mlp_apply(params, x, activation, precision=precision), norm
+            )
+            r = pred.reshape(n_obs, w, config.n_bins) - obs_batch[:, None, :]
+            return (-0.5 * jnp.sum(r * r * invvar, axis=-1)).reshape(-1)
+
+        return loglik_direct
+
+    from tpu21cmvae.ops.mlp import (
+        SKINNY_DENSE_MAX_IN,
+        resolve_activation,
+        skinny_dense,
+    )
+    from tpu21cmvae.ops.pallas.fused_loglik import (
+        fold_loglik_constants,
+        noise_scale,
+    )
+    from tpu21cmvae.ops.pallas.fused_mlp import _log_clamp
+
+    scale = noise_scale(nv, config.n_bins)
+    act = resolve_activation(config.activation)
+    hp = jax.lax.Precision.HIGHEST
+
+    def _constants(params):
+        # one fold at obs=0 gives the shared trunk and scaled last
+        # layer (Wₛ, b₀); G = Wₛ Wₛᵀ is observation-independent, and
+        # each observation only shifts the folded bias (b_o = b₀ −
+        # obs_o·scale), so the gram constants vectorize exactly:
+        # u_o = Wₛ b_o, c_o = b_o·b_o — tiny (O, hidden) rows.
+        folded = fold_loglik_constants(
+            params, norm, jnp.zeros((config.n_bins,), jnp.float32), scale
+        )
+        *trunk, last = folded
+        w_s, b0 = last["w"], last["b"]
+        G = jnp.matmul(w_s, w_s.T, precision=hp)
+        b_all = b0 - obs_batch * scale  # (O, n_bins)
+        u_all = jnp.matmul(b_all, w_s.T, precision=hp)  # (O, hidden)
+        c_all = jnp.sum(b_all * b_all, axis=-1)  # (O,)
+        return tuple(trunk), G, u_all, c_all
+
+    def loglik_gram(params, raw_params):
+        raw = jnp.atleast_2d(raw_params.astype(jnp.float32))
+        w_rows = _rows_per_obs(raw)
+        trunk, G, u_all, c_all = _constants(params)
+        h = _log_clamp(raw)
+        for i, layer in enumerate(trunk):
+            if i == 0 and layer["w"].shape[0] <= SKINNY_DENSE_MAX_IN:
+                h = skinny_dense(h, layer["w"], layer["b"])
+            else:
+                h = jnp.matmul(h, layer["w"], precision=precision) + layer["b"]
+            h = act(h)
+        g1 = jnp.matmul(h, G, precision=precision)  # shared across obs
+        hh = h.reshape(n_obs, w_rows, -1)
+        gg = g1.reshape(n_obs, w_rows, -1)
+        quad = jnp.sum(
+            (gg + 2.0 * u_all[:, None, :]) * hh, axis=-1
+        ) + c_all[:, None]
+        return (-0.5 * quad).reshape(-1)
+
+    return loglik_gram
+
+
+def make_loglik_and_grad_multi(
+    config: DirectEmulatorConfig,
+    norm: Normalizer,
+    obs_batch,
+    noise_var=1.0,
+    *,
+    method: str = "gram",
+    precision=None,
+):
+    """Value + per-row gradient companion of :func:`make_loglik_multi`
+    — the stacked-observation HMC inner loop, ``(params, (O·W, P)) →
+    ((O·W,), (O·W, P))``. Autodiff with a ones-cotangent VJP: every
+    row's logL depends only on its own row (the observation pairing is
+    a static reshape), so the block-diagonal Jacobian collapses to the
+    per-row gradient in one backward pass."""
+    base = make_loglik_multi(
+        config, norm, obs_batch, noise_var, method=method,
+        precision=precision,
+    )
+
+    def loglik_and_grad(params, raw_params):
+        raw = jnp.atleast_2d(jnp.asarray(raw_params, jnp.float32))
+        val, vjp = jax.vjp(lambda r: base(params, r), raw)
+        (g,) = vjp(jnp.ones_like(val))
+        return val, g
+
+    return loglik_and_grad
+
+
 def make_loglik_and_grad(
     config: DirectEmulatorConfig,
     norm: Normalizer,

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "BatchSampleResult",
     "EvidenceResult",
     "FitResult",
     "PredictiveBand",
@@ -144,6 +145,50 @@ class SampleResult:
         return (
             f"accept rate {float(np.mean(self.accept_rate)):.2f}, "
             f"step {self.step_size:.3g}\n" + "\n".join(lines)
+        )
+
+
+@dataclasses.dataclass
+class BatchSampleResult:
+    """``O`` independent posteriors sampled by ONE chain program over a
+    stacked-observation likelihood
+    (:func:`tpu21cmvae.ops.loglik.make_loglik_multi`;
+    :meth:`DirectEmulator.sample_posterior_batch`).
+
+    ``result`` is the underlying :class:`SampleResult` with the walker
+    axis stacked observation-major (``O · walkers_per_obs`` rows); the
+    views below unstack it. Note the adaptation scalars (MH scale / HMC
+    step) were shared across observations — valid MCMC for each target,
+    tuned for their aggregate acceptance."""
+
+    n_obs: int
+    result: SampleResult
+
+    @property
+    def walkers_per_obs(self) -> int:
+        return self.result.final.shape[0] // self.n_obs
+
+    @property
+    def chain(self) -> np.ndarray:
+        """(n_kept, O, walkers_per_obs, n_params)."""
+        k, _, p = self.result.chain.shape
+        return self.result.chain.reshape(k, self.n_obs, -1, p)
+
+    def flat(self, i: int) -> np.ndarray:
+        """Observation ``i``'s samples, ``(n_kept · W, n_params)``."""
+        return self.chain[:, i].reshape(-1, self.result.chain.shape[-1])
+
+    def per_obs(self, i: int) -> SampleResult:
+        """Observation ``i``'s chain as a standalone
+        :class:`SampleResult` (R̂/ESS/summary work per observation)."""
+        w = self.walkers_per_obs
+        sl = slice(i * w, (i + 1) * w)
+        return SampleResult(
+            chain=self.result.chain[:, sl],
+            final=self.result.final[sl],
+            logp=self.result.logp[sl],
+            accept_rate=self.result.accept_rate,
+            step_size=self.result.step_size,
         )
 
 
