@@ -147,3 +147,83 @@ def test_sbc_calibrated_on_own_forward_model(model, bounds):
     # with 7 params at alpha=0.005 a calibrated run passes w.p. ~0.97
     assert (res.pvalues > 0.005).all(), res.summary(model.par_labels)
     assert "calibrated" in res.summary(model.par_labels)
+
+
+def test_two_stage_family_batched_sampling(splits, bounds):
+    """The AE family's sample_posterior_batch runs over the generic
+    stacked-observation likelihood, and its multi loglik matches the
+    single-observation one per block."""
+    import jax
+
+    from tpu21cmvae.models.autoencoder import AutoEncoderEmulator
+    from tpu21cmvae.ops.loglik import make_loglik_multi_from_predict
+    from tpu21cmvae.utils.config import AutoEncoderConfig
+
+    ae = AutoEncoderEmulator(
+        splits,
+        config=AutoEncoderConfig(
+            latent_dim=4, enc_hidden_dims=(16,), dec_hidden_dims=(16,),
+            em_hidden_dims=(16,),
+        ),
+    )
+    rng = np.random.default_rng(5)
+    obs_batch = np.atleast_2d(ae.predict(splits.par_test[:2])) + rng.normal(
+        0, 3.0, (2, 451)
+    )
+    multi = jax.jit(make_loglik_multi_from_predict(
+        ae.predict_fn(), obs_batch, 25.0
+    ))
+    raw = np.asarray(splits.par_test[:8], np.float32)
+    got = np.asarray(multi(ae.params, raw)).reshape(2, 4)
+    for o in range(2):
+        want = np.asarray(
+            ae.loglik_fn(obs_batch[o], 25.0)(ae.params, raw[o * 4:(o + 1) * 4])
+        )
+        np.testing.assert_allclose(got[o], want, rtol=1e-5, atol=1e-3)
+    batch = ae.sample_posterior_batch(
+        obs_batch, 25.0, sampler="hmc", n_walkers=16, n_steps=20,
+        n_warmup=20, n_leapfrog=4, thin=5, bounds=bounds, seed=0,
+    )
+    assert batch.chain.shape[1:] == (2, 16, 7)
+    assert np.isfinite(batch.result.logp).all()
+
+
+def test_ensemble_batched_mixture(splits, bounds):
+    """The ensemble's batched mixture equals logmeanexp of the members'
+    stacked likelihoods, and the batched chain runs."""
+    import jax
+
+    from tpu21cmvae.models.ensemble import DeepEnsemble
+    from tpu21cmvae.ops.loglik import make_loglik_multi
+
+    members = [
+        DirectEmulator(splits, config=DirectEmulatorConfig(hidden_dims=(32,)),
+                       seed=s)
+        for s in (0, 1)
+    ]
+    ens = DeepEnsemble(members)
+    rng = np.random.default_rng(6)
+    obs_batch = np.atleast_2d(ens.predict(splits.par_test[:2])) + rng.normal(
+        0, 3.0, (2, 451)
+    )
+    raw = np.asarray(splits.par_test[:8], np.float32)
+    member_ll = jax.jit(make_loglik_multi(
+        ens.config, ens.normalizer, obs_batch, 25.0
+    ))
+    per_member = np.stack([
+        np.asarray(member_ll(m.params, raw)) for m in members
+    ])
+    want = np.log(np.exp(per_member - per_member.max(0)).mean(0)) + \
+        per_member.max(0)
+    batch = ens.sample_posterior_batch(
+        obs_batch, 25.0, sampler="mh", n_walkers=16, n_steps=20,
+        n_warmup=20, thin=5, bounds=bounds, seed=0,
+    )
+    assert batch.chain.shape[1:] == (2, 16, 7)
+    # check the mixture values through the builder used by the chain
+    got = np.asarray(
+        jax.jit(lambda s, r: ens.loglik_fn(obs_batch[0], 25.0)(s, r))(
+            ens.stacked_params, raw[:4]
+        )
+    )
+    np.testing.assert_allclose(got, want[:4], rtol=1e-4, atol=1e-2)

@@ -370,6 +370,36 @@ class AutoEncoderEmulator:
             bounds=bounds, **kwargs,
         )
 
+    def sample_posterior_batch(
+        self, obs_batch, noise_var=1.0, *, sampler: str = "mh",
+        n_walkers: int = 256, bounds=None, **kwargs,
+    ):
+        """Posteriors for ``O`` observed spectra as ONE device program
+        over this family's em→decoder likelihood — same contract as
+        :meth:`DirectEmulator.sample_posterior_batch` (``n_walkers`` is
+        per observation; MH/HMC only). Built on the generic
+        stacked-observation likelihood
+        (:func:`tpu21cmvae.ops.loglik.make_loglik_multi_from_predict`).
+        """
+        import numpy as np
+
+        from tpu21cmvae.ops.loglik import (
+            make_loglik_multi_from_predict,
+            per_row_grad,
+        )
+        from tpu21cmvae.sampling import run_batched_chain
+
+        obs_batch = np.atleast_2d(np.asarray(obs_batch, np.float32))
+        base = make_loglik_multi_from_predict(
+            self.predict_fn(), obs_batch, noise_var
+        )
+        return run_batched_chain(
+            sampler, self.params, obs_batch.shape[0], n_walkers,
+            loglik_builder=lambda: jax.jit(base),
+            valgrad_builder=lambda: jax.jit(per_row_grad(base)),
+            bounds=bounds, **kwargs,
+        )
+
     def posterior_predictive(self, samples, **kwargs):
         """Signal-space credible bands from posterior samples — same
         contract as :meth:`DirectEmulator.posterior_predictive`

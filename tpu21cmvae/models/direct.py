@@ -311,41 +311,26 @@ class DirectEmulator:
         ``kwargs`` forward to the sampler (``mesh=`` shards the stacked
         walker axis; keep ``O · n_walkers`` divisible by the mesh).
         """
-        from tpu21cmvae.sampling import (
-            BatchSampleResult,
-            sample_hmc,
-            sample_mh,
-        )
+        from tpu21cmvae.sampling import run_batched_chain
 
         obs_batch = np.atleast_2d(np.asarray(obs_batch, np.float32))
-        n_obs = obs_batch.shape[0]
-        total = n_obs * n_walkers
-        if sampler == "mh":
-            loglik = self.loglik_multi_fn(
-                obs_batch, noise_var, method=method, precision=precision
-            )
-            res = sample_mh(
-                loglik, self.params, n_walkers=total, bounds=bounds,
-                **kwargs,
-            )
-        elif sampler == "hmc":
+
+        def valgrad_builder():
             from tpu21cmvae.ops.loglik import make_loglik_and_grad_multi
 
-            valgrad = jax.jit(make_loglik_and_grad_multi(
+            return jax.jit(make_loglik_and_grad_multi(
                 self.config, self.normalizer, obs_batch, noise_var,
                 method=method, precision=precision,
             ))
-            res = sample_hmc(
-                valgrad, self.params, n_walkers=total, bounds=bounds,
-                **kwargs,
-            )
-        else:
-            raise ValueError(
-                "sampler must be 'mh' or 'hmc' for batched observations "
-                f"(the stretch move pairs across observations); got "
-                f"{sampler!r}"
-            )
-        return BatchSampleResult(n_obs=n_obs, result=res)
+
+        return run_batched_chain(
+            sampler, self.params, obs_batch.shape[0], n_walkers,
+            loglik_builder=lambda: self.loglik_multi_fn(
+                obs_batch, noise_var, method=method, precision=precision
+            ),
+            valgrad_builder=valgrad_builder,
+            bounds=bounds, **kwargs,
+        )
 
     def sample_posterior(
         self,

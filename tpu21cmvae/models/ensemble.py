@@ -317,6 +317,62 @@ class DeepEnsemble:
             bounds=bounds, **kwargs,
         )
 
+    def sample_posterior_batch(
+        self, obs_batch, noise_var=1.0, *, sampler: str = "mh",
+        n_walkers: int = 256, bounds=None, method: str = "gram",
+        precision=None, **kwargs,
+    ):
+        """Posteriors for ``O`` observed spectra under the member-
+        MIXTURE likelihood as ONE device program — same contract as
+        :meth:`DirectEmulator.sample_posterior_batch` (``n_walkers``
+        per observation; MH/HMC only). The member axis rides a vmap
+        over the stacked-observation likelihood, so each chain step is
+        one (M·O·W)-row fused batch."""
+        from tpu21cmvae.ops.loglik import (
+            make_loglik_and_grad_multi,
+            make_loglik_multi,
+        )
+        from tpu21cmvae.sampling import run_batched_chain
+
+        obs_batch = np.atleast_2d(np.asarray(obs_batch, np.float32))
+        log_m = float(np.log(len(self.members)))
+
+        def loglik_builder():
+            member = make_loglik_multi(
+                self.config, self.normalizer, obs_batch, noise_var,
+                method=method, precision=precision,
+            )
+            vll = jax.vmap(member, in_axes=(0, None))
+
+            def mixture(stacked, raw):
+                return jax.scipy.special.logsumexp(
+                    vll(stacked, raw), axis=0
+                ) - log_m
+
+            return jax.jit(mixture)
+
+        def valgrad_builder():
+            member = make_loglik_and_grad_multi(
+                self.config, self.normalizer, obs_batch, noise_var,
+                method=method, precision=precision,
+            )
+            vvg = jax.vmap(member, in_axes=(0, None))
+
+            def mixture_vg(stacked, raw):
+                lm, gm = vvg(stacked, raw)
+                val = jax.scipy.special.logsumexp(lm, axis=0) - log_m
+                w = jax.nn.softmax(lm, axis=0)
+                return val, jnp.sum(w[..., None] * gm, axis=0)
+
+            return jax.jit(mixture_vg)
+
+        return run_batched_chain(
+            sampler, self.stacked_params, obs_batch.shape[0], n_walkers,
+            loglik_builder=loglik_builder,
+            valgrad_builder=valgrad_builder,
+            bounds=bounds, **kwargs,
+        )
+
     def member_predictions(self, params) -> np.ndarray:
         """(n_members, n, 451) raw member signals for a parameter batch."""
         raw = jnp.atleast_2d(jnp.asarray(params, jnp.float32))

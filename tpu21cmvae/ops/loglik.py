@@ -218,6 +218,55 @@ def make_loglik(
     return loglik
 
 
+def make_loglik_multi_from_predict(predict_fn, obs_batch, noise_var=1.0):
+    """Stacked-observation companion of :func:`make_loglik_from_predict`
+    for ANY ``(weights, raw) → signals`` prediction function — the
+    two-stage families' (:class:`AutoEncoderEmulator` /
+    :class:`VAEEmulator`) batched-survey path. Row ``o·W + w`` of the
+    observation-major batch scores against ``obs_batch[o]``; ``W`` is
+    inferred per call (see :func:`make_loglik_multi`). ``noise_var``:
+    scalar or per-bin vector shared across observations."""
+    obs_batch = jnp.atleast_2d(jnp.asarray(obs_batch, jnp.float32))
+    n_obs = int(obs_batch.shape[0])
+    nv = jnp.asarray(noise_var, jnp.float32)
+    if nv.ndim > 1 or (nv.ndim == 1 and nv.shape != obs_batch.shape[1:]):
+        raise ValueError(
+            "noise_var must be a scalar or per-bin vector shared across "
+            f"observations; got shape {nv.shape}"
+        )
+    invvar = 1.0 / jnp.broadcast_to(nv, obs_batch.shape[1:])
+
+    def loglik(weights, raw_params):
+        raw = jnp.atleast_2d(jnp.asarray(raw_params, jnp.float32))
+        if raw.shape[0] % n_obs:
+            raise ValueError(
+                f"batch of {raw.shape[0]} rows does not divide across "
+                f"{n_obs} observations"
+            )
+        w = raw.shape[0] // n_obs
+        pred = predict_fn(weights, raw)
+        r = pred.reshape(n_obs, w, -1) - obs_batch[:, None, :]
+        return (-0.5 * jnp.sum(r * r * invvar, axis=-1)).reshape(-1)
+
+    return loglik
+
+
+def per_row_grad(loglik):
+    """Wrap a batched ``(weights, raw) → (B,)`` likelihood as
+    ``(weights, raw) → ((B,), (B, P))`` via a ones-cotangent VJP —
+    exact whenever each row's value depends only on its own row (true
+    for every likelihood in this module: observation pairing is a
+    static reshape, never a cross-row reduction)."""
+
+    def loglik_and_grad(weights, raw_params):
+        raw = jnp.atleast_2d(jnp.asarray(raw_params, jnp.float32))
+        val, vjp = jax.vjp(lambda r: loglik(weights, r), raw)
+        (g,) = vjp(jnp.ones_like(val))
+        return val, g
+
+    return loglik_and_grad
+
+
 def make_loglik_multi(
     config: DirectEmulatorConfig,
     norm: Normalizer,

@@ -53,6 +53,7 @@ __all__ = [
     "log_evidence",
     "make_emcee_log_prob",
     "posterior_predictive",
+    "run_batched_chain",
     "sample_ensemble",
     "sample_hmc",
     "sample_mh",
@@ -190,6 +191,44 @@ class BatchSampleResult:
             accept_rate=self.result.accept_rate,
             step_size=self.result.step_size,
         )
+
+
+def run_batched_chain(
+    sampler: str,
+    params,
+    n_obs: int,
+    n_walkers: int,
+    *,
+    loglik_builder=None,
+    valgrad_builder=None,
+    bounds=None,
+    **kwargs,
+) -> BatchSampleResult:
+    """Shared dispatcher behind every family's
+    ``sample_posterior_batch``: run ``n_obs`` posteriors' walkers
+    (``n_walkers`` each, observation-major) through ONE
+    :func:`sample_mh` / :func:`sample_hmc` program over a
+    stacked-observation likelihood. The builders are lazy so only the
+    needed program is constructed. The stretch move is refused: its
+    cross-walker pairing would propose across observations (valid
+    MCMC — the complementary walker is a fixed proposal parameter —
+    but mixing-hostile, each proposal shaped by the wrong posterior).
+    """
+    total = n_obs * n_walkers
+    if sampler == "mh":
+        return BatchSampleResult(n_obs=n_obs, result=sample_mh(
+            loglik_builder(), params, n_walkers=total, bounds=bounds,
+            **kwargs,
+        ))
+    if sampler == "hmc":
+        return BatchSampleResult(n_obs=n_obs, result=sample_hmc(
+            valgrad_builder(), params, n_walkers=total, bounds=bounds,
+            **kwargs,
+        ))
+    raise ValueError(
+        "sampler must be 'mh' or 'hmc' for batched observations (the "
+        f"stretch move pairs across observations); got {sampler!r}"
+    )
 
 
 def _resolve_bounds(bounds) -> Tuple[jnp.ndarray, jnp.ndarray]:
