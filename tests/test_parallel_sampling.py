@@ -141,3 +141,19 @@ def test_model_level_mesh_passthrough(splits, mesh):
         seed=0, mesh=mesh,
     )
     assert np.isfinite(ev.logz)
+
+
+def test_pt_sharded_moments_and_evidence_free_swaps(mesh):
+    from tpu21cmvae.sampling import sample_pt
+
+    res = sample_pt(
+        normalized_loglik, None, n_rungs=16, n_walkers=128, n_steps=400,
+        n_warmup=200, thin=5, bounds=BOUNDS, seed=0, mesh=mesh,
+    )
+    _check_moments(res.flat, 400)
+    assert res.swap_rate.shape == (15,)
+    with pytest.raises(ValueError, match="divide"):
+        sample_pt(
+            normalized_loglik, None, n_rungs=9, n_walkers=64, n_steps=10,
+            n_warmup=5, bounds=BOUNDS, mesh=mesh,
+        )

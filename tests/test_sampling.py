@@ -571,3 +571,157 @@ def test_posterior_predictive_bands():
     # a 1-D single sample row is accepted
     one = posterior_predictive(predict, mu)
     assert one.mean.shape == (11,)
+
+
+def test_pt_recovers_mode_weights_where_mh_cannot():
+    """An 80/20 bimodal target with well-separated modes: every plain-MH
+    walker stays in its initialization basin (mass split frozen at the
+    ~50/50 of uniform init), while parallel tempering's replica exchange
+    transports states across the barrier and recovers the true split.
+    Exactness + diagnostics of the PT cold chain are also checked."""
+    from tpu21cmvae.sampling import sample_mh, sample_pt
+
+    # two sharp 1-D Gaussians at +/-3, sigma 0.1, weights 0.8/0.2 —
+    # a ~400-sigma barrier no local proposal crosses
+    mu_a, mu_b, sig, w_a = -3.0, 3.0, 0.1, 0.8
+    bounds = np.array([[-6.0, 6.0]])
+
+    import jax.numpy as jnp
+
+    def loglik(params, x):
+        x = jnp.asarray(x)[..., 0]
+        la = jnp.log(w_a) - 0.5 * ((x - mu_a) / sig) ** 2
+        lb = jnp.log(1 - w_a) - 0.5 * ((x - mu_b) / sig) ** 2
+        return jnp.logaddexp(la, lb)
+
+    common = dict(n_walkers=512, n_steps=600, n_warmup=400, thin=10,
+                  bounds=bounds, seed=0)
+    mh = sample_mh(loglik, None, **common)
+    frac_mh = float((mh.flat[:, 0] < 0).mean())
+    # frozen at the init split: far from 0.8
+    assert abs(frac_mh - 0.5) < 0.1, frac_mh
+
+    pt = sample_pt(loglik, None, n_rungs=16, **common)
+    frac_pt = float((pt.flat[:, 0] < 0).mean())
+    assert abs(frac_pt - w_a) < 0.05, frac_pt
+    # within-mode geometry is exact too
+    in_a = pt.flat[pt.flat[:, 0] < 0, 0]
+    assert abs(in_a.mean() - mu_a) < 0.02
+    assert abs(in_a.std() - sig) < 0.02
+    # diagnostics present: ladder + per-edge swap rates that actually
+    # exchanged states
+    assert pt.betas.shape == (16,) and pt.betas[-1] == 1.0
+    assert pt.swap_rate.shape == (15,)
+    assert pt.swap_rate.min() > 0.05
+
+
+def test_model_level_pt(splits):
+    """sampler="pt" dispatches through sample_posterior on a real
+    emulator likelihood."""
+    em = DirectEmulator(splits, config=DirectEmulatorConfig(hidden_dims=(16,)))
+    obs = em.predict(splits.par_test[0])
+    par = np.asarray(splits.par_train, np.float64)
+    lo, hi = par.min(0), par.max(0)
+    lo[:3] = np.maximum(lo[:3], 1e-6)
+    bounds = np.stack([lo, hi], axis=1)
+    res = em.sample_posterior(
+        obs, 25.0, sampler="pt", bounds=bounds, n_rungs=8, n_walkers=32,
+        n_steps=40, n_warmup=40, thin=10, seed=0,
+    )
+    assert res.chain.shape[1:] == (32, 7)
+    assert np.isfinite(res.logp).all()
+    assert res.swap_rate.shape == (7,)
+
+
+def test_chain_program_cache_no_retrace():
+    """Repeated sample_mh / sample_hmc calls with the same statics
+    reuse ONE traced program (the per-closure chain cache) — different
+    seeds and different WEIGHTS included; changing a static (bounds,
+    step_frac, prior) builds a fresh program."""
+    import jax.numpy as jnp
+
+    from tpu21cmvae.sampling import sample_hmc, sample_mh
+
+    bounds = np.array([[-4.0, 4.0]] * 2)
+    traces = []
+
+    def loglik(params, x):
+        traces.append(1)
+        z = jnp.asarray(x) + (0.0 if params is None else params)
+        return -0.5 * jnp.sum(z * z, axis=-1)
+
+    common = dict(n_walkers=64, n_steps=20, n_warmup=10, thin=5,
+                  bounds=bounds)
+    w0, w1 = jnp.float32(0.0), jnp.float32(1.5)
+    r1 = sample_mh(loglik, w0, seed=0, **common)
+    n1 = len(traces)
+    r2 = sample_mh(loglik, w0, seed=1, **common)
+    assert len(traces) == n1  # same program, new randomness
+    assert not np.array_equal(r1.final, r2.final)
+    r3 = sample_mh(loglik, w1, seed=0, **common)
+    assert len(traces) == n1  # weights are an argument, not a constant
+    assert not np.array_equal(r1.final, r3.final)  # ...and they matter
+    # same seed + same statics → bit-identical chain
+    r1b = sample_mh(loglik, w0, seed=0, **common)
+    np.testing.assert_array_equal(r1.final, r1b.final)
+    # a changed static keys a new program
+    sample_mh(loglik, w0, seed=0, step_frac=0.02, **common)
+    assert len(traces) == 2 * n1
+
+    def valgrad(params, x):
+        traces.append(1)
+        x = jnp.asarray(x)
+        return -0.5 * jnp.sum(x * x, axis=-1), -x
+
+    traces.clear()
+    h = dict(n_walkers=64, n_steps=10, n_warmup=20, n_leapfrog=4, thin=5,
+             bounds=bounds)
+    sample_hmc(valgrad, None, seed=0, **h)
+    n1 = len(traces)
+    sample_hmc(valgrad, None, seed=3, **h)
+    assert len(traces) == n1
+
+
+def test_sample_to_ess_reaches_target():
+    import jax.numpy as jnp
+
+    from tpu21cmvae.sampling import sample_to_ess
+
+    bounds = np.array([[-5.0, 5.0]] * 2)
+
+    def loglik(params, x):
+        z = jnp.asarray(x)
+        return -0.5 * jnp.sum(z * z, axis=-1)
+
+    res = sample_to_ess(
+        loglik, None, target_ess=3000, chunk_steps=100, n_walkers=128,
+        n_warmup=150, thin=10, bounds=bounds, seed=0, max_chunks=30,
+    )
+    assert res.ess().min() >= 3000
+    # statistically exact along the way
+    assert np.allclose(res.flat.mean(0), 0.0, atol=0.1)
+    assert np.allclose(res.flat.std(0), 1.0, rtol=0.1)
+    # chunked continuation reused programs: the cache holds exactly the
+    # warmup program + the continuation program
+    assert len(loglik._t21_chain_cache) == 2
+    with pytest.raises(ValueError, match="thin"):
+        sample_to_ess(loglik, None, thin=0, bounds=bounds)
+
+
+def test_model_level_target_ess(splits):
+    """sampler="mh" + target_ess dispatches to sample_to_ess from
+    sample_posterior (with n_steps accepted as the chunk size) on every
+    family that exposes the dispatch."""
+    em = DirectEmulator(splits, config=DirectEmulatorConfig(hidden_dims=(16,)))
+    obs = em.predict(splits.par_test[0])
+    par = np.asarray(splits.par_train, np.float64)
+    lo, hi = par.min(0), par.max(0)
+    lo[:3] = np.maximum(lo[:3], 1e-6)
+    bounds = np.stack([lo, hi], axis=1)
+    res = em.sample_posterior(
+        obs, 25.0, sampler="mh", bounds=bounds, target_ess=50.0,
+        n_walkers=64, n_steps=40, n_warmup=60, thin=10, seed=0,
+        max_chunks=12,
+    )
+    assert res.ess().min() >= 50.0
+    assert res.chain.shape[1:] == (64, 7)

@@ -50,6 +50,7 @@ from tpu21cmvae.sampling import (  # noqa: F401
     BatchSampleResult,
     EvidenceResult,
     FitResult,
+    PTSampleResult,
     PredictiveBand,
     SampleResult,
     fit_map,
@@ -59,6 +60,8 @@ from tpu21cmvae.sampling import (  # noqa: F401
     sample_ensemble,
     sample_hmc,
     sample_mh,
+    sample_pt,
+    sample_to_ess,
 )
 from tpu21cmvae.nested import NestedResult, nested_sampling  # noqa: F401
 from tpu21cmvae.priors import GaussianBoxPrior  # noqa: F401

@@ -211,6 +211,13 @@ def cmd_sample(args):
         kwargs["log_prior"] = prior.log_prior
     if args.sampler == "hmc":
         kwargs["n_leapfrog"] = args.leapfrog
+    elif args.sampler == "pt":
+        kwargs["n_rungs"] = args.rungs
+    if args.target_ess is not None:
+        if args.sampler != "mh":
+            print("--target-ess requires --sampler mh", file=sys.stderr)
+            return 2
+        kwargs["target_ess"] = args.target_ess
     res = model.sample_posterior(
         obs, noise_var, sampler=args.sampler, **kwargs
     )
@@ -304,6 +311,7 @@ def cmd_sbc(args):
         model, n_sims=args.sims, n_walkers=args.walkers,
         n_steps=args.steps, n_warmup=args.warmup,
         noise_var=args.noise_var, seed=args.seed,
+        prior=_build_prior(args.prior),
     )
     print(res.summary(getattr(model, "par_labels", None)))
     np.savez_compressed(
@@ -423,12 +431,20 @@ def main(argv=None):
                    help="observation spec (.json or .npz with obs and "
                         "optional noise_var — serve.load_obs_specs "
                         "format, exactly one entry)")
-    p.add_argument("--sampler", choices=["hmc", "mh", "ensemble"],
-                   default="hmc")
+    p.add_argument("--sampler", choices=["hmc", "mh", "ensemble", "pt"],
+                   default="hmc",
+                   help="pt = parallel tempering (robust on multimodal "
+                        "posteriors; --rungs tempered replicas)")
     p.add_argument("--walkers", type=int, default=4096)
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--warmup", type=int, default=100)
     p.add_argument("--leapfrog", type=int, default=8)
+    p.add_argument("--rungs", type=int, default=16,
+                   help="temperature-ladder size for --sampler pt")
+    p.add_argument("--target-ess", type=float, default=None,
+                   help="with --sampler mh: run chunks of --steps until "
+                        "the minimum per-parameter ESS reaches this "
+                        "(sample_to_ess)")
     p.add_argument("--thin", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--prior", action="append", metavar="IDX:MEAN:SIGMA",
@@ -504,6 +520,9 @@ def main(argv=None):
     p.add_argument("--warmup", type=int, default=400)
     p.add_argument("--noise-var", type=float, default=25.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--prior", action="append", metavar="IDX:MEAN:SIGMA",
+                   help="calibrate under a Gaussian prior (repeatable): "
+                        "truths drawn from it, chains target L*pi")
     p.add_argument("--out", default="sbc.npz")
     p.set_defaults(fn=cmd_sbc)
 

@@ -100,6 +100,7 @@ def sbc(
     bounds=None,
     sampler: str = "mh",
     seed: int = 0,
+    prior=None,
     **kwargs,
 ) -> SBCResult:
     """Run an SBC study against ``model``'s own forward model.
@@ -114,7 +115,17 @@ def sbc(
     module docstring), so ``n_walkers`` sets the rank resolution.
     ``kwargs`` forward to :meth:`sample_posterior_batch` (e.g.
     ``mesh=`` to shard the ``n_sims · n_walkers`` stacked walker axis).
+
+    ``prior``: optional :class:`tpu21cmvae.priors.GaussianBoxPrior` —
+    truths are then drawn FROM that prior (via its exact unit-cube
+    transform) and the chains target ``L·π`` (its ``log_prior`` is
+    passed to the sampler), so the study certifies the informative-
+    prior machinery end to end: a prior used for drawing but not
+    sampling (or vice versa) shows up as sloped rank histograms.
     """
+    import jax
+    import jax.numpy as jnp
+
     from tpu21cmvae.sampling import _resolve_bounds
 
     lo, hi = _resolve_bounds(bounds)
@@ -123,8 +134,15 @@ def sbc(
     if bounds is None:
         bounds = np.stack([lo, hi], axis=1)
     rng = np.random.default_rng(seed)
-    thetas = (lo + (hi - lo) * rng.uniform(size=(n_sims, lo.shape[0]))
-              ).astype(np.float32)
+    u = rng.uniform(size=(n_sims, lo.shape[0]))
+    if prior is not None:
+        thetas = np.asarray(
+            jax.jit(prior.prior_transform)(jnp.asarray(u, jnp.float32)),
+            np.float32,
+        )
+        kwargs.setdefault("log_prior", prior.log_prior)
+    else:
+        thetas = (lo + (hi - lo) * u).astype(np.float32)
     clean = np.atleast_2d(np.asarray(model.predict(thetas)))
     obs = clean + rng.normal(0.0, np.sqrt(noise_var), clean.shape)
 

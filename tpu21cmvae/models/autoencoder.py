@@ -311,9 +311,19 @@ class AutoEncoderEmulator:
         """On-device posterior sampling over this family's likelihood —
         same contract as :meth:`DirectEmulator.sample_posterior`
         (see :mod:`tpu21cmvae.sampling`)."""
-        from tpu21cmvae.sampling import sample_ensemble, sample_hmc, sample_mh
+        from tpu21cmvae.sampling import (
+            sample_ensemble,
+            sample_hmc,
+            sample_mh,
+            sample_to_ess,
+        )
 
         if sampler == "mh":
+            if "target_ess" in kwargs:
+                return sample_to_ess(
+                    self.loglik_fn(obs, noise_var), self.params,
+                    bounds=bounds, **kwargs,
+                )
             return sample_mh(
                 self.loglik_fn(obs, noise_var), self.params,
                 bounds=bounds, **kwargs,
@@ -323,9 +333,17 @@ class AutoEncoderEmulator:
                 self.loglik_fn(obs, noise_var), self.params,
                 bounds=bounds, **kwargs,
             )
+        if sampler == "pt":
+            from tpu21cmvae.sampling import sample_pt
+
+            return sample_pt(
+                self.loglik_fn(obs, noise_var), self.params,
+                bounds=bounds, **kwargs,
+            )
         if sampler != "hmc":
             raise ValueError(
-                f"sampler must be 'mh', 'ensemble' or 'hmc'; got {sampler!r}"
+                f"sampler must be 'mh', 'ensemble', 'hmc' or 'pt'; "
+                f"got {sampler!r}"
             )
         return sample_hmc(
             self.loglik_and_grad_fn(obs, noise_var), self.params,

@@ -356,15 +356,38 @@ class DirectEmulator:
         :func:`~tpu21cmvae.sampling.sample_hmc`. Returns a
         :class:`~tpu21cmvae.sampling.SampleResult`.
 
-        On strongly multimodal posteriors all three chain samplers can
-        go metastable (stuck in one mode — check ``rhat`` across
-        independent seeds); :meth:`log_evidence`'s nested-sampling
-        default explores modes in volume proportion and its
-        ``result.posterior(n)`` gives robust equal-weight draws.
+        ``sampler="mh"`` with ``target_ess=N`` switches to
+        :func:`~tpu21cmvae.sampling.sample_to_ess` — chunked chains
+        that stop once the minimum per-parameter effective sample size
+        reaches ``N`` ("give me N effective samples" instead of
+        guessing ``n_steps``); the per-closure chain-program cache
+        makes each continuation chunk one device call, no recompiles.
+
+        On strongly multimodal posteriors the three single-temperature
+        samplers can go metastable (stuck in one mode — check ``rhat``
+        across independent seeds). Two robust options:
+        ``sampler="pt"`` runs a parallel-tempering ladder
+        (:func:`~tpu21cmvae.sampling.sample_pt` — replica exchange
+        transports modes to the cold chain, recovering correct mode
+        WEIGHTS), and :meth:`log_evidence`'s nested-sampling default
+        explores modes in volume proportion
+        (``result.posterior(n)`` for equal-weight draws).
         """
-        from tpu21cmvae.sampling import sample_ensemble, sample_hmc, sample_mh
+        from tpu21cmvae.sampling import (
+            sample_ensemble,
+            sample_hmc,
+            sample_mh,
+            sample_to_ess,
+        )
 
         if sampler == "mh":
+            if "target_ess" in kwargs:
+                # "give me N effective samples": chunked MH with the
+                # cached chain program — each chunk is one device call
+                return sample_to_ess(
+                    self.loglik_fn(obs, noise_var), self.params,
+                    bounds=bounds, **kwargs,
+                )
             return sample_mh(
                 self.loglik_fn(obs, noise_var), self.params,
                 bounds=bounds, **kwargs,
@@ -374,9 +397,17 @@ class DirectEmulator:
                 self.loglik_fn(obs, noise_var), self.params,
                 bounds=bounds, **kwargs,
             )
+        if sampler == "pt":
+            from tpu21cmvae.sampling import sample_pt
+
+            return sample_pt(
+                self.loglik_fn(obs, noise_var), self.params,
+                bounds=bounds, **kwargs,
+            )
         if sampler != "hmc":
             raise ValueError(
-                f"sampler must be 'mh', 'ensemble' or 'hmc'; got {sampler!r}"
+                f"sampler must be 'mh', 'ensemble', 'hmc' or 'pt'; "
+                f"got {sampler!r}"
             )
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         valgrad = self.loglik_and_grad_fn(

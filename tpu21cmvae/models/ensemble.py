@@ -244,9 +244,19 @@ class DeepEnsemble:
         regions include the emulation error the member spread measures —
         samplers, kwargs and the metastability caveat exactly as on
         :meth:`DirectEmulator.sample_posterior`."""
-        from tpu21cmvae.sampling import sample_ensemble, sample_hmc, sample_mh
+        from tpu21cmvae.sampling import (
+            sample_ensemble,
+            sample_hmc,
+            sample_mh,
+            sample_to_ess,
+        )
 
         if sampler == "mh":
+            if "target_ess" in kwargs:
+                return sample_to_ess(
+                    self.loglik_fn(obs, noise_var), self.stacked_params,
+                    bounds=bounds, **kwargs,
+                )
             return sample_mh(
                 self.loglik_fn(obs, noise_var), self.stacked_params,
                 bounds=bounds, **kwargs,
@@ -256,9 +266,17 @@ class DeepEnsemble:
                 self.loglik_fn(obs, noise_var), self.stacked_params,
                 bounds=bounds, **kwargs,
             )
+        if sampler == "pt":
+            from tpu21cmvae.sampling import sample_pt
+
+            return sample_pt(
+                self.loglik_fn(obs, noise_var), self.stacked_params,
+                bounds=bounds, **kwargs,
+            )
         if sampler != "hmc":
             raise ValueError(
-                f"sampler must be 'mh', 'ensemble' or 'hmc'; got {sampler!r}"
+                f"sampler must be 'mh', 'ensemble', 'hmc' or 'pt'; "
+                f"got {sampler!r}"
             )
         valgrad = self.loglik_and_grad_fn(
             obs, noise_var, grad_precision="default"

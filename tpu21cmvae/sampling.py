@@ -47,6 +47,7 @@ __all__ = [
     "BatchSampleResult",
     "EvidenceResult",
     "FitResult",
+    "PTSampleResult",
     "PredictiveBand",
     "SampleResult",
     "fit_map",
@@ -57,6 +58,8 @@ __all__ = [
     "sample_ensemble",
     "sample_hmc",
     "sample_mh",
+    "sample_pt",
+    "sample_to_ess",
 ]
 
 
@@ -853,6 +856,53 @@ def _dual_averaging_consts(init: float):
     return jnp.log(10.0 * init), 0.05, 10.0, 0.75
 
 
+def _fn_cache_key(f):
+    """Identity key for a (possibly bound-method) callable; None-safe.
+    Bound methods are fresh objects per attribute access (``prior.
+    log_prior is not prior.log_prior``), so they key on the instance +
+    method name instead of their own id. Cache values built with this
+    key close over ``f``, keeping it alive — so an id can never be
+    recycled into a stale-program collision while its entry exists."""
+    if f is None:
+        return None
+    self_ = getattr(f, "__self__", None)
+    if self_ is not None:
+        return (id(self_), getattr(f, "__func__", f).__qualname__)
+    return id(f)
+
+
+def _chain_program(loglik, key, build):
+    """Per-closure jitted-chain-program cache — the train-loop lifetime
+    idiom (``train/loop.py::_WeakFnCache``): entries live ON the
+    likelihood closure, so dropping it frees the compiled programs and
+    their captured buffers with no global registry, while repeated
+    calls with the same statics re-trace NOTHING. That is what makes
+    chunked continuation (:func:`sample_to_ess`), SBC rounds, and
+    serve-style repeated sampling affordable through a tunnel-attached
+    chip: without it every ``sample_*`` call rebuilt a fresh closure
+    and re-paid the 20–60 s trace+compile. Overflow clears (blunt but
+    bounded); closures without a writable ``__dict__`` build uncached.
+    """
+    try:
+        per = getattr(loglik, "_t21_chain_cache")
+    except AttributeError:
+        per = {}
+        try:
+            setattr(loglik, "_t21_chain_cache", per)
+        except (AttributeError, TypeError):
+            return build()
+    out = per.get(key)
+    if out is None:
+        if len(per) >= 16:
+            per.clear()
+        out = per[key] = build()
+    return out
+
+
+def _bounds_key(lo, hi) -> bytes:
+    return np.asarray(lo).tobytes() + np.asarray(hi).tobytes()
+
+
 def sample_mh(
     loglik,
     params,
@@ -897,6 +947,7 @@ def sample_mh(
     shards across its devices (walker count must divide evenly) and the
     whole chain runs as one SPMD program; see :func:`_shard_walkers`.
     """
+    raw_log_prior = log_prior
     log_prior = _resolve_log_prior(log_prior)
     lo, hi = _resolve_bounds(bounds)
     base_scale = step_frac * (hi - lo)
@@ -912,67 +963,87 @@ def sample_mh(
         mesh,
     )
 
-    def mh_step(x, lp, mult, k):
-        k1, k2 = jax.random.split(k)
-        prop = x + mult * base_scale * jax.random.normal(k1, x.shape, x.dtype)
-        inside = ((prop >= lo) & (prop <= hi)).all(axis=1)
-        safe = jnp.where(inside[:, None], prop, mid)
-        lp_prop = loglik(params, safe) + log_prior(safe)
-        lp_prop = jnp.where(inside, lp_prop, -jnp.inf)
-        acc = jnp.log(jax.random.uniform(k2, (x.shape[0],))) < lp_prop - lp
-        # a walker whose current lp is non-finite (e.g. started outside
-        # the model's valid domain) would otherwise stick forever: every
-        # NaN comparison rejects. Always step it onto a finite proposal.
-        acc = acc | (~jnp.isfinite(lp) & jnp.isfinite(lp_prop))
-        x = jnp.where(acc[:, None], prop, x)
-        lp = jnp.where(acc, lp_prop, lp)
-        return x, lp, jnp.mean(acc)
-
-    mu, gamma, t0, kappa = _dual_averaging_consts(1.0)
-
-    def warm_step(state, ik):
-        i, k = ik
-        x, lp, log_m, log_m_bar, h_bar = state
-        x, lp, a = mh_step(x, lp, jnp.exp(log_m), k)
-        t = i + 1.0
-        h_bar = (1.0 - 1.0 / (t + t0)) * h_bar + (target_accept - a) / (t + t0)
-        log_m = jnp.where(adapt, mu - jnp.sqrt(t) / gamma * h_bar, log_m)
-        w = t ** (-kappa)
-        log_m_bar = jnp.where(
-            adapt, w * log_m + (1.0 - w) * log_m_bar, log_m_bar
-        )
-        return (x, lp, log_m, log_m_bar, h_bar), a
-
-    def run_step(state, k):
-        x, lp, mult = state
-        x, lp, a = mh_step(x, lp, mult, k)
-        return (x, lp, mult), (a, x if thin else None)
-
-    @jax.jit
-    def run(x, warm_ik, run_keys):
-        lp = loglik(params, x) + log_prior(x)
-        # n_warmup is static: with 0, skip the warmup scan entirely
-        # (continuation runs via x0 must not take hidden extra steps)
-        if n_warmup > 0:
-            state = (
-                x, lp, jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0)
+    def build_run():
+        def mh_step(params, x, lp, mult, k):
+            k1, k2 = jax.random.split(k)
+            prop = x + mult * base_scale * jax.random.normal(
+                k1, x.shape, x.dtype
             )
-            state, _ = jax.lax.scan(warm_step, state, warm_ik)
-            x, lp, _, log_m_bar, _ = state
-            mult = jnp.exp(log_m_bar)
-        else:
-            mult = jnp.float32(1.0)
-        (x, lp, mult), (rates, kept) = jax.lax.scan(
-            run_step, (x, lp, mult), run_keys
-        )
-        return x, lp, rates, kept, mult
+            inside = ((prop >= lo) & (prop <= hi)).all(axis=1)
+            safe = jnp.where(inside[:, None], prop, mid)
+            lp_prop = loglik(params, safe) + log_prior(safe)
+            lp_prop = jnp.where(inside, lp_prop, -jnp.inf)
+            acc = jnp.log(jax.random.uniform(k2, (x.shape[0],))) < lp_prop - lp
+            # a walker whose current lp is non-finite (e.g. started
+            # outside the model's valid domain) would otherwise stick
+            # forever: every NaN comparison rejects. Always step it
+            # onto a finite proposal.
+            acc = acc | (~jnp.isfinite(lp) & jnp.isfinite(lp_prop))
+            x = jnp.where(acc[:, None], prop, x)
+            lp = jnp.where(acc, lp_prop, lp)
+            return x, lp, jnp.mean(acc)
 
+        mu, gamma, t0, kappa = _dual_averaging_consts(1.0)
+
+        def run(params, x, warm_ik, run_keys):
+            def warm_step(state, ik):
+                i, k = ik
+                x, lp, log_m, log_m_bar, h_bar = state
+                x, lp, a = mh_step(params, x, lp, jnp.exp(log_m), k)
+                t = i + 1.0
+                h_bar = (1.0 - 1.0 / (t + t0)) * h_bar + (
+                    target_accept - a
+                ) / (t + t0)
+                log_m = jnp.where(
+                    adapt, mu - jnp.sqrt(t) / gamma * h_bar, log_m
+                )
+                w = t ** (-kappa)
+                log_m_bar = jnp.where(
+                    adapt, w * log_m + (1.0 - w) * log_m_bar, log_m_bar
+                )
+                return (x, lp, log_m, log_m_bar, h_bar), a
+
+            def run_step(state, k):
+                x, lp, mult = state
+                x, lp, a = mh_step(params, x, lp, mult, k)
+                return (x, lp, mult), (a, x if thin else None)
+
+            lp = loglik(params, x) + log_prior(x)
+            # warmup presence is static (part of the cache key): with
+            # 0, skip the warmup scan entirely — continuation runs via
+            # x0 must not take hidden extra steps
+            if n_warmup > 0:
+                state = (
+                    x, lp, jnp.float32(0.0), jnp.float32(0.0),
+                    jnp.float32(0.0),
+                )
+                state, _ = jax.lax.scan(warm_step, state, warm_ik)
+                x, lp, _, log_m_bar, _ = state
+                mult = jnp.exp(log_m_bar)
+            else:
+                mult = jnp.float32(1.0)
+            (x, lp, mult), (rates, kept) = jax.lax.scan(
+                run_step, (x, lp, mult), run_keys
+            )
+            return x, lp, rates, kept, mult
+
+        return jax.jit(run)
+
+    run = _chain_program(
+        loglik,
+        (
+            "mh", _bounds_key(lo, hi), float(step_frac),
+            float(target_accept), bool(adapt), bool(thin), n_warmup > 0,
+            _fn_cache_key(raw_log_prior),
+        ),
+        build_run,
+    )
     warm_ik = (
         jnp.arange(max(n_warmup, 1), dtype=jnp.float32),
         jax.random.split(k_warm, max(n_warmup, 1)),
     )
     run_keys = jax.random.split(k_run, n_steps)
-    x, lp, rates, kept, mult = run(x, warm_ik, run_keys)
+    x, lp, rates, kept, mult = run(params, x, warm_ik, run_keys)
     chain = (
         np.asarray(kept)[thin - 1:: thin]
         if thin
@@ -1201,7 +1272,12 @@ def sample_hmc(
     def to_params(y):
         return lo + span * jax.nn.sigmoid(y)
 
-    def logp_and_grad(y):
+    # metric estimation needs enough walkers for a stable cross-walker
+    # std and enough warmup for phase 2 to re-adapt the step
+    use_metric = precondition and n_warmup >= 20 and y.shape[0] >= 16
+    n_warm1 = n_warmup // 2 if use_metric else n_warmup
+
+    def logp_and_grad(params, y):
         xr = to_params(y)
         ll, g_raw = valgrad(params, xr)
         if log_prior is not None:
@@ -1222,7 +1298,7 @@ def sample_hmc(
             return jnp.int32(n_leapfrog)
         return jax.random.randint(k, (), l_min, n_leapfrog + 1)
 
-    def hmc_step(y, lp, glp, eps, n_leap, k):
+    def hmc_step(params, y, lp, glp, eps, n_leap, k):
         # ``eps``: per-dimension step vector (scalar step × metric scale
         # — a diagonal mass matrix absorbed into the step, the standard
         # equivalence); ``n_leap``: traced leapfrog count.
@@ -1233,13 +1309,13 @@ def sample_hmc(
         def leap(_, qpg):
             q, p, g = qpg
             q = q + eps * p
-            _, g = logp_and_grad(q)
+            _, g = logp_and_grad(params, q)
             p = p + eps * g
             return q, p, g
 
         q, p, g = jax.lax.fori_loop(0, n_leap - 1, leap, (y, p, glp))
         q = q + eps * p
-        lp_new, g_new = logp_and_grad(q)
+        lp_new, g_new = logp_and_grad(params, q)
         p = p + 0.5 * eps * g_new
         dh = (lp_new - lp) - 0.5 * (jnp.sum(p**2, -1) - jnp.sum(p0**2, -1))
         acc = jnp.log(jax.random.uniform(ku, (y.shape[0],))) < dh
@@ -1255,63 +1331,85 @@ def sample_hmc(
     # ``mu`` is traced so a post-preconditioning restart can re-anchor
     gamma, t0, kappa = 0.05, 10.0, 0.75
 
-    def warm_step(state, ik):
-        i, k = ik
-        kl, kh = jax.random.split(k)
-        y, lp, glp, sd, mu, log_eps, log_eps_bar, h_bar = state
-        y, lp, glp, a_mean = hmc_step(
-            y, lp, glp, jnp.exp(log_eps) * sd, draw_l(kl), kh
-        )
-        t = i + 1.0
-        h_bar = (1.0 - 1.0 / (t + t0)) * h_bar + (
-            target_accept - a_mean
-        ) / (t + t0)
-        log_eps = mu - jnp.sqrt(t) / gamma * h_bar
-        w = t ** (-kappa)
-        log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
-        return (y, lp, glp, sd, mu, log_eps, log_eps_bar, h_bar), a_mean
+    def make_warm_step(params):
+        def warm_step(state, ik):
+            i, k = ik
+            kl, kh = jax.random.split(k)
+            y, lp, glp, sd, mu, log_eps, log_eps_bar, h_bar = state
+            y, lp, glp, a_mean = hmc_step(
+                params, y, lp, glp, jnp.exp(log_eps) * sd, draw_l(kl), kh
+            )
+            t = i + 1.0
+            h_bar = (1.0 - 1.0 / (t + t0)) * h_bar + (
+                target_accept - a_mean
+            ) / (t + t0)
+            log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+            w = t ** (-kappa)
+            log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+            return (
+                y, lp, glp, sd, mu, log_eps, log_eps_bar, h_bar
+            ), a_mean
 
-    def warm_phase(y, lp, glp, sd, eps0, ik):
+        return warm_step
+
+    def warm_phase(params, y, lp, glp, sd, eps0, ik):
         state = (
             y, lp, glp, sd, jnp.log(10.0 * eps0), jnp.log(eps0),
             jnp.log(eps0), jnp.float32(0.0),
         )
-        state, _ = jax.lax.scan(warm_step, state, ik)
+        state, _ = jax.lax.scan(make_warm_step(params), state, ik)
         y, lp, glp, _, _, _, log_eps_bar, _ = state
         return y, lp, glp, jnp.exp(log_eps_bar)
 
-    def run_step(state, k):
-        y, lp, glp, eps = state
-        kl, kh = jax.random.split(k)
-        y, lp, glp, a_mean = hmc_step(y, lp, glp, eps, draw_l(kl), kh)
-        return (y, lp, glp, eps), (a_mean, to_params(y) if thin else None)
+    def build_run():
+        def run(params, y, warm1_ik, warm2_ik, run_keys):
+            def run_step(state, k):
+                y, lp, glp, eps = state
+                kl, kh = jax.random.split(k)
+                y, lp, glp, a_mean = hmc_step(
+                    params, y, lp, glp, eps, draw_l(kl), kh
+                )
+                return (y, lp, glp, eps), (
+                    a_mean, to_params(y) if thin else None
+                )
 
-    # metric estimation needs enough walkers for a stable cross-walker
-    # std and enough warmup for phase 2 to re-adapt the step
-    use_metric = precondition and n_warmup >= 20 and y.shape[0] >= 16
-    n_warm1 = n_warmup // 2 if use_metric else n_warmup
+            lp, glp = logp_and_grad(params, y)
+            sd = jnp.ones((y.shape[1],), y.dtype)
+            eps = jnp.float32(init_step)
+            if n_warm1 > 0:  # static — no hidden warmup on continuation
+                y, lp, glp, eps = warm_phase(
+                    params, y, lp, glp, sd, eps, warm1_ik
+                )
+            if use_metric:
+                # cross-walker scale, normalized to leave the GLOBAL
+                # step magnitude to dual averaging; clipped so a
+                # not-yet-spread (or degenerate) dimension cannot zero
+                # its step
+                raw_sd = jnp.std(y, axis=0)
+                sd = raw_sd / jnp.maximum(jnp.exp(
+                    jnp.mean(jnp.log(jnp.maximum(raw_sd, 1e-6)))
+                ), 1e-6)
+                sd = jnp.clip(sd, 0.1, 10.0)
+                y, lp, glp, eps = warm_phase(
+                    params, y, lp, glp, sd, eps, warm2_ik
+                )
+            (y, lp, glp, _), (rates, kept) = jax.lax.scan(
+                run_step, (y, lp, glp, eps * sd), run_keys
+            )
+            return y, lp, rates, kept, eps
 
-    @jax.jit
-    def run(y, warm1_ik, warm2_ik, run_keys):
-        lp, glp = logp_and_grad(y)
-        sd = jnp.ones((y.shape[1],), y.dtype)
-        eps = jnp.float32(init_step)
-        if n_warm1 > 0:  # static — no hidden warmup step on continuation
-            y, lp, glp, eps = warm_phase(y, lp, glp, sd, eps, warm1_ik)
-        if use_metric:
-            # cross-walker scale, normalized to leave the GLOBAL step
-            # magnitude to dual averaging; clipped so a not-yet-spread
-            # (or degenerate) dimension cannot zero its step
-            raw_sd = jnp.std(y, axis=0)
-            sd = raw_sd / jnp.maximum(jnp.exp(
-                jnp.mean(jnp.log(jnp.maximum(raw_sd, 1e-6)))
-            ), 1e-6)
-            sd = jnp.clip(sd, 0.1, 10.0)
-            y, lp, glp, eps = warm_phase(y, lp, glp, sd, eps, warm2_ik)
-        (y, lp, glp, _), (rates, kept) = jax.lax.scan(
-            run_step, (y, lp, glp, eps * sd), run_keys
-        )
-        return y, lp, rates, kept, eps
+        return jax.jit(run)
+
+    run = _chain_program(
+        valgrad,
+        (
+            "hmc", _bounds_key(lo, hi), float(init_step),
+            float(target_accept), bool(jitter), bool(precondition),
+            bool(thin), int(n_leapfrog), use_metric, n_warm1 > 0,
+            _fn_cache_key(log_prior),
+        ),
+        build_run,
+    )
 
     def ik(k, n):
         n = max(n, 1)
@@ -1320,7 +1418,8 @@ def sample_hmc(
     k_warm1, k_warm2 = jax.random.split(k_warm)
     run_keys = jax.random.split(k_run, n_steps)
     y, lp, rates, kept, eps = run(
-        y, ik(k_warm1, n_warm1), ik(k_warm2, n_warmup - n_warm1), run_keys
+        params, y, ik(k_warm1, n_warm1), ik(k_warm2, n_warmup - n_warm1),
+        run_keys,
     )
     chain = (
         np.asarray(kept)[thin - 1:: thin]
@@ -1333,4 +1432,268 @@ def sample_hmc(
         logp=np.asarray(lp),
         accept_rate=np.asarray(rates),
         step_size=float(eps),
+    )
+
+
+@dataclasses.dataclass
+class PTSampleResult(SampleResult):
+    """:class:`SampleResult` for the cold (β=1) rung of a parallel-
+    tempering run, plus ladder diagnostics: ``swap_rate`` — per-edge
+    replica-exchange acceptance (values ≪ 0.1 mean the ladder is too
+    coarse to transport modes; add rungs), ``betas`` — the ladder."""
+
+    swap_rate: np.ndarray = None
+    betas: np.ndarray = None
+
+
+def sample_pt(
+    loglik,
+    params,
+    *,
+    n_rungs: int = 16,
+    n_walkers: int = 256,
+    n_steps: int = 400,
+    n_warmup: int = 200,
+    bounds=None,
+    step_frac: float = 0.05,
+    target_accept: float = 0.3,
+    ladder_power: float = 5.0,
+    thin: int = 10,
+    seed: int = 0,
+    x0=None,
+    log_prior=None,
+    mesh=None,
+) -> PTSampleResult:
+    """Parallel-tempering posterior sampler — the tool for MULTIMODAL
+    posteriors, where every single-temperature chain sampler here
+    (:func:`sample_mh` / :func:`sample_ensemble` / :func:`sample_hmc`)
+    goes metastable: walkers stay in whichever basin initialization
+    dropped them in, so mode WEIGHTS come out wrong even when all modes
+    are found (see :meth:`DirectEmulator.sample_posterior` notes and
+    the measured ladder pathology in docs/PERF.md — the machinery here
+    is the same, but sampling the β=1 rung is robust where the
+    evidence integral was not: swaps only need to TRANSPORT states
+    across barriers, not equilibrate every rung's normalization).
+
+    A geometric ``β``-ladder of ``n_rungs`` tempered replicas (β=0
+    samples the prior, β=1 the posterior) runs ``n_walkers``
+    walker-aligned chains per rung; every Metropolis sweep is ONE
+    ``(n_rungs·n_walkers)``-row likelihood batch, and replica exchange
+    on alternating edges is likelihood-free. Hot rungs cross barriers
+    freely; exchange carries those states down to β=1, so the cold
+    chain mixes BETWEEN modes at the swap rate instead of the
+    (exponentially small) direct-crossing rate. Warmup adapts the
+    global proposal scale by dual averaging. Returns a
+    :class:`PTSampleResult` for the β=1 rung only (the hot rungs are
+    scaffolding); ``log_prior``/``mesh``/``x0`` as in
+    :func:`log_evidence` (the rung axis shards across ``mesh``).
+    """
+    log_prior = _resolve_log_prior(log_prior)
+    lo, hi = _resolve_bounds(bounds)
+    n_params = int(lo.shape[0])
+    if n_rungs < 2:
+        raise ValueError(f"n_rungs must be >= 2; got {n_rungs}")
+    mid = (lo + hi) / 2.0
+    betas = (jnp.arange(n_rungs) / (n_rungs - 1.0)) ** ladder_power
+    dbeta = betas[1:] - betas[:-1]
+    base_scale = step_frac * (hi - lo)
+    key = jax.random.key(seed)
+    k_init, k_warm, k_run = jax.random.split(key, 3)
+    if x0 is not None:
+        seed_rows = jnp.clip(jnp.asarray(x0, jnp.float32), lo, hi)
+        if seed_rows.shape != (n_walkers, n_params):
+            raise ValueError(
+                f"x0 must have shape ({n_walkers}, {n_params}); "
+                f"got {seed_rows.shape}"
+            )
+        x = jnp.broadcast_to(seed_rows[None], (n_rungs, n_walkers, n_params))
+    else:
+        x = _init_walkers(
+            k_init, n_rungs * n_walkers, lo, hi
+        ).reshape(n_rungs, n_walkers, n_params)
+    x = _shard_walkers(x, mesh)
+
+    def safe_ll(flat):
+        inside = ((flat >= lo) & (flat <= hi)).all(axis=1)
+        safe = jnp.where(inside[:, None], flat, mid)
+        return loglik(params, safe), log_prior(safe), inside
+
+    def mh_all(x, ll, lpr, mult, k):
+        k1, k2 = jax.random.split(k)
+        prop = x + (mult * base_scale) * jax.random.normal(
+            k1, x.shape, x.dtype
+        )
+        ll_p, lpr_p, inside = (
+            a.reshape(n_rungs, n_walkers) if a.ndim == 1 else a
+            for a in safe_ll(prop.reshape(-1, n_params))
+        )
+        logr = jnp.where(
+            inside, betas[:, None] * (ll_p - ll) + (lpr_p - lpr), -jnp.inf
+        )
+        acc = jnp.log(jax.random.uniform(k2, (n_rungs, n_walkers))) < logr
+        x = jnp.where(acc[:, :, None], prop, x)
+        ll = jnp.where(acc, ll_p, ll)
+        lpr = jnp.where(acc, lpr_p, lpr)
+        return x, ll, lpr, jnp.mean(acc, axis=1)
+
+    def swaps(x, ll, lpr, parity, k):
+        u = jax.random.uniform(k, (n_rungs - 1, n_walkers))
+        edge = (jnp.arange(n_rungs - 1) % 2) == parity
+        logr = dbeta[:, None] * (ll[:-1] - ll[1:])
+        acc = edge[:, None] & (jnp.log(u) < logr)
+        pad = jnp.zeros((1, n_walkers), bool)
+        take_next = jnp.concatenate([acc, pad])
+        take_prev = jnp.concatenate([pad, acc])
+        x = jnp.where(
+            take_next[:, :, None], jnp.roll(x, -1, 0),
+            jnp.where(take_prev[:, :, None], jnp.roll(x, 1, 0), x),
+        )
+        ll, lpr = (
+            jnp.where(
+                take_next, jnp.roll(v, -1, 0),
+                jnp.where(take_prev, jnp.roll(v, 1, 0), v),
+            )
+            for v in (ll, lpr)
+        )
+        return x, ll, lpr, 2.0 * jnp.mean(acc, axis=1)
+
+    mu, gamma, t0, kappa = _dual_averaging_consts(1.0)
+
+    def warm_step(state, ik):
+        i, k = ik
+        km, ks = jax.random.split(k)
+        x, ll, lpr, log_m, log_m_bar, h_bar = state
+        x, ll, lpr, a = mh_all(x, ll, lpr, jnp.exp(log_m), km)
+        x, ll, lpr, _ = swaps(x, ll, lpr, jnp.mod(i, 2.0), ks)
+        t = i + 1.0
+        h_bar = (1.0 - 1.0 / (t + t0)) * h_bar + (
+            target_accept - jnp.mean(a)
+        ) / (t + t0)
+        log_m = mu - jnp.sqrt(t) / gamma * h_bar
+        w = t ** (-kappa)
+        log_m_bar = w * log_m + (1.0 - w) * log_m_bar
+        return (x, ll, lpr, log_m, log_m_bar, h_bar), None
+
+    def run_step(state, ik):
+        i, k = ik
+        km, ks = jax.random.split(k)
+        x, ll, lpr, mult = state
+        x, ll, lpr, a = mh_all(x, ll, lpr, mult, km)
+        x, ll, lpr, s = swaps(x, ll, lpr, jnp.mod(i, 2.0), ks)
+        kept = x[-1] if thin else None  # β=1 rung only
+        return (x, ll, lpr, mult), (jnp.mean(a), s, kept)
+
+    @jax.jit
+    def run(x, warm_ik, run_ik):
+        ll, lpr, _ = safe_ll(x.reshape(-1, n_params))
+        ll = ll.reshape(n_rungs, n_walkers)
+        lpr = lpr.reshape(n_rungs, n_walkers)
+        zeros = jnp.float32(0.0)
+        if n_warmup > 0:
+            state = (x, ll, lpr, zeros, zeros, zeros)
+            state, _ = jax.lax.scan(warm_step, state, warm_ik)
+            x, ll, lpr, _, log_m_bar, _ = state
+            mult = jnp.exp(log_m_bar)
+        else:
+            mult = jnp.float32(1.0)
+        (x, ll, lpr, mult), (rates, srates, kept) = jax.lax.scan(
+            run_step, (x, ll, lpr, mult), run_ik
+        )
+        return x, ll, lpr, mult, rates, srates, kept
+
+    def ik(k, n):
+        n = max(n, 1)
+        return (jnp.arange(n, dtype=jnp.float32), jax.random.split(k, n))
+
+    x, ll, lpr, mult, rates, srates, kept = run(
+        x, ik(k_warm, n_warmup), ik(k_run, n_steps)
+    )
+    chain = (
+        np.asarray(kept)[thin - 1:: thin]
+        if thin
+        else np.empty((0, n_walkers, n_params), np.float32)
+    )
+    return PTSampleResult(
+        chain=chain,
+        final=np.asarray(x[-1]),
+        logp=np.asarray(ll[-1] + lpr[-1]),
+        accept_rate=np.asarray(rates),
+        step_size=float(mult) * float(np.asarray(base_scale).mean()),
+        swap_rate=np.asarray(srates).mean(axis=0),
+        betas=np.asarray(betas),
+    )
+
+
+def sample_to_ess(
+    loglik,
+    params,
+    *,
+    target_ess: float = 10_000.0,
+    chunk_steps: int = 200,
+    n_steps: int = None,
+    max_chunks: int = 25,
+    n_walkers: int = 1024,
+    n_warmup: int = 200,
+    thin: int = 10,
+    bounds=None,
+    seed: int = 0,
+    **kwargs,
+) -> SampleResult:
+    """Run :func:`sample_mh` in fixed-size chunks until the MINIMUM
+    per-parameter effective sample size of the accumulated chain
+    reaches ``target_ess`` — "give me N effective samples" instead of
+    guessing a step count. Chunking is affordable because of the
+    per-closure chain-program cache (:func:`_chain_program`): chunk 1
+    compiles the warmup+run program, chunk 2 compiles the continuation
+    program (no warmup, adapted scale carried forward via
+    ``step_frac``), and every later chunk re-traces NOTHING — each is
+    one device call. Stops at ``max_chunks`` regardless (check
+    ``result.ess()`` if you must know). ``n_steps`` is an accepted
+    alias for ``chunk_steps`` so the :meth:`sample_posterior` dispatch
+    (``sampler="mh", target_ess=N``) composes with the usual step
+    argument. ``kwargs`` forward to :func:`sample_mh` (``log_prior=``,
+    ``mesh=``, …).
+    """
+    if n_steps is not None:
+        chunk_steps = n_steps
+    if thin <= 0:
+        raise ValueError("sample_to_ess needs a stored chain; thin > 0")
+    if chunk_steps // thin < 4:
+        raise ValueError(
+            f"chunk_steps must keep >= 4 thinned steps; got "
+            f"{chunk_steps} with thin={thin}"
+        )
+    lo, hi = _resolve_bounds(bounds)
+    span_mean = float(np.asarray(hi - lo).mean())
+    res = sample_mh(
+        loglik, params, n_walkers=n_walkers, n_steps=chunk_steps,
+        n_warmup=n_warmup, thin=thin, bounds=bounds, seed=seed, **kwargs,
+    )
+    chains, rates = [res.chain], [res.accept_rate]
+    step_size = res.step_size
+    # the adapted scale, re-expressed as the step_frac a continuation
+    # run reproduces exactly (mult=1 when n_warmup=0), so chunks 3+
+    # hit the same cached program as chunk 2
+    step_frac_cont = step_size / span_mean
+    for i in range(1, max_chunks):
+        full = np.concatenate(chains)
+        probe = SampleResult(
+            chain=full, final=res.final, logp=res.logp,
+            accept_rate=np.concatenate(rates), step_size=step_size,
+        )
+        if full.shape[0] >= 4 and probe.ess().min() >= target_ess:
+            break
+        res = sample_mh(
+            loglik, params, n_walkers=n_walkers, n_steps=chunk_steps,
+            n_warmup=0, thin=thin, bounds=bounds, seed=seed + 7919 * i,
+            x0=res.final, step_frac=step_frac_cont, **kwargs,
+        )
+        chains.append(res.chain)
+        rates.append(res.accept_rate)
+    return SampleResult(
+        chain=np.concatenate(chains),
+        final=res.final,
+        logp=res.logp,
+        accept_rate=np.concatenate(rates),
+        step_size=step_size,
     )
