@@ -439,7 +439,7 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--warmup", type=int, default=100)
     p.add_argument("--leapfrog", type=int, default=8)
-    p.add_argument("--rungs", type=int, default=16,
+    p.add_argument("--rungs", type=int, default=32,
                    help="temperature-ladder size for --sampler pt")
     p.add_argument("--target-ess", type=float, default=None,
                    help="with --sampler mh: run chunks of --steps until "

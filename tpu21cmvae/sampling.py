@@ -1440,7 +1440,9 @@ class PTSampleResult(SampleResult):
     """:class:`SampleResult` for the cold (β=1) rung of a parallel-
     tempering run, plus ladder diagnostics: ``swap_rate`` — per-edge
     replica-exchange acceptance (values ≪ 0.1 mean the ladder is too
-    coarse to transport modes; add rungs), ``betas`` — the ladder."""
+    coarse to transport modes; add rungs or raise ``n_warmup`` so
+    adaptation converges), ``betas`` — the ladder AFTER warmup
+    adaptation (``betas[0]=0`` prior rung, ``betas[-1]=1`` posterior)."""
 
     swap_rate: np.ndarray = None
     betas: np.ndarray = None
@@ -1450,14 +1452,15 @@ def sample_pt(
     loglik,
     params,
     *,
-    n_rungs: int = 16,
+    n_rungs: int = 32,
     n_walkers: int = 256,
     n_steps: int = 400,
     n_warmup: int = 200,
     bounds=None,
-    step_frac: float = 0.05,
-    target_accept: float = 0.3,
-    ladder_power: float = 5.0,
+    a: float = 2.0,
+    beta_min: float = 1e-6,
+    adapt_ladder: bool = False,
+    swap_sweeps: int = None,
     thin: int = 10,
     seed: int = 0,
     x0=None,
@@ -1475,28 +1478,104 @@ def sample_pt(
     evidence integral was not: swaps only need to TRANSPORT states
     across barriers, not equilibrate every rung's normalization).
 
-    A geometric ``β``-ladder of ``n_rungs`` tempered replicas (β=0
-    samples the prior, β=1 the posterior) runs ``n_walkers``
-    walker-aligned chains per rung; every Metropolis sweep is ONE
-    ``(n_rungs·n_walkers)``-row likelihood batch, and replica exchange
-    on alternating edges is likelihood-free. Hot rungs cross barriers
-    freely; exchange carries those states down to β=1, so the cold
-    chain mixes BETWEEN modes at the swap rate instead of the
-    (exponentially small) direct-crossing rate. Warmup adapts the
-    global proposal scale by dual averaging. Returns a
-    :class:`PTSampleResult` for the β=1 rung only (the hot rungs are
-    scaffolding); ``log_prior``/``mesh``/``x0`` as in
+    A ``β``-ladder of ``n_rungs`` tempered replicas (β=0 samples the
+    prior, β=1 the posterior) runs ``n_walkers`` walker-aligned chains
+    per rung; every Metropolis sweep is ONE ``(n_rungs·n_walkers)``-row
+    likelihood batch, and replica exchange on alternating edges is
+    likelihood-free. Hot rungs cross barriers freely; exchange carries
+    those states down to β=1, so the cold chain mixes BETWEEN modes at
+    the swap rate instead of the (exponentially small) direct-crossing
+    rate. Returns a :class:`PTSampleResult` for the β=1 rung only (the
+    hot rungs are scaffolding); ``log_prior``/``mesh``/``x0`` as in
     :func:`log_evidence` (the rung axis shards across ``mesh``).
+
+    The design is ptemcee's (Vousden, Farr & Mandel 2016, MNRAS 455,
+    1919), rebuilt as one scanned device program:
+
+    * **within-rung moves are tempered affine-invariant stretch moves**
+      (:func:`sample_ensemble`'s red-black scheme with the rung's
+      ``β·logL + logπ`` target and stretch scale ``a``) — self-scaling,
+      so a 10⁵-nat anneal from prior draws to a sharp 451-bin mode
+      needs no step-size adaptation and converges where random-walk MH
+      measurably does not (a per-rung adapted-scale MH variant left the
+      cold rung ~5,000 nats above the mode after 700 sweeps on the
+      `examples/multimodal_pt.py` target; the stretch version
+      equilibrates);
+    * **the β=0 rung is an exact independence sampler** — fresh
+      uniform box draws every sweep (the MH ratio reduces to the prior
+      ratio), so fresh MODE assignments enter the ladder at the prior
+      rate instead of random-walking;
+    * **many swap sweeps per likelihood sweep** (``swap_sweeps``,
+      default ≈ ``n_rungs``): exchange is likelihood-free — a sweep
+      costs (K−1)·W elementwise ops vs the (K·W)-row likelihood batch —
+      so state transport through the ladder runs at ~K/a sweeps
+      instead of the single-swap K²/a random walk;
+    * **the ladder is geometric from ``beta_min`` to 1** (plus the
+      pinned β=0 prior rung) — equal β RATIOS give ~constant per-edge
+      swap acceptance for Gaussian-ish targets (acceptance ≈
+      ``exp(-(d/2)(r-1)²/r)`` at ratio ``r``), where a power-law
+      ladder's bottom edges collapse (measured 2×10⁻⁴ on a sharp
+      451-bin emulator likelihood, choking the fresh-mode supply).
+      Set ``beta_min ≲ 1/|logL at prior draws|`` so the coldest
+      tempered rung still overlaps the prior; the default 1e-6 covers
+      |logL| up to ~10⁶ nats;
+    * **optional ladder adaptation** (``adapt_ladder=True``): interior
+      β gaps move to EQUALIZE per-edge swap rates (the Vousden scheme
+      in β-gap space, endpoints pinned), gated past the first third of
+      warmup and with a ``t0/(t+t0)``-decaying gain. Off by default —
+      MEASURED on a sharp 451-bin emulator likelihood, equalization
+      coarsens the prior edge (β₁ 1e-6 → 7e-4, its swap rate → 0,
+      recovered mode split 0.65 vs 0.69 with the fixed geometric
+      ladder; see ``examples/multimodal_pt.py``); reach for it only
+      when ``beta_min`` is badly mis-set and can't be fixed directly.
+
+    Mode-WEIGHT convergence is transport-limited: expect O(10³) kept
+    steps for the cold-chain split to equilibrate (each mode
+    assignment must traverse the ladder). That is seconds on a TPU —
+    sweeps are fixed-shape mega-batches, the whole run one program.
+
+    Programs are cached on the likelihood closure (weights are traced
+    arguments), so repeated calls with the same statics re-trace
+    nothing (:func:`_chain_program`). ``n_walkers`` must be even and
+    ≥ ``2·n_params + 2`` (red-black halves must span parameter space).
     """
+    raw_log_prior = log_prior
     log_prior = _resolve_log_prior(log_prior)
     lo, hi = _resolve_bounds(bounds)
     n_params = int(lo.shape[0])
     if n_rungs < 2:
         raise ValueError(f"n_rungs must be >= 2; got {n_rungs}")
+    if n_walkers % 2:
+        raise ValueError(f"n_walkers must be even; got {n_walkers}")
+    if n_walkers < 2 * n_params + 2:
+        raise ValueError(
+            f"n_walkers must be >= 2*n_params+2 = {2 * n_params + 2} "
+            f"for the stretch move to span parameter space; got {n_walkers}"
+        )
+    if a <= 1.0:
+        raise ValueError(f"stretch scale a must be > 1; got {a}")
+    if not 0.0 < beta_min < 1.0:
+        raise ValueError(f"beta_min must be in (0, 1); got {beta_min}")
     mid = (lo + hi) / 2.0
-    betas = (jnp.arange(n_rungs) / (n_rungs - 1.0)) ** ladder_power
-    dbeta = betas[1:] - betas[:-1]
-    base_scale = step_frac * (hi - lo)
+    # initial ladder: β=0 prior rung + geometric beta_min→1; adaptation
+    # moves the interior gaps, endpoints β=0 / β=1 stay pinned
+    betas0 = np.concatenate(
+        [[0.0], np.geomspace(beta_min, 1.0, n_rungs - 1)]
+    )
+    log_gaps0 = jnp.log(jnp.asarray(np.diff(betas0), jnp.float32))
+    # ladder-adaptation gain: decays like t0/(t+t0) so the ladder
+    # freezes well before the kept phase; t0 scales with the warmup
+    # length so short and long warmups both spend ~the first half
+    # moving
+    t0_ladder = max(float(n_warmup) / 10.0, 10.0)
+    t_adapt_start = float(n_warmup) / 3.0
+    # swap sweeps per likelihood sweep: even (both parities each step);
+    # default scales with the ladder so transport stays ~K/a
+    if swap_sweeps is None:
+        swap_sweeps = min(max(n_rungs, 2), 64)
+    n_sw = int(swap_sweeps) + (int(swap_sweeps) % 2)
+    if n_sw < 2:
+        raise ValueError(f"swap_sweeps must be >= 1; got {swap_sweeps}")
     key = jax.random.key(seed)
     k_init, k_warm, k_run = jax.random.split(key, 3)
     if x0 is not None:
@@ -1513,100 +1592,198 @@ def sample_pt(
         ).reshape(n_rungs, n_walkers, n_params)
     x = _shard_walkers(x, mesh)
 
-    def safe_ll(flat):
-        inside = ((flat >= lo) & (flat <= hi)).all(axis=1)
-        safe = jnp.where(inside[:, None], flat, mid)
-        return loglik(params, safe), log_prior(safe), inside
+    def build_run():
+        def ladder(log_gaps):
+            g = jnp.exp(log_gaps)
+            c = jnp.cumsum(g)
+            # normalize by the cumsum's own tail so β[-1] is EXACTLY
+            # 1.0 (sum() may reduce in a different order → 1±1ulp)
+            return jnp.concatenate([jnp.zeros((1,), g.dtype), c / c[-1]])
 
-    def mh_all(x, ll, lpr, mult, k):
-        k1, k2 = jax.random.split(k)
-        prop = x + (mult * base_scale) * jax.random.normal(
-            k1, x.shape, x.dtype
-        )
-        ll_p, lpr_p, inside = (
-            a.reshape(n_rungs, n_walkers) if a.ndim == 1 else a
-            for a in safe_ll(prop.reshape(-1, n_params))
-        )
-        logr = jnp.where(
-            inside, betas[:, None] * (ll_p - ll) + (lpr_p - lpr), -jnp.inf
-        )
-        acc = jnp.log(jax.random.uniform(k2, (n_rungs, n_walkers))) < logr
-        x = jnp.where(acc[:, :, None], prop, x)
-        ll = jnp.where(acc, ll_p, ll)
-        lpr = jnp.where(acc, lpr_p, lpr)
-        return x, ll, lpr, jnp.mean(acc, axis=1)
+        def eval_ll(params, flat):
+            inside = ((flat >= lo) & (flat <= hi)).all(axis=1)
+            safe = jnp.where(inside[:, None], flat, mid)
+            return loglik(params, safe), log_prior(safe), inside
 
-    def swaps(x, ll, lpr, parity, k):
-        u = jax.random.uniform(k, (n_rungs - 1, n_walkers))
-        edge = (jnp.arange(n_rungs - 1) % 2) == parity
-        logr = dbeta[:, None] * (ll[:-1] - ll[1:])
-        acc = edge[:, None] & (jnp.log(u) < logr)
-        pad = jnp.zeros((1, n_walkers), bool)
-        take_next = jnp.concatenate([acc, pad])
-        take_prev = jnp.concatenate([pad, acc])
-        x = jnp.where(
-            take_next[:, :, None], jnp.roll(x, -1, 0),
-            jnp.where(take_prev[:, :, None], jnp.roll(x, 1, 0), x),
-        )
-        ll, lpr = (
-            jnp.where(
-                take_next, jnp.roll(v, -1, 0),
-                jnp.where(take_prev, jnp.roll(v, 1, 0), v),
+        half = n_walkers // 2
+
+        def half_move(params, xa, lla, lpra, xb, betas, k):
+            # tempered red-black stretch move: half-ensemble ``xa`` of
+            # every rung proposes against partners from the OTHER half
+            # ``xb``; target of rung r is β_r·logL + logπ
+            kz, kj, ku, kp = jax.random.split(k, 4)
+            u = jax.random.uniform(kz, (n_rungs, half), xa.dtype)
+            z = ((a - 1.0) * u + 1.0) ** 2 / a
+            j = jax.random.randint(kj, (n_rungs, half), 0, half)
+            xj = jnp.take_along_axis(xb, j[:, :, None], axis=1)
+            prop = xj + z[:, :, None] * (xa - xj)
+            # β=0 rung: exact INDEPENDENCE refresh from the box — for
+            # a uniform-constant proposal the MH ratio reduces to the
+            # prior ratio (≡ 1 for a flat prior). Fresh draws mean
+            # fresh MODE assignments enter the ladder every sweep
+            # instead of random-walking the prior — this is what
+            # makes mode-weight transport fast.
+            prop = prop.at[0].set(
+                lo + (hi - lo) * jax.random.uniform(kp, (half, n_params))
             )
-            for v in (ll, lpr)
-        )
-        return x, ll, lpr, 2.0 * jnp.mean(acc, axis=1)
+            ll_p, lpr_p, inside = (
+                v.reshape(n_rungs, half) if v.ndim == 1 else v
+                for v in eval_ll(params, prop.reshape(-1, n_params))
+            )
+            stretch = (n_params - 1.0) * jnp.log(z)
+            # rung 0's move is independence, not a stretch — no z term
+            stretch = stretch.at[0].set(0.0)
+            logr = (
+                stretch + betas[:, None] * (ll_p - lla) + (lpr_p - lpra)
+            )
+            logr = jnp.where(inside, logr, -jnp.inf)
+            acc = jnp.log(jax.random.uniform(ku, (n_rungs, half))) < logr
+            xa = jnp.where(acc[:, :, None], prop, xa)
+            lla = jnp.where(acc, ll_p, lla)
+            lpra = jnp.where(acc, lpr_p, lpra)
+            return xa, lla, lpra, jnp.mean(acc, axis=1)
 
-    mu, gamma, t0, kappa = _dual_averaging_consts(1.0)
+        def sweep(params, x, ll, lpr, betas, k):
+            ka, kb = jax.random.split(k)
+            xa, lla, lpra, ra = half_move(
+                params, x[:, :half], ll[:, :half], lpr[:, :half],
+                x[:, half:], betas, ka,
+            )
+            # second half moves against the UPDATED first half
+            # (required for detailed balance — emcee §3)
+            xb, llb, lprb, rb = half_move(
+                params, x[:, half:], ll[:, half:], lpr[:, half:],
+                xa, betas, kb,
+            )
+            return (
+                jnp.concatenate([xa, xb], axis=1),
+                jnp.concatenate([lla, llb], axis=1),
+                jnp.concatenate([lpra, lprb], axis=1),
+                0.5 * (ra + rb),
+            )
 
-    def warm_step(state, ik):
-        i, k = ik
-        km, ks = jax.random.split(k)
-        x, ll, lpr, log_m, log_m_bar, h_bar = state
-        x, ll, lpr, a = mh_all(x, ll, lpr, jnp.exp(log_m), km)
-        x, ll, lpr, _ = swaps(x, ll, lpr, jnp.mod(i, 2.0), ks)
-        t = i + 1.0
-        h_bar = (1.0 - 1.0 / (t + t0)) * h_bar + (
-            target_accept - jnp.mean(a)
-        ) / (t + t0)
-        log_m = mu - jnp.sqrt(t) / gamma * h_bar
-        w = t ** (-kappa)
-        log_m_bar = w * log_m + (1.0 - w) * log_m_bar
-        return (x, ll, lpr, log_m, log_m_bar, h_bar), None
+        def swaps(x, ll, lpr, betas, parity, k):
+            u = jax.random.uniform(k, (n_rungs - 1, n_walkers))
+            edge = (jnp.arange(n_rungs - 1) % 2) == parity
+            dbeta = betas[1:] - betas[:-1]
+            logr = dbeta[:, None] * (ll[:-1] - ll[1:])
+            acc = edge[:, None] & (jnp.log(u) < logr)
+            pad = jnp.zeros((1, n_walkers), bool)
+            take_next = jnp.concatenate([acc, pad])
+            take_prev = jnp.concatenate([pad, acc])
+            x = jnp.where(
+                take_next[:, :, None], jnp.roll(x, -1, 0),
+                jnp.where(take_prev[:, :, None], jnp.roll(x, 1, 0), x),
+            )
+            ll, lpr = (
+                jnp.where(
+                    take_next, jnp.roll(v, -1, 0),
+                    jnp.where(take_prev, jnp.roll(v, 1, 0), v),
+                )
+                for v in (ll, lpr)
+            )
+            # raw per-edge acceptance (inactive edges report 0; double
+            # when averaging over alternating sweeps)
+            return x, ll, lpr, jnp.mean(acc, axis=1)
 
-    def run_step(state, ik):
-        i, k = ik
-        km, ks = jax.random.split(k)
-        x, ll, lpr, mult = state
-        x, ll, lpr, a = mh_all(x, ll, lpr, mult, km)
-        x, ll, lpr, s = swaps(x, ll, lpr, jnp.mod(i, 2.0), ks)
-        kept = x[-1] if thin else None  # β=1 rung only
-        return (x, ll, lpr, mult), (jnp.mean(a), s, kept)
+        def swap_phase(x, ll, lpr, betas, i0, k):
+            # swaps are likelihood-free — a sweep costs (K−1)·W
+            # elementwise ops vs the MH sweep's (K·W)-row likelihood
+            # batch — so run MANY per likelihood sweep: state transport
+            # through the ladder goes from a ~K²/a random walk (in
+            # likelihood sweeps) to ~K/a, which is what delivers hot-
+            # rung mode assignments to β=1 within a realistic run
+            parities = jnp.mod(
+                i0 + jnp.arange(n_sw, dtype=jnp.float32), 2.0
+            )
+            keys = jax.random.split(k, n_sw)
 
-    @jax.jit
-    def run(x, warm_ik, run_ik):
-        ll, lpr, _ = safe_ll(x.reshape(-1, n_params))
-        ll = ll.reshape(n_rungs, n_walkers)
-        lpr = lpr.reshape(n_rungs, n_walkers)
-        zeros = jnp.float32(0.0)
-        if n_warmup > 0:
-            state = (x, ll, lpr, zeros, zeros, zeros)
-            state, _ = jax.lax.scan(warm_step, state, warm_ik)
-            x, ll, lpr, _, log_m_bar, _ = state
-            mult = jnp.exp(log_m_bar)
-        else:
-            mult = jnp.float32(1.0)
-        (x, ll, lpr, mult), (rates, srates, kept) = jax.lax.scan(
-            run_step, (x, ll, lpr, mult), run_ik
-        )
-        return x, ll, lpr, mult, rates, srates, kept
+            def one(carry, pk):
+                parity, kk = pk
+                x, ll, lpr = carry
+                x, ll, lpr, r = swaps(x, ll, lpr, betas, parity, kk)
+                return (x, ll, lpr), r
+
+            (x, ll, lpr), rs = jax.lax.scan(
+                one, (x, ll, lpr), (parities, keys)
+            )
+            # n_sw is even → each edge active on exactly half the
+            # sweeps → 2× raw mean = per-attempt acceptance
+            return x, ll, lpr, 2.0 * rs.mean(axis=0)
+
+        def run(params, x, warm_ik, run_ik):
+            def warm_step(state, ik):
+                i, k = ik
+                km, ks = jax.random.split(k)
+                x, ll, lpr, log_gaps, a_ema = state
+                betas = ladder(log_gaps)
+                x, ll, lpr, _ = sweep(params, x, ll, lpr, betas, km)
+                x, ll, lpr, s = swap_phase(x, ll, lpr, betas, i, ks)
+                if adapt_ladder and n_rungs > 2:
+                    # Vousden-style: equalize per-edge swap rates.
+                    # EMA the per-attempt acceptance, widen gaps
+                    # whose edges swap more than the ladder average.
+                    # GATED past the first third of warmup: while the
+                    # rungs are still annealing from prior draws their
+                    # logL levels are all similar, so every cold edge
+                    # reports spuriously high acceptance — adapting on
+                    # that transient coarsens the ladder bottom by
+                    # orders of magnitude (measured: β₁ 1e-6 → 1e-3,
+                    # choking the prior-rung supply to 1e-4)
+                    t = i + 1.0
+                    a_ema = 0.8 * a_ema + 0.2 * s
+                    tt = jnp.maximum(t - t_adapt_start, 0.0)
+                    gate = (t > t_adapt_start).astype(jnp.float32)
+                    gain = gate * 0.3 * t0_ladder / (tt + t0_ladder)
+                    log_gaps = log_gaps + gain * (a_ema - a_ema.mean())
+                    log_gaps = log_gaps - jnp.mean(log_gaps)  # bounded
+                return (x, ll, lpr, log_gaps, a_ema), None
+
+            def run_step(state, ik):
+                i, k = ik
+                km, ks = jax.random.split(k)
+                x, ll, lpr = state
+                x, ll, lpr, acc = sweep(params, x, ll, lpr, betas, km)
+                x, ll, lpr, s = swap_phase(x, ll, lpr, betas, i, ks)
+                kept = x[-1] if thin else None  # β=1 rung only
+                return (x, ll, lpr), (jnp.mean(acc), s, kept)
+
+            ll, lpr, _ = eval_ll(params, x.reshape(-1, n_params))
+            ll = ll.reshape(n_rungs, n_walkers)
+            lpr = lpr.reshape(n_rungs, n_walkers)
+            log_gaps = log_gaps0
+            if n_warmup > 0:
+                state = (
+                    x, ll, lpr, log_gaps,
+                    jnp.full((n_rungs - 1,), 0.25, jnp.float32),
+                )
+                state, _ = jax.lax.scan(warm_step, state, warm_ik)
+                x, ll, lpr, log_gaps, _ = state
+            betas = ladder(log_gaps)
+            (x, ll, lpr), (rates, srates, kept) = jax.lax.scan(
+                run_step, (x, ll, lpr), run_ik
+            )
+            return x, ll, lpr, betas, rates, srates, kept
+
+        return jax.jit(run)
+
+    run = _chain_program(
+        loglik,
+        (
+            "pt", _bounds_key(lo, hi), n_rungs, float(a),
+            float(beta_min),
+            bool(adapt_ladder), n_sw, bool(thin), int(n_warmup),
+            _fn_cache_key(raw_log_prior),
+        ),
+        build_run,
+    )
 
     def ik(k, n):
         n = max(n, 1)
         return (jnp.arange(n, dtype=jnp.float32), jax.random.split(k, n))
 
-    x, ll, lpr, mult, rates, srates, kept = run(
-        x, ik(k_warm, n_warmup), ik(k_run, n_steps)
+    x, ll, lpr, betas, rates, srates, kept = run(
+        params, x, ik(k_warm, n_warmup), ik(k_run, n_steps)
     )
     chain = (
         np.asarray(kept)[thin - 1:: thin]
@@ -1618,7 +1795,7 @@ def sample_pt(
         final=np.asarray(x[-1]),
         logp=np.asarray(ll[-1] + lpr[-1]),
         accept_rate=np.asarray(rates),
-        step_size=float(mult) * float(np.asarray(base_scale).mean()),
+        step_size=float(a),  # the stretch scale (cf. sample_ensemble)
         swap_rate=np.asarray(srates).mean(axis=0),
         betas=np.asarray(betas),
     )
