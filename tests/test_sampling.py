@@ -458,8 +458,10 @@ def test_log_evidence_matches_analytic_gaussian():
     assert abs(res.logz - logz_true) < 0.15
     assert res.rung_logz.shape == (23,)
     assert np.isclose(res.rung_logz.sum(), res.logz)
-    # warmup adaptation reached the target acceptance on every rung
-    assert (abs(res.accept_rate - 0.3) < 0.15).all()
+    # the stretch move is self-scaling: healthy acceptance on every
+    # rung with no adaptation (the β=0 independence rung accepts ~1)
+    assert (res.accept_rate > 0.15).all()
+    assert res.accept_rate[0] > 0.95
     # the β=1 rung is a posterior sample set
     assert np.allclose(res.posterior.mean(0), mu, atol=4 * sig / np.sqrt(50))
     assert "log Z" in res.summary()

