@@ -245,8 +245,8 @@ CELL_FIT_EVIDENCE = """\
 #     algorithm), warm-started from the fit;
 # (3) log_evidence -- Bayesian model comparison across families by
 #     batched nested sampling (the MultiNest/PolyChord workflow as one
-#     device program; measured ~0.04-nat seed spread where the
-#     PT-ladder alternative scatters by ~100 -- docs/PERF.md).
+#     device program; measured ~0.04-nat seed spread with zero tuning;
+#     the PT stepping-stone ladder is the cross-check -- docs/PERF.md).
 FAST = bool(os.environ.get("TPU21CMVAE_NB_FAST"))
 fit = model.fit_params(
     obs, 25.0, bounds=bounds,
@@ -270,6 +270,49 @@ ev = model.log_evidence(
 print(ev.summary())
 print("compare families by logz under the same obs/bounds, e.g. "
       "ae_em.log_evidence(obs, 25.0, bounds=bounds).logz")
+"""
+
+CELL_PT = """\
+# Multimodal posteriors: parallel tempering (sampler="pt"). Build a
+# controlled two-mode target from the real likelihood -- the true mode
+# plus a tau-mirrored replica down-weighted x4 (an 80/20 split). Every
+# single-temperature chain freezes at its ~50/50 init split (walkers
+# cannot cross a several-hundred-sigma barrier); the tempered ladder's
+# replica exchange transports modes to the beta=1 chain, recovering the
+# WEIGHTS. (ptemcee's design as one device program: tempered stretch
+# moves per rung, an exact independence-sampler prior rung, geometric
+# beta-ladder, likelihood-free swap sweeps -- sampling.py::sample_pt.)
+import jax.numpy as jnp
+
+from tpu21cmvae.sampling import sample_mh, sample_pt
+
+TAU = 3
+mirror_sum = float(bounds[TAU].sum())
+base_ll = model.loglik_fn(obs, 25.0)
+
+
+def two_mode_loglik(params, x):
+    xm = x.at[:, TAU].set(mirror_sum - x[:, TAU])
+    return jnp.logaddexp(jnp.log(0.8) + base_ll(params, x),
+                         jnp.log(0.2) + base_ll(params, xm))
+
+
+pt_kwargs = dict(
+    n_walkers=64, n_steps=160 if FAST else 1000,
+    n_warmup=80 if FAST else 400, thin=10, bounds=bounds, seed=0,
+)
+mh_2m = sample_mh(two_mode_loglik, model.params, **pt_kwargs)
+pt_2m = sample_pt(two_mode_loglik, model.params,
+                  n_rungs=16 if FAST else 32, **pt_kwargs)
+mid_tau = 0.5 * mirror_sum
+late = pt_2m.chain[pt_2m.chain.shape[0] // 2:].reshape(-1, 7)
+print("true split 0.80 | plain MH:",
+      round(float((mh_2m.flat[:, TAU] < mid_tau).mean()), 2),
+      "(frozen at init) | PT:",
+      round(float((late[:, TAU] < mid_tau).mean()), 2))
+print("per-edge swap rates, min/median:",
+      round(float(pt_2m.swap_rate.min()), 2),
+      round(float(np.median(pt_2m.swap_rate)), 2))
 """
 
 CELL_MIXTURE = """\
@@ -361,6 +404,7 @@ def build() -> nbf.NotebookNode:
         nbf.v4.new_code_cell(CELL_ENSEMBLE),
         nbf.v4.new_code_cell(CELL_SAMPLING),
         nbf.v4.new_code_cell(CELL_FIT_EVIDENCE),
+        nbf.v4.new_code_cell(CELL_PT),
         nbf.v4.new_code_cell(CELL_PRIOR_BAND),
         nbf.v4.new_code_cell(CELL_MIXTURE),
         nbf.v4.new_markdown_cell(MD_OUTRO),
