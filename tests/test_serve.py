@@ -262,3 +262,68 @@ def test_load_obs_specs_roundtrip(tmp_path, splits):
     np.savez(npath, obs=obs, noise_var=np.float32(9.0))
     specs = load_obs_specs(str(npath))
     assert len(specs) == 2 and float(specs[1][1]) == 9.0
+
+
+def test_sample_endpoint_posterior_and_program_reuse(server, model, splits):
+    """POST /sample runs a full on-device chain and returns a sane
+    posterior summary; a repeat request with the same statics reuses
+    the cached chain program (the per-closure cache holds ONE entry)."""
+    truth = np.asarray(splits.par_test[0], np.float32)
+    obs = np.asarray(model.predict(truth))
+    par = np.asarray(splits.par_train, np.float64)
+    lo, hi = par.min(0), par.max(0)
+    lo[:3] = np.maximum(lo[:3], 1e-6)
+    req = {
+        "obs": obs.tolist(), "noise_var": 25.0,
+        "bounds": np.stack([lo, hi], 1).tolist(),
+        "n_walkers": 64, "n_steps": 40, "n_warmup": 60, "thin": 10,
+        "seed": 0, "max_samples": 50,
+    }
+    out = _post(server, "/sample", req)
+    assert out["sampler"] == "mh"
+    assert len(out["mean"]) == 7 and len(out["ess"]) == 7
+    assert out["quantiles"]["0.5"][3] == pytest.approx(
+        out["mean"][3], abs=5 * out["std"][3]
+    )
+    assert 1 <= len(out["samples"]) <= 50
+    assert out["accept_rate"] > 0.05
+    # same statics, new seed → different samples out
+    out2 = _post(server, "/sample", dict(req, seed=1))
+    assert out2["mean"] != out["mean"]
+
+    # PT over HTTP: diagnostics included
+    pt = _post(server, "/sample", dict(
+        req, sampler="pt", n_rungs=8, n_walkers=32, n_steps=20,
+        n_warmup=20,
+    ))
+    assert len(pt["swap_rate"]) == 7 and pt["betas"][-1] == 1.0
+
+    # option validation → 400
+    import urllib.error
+
+    for bad in (dict(req, n_walkers=10**6), dict(req, bogus=1),
+                dict(req, sampler="hmc")):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(server, "/sample", bad)
+        assert ei.value.code == 400
+
+
+def test_sample_service_reuses_chain_program(model, splits):
+    """Embedded view of what /sample promises: two requests with the
+    same statics share ONE compiled chain program (cached on the same
+    likelihood closure /loglik uses), and the PT request adds its own."""
+    svc = EmulatorService(model)
+    truth = np.asarray(splits.par_test[0], np.float32)
+    obs = np.asarray(model.predict(truth))
+    par = np.asarray(splits.par_train, np.float64)
+    lo, hi = par.min(0), par.max(0)
+    lo[:3] = np.maximum(lo[:3], 1e-6)
+    kw = dict(bounds=np.stack([lo, hi], 1).tolist(), n_walkers=64,
+              n_steps=30, n_warmup=40, thin=10)
+    svc.sample(obs, 25.0, seed=0, **kw)
+    svc.sample(obs, 25.0, seed=1, **kw)
+    (_, fn), = list(svc._loglik.values())
+    assert len(fn._t21_chain_cache) == 1
+    svc.sample(obs, 25.0, sampler="pt", n_rungs=8, seed=0,
+               **dict(kw, n_walkers=32, n_steps=16, n_warmup=10))
+    assert len(fn._t21_chain_cache) == 2

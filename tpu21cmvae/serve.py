@@ -24,6 +24,14 @@ Endpoints (all JSON):
   Served at the model's default tier: near-mode |ΔlogL| ≤ ~0.43 on the
   flagship (safe for MH acceptance, not for absolute log-density reads
   — ``DirectEmulator.loglik_fn`` documents the contract tier).
+* ``POST /sample``     ``{"obs": …, "noise_var": …, "sampler": "mh"|
+  "pt", "n_walkers": …, "n_steps": …, "target_ess": …, …}`` → posterior
+  summary JSON (moments, 16/50/84 quantiles, ESS, R-hat, diagnostics,
+  an evenly-thinned sample block; PT adds swap rates + ladder). The
+  ENTIRE chain runs on device inside the request; chain programs are
+  cached on the same per-observation likelihood closure ``/loglik``
+  uses, so repeat requests with the same chain sizes compile nothing
+  (:meth:`EmulatorService.sample`).
 
 Device work is serialized by an explicit lock (one warm program
 saturates the chip at mega-batch sizes — docs/PERF.md; scale-out is
@@ -107,12 +115,12 @@ class EmulatorService:
         sizes = self._bucket_sizes(batch_sizes, up_to)
         for spec in specs:
             obs, nv = spec if isinstance(spec, tuple) else (spec, 1.0)
-            key, svc = self._loglik_lookup(
+            key, entry = self._loglik_lookup(
                 np.asarray(obs, np.float32), np.asarray(nv, np.float32)
             )
             with self._device_lock:
-                svc.warmup(sizes, n_params=self.model.config.n_params)
-            self._loglik_commit(key, svc)
+                entry[0].warmup(sizes, n_params=self.model.config.n_params)
+            self._loglik_commit(key, entry)
 
     def health(self) -> dict:
         return {
@@ -147,29 +155,147 @@ class EmulatorService:
         key = hashlib.sha256(
             obs.tobytes() + nv.tobytes() + repr(nv.shape).encode()
         ).hexdigest()
-        svc = self._loglik.get(key)
-        if svc is None:
+        entry = self._loglik.get(key)
+        if entry is None:
             fn = self.model.loglik_fn(obs, nv)
-            svc = ShardedEmulator(fn, self.model.params, mesh=self._mesh)
+            entry = (
+                ShardedEmulator(fn, self.model.params, mesh=self._mesh),
+                fn,
+            )
         else:
             self._loglik.move_to_end(key)
-        return key, svc
+        return key, entry
 
-    def _loglik_commit(self, key: str, svc) -> None:
+    def _loglik_commit(self, key: str, entry) -> None:
         if key not in self._loglik:
-            self._loglik[key] = svc
+            self._loglik[key] = entry
             if len(self._loglik) > self._loglik_cap:
                 self._loglik.popitem(last=False)  # evict oldest program
 
     def loglik(self, params, obs, noise_var=1.0) -> np.ndarray:
-        key, svc = self._loglik_lookup(
+        key, entry = self._loglik_lookup(
             np.asarray(obs, np.float32), np.asarray(noise_var, np.float32)
         )
         with self._device_lock:
-            out = np.atleast_1d(svc(np.asarray(params, np.float32)))
+            out = np.atleast_1d(entry[0](np.asarray(params, np.float32)))
         # cache only after a successful call, so a request that fails at
         # trace time cannot poison the key for later valid requests
-        self._loglik_commit(key, svc)
+        self._loglik_commit(key, entry)
+        return out
+
+    #: request caps: bound what one /sample request can make the device
+    #: chew on (a chain is n_steps sequential mega-batches) and how much
+    #: JSON it can ask back
+    SAMPLE_MAX_WALKERS = 8192
+    SAMPLE_MAX_STEPS = 5000
+    SAMPLE_MAX_RETURN = 4096
+
+    def sample(self, obs, noise_var=1.0, **opts) -> dict:
+        """On-device posterior sampling as a service: one request, one
+        chain program, a JSON posterior summary back.
+
+        The likelihood closure is the SAME cached object ``/loglik``
+        uses, and the chain programs live on it
+        (:func:`tpu21cmvae.sampling._chain_program`) — so repeated
+        ``/sample`` requests for a known observation with the same
+        chain sizes re-trace NOTHING: each request is one device call
+        after the first. Options: ``sampler`` (``"mh"`` default, or
+        ``"pt"`` with ``n_rungs`` for multimodal posteriors),
+        ``n_walkers``/``n_steps``/``n_warmup``/``thin``/``seed``,
+        ``bounds`` (``[[lo, hi], …]``, defaults to the 21cmGEM-shaped
+        box), ``target_ess`` (mh only — chunked chains until the
+        minimum per-parameter ESS reaches it), ``max_samples`` (cap on
+        returned posterior rows, default 1,000). Returns summary
+        moments, per-parameter quantiles/ESS/R-hat, diagnostics, and an
+        evenly-thinned sample block.
+        """
+        from tpu21cmvae.sampling import sample_mh, sample_pt, sample_to_ess
+
+        sampler = opts.pop("sampler", "mh")
+        max_samples = int(opts.pop("max_samples", 1000))
+        if not 1 <= max_samples <= self.SAMPLE_MAX_RETURN:
+            raise ValueError(
+                f"max_samples must be in [1, {self.SAMPLE_MAX_RETURN}]"
+            )
+        kwargs = dict(
+            n_walkers=int(opts.pop("n_walkers", 1024)),
+            n_steps=int(opts.pop("n_steps", 300)),
+            n_warmup=int(opts.pop("n_warmup", 200)),
+            thin=int(opts.pop("thin", 10)),
+            seed=int(opts.pop("seed", 0)),
+        )
+        if kwargs["n_walkers"] > self.SAMPLE_MAX_WALKERS:
+            raise ValueError(
+                f"n_walkers capped at {self.SAMPLE_MAX_WALKERS}"
+            )
+        if kwargs["n_steps"] > self.SAMPLE_MAX_STEPS:
+            raise ValueError(f"n_steps capped at {self.SAMPLE_MAX_STEPS}")
+        if kwargs["thin"] <= 0:
+            raise ValueError("thin must be positive")
+        bounds = opts.pop("bounds", None)
+        if bounds is not None:
+            bounds = np.asarray(bounds, np.float64)
+            if bounds.shape != (self.model.config.n_params, 2):
+                raise ValueError(
+                    f"bounds must be ({self.model.config.n_params}, 2)"
+                )
+            kwargs["bounds"] = bounds
+        if sampler == "pt":
+            fn_run, extra = sample_pt, {
+                "n_rungs": int(opts.pop("n_rungs", 32))
+            }
+        elif sampler == "mh":
+            if "target_ess" in opts:
+                fn_run = sample_to_ess
+                extra = {
+                    "target_ess": float(opts.pop("target_ess")),
+                    "max_chunks": min(int(opts.pop("max_chunks", 25)), 50),
+                }
+            else:
+                fn_run, extra = sample_mh, {}
+        else:
+            raise ValueError(
+                f"sampler must be 'mh' or 'pt' over HTTP; got {sampler!r}"
+            )
+        if opts:
+            raise ValueError(f"unknown sample options: {sorted(opts)}")
+
+        key, entry = self._loglik_lookup(
+            np.asarray(obs, np.float32), np.asarray(noise_var, np.float32)
+        )
+        with self._device_lock:
+            res = fn_run(entry[1], self.model.params, **kwargs, **extra)
+        self._loglik_commit(key, entry)
+
+        flat = res.flat
+        if flat.shape[0] == 0:  # thin too coarse for the step count
+            raise ValueError(
+                "no stored samples: raise n_steps or lower thin"
+            )
+        stride = max(1, flat.shape[0] // max_samples)
+        labels = list(getattr(self.model, "par_labels", []))
+        out = {
+            "sampler": sampler,
+            "par_labels": labels,
+            "mean": flat.mean(0).tolist(),
+            "std": flat.std(0).tolist(),
+            "quantiles": {
+                q: np.percentile(flat, 100 * q, axis=0).tolist()
+                for q in (0.16, 0.5, 0.84)
+            },
+            # need ≥4 kept steps for autocorrelation estimates; short
+            # smoke chains still get moments + samples
+            "ess": (res.ess().tolist()
+                    if res.chain.shape[0] >= 4 else None),
+            "rhat": (res.rhat().tolist()
+                     if res.chain.shape[0] >= 4 else None),
+            "accept_rate": float(np.mean(res.accept_rate)),
+            "n_samples": int(flat.shape[0]),
+            "samples": flat[::stride][:max_samples].tolist(),
+        }
+        if sampler == "pt":
+            out["swap_rate"] = res.swap_rate.tolist()
+            out["betas"] = res.betas.tolist()
         return out
 
 
@@ -221,6 +347,10 @@ def _make_handler(service: EmulatorService):
                         req["params"], req["obs"], req.get("noise_var", 1.0)
                     )
                     self._reply(200, {"loglik": out.tolist()})
+                elif self.path == "/sample":
+                    obs = req.pop("obs")
+                    nv = req.pop("noise_var", 1.0)
+                    self._reply(200, service.sample(obs, nv, **req))
                 else:
                     self._reply(404, {"error": f"unknown path {self.path}"})
             except (KeyError, ValueError, TypeError) as e:
