@@ -727,3 +727,23 @@ def test_model_level_target_ess(splits):
     )
     assert res.ess().min() >= 50.0
     assert res.chain.shape[1:] == (64, 7)
+
+
+def test_autocorr_time_matches_ess():
+    """autocorr_time is the emcee-convention view of ess: τ·ESS =
+    kept·walkers, and an iid chain reports τ ≈ 1."""
+    import jax.numpy as jnp
+
+    from tpu21cmvae.sampling import sample_mh
+
+    bounds = np.array([[-4.0, 4.0]] * 2)
+
+    def loglik(params, x):
+        return -0.5 * jnp.sum(jnp.asarray(x) ** 2, axis=-1)
+
+    res = sample_mh(loglik, None, n_walkers=128, n_steps=400, n_warmup=200,
+                    thin=20, bounds=bounds, seed=0)
+    tau = res.autocorr_time()
+    n, w, _ = res.chain.shape
+    np.testing.assert_allclose(tau * res.ess(), n * w, rtol=1e-12)
+    assert (tau < 3.0).all()  # thin=20 leaves nearly-iid samples

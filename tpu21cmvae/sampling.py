@@ -138,6 +138,16 @@ class SampleResult:
             out[j] = n * n_walkers / tau
         return out
 
+    def autocorr_time(self) -> np.ndarray:
+        """Integrated autocorrelation time per parameter, in units of
+        STORED (thinned) steps — emcee's ``get_autocorr_time``
+        convention, derived from the same Geyer-truncated estimate as
+        :meth:`ess` (``τ = kept_steps · n_walkers / ESS``; multiply by
+        ``thin`` for raw chain steps). Rule of thumb: trust moments
+        once the stored chain is ≳ 50·τ long."""
+        n, n_walkers, _ = self.chain.shape
+        return n * n_walkers / self.ess()
+
     def summary(self, labels=None) -> str:
         samples = self.flat if self.chain.size else self.final
         mean, std = samples.mean(0), samples.std(0)
