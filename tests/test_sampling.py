@@ -747,3 +747,52 @@ def test_autocorr_time_matches_ess():
     n, w, _ = res.chain.shape
     np.testing.assert_allclose(tau * res.ess(), n * w, rtol=1e-12)
     assert (tau < 3.0).all()  # thin=20 leaves nearly-iid samples
+
+
+def test_review_regressions_pt_cache_and_ladder_and_to_ess():
+    """Three review-verified regressions stay fixed: (1) chain-program
+    cache keys include n_walkers (a second sample_pt on the same
+    closure with a different walker count must NOT hit the first
+    program's baked shapes); (2) n_rungs=2 ladder is [0, 1], not
+    [0, beta_min]; (3) sample_to_ess accepts user step_frac/x0 without
+    colliding with its own continuation arguments."""
+    import jax.numpy as jnp
+
+    from tpu21cmvae.sampling import (
+        _geometric_ladder,
+        log_evidence,
+        sample_pt,
+        sample_to_ess,
+    )
+
+    bounds = np.array([[-3.0, 3.0]] * 2)
+
+    def loglik(params, x):
+        return -0.5 * jnp.sum(jnp.asarray(x) ** 2, axis=-1)
+
+    common = dict(n_steps=6, n_warmup=4, thin=3, bounds=bounds, seed=0)
+    r1 = sample_pt(loglik, None, n_rungs=4, n_walkers=8, **common)
+    r2 = sample_pt(loglik, None, n_rungs=4, n_walkers=16, **common)
+    assert r1.final.shape == (8, 2) and r2.final.shape == (16, 2)
+    e1 = log_evidence(loglik, None, n_rungs=4, n_walkers=8,
+                      n_steps=6, n_warmup=4, bounds=bounds, seed=0)
+    e2 = log_evidence(loglik, None, n_rungs=4, n_walkers=16,
+                      n_steps=6, n_warmup=4, bounds=bounds, seed=0)
+    assert np.isfinite([e1.logz, e2.logz]).all()
+
+    np.testing.assert_array_equal(_geometric_ladder(2, 1e-6), [0.0, 1.0])
+    # n_rungs=2 evidence integrates [prior, posterior] — logz lands
+    # near truth for a Gaussian in a box, not at ~0
+    ev2 = log_evidence(loglik, None, n_rungs=2, n_walkers=256,
+                       n_steps=300, n_warmup=100, bounds=bounds, seed=0)
+    logz_true = float(
+        np.log(2 * np.pi) - 2 * np.log(6.0)
+    )  # erf(3/sqrt2)^2 ≈ 0.9946 → +2·log(0.99865) ≈ -0.0027, inside tol
+    assert abs(ev2.logz - logz_true) < 0.1
+
+    res = sample_to_ess(
+        loglik, None, target_ess=200, chunk_steps=60, n_walkers=64,
+        n_warmup=50, thin=10, bounds=bounds, seed=0, step_frac=0.08,
+        x0=np.zeros((64, 2), np.float32), max_chunks=20,
+    )
+    assert res.ess().min() >= 200

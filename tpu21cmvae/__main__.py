@@ -222,10 +222,18 @@ def cmd_sample(args):
         obs, noise_var, sampler=args.sampler, **kwargs
     )
     print(res.summary(getattr(model, "par_labels", None)))
-    np.savez_compressed(
-        args.out, chain=res.chain, final=res.final, logp=res.logp,
+    blob = dict(
+        chain=res.chain, final=res.final, logp=res.logp,
         accept_rate=res.accept_rate, step_size=res.step_size,
     )
+    if getattr(res, "swap_rate", None) is not None:  # PT diagnostics
+        blob["swap_rate"] = res.swap_rate
+        blob["betas"] = res.betas
+        if res.swap_rate.min() < 0.05:
+            print(f"WARNING: min per-edge swap rate "
+                  f"{res.swap_rate.min():.3f} — the ladder barely "
+                  f"transports; add --rungs or lower beta_min")
+    np.savez_compressed(args.out, **blob)
     print(f"wrote {args.out} (chain {res.chain.shape}, "
           f"final {res.final.shape})")
     return 0

@@ -633,8 +633,8 @@ def log_evidence(
     run = _chain_program(
         loglik,
         (
-            "evidence", _bounds_key(lo, hi), n_rungs, float(a),
-            float(beta_min), n_sw, int(n_warmup),
+            "evidence", _bounds_key(lo, hi), n_rungs, n_walkers,
+            float(a), float(beta_min), n_sw, int(n_warmup),
             _fn_cache_key(raw_log_prior),
         ),
         build_run,
@@ -1550,6 +1550,11 @@ def _geometric_ladder(n_rungs, beta_min):
     edges measurably collapse (docstrings of :func:`sample_pt`)."""
     if not 0.0 < beta_min < 1.0:
         raise ValueError(f"beta_min must be in (0, 1); got {beta_min}")
+    if n_rungs == 2:
+        # geomspace(beta_min, 1, num=1) returns [beta_min], which would
+        # silently make the "posterior" rung β=beta_min — degenerate PT
+        # with no tempering is [prior, posterior]
+        return np.array([0.0, 1.0])
     return np.concatenate([[0.0], np.geomspace(beta_min, 1.0, n_rungs - 1)])
 
 
@@ -1760,7 +1765,7 @@ def sample_pt(
     run = _chain_program(
         loglik,
         (
-            "pt", _bounds_key(lo, hi), n_rungs, float(a),
+            "pt", _bounds_key(lo, hi), n_rungs, n_walkers, float(a),
             float(beta_min),
             bool(adapt_ladder), n_sw, bool(thin), int(n_warmup),
             _fn_cache_key(raw_log_prior),
@@ -1832,9 +1837,15 @@ def sample_to_ess(
         )
     lo, hi = _resolve_bounds(bounds)
     span_mean = float(np.asarray(hi - lo).mean())
+    # step_frac/x0 apply to the FIRST chunk only — continuations pass
+    # their own (adapted scale, final state), so forwarding the user's
+    # through **kwargs would collide
+    first_step_frac = kwargs.pop("step_frac", 0.05)
+    first_x0 = kwargs.pop("x0", None)
     res = sample_mh(
         loglik, params, n_walkers=n_walkers, n_steps=chunk_steps,
-        n_warmup=n_warmup, thin=thin, bounds=bounds, seed=seed, **kwargs,
+        n_warmup=n_warmup, thin=thin, bounds=bounds, seed=seed,
+        step_frac=first_step_frac, x0=first_x0, **kwargs,
     )
     chains, rates = [res.chain], [res.accept_rate]
     step_size = res.step_size

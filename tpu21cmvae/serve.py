@@ -71,7 +71,9 @@ class EmulatorService:
         self.model = model
         self._sharded = ShardedEmulator.for_model(model, mesh=mesh)
         self._mesh = self._sharded.mesh
-        self._loglik: "OrderedDict[str, ShardedEmulator]" = OrderedDict()
+        # values: (ShardedEmulator for /loglik, raw loglik closure for
+        # /sample — chain programs live on the closure)
+        self._loglik: "OrderedDict[str, tuple]" = OrderedDict()
         self._loglik_cap = loglik_cache
         # device dispatch is serialized on purpose; holding the lock only
         # around device work lets /health answer during long calls
@@ -188,6 +190,7 @@ class EmulatorService:
     #: JSON it can ask back
     SAMPLE_MAX_WALKERS = 8192
     SAMPLE_MAX_STEPS = 5000
+    SAMPLE_MAX_RUNGS = 256
     SAMPLE_MAX_RETURN = 4096
 
     def sample(self, obs, noise_var=1.0, **opts) -> dict:
@@ -228,8 +231,10 @@ class EmulatorService:
             raise ValueError(
                 f"n_walkers capped at {self.SAMPLE_MAX_WALKERS}"
             )
-        if kwargs["n_steps"] > self.SAMPLE_MAX_STEPS:
-            raise ValueError(f"n_steps capped at {self.SAMPLE_MAX_STEPS}")
+        if max(kwargs["n_steps"], kwargs["n_warmup"]) > self.SAMPLE_MAX_STEPS:
+            raise ValueError(
+                f"n_steps/n_warmup capped at {self.SAMPLE_MAX_STEPS}"
+            )
         if kwargs["thin"] <= 0:
             raise ValueError("thin must be positive")
         bounds = opts.pop("bounds", None)
@@ -241,9 +246,12 @@ class EmulatorService:
                 )
             kwargs["bounds"] = bounds
         if sampler == "pt":
-            fn_run, extra = sample_pt, {
-                "n_rungs": int(opts.pop("n_rungs", 32))
-            }
+            n_rungs = int(opts.pop("n_rungs", 32))
+            if n_rungs > self.SAMPLE_MAX_RUNGS:
+                raise ValueError(
+                    f"n_rungs capped at {self.SAMPLE_MAX_RUNGS}"
+                )
+            fn_run, extra = sample_pt, {"n_rungs": n_rungs}
         elif sampler == "mh":
             if "target_ess" in opts:
                 fn_run = sample_to_ess
@@ -264,7 +272,10 @@ class EmulatorService:
             np.asarray(obs, np.float32), np.asarray(noise_var, np.float32)
         )
         with self._device_lock:
-            res = fn_run(entry[1], self.model.params, **kwargs, **extra)
+            res = fn_run(
+                entry[1], self.model.params, mesh=self._mesh,
+                **kwargs, **extra,
+            )
         self._loglik_commit(key, entry)
 
         flat = res.flat
