@@ -202,3 +202,45 @@ def test_model_level_prior_passthrough(splits):
         log_prior=tight.log_prior,
     )
     assert abs(fit.best[3] - mid[3]) < 0.02 * (hi[3] - lo[3])
+
+
+def test_reweight_matches_analytic_conjugate():
+    """Importance reweighting a flat-prior chain to a Gaussian prior
+    reproduces the analytic conjugate posterior (the same contract the
+    direct log_prior= sampling path is tested against), and the Kish
+    ESS honestly collapses when the new prior excludes the cloud."""
+    import jax.numpy as jnp
+
+    from tpu21cmvae.priors import GaussianBoxPrior
+    from tpu21cmvae.sampling import reweight, sample_mh
+
+    bounds = np.array([[-6.0, 6.0]] * 2)
+    sig_l = 0.8
+
+    def loglik(params, x):
+        return -0.5 * jnp.sum((jnp.asarray(x) / sig_l) ** 2, axis=-1)
+
+    res = sample_mh(loglik, None, n_walkers=512, n_steps=400,
+                    n_warmup=200, thin=5, bounds=bounds, seed=0)
+    prior = GaussianBoxPrior.for_params(
+        {0: (1.0, 0.5)}, n_params=2, bounds=bounds
+    )
+    wp = reweight(res, prior.log_prior)
+    # conjugate: posterior on dim 0 = N(mu*, s*) with
+    # 1/s*^2 = 1/sig_l^2 + 1/0.5^2, mu* = s*^2 * (1.0/0.5^2)
+    s2 = 1.0 / (1.0 / sig_l**2 + 1.0 / 0.25)
+    mu = s2 * (1.0 / 0.25)
+    assert wp.ess() > 1000
+    assert abs(wp.mean()[0] - mu) < 0.05
+    assert abs(wp.std()[0] - np.sqrt(s2)) < 0.05
+    # dim 1 untouched by the prior
+    assert abs(wp.mean()[1]) < 0.05
+    # weighted median ≈ weighted mean for a symmetric posterior
+    assert abs(wp.quantile(0.5)[0] - wp.mean()[0]) < 0.05
+    draws = wp.resample(4000, seed=1)
+    assert abs(draws[:, 0].mean() - mu) < 0.08
+    # a prior far outside the cloud collapses the ESS
+    far = GaussianBoxPrior.for_params(
+        {0: (5.5, 0.01)}, n_params=2, bounds=bounds
+    )
+    assert reweight(res, far.log_prior).ess() < 50

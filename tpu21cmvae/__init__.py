@@ -62,6 +62,8 @@ from tpu21cmvae.sampling import (  # noqa: F401
     sample_mh,
     sample_pt,
     sample_to_ess,
+    WeightedPosterior,
+    reweight,
 )
 from tpu21cmvae.nested import NestedResult, nested_sampling  # noqa: F401
 from tpu21cmvae.priors import GaussianBoxPrior  # noqa: F401
