@@ -796,3 +796,70 @@ def test_review_regressions_pt_cache_and_ladder_and_to_ess():
         x0=np.zeros((64, 2), np.float32), max_chunks=20,
     )
     assert res.ess().min() >= 200
+
+
+def test_profile_likelihood_analytic_gaussian():
+    """On an analytic Gaussian likelihood the profile curve is the
+    marginal quadratic and the Wilks interval is mu ± z·sigma (0.68 →
+    ±1σ, 0.95 → ±1.96σ) — this pins the constrained-ascent machinery,
+    the pinned-coordinate mask, and the interval interpolation."""
+    import jax.numpy as jnp
+
+    from tpu21cmvae.sampling import profile_likelihood
+
+    mu = np.array([0.5, -1.0], np.float32)
+    sig = np.array([0.4, 0.7], np.float32)
+    bounds = np.array([[-3.0, 3.0], [-4.0, 4.0]])
+
+    def valgrad(params, x):
+        z = (jnp.asarray(x) - mu) / sig
+        return -0.5 * jnp.sum(z * z, axis=-1), -z / sig
+
+    grid = np.linspace(-1.0, 2.0, 61)
+    res = profile_likelihood(
+        valgrad, None, 0, grid, n_starts=32, n_steps=200, bounds=bounds,
+        seed=0,
+    )
+    assert res.logl.shape == (61,) and res.params.shape == (61, 2)
+    # profile over the free param leaves the pure quadratic in dim 0
+    want = -0.5 * ((grid - mu[0]) / sig[0]) ** 2
+    np.testing.assert_allclose(res.logl, want, atol=5e-3)
+    # the free coordinate sits at its conditional optimum everywhere
+    np.testing.assert_allclose(res.params[:, 1], mu[1], atol=0.01)
+    np.testing.assert_array_equal(res.params[:, 0], grid.astype(np.float32))
+    lo68, hi68 = res.interval(0.68)
+    assert abs(lo68 - (mu[0] - 0.994 * sig[0])) < 0.03
+    assert abs(hi68 - (mu[0] + 0.994 * sig[0])) < 0.03
+    lo95, hi95 = res.interval(0.95)
+    assert abs(lo95 - (mu[0] - 1.96 * sig[0])) < 0.04
+    assert abs(hi95 - (mu[0] + 1.96 * sig[0])) < 0.04
+    # censoring: a grid that stops inside the interval reports its edge
+    short = profile_likelihood(
+        valgrad, None, 0, np.linspace(0.3, 0.7, 11), n_starts=16,
+        n_steps=150, bounds=bounds, seed=0,
+    )
+    i95 = short.interval(0.95)
+    assert i95[0] == pytest.approx(0.3) and i95[1] == pytest.approx(0.7)
+    with pytest.raises(ValueError, match="grid"):
+        profile_likelihood(valgrad, None, 0, [5.0, 6.0], bounds=bounds)
+    with pytest.raises(ValueError, match="index"):
+        profile_likelihood(valgrad, None, 9, grid, bounds=bounds)
+
+
+def test_model_level_profile_likelihood(splits):
+    em = DirectEmulator(splits, config=DirectEmulatorConfig(hidden_dims=(16,)))
+    truth = np.asarray(splits.par_test[0], np.float32)
+    obs = em.predict(truth)
+    par = np.asarray(splits.par_train, np.float64)
+    lo, hi = par.min(0), par.max(0)
+    lo[:3] = np.maximum(lo[:3], 1e-6)
+    bounds = np.stack([lo, hi], axis=1)
+    grid = np.linspace(lo[3] + 0.1 * (hi[3] - lo[3]),
+                       hi[3] - 0.1 * (hi[3] - lo[3]), 9)
+    res = em.profile_likelihood(
+        obs, 25.0, 3, grid, bounds=bounds, n_starts=24, n_steps=80, seed=0,
+    )
+    assert np.isfinite(res.logl).all()
+    # the profile peaks in the grid cell containing (or nearest) truth
+    peak = res.grid[res.logl.argmax()]
+    assert abs(peak - truth[3]) < 0.25 * (hi[3] - lo[3])

@@ -50,6 +50,7 @@ from tpu21cmvae.sampling import (  # noqa: F401
     BatchSampleResult,
     EvidenceResult,
     FitResult,
+    ProfileResult,
     PTSampleResult,
     PredictiveBand,
     SampleResult,
@@ -57,6 +58,7 @@ from tpu21cmvae.sampling import (  # noqa: F401
     log_evidence,
     make_emcee_log_prob,
     posterior_predictive,
+    profile_likelihood,
     sample_ensemble,
     sample_hmc,
     sample_mh,

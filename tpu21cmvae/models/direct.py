@@ -491,6 +491,25 @@ class DirectEmulator:
         )
         return fit_map(valgrad, self.params, bounds=bounds, **kwargs)
 
+    def profile_likelihood(
+        self, obs, noise_var, index, grid, *, bounds=None, **kwargs
+    ):
+        """Profile likelihood of parameter ``index`` over ``grid`` —
+        Wilks confidence intervals from batched constrained refits, the
+        whole grid as ONE device program
+        (:func:`tpu21cmvae.sampling.profile_likelihood`). Returns a
+        :class:`~tpu21cmvae.sampling.ProfileResult`;
+        ``result.interval(0.68)`` / ``.interval(0.95)``."""
+        from tpu21cmvae.sampling import profile_likelihood
+
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        valgrad = self.loglik_and_grad_fn(
+            obs, noise_var, backend=backend, grad_precision="default"
+        )
+        return profile_likelihood(
+            valgrad, self.params, index, grid, bounds=bounds, **kwargs
+        )
+
     def posterior_predictive(self, samples, **kwargs):
         """Signal-space credible bands implied by posterior parameter
         samples (``SampleResult.flat`` / ``NestedResult.posterior(n)``)

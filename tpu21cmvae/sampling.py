@@ -49,11 +49,13 @@ __all__ = [
     "FitResult",
     "PTSampleResult",
     "PredictiveBand",
+    "ProfileResult",
     "SampleResult",
     "fit_map",
     "log_evidence",
     "make_emcee_log_prob",
     "posterior_predictive",
+    "profile_likelihood",
     "run_batched_chain",
     "sample_ensemble",
     "sample_hmc",
@@ -1971,3 +1973,147 @@ def reweight(
         )
     logw = np.where(np.isfinite(logw), logw, -np.inf)
     return WeightedPosterior(samples=flat, logw=logw - logw.max())
+
+
+@dataclasses.dataclass
+class ProfileResult:
+    """Profile-likelihood curve from :func:`profile_likelihood`.
+
+    ``grid``: the scanned values of the profiled parameter; ``logl``:
+    the profile log-likelihood ``max_{others} logL(grid_i, others)``
+    per grid point; ``params``: the maximizing full parameter vector at
+    each grid point, ``(G, n_params)``. ``interval(level)`` returns the
+    Wilks confidence interval — the grid range where
+    ``logl ≥ max(logl) − χ²₁(level)/2`` — with the crossings located by
+    linear interpolation; an endpoint equal to ``grid[0]``/``grid[-1]``
+    means the interval is CENSORED by the scanned range (widen the
+    grid)."""
+
+    index: int
+    grid: np.ndarray
+    logl: np.ndarray
+    params: np.ndarray
+
+    def interval(self, level: float = 0.68) -> Tuple[float, float]:
+        from scipy.stats import chi2
+
+        if not 0.0 < level < 1.0:
+            raise ValueError(f"level must be in (0, 1); got {level}")
+        thresh = self.logl.max() - 0.5 * chi2.ppf(level, df=1)
+        above = self.logl >= thresh
+        if not above.any():  # pragma: no cover - thresh <= max always
+            raise RuntimeError("no grid point above the Wilks threshold")
+        i0, i1 = np.flatnonzero(above)[[0, -1]]
+        lo = self.grid[0] if i0 == 0 else float(np.interp(
+            thresh, self.logl[i0 - 1:i0 + 1], self.grid[i0 - 1:i0 + 1]
+        ))
+        hi = self.grid[-1] if i1 == len(self.grid) - 1 else float(
+            np.interp(
+                -thresh,
+                -self.logl[i1:i1 + 2],
+                self.grid[i1:i1 + 2],
+            )
+        )
+        return float(lo), float(hi)
+
+
+def profile_likelihood(
+    valgrad,
+    params,
+    index: int,
+    grid,
+    *,
+    n_starts: int = 256,
+    n_steps: int = 300,
+    bounds=None,
+    learning_rate: float = 0.05,
+    seed: int = 0,
+    log_prior=None,
+    mesh=None,
+) -> ProfileResult:
+    """Profile likelihood of ONE parameter — the frequentist
+    confidence-interval workflow (Wilks' theorem) the reference
+    community runs as a grid of scipy refits around 40 ms ``predict``
+    calls: for every value ``g`` in ``grid``, maximize
+    ``logL(θ | θ_index = g)`` over the remaining parameters.
+
+    TPU shape: the ENTIRE scan — ``len(grid) · n_starts`` constrained
+    multi-start Adam ascents — is ONE batched device program riding the
+    same fused value+gradient path as :func:`fit_map` (the profiled
+    coordinate is pinned by masking its whitened-space gradient).
+    A 64-point grid with 256 restarts each costs what a single fit
+    costs per step. ``log_prior`` profiles ``logL + logπ`` instead
+    (profile posterior). Returns a :class:`ProfileResult`;
+    ``result.interval(0.68)`` / ``.interval(0.95)`` give the Wilks
+    intervals.
+    """
+    lo, hi = _resolve_bounds(bounds)
+    n_params = int(lo.shape[0])
+    if not 0 <= index < n_params:
+        raise ValueError(f"index must be in [0, {n_params}); got {index}")
+    grid = np.asarray(grid, np.float32)
+    if grid.ndim != 1 or grid.shape[0] < 2:
+        raise ValueError("grid must be 1-D with >= 2 points")
+    if (grid < np.asarray(lo)[index]).any() or (
+        grid > np.asarray(hi)[index]
+    ).any():
+        raise ValueError("grid values must lie inside the prior box")
+    span = hi - lo
+    g_count = grid.shape[0]
+    key = jax.random.key(seed)
+    x = _init_walkers(key, g_count * n_starts, lo, hi)
+    x = x.reshape(g_count, n_starts, n_params)
+    x = x.at[:, :, index].set(grid[:, None])
+    x = _shard_walkers(x.reshape(-1, n_params), mesh)
+    frac = jnp.clip((x - lo) / span, 1e-4, 1.0 - 1e-4)
+    y0 = jnp.log(frac / (1.0 - frac))
+    free = jnp.ones((n_params,), jnp.float32).at[index].set(0.0)
+
+    def ll_and_grad_y(y):
+        s = jax.nn.sigmoid(y)
+        xr = lo + span * s
+        ll, g_raw = valgrad(params, xr)
+        if log_prior is not None:
+            lpr, g_pr = _log_prior_val_grad(log_prior, xr)
+            ll = ll + lpr
+            g_raw = g_raw + g_pr
+        # pin the profiled coordinate: no gradient, no movement
+        return ll, g_raw * (span * s * (1.0 - s)) * free
+
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def adam_step(state, t):
+        y, m, v = state
+        ll, g = ll_and_grad_y(y)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        m = b1 * m + (1.0 - b1) * g
+        v = b2 * v + (1.0 - b2) * g * g
+        mh = m / (1.0 - b1 ** t)
+        vh = v / (1.0 - b2 ** t)
+        lr = learning_rate * (0.05 + 0.95 * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * (t - 1.0) / n_steps)
+        ))
+        y = y + lr * mh / (jnp.sqrt(vh) + eps)
+        return (y, m, v), None
+
+    @jax.jit
+    def run(y):
+        state = (y, jnp.zeros_like(y), jnp.zeros_like(y))
+        (y, _, _), _ = jax.lax.scan(
+            adam_step, state, jnp.arange(1, n_steps + 1, dtype=jnp.float32)
+        )
+        ll, _ = ll_and_grad_y(y)
+        return lo + span * jax.nn.sigmoid(y), ll
+
+    xr, ll = run(y0)
+    xr = np.asarray(xr).reshape(g_count, n_starts, n_params)
+    ll = np.asarray(ll).reshape(g_count, n_starts)
+    best = ll.argmax(axis=1)
+    rows = np.arange(g_count)
+    out_params = xr[rows, best]
+    # the ascent's sigmoid parameterization cannot land EXACTLY on the
+    # pinned value (clipped init); restore it exactly
+    out_params[:, index] = grid
+    return ProfileResult(
+        index=index, grid=grid, logl=ll[rows, best], params=out_params
+    )
