@@ -510,6 +510,22 @@ class DirectEmulator:
             valgrad, self.params, index, grid, bounds=bounds, **kwargs
         )
 
+    def fit_advi(self, obs, noise_var=1.0, *, bounds=None, **kwargs):
+        """Fast approximate posterior by full-rank Gaussian ADVI over
+        the fused value+gradient path
+        (:func:`tpu21cmvae.vi.fit_advi`) — quick-look error bars and
+        sampler warm starts in a fraction of a chain's wall time.
+        Returns an :class:`~tpu21cmvae.vi.ADVIResult` (``.sample(n)``
+        for iid draws, ``.mean()``/``.std()``); prefer the chain
+        samplers when the posterior may be non-Gaussian."""
+        from tpu21cmvae.vi import fit_advi
+
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        valgrad = self.loglik_and_grad_fn(
+            obs, noise_var, backend=backend, grad_precision="default"
+        )
+        return fit_advi(valgrad, self.params, bounds=bounds, **kwargs)
+
     def posterior_predictive(self, samples, **kwargs):
         """Signal-space credible bands implied by posterior parameter
         samples (``SampleResult.flat`` / ``NestedResult.posterior(n)``)
