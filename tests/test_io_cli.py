@@ -494,3 +494,41 @@ def test_cli_sbc(tmp_path, splits):
     assert blob["ranks"].shape == (24, 7)
     assert blob["pvalues"].shape == (7,)
     assert rc in (0, 1)  # verdict exit code, artifact either way
+
+
+def test_cli_advi_and_profile(tmp_path, splits):
+    """`advi` and `profile` run end to end from the shell: model + obs
+    in, posterior/interval npz + summary out."""
+    import json as _json
+
+    from tpu21cmvae.__main__ import main
+    from tpu21cmvae.models.direct import DirectEmulator
+    from tpu21cmvae.utils.config import DirectEmulatorConfig
+
+    model = DirectEmulator(
+        splits, config=DirectEmulatorConfig(hidden_dims=(16,))
+    )
+    ckpt = str(tmp_path / "m.npz")
+    model.save(ckpt)
+    obs = model.predict(splits.par_test[0])
+    obs_file = str(tmp_path / "obs.json")
+    with open(obs_file, "w") as f:
+        _json.dump({"obs": obs.tolist(), "noise_var": 25.0}, f)
+
+    out = str(tmp_path / "advi.npz")
+    main(["advi", ckpt, "--obs", obs_file, "--steps", "60", "--mc", "64",
+          "--samples", "128", "--out", out])
+    blob = np.load(out)
+    assert blob["samples"].shape == (128, 7)
+    assert blob["mu"].shape == (7,) and blob["chol"].shape == (7, 7)
+    assert np.isfinite(blob["elbo"]).all()
+
+    out2 = str(tmp_path / "prof.npz")
+    main(["profile", ckpt, "--obs", obs_file, "--index", "3",
+          "--points", "7", "--starts", "16", "--steps", "40",
+          "--out", out2])
+    blob2 = np.load(out2)
+    assert blob2["grid"].shape == (7,) and blob2["logl"].shape == (7,)
+    lo68, hi68 = blob2["interval68"]
+    lo95, hi95 = blob2["interval95"]
+    assert lo95 <= lo68 <= hi68 <= hi95

@@ -265,6 +265,79 @@ def cmd_fit(args):
     return 0
 
 
+def cmd_advi(args):
+    from tpu21cmvae.models import load_model
+    from tpu21cmvae.serve import load_obs_specs
+
+    model = load_model(args.model)
+    specs = load_obs_specs(args.obs)
+    if len(specs) != 1:
+        print(f"--obs file must contain exactly one observation; got "
+              f"{len(specs)}", file=sys.stderr)
+        return 2
+    obs, noise_var = specs[0]
+    prior = _build_prior(args.prior)
+    res = model.fit_advi(
+        obs, noise_var, n_steps=args.steps, n_mc=args.mc,
+        learning_rate=args.lr, seed=args.seed,
+        log_prior=None if prior is None else prior.log_prior,
+    )
+    labels = getattr(model, "par_labels",
+                     [f"p{i}" for i in range(res.mu.shape[0])])
+    mean, std = res.mean(), res.std()
+    for lab, m, s in zip(labels, mean, std):
+        print(f"  {lab:>8}: {m:12.6g} ± {s:.4g}")
+    print(f"ELBO: first {res.elbo[0]:.4g} → last {res.elbo[-1]:.4g} "
+          f"(tail std {res.elbo[-50:].std():.3g})")
+    np.savez_compressed(
+        args.out, mu=res.mu, chol=res.chol, elbo=res.elbo,
+        samples=res.sample(args.samples, seed=args.seed),
+        mean=mean, std=std,
+    )
+    print(f"wrote {args.out} ({args.samples} posterior draws)")
+    return 0
+
+
+def cmd_profile(args):
+    from tpu21cmvae.models import load_model
+    from tpu21cmvae.serve import load_obs_specs
+
+    model = load_model(args.model)
+    specs = load_obs_specs(args.obs)
+    if len(specs) != 1:
+        print(f"--obs file must contain exactly one observation; got "
+              f"{len(specs)}", file=sys.stderr)
+        return 2
+    obs, noise_var = specs[0]
+    from tpu21cmvae.sampling import _resolve_bounds
+
+    lo, hi = _resolve_bounds(None)
+    lo, hi = float(lo[args.index]), float(hi[args.index])
+    grid = np.linspace(lo + 1e-6 * (hi - lo), hi - 1e-6 * (hi - lo),
+                       args.points)
+    res = model.profile_likelihood(
+        obs, noise_var, args.index, grid, n_starts=args.starts,
+        n_steps=args.steps, seed=args.seed,
+    )
+    labels = getattr(model, "par_labels", None)
+    name = labels[args.index] if labels else f"p{args.index}"
+    i68 = res.interval(0.68)
+    i95 = res.interval(0.95)
+    print(f"profile likelihood of {name}: peak at "
+          f"{res.grid[res.logl.argmax()]:.6g}")
+    print(f"  68% interval: [{i68[0]:.6g}, {i68[1]:.6g}]")
+    print(f"  95% interval: [{i95[0]:.6g}, {i95[1]:.6g}]")
+    if i95[0] == res.grid[0] or i95[1] == res.grid[-1]:
+        print("  (an endpoint equals the grid edge: interval censored "
+              "by the scanned range)")
+    np.savez_compressed(
+        args.out, index=res.index, grid=res.grid, logl=res.logl,
+        params=res.params, interval68=i68, interval95=i95,
+    )
+    print(f"wrote {args.out}")
+    return 0
+
+
 def cmd_evidence(args):
     from tpu21cmvae.models import load_model
     from tpu21cmvae.serve import load_obs_specs
@@ -481,6 +554,49 @@ def main(argv=None):
                         "the fit then maximizes logL + log pi (MAP)")
     p.add_argument("--out", default="fit.npz")
     p.set_defaults(fn=cmd_fit)
+
+    p = sub.add_parser(
+        "advi",
+        help="fast approximate posterior by full-rank Gaussian ADVI "
+             "over the fused value+gradient path (quick-look error "
+             "bars; use `sample` for non-Gaussian posteriors)",
+    )
+    p.add_argument("model")
+    p.add_argument("--obs", required=True, metavar="FILE",
+                   help="observation spec (.json or .npz — "
+                        "serve.load_obs_specs format, exactly one entry)")
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--mc", type=int, default=512,
+                   help="Monte-Carlo draws per ELBO step")
+    p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--samples", type=int, default=4096,
+                   help="posterior draws saved to --out")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--prior", action="append", metavar="IDX:MEAN:SIGMA",
+                   help="Gaussian prior on parameter IDX (repeatable)")
+    p.add_argument("--out", default="advi.npz")
+    p.set_defaults(fn=cmd_advi)
+
+    p = sub.add_parser(
+        "profile",
+        help="profile likelihood of one parameter (Wilks 68/95% "
+             "confidence intervals; the whole grid of constrained "
+             "refits as one device program)",
+    )
+    p.add_argument("model")
+    p.add_argument("--obs", required=True, metavar="FILE",
+                   help="observation spec (.json or .npz — "
+                        "serve.load_obs_specs format, exactly one entry)")
+    p.add_argument("--index", type=int, required=True,
+                   help="parameter index to profile (0-6; see "
+                        "par_labels)")
+    p.add_argument("--points", type=int, default=41,
+                   help="grid points across the prior range")
+    p.add_argument("--starts", type=int, default=256)
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="profile.npz")
+    p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser(
         "evidence",

@@ -133,7 +133,10 @@ def fit_advi(
         """Target log-density (up to const) and its y-gradient, per
         row: logL + logπ + Σ log(span·s(1−s)); gradient uses only the
         first-order valgrad (reparameterization trick)."""
-        s = jax.nn.sigmoid(y)
+        # clamp: float32 sigmoid saturates to exactly 0/1 at |y|≳17,
+        # which would make the Jacobian log(0) = −inf and poison the
+        # ELBO trace; the clamp keeps the restoring gradient finite
+        s = jnp.clip(jax.nn.sigmoid(y), 1e-7, 1.0 - 1e-7)
         xr = lo + span * s
         ll, g_raw = valgrad(params, xr)
         if log_prior is not None:
