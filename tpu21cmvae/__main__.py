@@ -18,6 +18,11 @@ The reference has no CLI — every workflow lives in notebook cells
                observed spectrum; writes the chain as .npz
     fit        on-device multi-start maximum-likelihood parameter fit
                for an observed spectrum; writes results as .npz
+    advi       fast approximate posterior (full-rank Gaussian ADVI
+               over the fused value+gradient path)
+    profile    profile likelihood of one parameter with Wilks 68/95%
+               confidence intervals (grid of constrained refits as
+               one device program)
     evidence   on-device Bayesian evidence (stepping-stone over a
                parallel-tempering ladder) for model comparison
     sbc        simulation-based calibration: hundreds of posteriors as

@@ -437,6 +437,30 @@ class AutoEncoderEmulator:
             bounds=bounds, **kwargs,
         )
 
+    def fit_advi(self, obs, noise_var=1.0, *, bounds=None, **kwargs):
+        """Fast approximate posterior by full-rank Gaussian ADVI —
+        same contract as :meth:`DirectEmulator.fit_advi`
+        (:func:`tpu21cmvae.vi.fit_advi`)."""
+        from tpu21cmvae.vi import fit_advi
+
+        return fit_advi(
+            self.loglik_and_grad_fn(obs, noise_var), self.params,
+            bounds=bounds, **kwargs,
+        )
+
+    def profile_likelihood(
+        self, obs, noise_var, index, grid, *, bounds=None, **kwargs
+    ):
+        """Profile likelihood of parameter ``index`` — same contract
+        as :meth:`DirectEmulator.profile_likelihood`
+        (:func:`tpu21cmvae.sampling.profile_likelihood`)."""
+        from tpu21cmvae.sampling import profile_likelihood
+
+        return profile_likelihood(
+            self.loglik_and_grad_fn(obs, noise_var), self.params, index, grid,
+            bounds=bounds, **kwargs,
+        )
+
     @property
     def params(self):
         """Weights pytree for :meth:`predict_fn` (emulator + decoder)."""

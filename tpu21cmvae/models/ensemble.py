@@ -335,6 +335,30 @@ class DeepEnsemble:
             bounds=bounds, **kwargs,
         )
 
+    def fit_advi(self, obs, noise_var=1.0, *, bounds=None, **kwargs):
+        """Fast approximate posterior by full-rank Gaussian ADVI —
+        same contract as :meth:`DirectEmulator.fit_advi`
+        (:func:`tpu21cmvae.vi.fit_advi`)."""
+        from tpu21cmvae.vi import fit_advi
+
+        return fit_advi(
+            self.loglik_and_grad_fn(obs, noise_var), self.stacked_params,
+            bounds=bounds, **kwargs,
+        )
+
+    def profile_likelihood(
+        self, obs, noise_var, index, grid, *, bounds=None, **kwargs
+    ):
+        """Profile likelihood of parameter ``index`` — same contract
+        as :meth:`DirectEmulator.profile_likelihood`
+        (:func:`tpu21cmvae.sampling.profile_likelihood`)."""
+        from tpu21cmvae.sampling import profile_likelihood
+
+        return profile_likelihood(
+            self.loglik_and_grad_fn(obs, noise_var), self.stacked_params, index, grid,
+            bounds=bounds, **kwargs,
+        )
+
     def sample_posterior_batch(
         self, obs_batch, noise_var=1.0, *, sampler: str = "mh",
         n_walkers: int = 256, bounds=None, method: str = "gram",
