@@ -90,7 +90,11 @@ def main():
     # -- ADVI --------------------------------------------------------------
     from tpu21cmvae.vi import fit_advi
 
-    valgrad = em.loglik_and_grad_fn(obs, nv)
+    # measure the path the model methods actually ship on TPU
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    valgrad = em.loglik_and_grad_fn(
+        obs, nv, backend=backend, grad_precision="default"
+    )
     dt = timed(lambda: fit_advi(
         valgrad, em.params, bounds=bounds, n_steps=600, n_mc=512, seed=0,
     ), repeats=2)

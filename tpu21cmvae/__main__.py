@@ -314,10 +314,15 @@ def cmd_profile(args):
               f"{len(specs)}", file=sys.stderr)
         return 2
     obs, noise_var = specs[0]
-    from tpu21cmvae.sampling import _resolve_bounds
+    n_params = model.config.n_params
+    if not 0 <= args.index < n_params:
+        print(f"--index must be in [0, {n_params}); got {args.index}",
+              file=sys.stderr)
+        return 2
+    from tpu21cmvae.data.synthetic import PAR_RANGES
 
-    lo, hi = _resolve_bounds(None)
-    lo, hi = float(lo[args.index]), float(hi[args.index])
+    lo, hi = (float(PAR_RANGES[args.index, 0]),
+              float(PAR_RANGES[args.index, 1]))
     grid = np.linspace(lo + 1e-6 * (hi - lo), hi - 1e-6 * (hi - lo),
                        args.points)
     res = model.profile_likelihood(

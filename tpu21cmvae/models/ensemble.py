@@ -342,8 +342,8 @@ class DeepEnsemble:
         from tpu21cmvae.vi import fit_advi
 
         return fit_advi(
-            self.loglik_and_grad_fn(obs, noise_var), self.stacked_params,
-            bounds=bounds, **kwargs,
+            self.loglik_and_grad_fn(obs, noise_var, grad_precision="default"),
+            self.stacked_params, bounds=bounds, **kwargs,
         )
 
     def profile_likelihood(
@@ -355,7 +355,8 @@ class DeepEnsemble:
         from tpu21cmvae.sampling import profile_likelihood
 
         return profile_likelihood(
-            self.loglik_and_grad_fn(obs, noise_var), self.stacked_params, index, grid,
+            self.loglik_and_grad_fn(obs, noise_var, grad_precision="default"),
+            self.stacked_params, index, grid,
             bounds=bounds, **kwargs,
         )
 

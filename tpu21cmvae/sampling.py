@@ -755,7 +755,6 @@ def fit_map(
     collectives inside the ascent (see :func:`sample_mh`).
     """
     lo, hi = _resolve_bounds(bounds)
-    span = hi - lo
     key = jax.random.key(seed)
     x = _shard_walkers(
         jnp.asarray(x0, jnp.float32)
@@ -763,7 +762,37 @@ def fit_map(
         else _init_walkers(key, n_starts, lo, hi),
         mesh,
     )
+    x_fin, ll = _whitened_adam_ascent(
+        valgrad, params, lo, hi, x,
+        n_steps=n_steps, learning_rate=learning_rate, log_prior=log_prior,
+    )
+    x_np, ll_np = np.asarray(x_fin), np.asarray(ll)
+    best = int(np.nanargmax(ll_np))
+    return FitResult(
+        params=x_np,
+        logp=ll_np,
+        best=x_np[best],
+        best_logp=float(ll_np[best]),
+    )
+
+
+def _whitened_adam_ascent(
+    valgrad, params, lo, hi, x,
+    *, n_steps, learning_rate, log_prior, free=None,
+):
+    """The shared constrained-ascent core of :func:`fit_map` and
+    :func:`profile_likelihood`: cosine-decayed Adam ascent on
+    ``logL(+logπ)`` in the sigmoid-whitened box space, starting from
+    raw rows ``x``. ``free``: optional (n_params,) 0/1 mask — a 0
+    coordinate is PINNED (no gradient, no movement; its init uses a
+    tighter logit clip so the pinned value moves by ≤1e-7·span rather
+    than the free coords' 1e-4, since nothing can pull it back).
+    Returns device ``(x_final, logp)``."""
+    span = hi - lo
     frac = jnp.clip((x - lo) / span, 1e-4, 1.0 - 1e-4)
+    if free is not None:
+        pinned = jnp.clip((x - lo) / span, 1e-7, 1.0 - 1e-7)
+        frac = jnp.where(free.astype(bool), frac, pinned)
     y0 = jnp.log(frac / (1.0 - frac))
 
     def ll_and_grad_y(y):
@@ -774,7 +803,10 @@ def fit_map(
             lpr, g_pr = _log_prior_val_grad(log_prior, xr)
             ll = ll + lpr
             g_raw = g_raw + g_pr
-        return ll, g_raw * (span * s * (1.0 - s))
+        g_y = g_raw * (span * s * (1.0 - s))
+        if free is not None:
+            g_y = g_y * free
+        return ll, g_y
 
     b1, b2, eps = 0.9, 0.999, 1e-8
 
@@ -793,7 +825,7 @@ def fit_map(
             1.0 + jnp.cos(jnp.pi * (t - 1.0) / n_steps)
         ))
         y = y + lr * mh / (jnp.sqrt(vh) + eps)  # ascent
-        return (y, m, v), ll
+        return (y, m, v), None
 
     @jax.jit
     def run(y):
@@ -804,15 +836,7 @@ def fit_map(
         ll, _ = ll_and_grad_y(y)
         return lo + span * jax.nn.sigmoid(y), ll
 
-    x_fin, ll = run(y0)
-    x_np, ll_np = np.asarray(x_fin), np.asarray(ll)
-    best = int(np.nanargmax(ll_np))
-    return FitResult(
-        params=x_np,
-        logp=ll_np,
-        best=x_np[best],
-        best_logp=float(ll_np[best]),
-    )
+    return run(y0)
 
 
 def _dual_averaging_consts(init: float):
@@ -1922,7 +1946,7 @@ class WeightedPosterior:
             order = np.argsort(self.samples[:, j])
             cdf = np.cumsum(w[order])
             out[:, j] = np.interp(qs, cdf, self.samples[order, j])
-        return out[0] if np.isscalar(q) else out
+        return out[0] if np.ndim(q) == 0 else out
 
     def resample(self, n: int, seed: int = 0) -> np.ndarray:
         """``n`` equal-weight draws (multinomial resampling)."""
@@ -1954,7 +1978,11 @@ def reweight(
     the new prior moved the posterior beyond the sampled cloud and the
     honest path is re-sampling with ``log_prior=new_log_prior``.
     """
-    flat = np.asarray(getattr(result, "flat", result), np.float32)
+    if isinstance(result, np.ndarray) or not hasattr(result, "chain"):
+        # bare array (ndarray.flat is numpy's 1-D ITERATOR, not ours)
+        flat = np.asarray(result, np.float32)
+    else:
+        flat = np.asarray(result.flat, np.float32)
     if flat.ndim != 2:
         raise ValueError(f"need (N, n_params) samples; got {flat.shape}")
     if flat.shape[0] > max_samples:
@@ -2058,61 +2086,29 @@ def profile_likelihood(
         grid > np.asarray(hi)[index]
     ).any():
         raise ValueError("grid values must lie inside the prior box")
-    span = hi - lo
     g_count = grid.shape[0]
     key = jax.random.key(seed)
     x = _init_walkers(key, g_count * n_starts, lo, hi)
     x = x.reshape(g_count, n_starts, n_params)
     x = x.at[:, :, index].set(grid[:, None])
     x = _shard_walkers(x.reshape(-1, n_params), mesh)
-    frac = jnp.clip((x - lo) / span, 1e-4, 1.0 - 1e-4)
-    y0 = jnp.log(frac / (1.0 - frac))
     free = jnp.ones((n_params,), jnp.float32).at[index].set(0.0)
-
-    def ll_and_grad_y(y):
-        s = jax.nn.sigmoid(y)
-        xr = lo + span * s
-        ll, g_raw = valgrad(params, xr)
-        if log_prior is not None:
-            lpr, g_pr = _log_prior_val_grad(log_prior, xr)
-            ll = ll + lpr
-            g_raw = g_raw + g_pr
-        # pin the profiled coordinate: no gradient, no movement
-        return ll, g_raw * (span * s * (1.0 - s)) * free
-
-    b1, b2, eps = 0.9, 0.999, 1e-8
-
-    def adam_step(state, t):
-        y, m, v = state
-        ll, g = ll_and_grad_y(y)
-        g = jnp.where(jnp.isfinite(g), g, 0.0)
-        m = b1 * m + (1.0 - b1) * g
-        v = b2 * v + (1.0 - b2) * g * g
-        mh = m / (1.0 - b1 ** t)
-        vh = v / (1.0 - b2 ** t)
-        lr = learning_rate * (0.05 + 0.95 * 0.5 * (
-            1.0 + jnp.cos(jnp.pi * (t - 1.0) / n_steps)
-        ))
-        y = y + lr * mh / (jnp.sqrt(vh) + eps)
-        return (y, m, v), None
-
-    @jax.jit
-    def run(y):
-        state = (y, jnp.zeros_like(y), jnp.zeros_like(y))
-        (y, _, _), _ = jax.lax.scan(
-            adam_step, state, jnp.arange(1, n_steps + 1, dtype=jnp.float32)
-        )
-        ll, _ = ll_and_grad_y(y)
-        return lo + span * jax.nn.sigmoid(y), ll
-
-    xr, ll = run(y0)
+    xr, ll = _whitened_adam_ascent(
+        valgrad, params, lo, hi, x,
+        n_steps=n_steps, learning_rate=learning_rate,
+        log_prior=log_prior, free=free,
+    )
     xr = np.asarray(xr).reshape(g_count, n_starts, n_params)
     ll = np.asarray(ll).reshape(g_count, n_starts)
+    # a dead start's FINAL value can still be non-finite (only the
+    # gradient is sanitized mid-ascent): never let one NaN start poison
+    # a grid point's profile value
+    ll = np.where(np.isfinite(ll), ll, -np.inf)
     best = ll.argmax(axis=1)
     rows = np.arange(g_count)
     out_params = xr[rows, best]
     # the ascent's sigmoid parameterization cannot land EXACTLY on the
-    # pinned value (clipped init); restore it exactly
+    # pinned value (≤1e-7·span off); restore it exactly
     out_params[:, index] = grid
     return ProfileResult(
         index=index, grid=grid, logl=ll[rows, best], params=out_params
