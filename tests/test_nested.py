@@ -158,3 +158,60 @@ def tiny_direct(splits):
     lo[:3] = np.maximum(lo[:3], 1e-6)
     bounds = np.stack([lo, hi], axis=1).astype(np.float32)
     return model, obs, bounds
+
+
+def test_compare_evidence_prefers_generating_family(splits):
+    """compare_evidence ranks the generating model above a broken
+    variant of itself, reports Bayes factors relative to the winner,
+    and flags insignificant gaps."""
+    import numpy as np
+
+    from tpu21cmvae import compare_evidence
+    from tpu21cmvae.models.direct import DirectEmulator
+    from tpu21cmvae.utils.config import DirectEmulatorConfig, TrainConfig
+
+    model = DirectEmulator(
+        splits, config=DirectEmulatorConfig(hidden_dims=(24,))
+    )
+    model.train(
+        train_config=TrainConfig(epochs=15, early_stop_patience=None),
+        device_loop=True,
+    )
+    rng = np.random.default_rng(5)
+    truth = np.asarray(splits.par_test[0], np.float32)
+    obs = model.predict(truth) + rng.normal(0, 5.0, splits.n_bins)
+    par = np.asarray(splits.par_train, np.float64)
+    lo, hi = par.min(0), par.max(0)
+    lo[:3] = np.maximum(lo[:3], 1e-6)
+    bounds = np.stack([lo, hi], axis=1)
+
+    class Broken:
+        """Same family, signal scaled 25% — cannot fit the data."""
+
+        def log_evidence(self, obs, noise_var, **kw):
+            import jax.numpy as jnp
+
+            from tpu21cmvae.nested import nested_sampling
+
+            base = model.predict_fn()
+
+            def loglik(params, raw):
+                pred = 1.25 * base(params, raw)
+                r = pred - jnp.asarray(obs)
+                return -0.5 * jnp.sum(r * r, axis=-1) / noise_var
+
+            return nested_sampling(loglik, model.params, **kw)
+
+    kwargs = dict(bounds=bounds, n_live=256, n_mh=8, seed=0)
+    comp = compare_evidence(
+        {"direct": model, "broken": Broken()}, obs, 25.0, **kwargs
+    )
+    assert comp.names[int(np.argmax(comp.logz))] == "direct"
+    assert comp.log_bayes.max() == 0.0
+    assert comp.logz[comp.names.index("direct")] > (
+        comp.logz[comp.names.index("broken")] + 10.0
+    )
+    assert "preferred" in comp.summary()
+    assert comp.results["direct"].posterior(8).shape == (8, 7)
+    with pytest.raises(ValueError, match=">= 2"):
+        compare_evidence({"only": model}, obs, 25.0)

@@ -48,12 +48,14 @@ from tpu21cmvae.ops.transforms import (  # noqa: F401
 from tpu21cmvae.ops.loglik import make_loglik, make_loglik_and_grad  # noqa: F401
 from tpu21cmvae.sampling import (  # noqa: F401
     BatchSampleResult,
+    EvidenceComparison,
     EvidenceResult,
     FitResult,
     ProfileResult,
     PTSampleResult,
     PredictiveBand,
     SampleResult,
+    compare_evidence,
     fit_map,
     log_evidence,
     make_emcee_log_prob,

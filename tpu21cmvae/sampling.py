@@ -45,12 +45,14 @@ import numpy as np
 
 __all__ = [
     "BatchSampleResult",
+    "EvidenceComparison",
     "EvidenceResult",
     "FitResult",
     "PTSampleResult",
     "PredictiveBand",
     "ProfileResult",
     "SampleResult",
+    "compare_evidence",
     "fit_map",
     "log_evidence",
     "make_emcee_log_prob",
@@ -2112,4 +2114,77 @@ def profile_likelihood(
     out_params[:, index] = grid
     return ProfileResult(
         index=index, grid=grid, logl=ll[rows, best], params=out_params
+    )
+
+
+@dataclasses.dataclass
+class EvidenceComparison:
+    """Cross-model Bayesian comparison from :func:`compare_evidence`.
+
+    ``names`` order matches ``logz``/``logz_err``; ``log_bayes``:
+    ``logz − max(logz)`` (0 for the winner; interpret on the Jeffreys
+    scale — |ΔlogZ| > 2.3 is "decisive" ~10:1 odds in natural logs ×
+    ln10). ``results``: the underlying per-model result objects
+    (``NestedResult`` by default) for posterior samples etc."""
+
+    names: list
+    logz: np.ndarray
+    logz_err: np.ndarray
+    log_bayes: np.ndarray
+    results: dict
+
+    def summary(self) -> str:
+        order = np.argsort(-self.logz)
+        lines = ["model comparison (log Z, natural logs):"]
+        for i in order:
+            tag = "  <- preferred" if self.log_bayes[i] == 0.0 else ""
+            lines.append(
+                f"  {self.names[i]:>12}: logZ = {self.logz[i]:10.3f} "
+                f"± {self.logz_err[i]:.3f}   ΔlogZ = "
+                f"{self.log_bayes[i]:+.3f}{tag}"
+            )
+        i0, i1 = order[0], order[1] if len(order) > 1 else order[0]
+        gap = self.logz[i0] - self.logz[i1]
+        err = float(np.hypot(self.logz_err[i0], self.logz_err[i1]))
+        if len(order) > 1 and gap < 3.0 * err:
+            lines.append(
+                f"  (top-two gap {gap:.3f} is within 3× the combined "
+                f"MC error {err:.3f} — NOT a significant preference)"
+            )
+        return "\n".join(lines)
+
+
+def compare_evidence(models: dict, obs, noise_var=1.0, **kwargs
+                     ) -> EvidenceComparison:
+    """Bayesian model comparison across families on ONE observation —
+    the reference community's MultiNest workflow ("which astrophysics
+    model does this spectrum prefer?") as a few seconds of device time
+    per model.
+
+    ``models``: ``{name: model}`` where each model exposes
+    ``log_evidence(obs, noise_var, **kwargs)`` (all four families do;
+    mixing families is the point — e.g. direct vs AE-based vs VAE on
+    the same observed spectrum, or one family under different priors
+    via per-call kwargs is NOT supported here: share ``kwargs`` across
+    models so the comparison is apples-to-apples, same bounds, same
+    budget). Returns an :class:`EvidenceComparison`; check its
+    ``summary()`` — it flags a top-two gap within 3× the combined MC
+    error as not significant.
+    """
+    if len(models) < 2:
+        raise ValueError("compare_evidence needs >= 2 models")
+    names, logzs, errs, results = [], [], [], {}
+    for name, model in models.items():
+        res = model.log_evidence(obs, noise_var, **kwargs)
+        names.append(name)
+        logzs.append(float(res.logz))
+        errs.append(float(getattr(res, "logz_err", np.nan)))
+        results[name] = res
+    logz = np.asarray(logzs)
+    return EvidenceComparison(
+        names=names,
+        logz=logz,
+        logz_err=np.asarray(errs),
+        log_bayes=logz - logz.max(),
+        results=results,
     )
