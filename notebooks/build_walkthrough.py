@@ -268,8 +268,25 @@ ev = model.log_evidence(
     n_mh=8 if FAST else 24, seed=0,
 )
 print(ev.summary())
-print("compare families by logz under the same obs/bounds, e.g. "
-      "ae_em.log_evidence(obs, 25.0, bounds=bounds).logz")
+
+# (4) fit_advi -- quick-look posterior: a full-rank Gaussian ADVI fit
+#     over the same value+gradient path (iid draws, no chains to tune;
+#     prefer the samplers when the posterior may be non-Gaussian);
+# (5) compare_evidence -- ranked Bayes factors across families under
+#     one shared budget, with a significance check.
+import tpu21cmvae as t21
+
+advi = model.fit_advi(obs, 25.0, bounds=bounds,
+                      n_steps=120 if FAST else 600,
+                      n_mc=128 if FAST else 512, seed=0, x0=fit.best)
+for lab, m, s in zip(model.par_labels, advi.mean(), advi.std()):
+    print(f"  {lab:>8}: {m:10.4g} ± {s:.3g}")
+
+comp = t21.compare_evidence(
+    {"direct": model, "ae": ae}, obs, 25.0, bounds=bounds,
+    n_live=256 if FAST else 1024, n_mh=8 if FAST else 24, seed=0,
+)
+print(comp.summary())
 """
 
 CELL_PT = """\
