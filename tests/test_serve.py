@@ -327,3 +327,31 @@ def test_sample_service_reuses_chain_program(model, splits):
     svc.sample(obs, 25.0, sampler="pt", n_rungs=8, seed=0,
                **dict(kw, n_walkers=32, n_steps=16, n_warmup=10))
     assert len(fn._t21_chain_cache) == 2
+
+
+def test_loglik_eviction_frees_chain_programs(model, splits):
+    """When the per-observation LRU evicts an entry, the likelihood
+    closure — and the chain programs cached ON it — become garbage
+    (no global registry pins them): a long-lived server cycling
+    observations cannot accumulate compiled chain programs."""
+    import gc
+    import weakref
+
+    svc = EmulatorService(model, loglik_cache=1)
+    par = np.asarray(splits.par_train, np.float64)
+    lo, hi = par.min(0), par.max(0)
+    lo[:3] = np.maximum(lo[:3], 1e-6)
+    kw = dict(bounds=np.stack([lo, hi], 1).tolist(), n_walkers=64,
+              n_steps=40, n_warmup=10, thin=10, seed=0)
+    obs_a = np.asarray(model.predict(splits.par_test[0]))
+    obs_b = np.asarray(model.predict(splits.par_test[1]))
+    svc.sample(obs_a, 25.0, **kw)
+    entry_a, = list(svc._loglik.values())
+    assert len(entry_a[1]._t21_chain_cache) == 1
+    ref = weakref.ref(entry_a[1])
+    del entry_a  # the tuple holds (ShardedEmulator, fn) — drop both
+    svc.sample(obs_b, 25.0, **kw)  # cap 1 → evicts obs_a's entry
+    assert len(svc._loglik) == 1
+    gc.collect()
+    assert ref() is None, "evicted loglik closure (and its chain "\
+        "programs) still pinned"
