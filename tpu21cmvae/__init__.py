@@ -48,6 +48,7 @@ from tpu21cmvae.ops.transforms import (  # noqa: F401
 from tpu21cmvae.ops.loglik import make_loglik, make_loglik_and_grad  # noqa: F401
 from tpu21cmvae.sampling import (  # noqa: F401
     BatchSampleResult,
+    ChEESSampleResult,
     EvidenceComparison,
     EvidenceResult,
     FitResult,
@@ -61,6 +62,7 @@ from tpu21cmvae.sampling import (  # noqa: F401
     make_emcee_log_prob,
     posterior_predictive,
     profile_likelihood,
+    sample_chees,
     sample_ensemble,
     sample_hmc,
     sample_mh,

@@ -216,6 +216,9 @@ def cmd_sample(args):
         kwargs["log_prior"] = prior.log_prior
     if args.sampler == "hmc":
         kwargs["n_leapfrog"] = args.leapfrog
+    elif args.sampler == "chees":
+        if args.max_leapfrog is not None:
+            kwargs["max_leapfrog"] = args.max_leapfrog
     elif args.sampler == "pt":
         kwargs["n_rungs"] = args.rungs
     if args.target_ess is not None:
@@ -231,6 +234,8 @@ def cmd_sample(args):
         chain=res.chain, final=res.final, logp=res.logp,
         accept_rate=res.accept_rate, step_size=res.step_size,
     )
+    if getattr(res, "trajectory_length", None):  # ChEES diagnostics
+        blob["trajectory_length"] = res.trajectory_length
     if getattr(res, "swap_rate", None) is not None:  # PT diagnostics
         blob["swap_rate"] = res.swap_rate
         blob["betas"] = res.betas
@@ -522,14 +527,20 @@ def main(argv=None):
                    help="observation spec (.json or .npz with obs and "
                         "optional noise_var — serve.load_obs_specs "
                         "format, exactly one entry)")
-    p.add_argument("--sampler", choices=["hmc", "mh", "ensemble", "pt"],
+    p.add_argument("--sampler",
+                   choices=["hmc", "chees", "mh", "ensemble", "pt"],
                    default="hmc",
-                   help="pt = parallel tempering (robust on multimodal "
-                        "posteriors; --rungs tempered replicas)")
+                   help="chees = HMC with adaptive trajectory length "
+                        "(no --leapfrog tuning); pt = parallel "
+                        "tempering (robust on multimodal posteriors; "
+                        "--rungs tempered replicas)")
     p.add_argument("--walkers", type=int, default=4096)
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--warmup", type=int, default=100)
     p.add_argument("--leapfrog", type=int, default=8)
+    p.add_argument("--max-leapfrog", type=int, default=None,
+                   help="with --sampler chees: cap on the adapted "
+                        "per-iteration leapfrog count (default 128)")
     p.add_argument("--rungs", type=int, default=32,
                    help="temperature-ladder size for --sampler pt")
     p.add_argument("--target-ess", type=float, default=None,

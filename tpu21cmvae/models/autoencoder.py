@@ -281,28 +281,44 @@ class AutoEncoderEmulator:
 
         return predict
 
-    def loglik_fn(self, obs, noise_var=1.0):
+    def loglik_fn(self, obs, noise_var=1.0, *, memo: bool = True):
         """Jitted Gaussian log-likelihood ``(weights, raw_params) → (B,)``
         against an observed signal, over the em→decoder pipeline — the
         MCMC inner loop for this family (see
         :func:`tpu21cmvae.ops.loglik.make_loglik_from_predict`; the
         direct family additionally offers gram/Pallas specializations).
+        Value-identical calls return the same cached program object
+        (:mod:`tpu21cmvae.models._memo`).
         """
+        from tpu21cmvae.models._memo import memo_program
         from tpu21cmvae.ops.loglik import make_loglik_from_predict
 
-        return jax.jit(make_loglik_from_predict(
-            self.predict_fn(), obs, noise_var
-        ))
+        return memo_program(
+            self,
+            ("loglik", np.asarray(obs, np.float32),
+             np.asarray(noise_var, np.float64)),
+            lambda: jax.jit(make_loglik_from_predict(
+                self.predict_fn(), obs, noise_var
+            )),
+            memo=memo,
+        )
 
-    def loglik_and_grad_fn(self, obs, noise_var=1.0):
+    def loglik_and_grad_fn(self, obs, noise_var=1.0, *, memo: bool = True):
         """Jitted ``(weights, raw) → (logL, dlogL/draw)`` over the
         em→decoder pipeline (autodiff — the HMC inner loop for this
         family; the direct family has faster analytic/fused variants)."""
+        from tpu21cmvae.models._memo import memo_program
         from tpu21cmvae.ops.loglik import make_loglik_and_grad_from_predict
 
-        return jax.jit(make_loglik_and_grad_from_predict(
-            self.predict_fn(), obs, noise_var
-        ))
+        return memo_program(
+            self,
+            ("valgrad", np.asarray(obs, np.float32),
+             np.asarray(noise_var, np.float64)),
+            lambda: jax.jit(make_loglik_and_grad_from_predict(
+                self.predict_fn(), obs, noise_var
+            )),
+            memo=memo,
+        )
 
     def sample_posterior(
         self, obs, noise_var=1.0, *, sampler: str = "hmc", bounds=None,
@@ -312,6 +328,7 @@ class AutoEncoderEmulator:
         same contract as :meth:`DirectEmulator.sample_posterior`
         (see :mod:`tpu21cmvae.sampling`)."""
         from tpu21cmvae.sampling import (
+            sample_chees,
             sample_ensemble,
             sample_hmc,
             sample_mh,
@@ -340,12 +357,13 @@ class AutoEncoderEmulator:
                 self.loglik_fn(obs, noise_var), self.params,
                 bounds=bounds, **kwargs,
             )
-        if sampler != "hmc":
+        if sampler not in ("hmc", "chees"):
             raise ValueError(
-                f"sampler must be 'mh', 'ensemble', 'hmc' or 'pt'; "
-                f"got {sampler!r}"
+                f"sampler must be 'mh', 'ensemble', 'hmc', 'chees' or "
+                f"'pt'; got {sampler!r}"
             )
-        return sample_hmc(
+        fn = sample_chees if sampler == "chees" else sample_hmc
+        return fn(
             self.loglik_and_grad_fn(obs, noise_var), self.params,
             bounds=bounds, **kwargs,
         )

@@ -195,6 +195,7 @@ class DirectEmulator:
         backend: str = "xla",
         method: str = "gram",
         precision=None,
+        memo: bool = True,
     ):
         """Jitted Gaussian log-likelihood ``(weights, raw_params) → (B,)``
         against an observed signal — the MCMC inner loop as one device
@@ -220,18 +221,26 @@ class DirectEmulator:
         matmuls, near-mode error ≤ ~5e-3 for gram, 0 for
         ``method="direct"``) at ~55 % of the default's throughput.
         """
+        from tpu21cmvae.models._memo import memo_program
         from tpu21cmvae.ops.loglik import make_loglik
 
-        return jax.jit(
-            make_loglik(
-                self.config,
-                self.normalizer,
-                obs,
-                noise_var,
-                backend=backend,
-                method=method,
-                precision=precision,
-            )
+        return memo_program(
+            self,
+            ("loglik", np.asarray(obs, np.float32),
+             np.asarray(noise_var, np.float64), backend, method,
+             str(precision)),
+            lambda: jax.jit(
+                make_loglik(
+                    self.config,
+                    self.normalizer,
+                    obs,
+                    noise_var,
+                    backend=backend,
+                    method=method,
+                    precision=precision,
+                )
+            ),
+            memo=memo,
         )
 
     def loglik_and_grad_fn(
@@ -243,6 +252,7 @@ class DirectEmulator:
         method: str = "gram",
         precision=None,
         grad_precision=None,
+        memo: bool = True,
     ):
         """Jitted ``(weights, raw_params) → (logL, dlogL/draw)`` — the
         HMC/NUTS inner loop as one device call (see
@@ -250,24 +260,35 @@ class DirectEmulator:
         tiers, and the measured selection in docs/PERF.md). The default
         is the hand-written analytic gram backward; gradient tier errors
         only cost sampler acceptance rate, never posterior correctness
-        (the accept step uses the gated value)."""
+        (the accept step uses the gated value). Value-identical calls
+        return the SAME cached program object
+        (:mod:`tpu21cmvae.models._memo`), so repeated sampling on one
+        observation reuses the compiled chain programs too."""
+        from tpu21cmvae.models._memo import memo_program
         from tpu21cmvae.ops.loglik import make_loglik_and_grad
 
-        return jax.jit(
-            make_loglik_and_grad(
-                self.config,
-                self.normalizer,
-                obs,
-                noise_var,
-                backend=backend,
-                method=method,
-                precision=precision,
-                grad_precision=grad_precision,
-            )
+        return memo_program(
+            self,
+            ("valgrad", np.asarray(obs, np.float32),
+             np.asarray(noise_var, np.float64), backend, method,
+             str(precision), str(grad_precision)),
+            lambda: jax.jit(
+                make_loglik_and_grad(
+                    self.config,
+                    self.normalizer,
+                    obs,
+                    noise_var,
+                    backend=backend,
+                    method=method,
+                    precision=precision,
+                    grad_precision=grad_precision,
+                )
+            ),
+            memo=memo,
         )
 
     def loglik_multi_fn(self, obs_batch, noise_var=1.0, *, method="gram",
-                        precision=None):
+                        precision=None, memo: bool = True):
         """Jitted stacked-observation likelihood ``(weights,
         (O·W, 7)) → (O·W,)`` — ``O`` observations scored in one device
         call, observation-major rows (see
@@ -275,12 +296,19 @@ class DirectEmulator:
         structure is shared across observations). Powers
         :meth:`sample_posterior_batch` and SBC
         (:mod:`tpu21cmvae.calibration`)."""
+        from tpu21cmvae.models._memo import memo_program
         from tpu21cmvae.ops.loglik import make_loglik_multi
 
-        return jax.jit(make_loglik_multi(
-            self.config, self.normalizer, obs_batch, noise_var,
-            method=method, precision=precision,
-        ))
+        return memo_program(
+            self,
+            ("multi", np.asarray(obs_batch, np.float32),
+             np.asarray(noise_var, np.float64), method, str(precision)),
+            lambda: jax.jit(make_loglik_multi(
+                self.config, self.normalizer, obs_batch, noise_var,
+                method=method, precision=precision,
+            )),
+            memo=memo,
+        )
 
     def sample_posterior_batch(
         self,
@@ -349,7 +377,12 @@ class DirectEmulator:
         uses the bench-selected fused likelihood, ``sampler="ensemble"``
         the affine-invariant stretch move (emcee's algorithm, no tuning
         knobs), ``sampler="hmc"`` (default) the fused value+gradient
-        kernel, with dual-averaging step adaptation. ``bounds``: (7, 2)
+        kernel, with dual-averaging step adaptation, and
+        ``sampler="chees"`` the same gradient kernel with the
+        trajectory length ALSO adapted
+        (:func:`~tpu21cmvae.sampling.sample_chees` — the
+        accelerator-native NUTS replacement; use it when
+        ``n_leapfrog`` tuning is in doubt). ``bounds``: (7, 2)
         prior box (defaults to the 21cmGEM-shaped ranges); remaining
         kwargs forward to :func:`~tpu21cmvae.sampling.sample_mh` /
         :func:`~tpu21cmvae.sampling.sample_ensemble` /
@@ -404,15 +437,21 @@ class DirectEmulator:
                 self.loglik_fn(obs, noise_var), self.params,
                 bounds=bounds, **kwargs,
             )
-        if sampler != "hmc":
+        if sampler not in ("hmc", "chees"):
             raise ValueError(
-                f"sampler must be 'mh', 'ensemble', 'hmc' or 'pt'; "
-                f"got {sampler!r}"
+                f"sampler must be 'mh', 'ensemble', 'hmc', 'chees' or "
+                f"'pt'; got {sampler!r}"
             )
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         valgrad = self.loglik_and_grad_fn(
             obs, noise_var, backend=backend, grad_precision="default"
         )
+        if sampler == "chees":
+            from tpu21cmvae.sampling import sample_chees
+
+            return sample_chees(
+                valgrad, self.params, bounds=bounds, **kwargs
+            )
         return sample_hmc(valgrad, self.params, bounds=bounds, **kwargs)
 
     def log_evidence(

@@ -153,6 +153,7 @@ class DeepEnsemble:
         backend: str = "xla",
         method: str = "gram",
         precision=None,
+        memo: bool = True,
     ):
         """Jitted MIXTURE log-likelihood ``(stacked_weights, raw) → (B,)``.
 
@@ -182,19 +183,32 @@ class DeepEnsemble:
         log-density uses — the logsumexp is dominated by the best
         member, so member-level bounds carry through to the mixture).
         """
+        from tpu21cmvae.models._memo import memo_program
         from tpu21cmvae.ops.loglik import make_loglik
 
-        member = make_loglik(
-            self.config, self.normalizer, obs, noise_var,
-            backend=backend, method=method, precision=precision,
+        def build():
+            member = make_loglik(
+                self.config, self.normalizer, obs, noise_var,
+                backend=backend, method=method, precision=precision,
+            )
+            vll = jax.vmap(member, in_axes=(0, None))
+            log_m = float(np.log(len(self.members)))
+
+            def mixture(stacked, raw):
+                return jax.scipy.special.logsumexp(
+                    vll(stacked, raw), axis=0
+                ) - log_m
+
+            return jax.jit(mixture)
+
+        return memo_program(
+            self,
+            ("loglik", np.asarray(obs, np.float32),
+             np.asarray(noise_var, np.float64), backend, method,
+             str(precision)),
+            build,
+            memo=memo,
         )
-        vll = jax.vmap(member, in_axes=(0, None))
-        log_m = float(np.log(len(self.members)))
-
-        def mixture(stacked, raw):
-            return jax.scipy.special.logsumexp(vll(stacked, raw), axis=0) - log_m
-
-        return jax.jit(mixture)
 
     def loglik_and_grad_fn(
         self,
@@ -205,6 +219,7 @@ class DeepEnsemble:
         method: str = "gram",
         precision=None,
         grad_precision=None,
+        memo: bool = True,
     ):
         """Jitted ``(stacked_weights, raw) → (logL, dlogL/draw)`` for the
         mixture likelihood — the HMC/MAP inner loop. The mixture
@@ -212,23 +227,34 @@ class DeepEnsemble:
         gradients (exact: ∇ logsumexp_m l_m = Σ_m softmax(l_m) ∇l_m), so
         the hand-written analytic gram backward selected by the grad
         bench (docs/PERF.md) is reused per member under one ``vmap``."""
+        from tpu21cmvae.models._memo import memo_program
         from tpu21cmvae.ops.loglik import make_loglik_and_grad
 
-        member = make_loglik_and_grad(
-            self.config, self.normalizer, obs, noise_var,
-            backend=backend, method=method,
-            precision=precision, grad_precision=grad_precision,
+        def build():
+            member = make_loglik_and_grad(
+                self.config, self.normalizer, obs, noise_var,
+                backend=backend, method=method,
+                precision=precision, grad_precision=grad_precision,
+            )
+            vvg = jax.vmap(member, in_axes=(0, None))
+            log_m = float(np.log(len(self.members)))
+
+            def mixture_vg(stacked, raw):
+                lm, gm = vvg(stacked, raw)      # (M, B), (M, B, P)
+                val = jax.scipy.special.logsumexp(lm, axis=0) - log_m
+                w = jax.nn.softmax(lm, axis=0)  # member posterior at θ
+                return val, jnp.sum(w[..., None] * gm, axis=0)
+
+            return jax.jit(mixture_vg)
+
+        return memo_program(
+            self,
+            ("valgrad", np.asarray(obs, np.float32),
+             np.asarray(noise_var, np.float64), backend, method,
+             str(precision), str(grad_precision)),
+            build,
+            memo=memo,
         )
-        vvg = jax.vmap(member, in_axes=(0, None))
-        log_m = float(np.log(len(self.members)))
-
-        def mixture_vg(stacked, raw):
-            lm, gm = vvg(stacked, raw)          # (M, B), (M, B, P)
-            val = jax.scipy.special.logsumexp(lm, axis=0) - log_m
-            w = jax.nn.softmax(lm, axis=0)      # member posterior at θ
-            return val, jnp.sum(w[..., None] * gm, axis=0)
-
-        return jax.jit(mixture_vg)
 
     def sample_posterior(
         self,
@@ -273,14 +299,20 @@ class DeepEnsemble:
                 self.loglik_fn(obs, noise_var), self.stacked_params,
                 bounds=bounds, **kwargs,
             )
-        if sampler != "hmc":
+        if sampler not in ("hmc", "chees"):
             raise ValueError(
-                f"sampler must be 'mh', 'ensemble', 'hmc' or 'pt'; "
-                f"got {sampler!r}"
+                f"sampler must be 'mh', 'ensemble', 'hmc', 'chees' or "
+                f"'pt'; got {sampler!r}"
             )
         valgrad = self.loglik_and_grad_fn(
             obs, noise_var, grad_precision="default"
         )
+        if sampler == "chees":
+            from tpu21cmvae.sampling import sample_chees
+
+            return sample_chees(
+                valgrad, self.stacked_params, bounds=bounds, **kwargs
+            )
         return sample_hmc(valgrad, self.stacked_params, bounds=bounds, **kwargs)
 
     def fit_params(self, obs, noise_var=1.0, *, bounds=None, **kwargs):

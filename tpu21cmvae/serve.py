@@ -159,7 +159,10 @@ class EmulatorService:
         ).hexdigest()
         entry = self._loglik.get(key)
         if entry is None:
-            fn = self.model.loglik_fn(obs, nv)
+            # memo=False: this LRU is the sole owner of the closure, so
+            # its eviction (cap ``loglik_cache``) really frees the
+            # compiled programs — the model-level memo would pin them
+            fn = self.model.loglik_fn(obs, nv, memo=False)
             entry = (
                 ShardedEmulator(fn, self.model.params, mesh=self._mesh),
                 fn,
