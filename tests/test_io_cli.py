@@ -473,6 +473,14 @@ def test_cli_evidence(tmp_path, splits):
     assert np.isfinite(blob2["logz"])
     assert np.isfinite(blob2["logz_err"])
     assert blob2["posterior"].shape == (4096, 7)
+    # laplace quick look
+    out3 = str(tmp_path / "ev_lap.npz")
+    main(["evidence", ckpt, "--obs", obs_file, "--method", "laplace",
+          "--out", out3])
+    blob3 = np.load(out3)
+    assert np.isfinite(blob3["logz"])
+    assert blob3["cov"].shape == (7, 7)
+    assert blob3["posterior"].shape == (4096, 7)
 
 
 def test_cli_sbc(tmp_path, splits):

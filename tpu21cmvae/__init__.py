@@ -52,12 +52,14 @@ from tpu21cmvae.sampling import (  # noqa: F401
     EvidenceComparison,
     EvidenceResult,
     FitResult,
+    LaplaceResult,
     ProfileResult,
     PTSampleResult,
     PredictiveBand,
     SampleResult,
     compare_evidence,
     fit_map,
+    laplace_evidence,
     log_evidence,
     make_emcee_log_prob,
     posterior_predictive,

@@ -379,6 +379,17 @@ def cmd_evidence(args):
             samples=res.samples, logl=res.logl, log_w=res.log_w,
             posterior=res.posterior(4096, seed=args.seed),
         )
+    elif args.method == "laplace":
+        res = model.log_evidence(
+            obs, noise_var, method="laplace", seed=args.seed,
+            log_prior=None if prior is None else prior.log_prior,
+        )
+        print(res.summary(getattr(model, "par_labels", None)))
+        np.savez_compressed(
+            args.out, logz=res.logz, map_params=res.map_params,
+            map_logp=res.map_logp, cov=res.cov, pd=res.pd,
+            posterior=res.posterior(4096, seed=args.seed),
+        )
     else:
         res = model.log_evidence(
             obs, noise_var, method="ladder", n_rungs=args.rungs,
@@ -628,10 +639,12 @@ def main(argv=None):
     p.add_argument("--obs", required=True, metavar="FILE",
                    help="observation spec (.json or .npz — "
                         "serve.load_obs_specs format, exactly one entry)")
-    p.add_argument("--method", choices=("nested", "ladder"),
+    p.add_argument("--method", choices=("nested", "laplace", "ladder"),
                    default="nested",
                    help="nested sampling (robust default; measured "
-                        "~0.04-nat seed spread on real posteriors) or "
+                        "~0.04-nat seed spread on real posteriors), "
+                        "laplace (deterministic Gaussian quick look — "
+                        "exact-tier MAP + Hessian, unimodal only) or "
                         "the PT stepping-stone ladder (cross-check "
                         "only — check its drift/err diagnostics)")
     p.add_argument("--live", type=int, default=2048,

@@ -375,7 +375,9 @@ class AutoEncoderEmulator:
         """Bayesian evidence for this family — same contract as
         :meth:`DirectEmulator.log_evidence` (``method="nested"``
         default via :func:`tpu21cmvae.nested.nested_sampling`;
-        ``"ladder"`` with the fit-seeded warm start via
+        ``"laplace"`` quick look via
+        :func:`tpu21cmvae.sampling.laplace_evidence`; ``"ladder"`` with
+        the fit-seeded warm start via
         :func:`tpu21cmvae.sampling.log_evidence`)."""
         if method == "nested":
             from tpu21cmvae.nested import nested_sampling
@@ -384,9 +386,17 @@ class AutoEncoderEmulator:
                 self.loglik_fn(obs, noise_var), self.params,
                 bounds=bounds, **kwargs,
             )
+        if method == "laplace":
+            from tpu21cmvae.sampling import laplace_evidence
+
+            return laplace_evidence(
+                self.loglik_fn(obs, noise_var), self.params,
+                bounds=bounds, **kwargs,
+            )
         if method != "ladder":
             raise ValueError(
-                f"method must be 'nested' or 'ladder'; got {method!r}"
+                f"method must be 'nested', 'laplace' or 'ladder'; "
+                f"got {method!r}"
             )
         from tpu21cmvae.sampling import log_evidence
 

@@ -480,7 +480,15 @@ class DirectEmulator:
         by raising ``n_rungs``/``n_steps`` and flagged by ``logz_err``
         / ``ladder_drift`` — ALWAYS check both). ``warm_start``
         (default True, ladder only) seeds every rung from a
-        1024-start :meth:`fit_params`."""
+        1024-start :meth:`fit_params`.
+
+        ``method="laplace"`` is the deterministic quick look
+        (:func:`tpu21cmvae.sampling.laplace_evidence` — one multi-start
+        MAP fit + one 7×7 Hessian, milliseconds): exact in the
+        Gaussian-posterior limit, runs on the EXACT likelihood tier
+        (a fast-tier near-mode value error of ~0.4 nats would bias
+        ``logz`` directly), blind to multimodality — cross-check
+        against ``"nested"`` when modes are suspected."""
         if method == "nested":
             from tpu21cmvae.nested import nested_sampling
 
@@ -488,9 +496,17 @@ class DirectEmulator:
                 self.loglik_fn(obs, noise_var), self.params,
                 bounds=bounds, **kwargs,
             )
+        if method == "laplace":
+            from tpu21cmvae.sampling import laplace_evidence
+
+            return laplace_evidence(
+                self.loglik_fn(obs, noise_var, precision="contract"),
+                self.params, bounds=bounds, **kwargs,
+            )
         if method != "ladder":
             raise ValueError(
-                f"method must be 'nested' or 'ladder'; got {method!r}"
+                f"method must be 'nested', 'laplace' or 'ladder'; "
+                f"got {method!r}"
             )
         from tpu21cmvae.sampling import log_evidence
 

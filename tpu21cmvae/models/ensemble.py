@@ -347,9 +347,17 @@ class DeepEnsemble:
                 self.loglik_fn(obs, noise_var), self.stacked_params,
                 bounds=bounds, **kwargs,
             )
+        if method == "laplace":
+            from tpu21cmvae.sampling import laplace_evidence
+
+            return laplace_evidence(
+                self.loglik_fn(obs, noise_var, precision="contract"),
+                self.stacked_params, bounds=bounds, **kwargs,
+            )
         if method != "ladder":
             raise ValueError(
-                f"method must be 'nested' or 'ladder'; got {method!r}"
+                f"method must be 'nested', 'laplace' or 'ladder'; "
+                f"got {method!r}"
             )
         from tpu21cmvae.sampling import log_evidence
 
