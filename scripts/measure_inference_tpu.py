@@ -87,14 +87,47 @@ def main():
                      "warm_2chunks_s": round(warm, 3),
                      "min_ess": round(float(res.ess().min()))}
 
-    # -- ADVI --------------------------------------------------------------
-    from tpu21cmvae.vi import fit_advi
+    # -- HMC vs ChEES at a matched budget ---------------------------------
+    from tpu21cmvae.sampling import sample_chees, sample_hmc
 
-    # measure the path the model methods actually ship on TPU
     backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     valgrad = em.loglik_and_grad_fn(
         obs, nv, backend=backend, grad_precision="default"
     )
+    kwh = dict(n_walkers=4096, n_steps=300, n_warmup=200, thin=5,
+               bounds=bounds, seed=0)
+    for name, fn, extra in (
+        ("hmc", sample_hmc, {"n_leapfrog": 8}),
+        ("chees", sample_chees, {}),
+    ):
+        res = fn(valgrad, em.params, **kwh, **extra)  # compile
+        t0 = time.perf_counter()
+        res = fn(valgrad, em.params, **dict(kwh, seed=1), **extra)
+        dt = time.perf_counter() - t0
+        ess = float(res.ess().min())
+        out[name] = {
+            "walkers": 4096, "steps": 500, "wall_s": round(dt, 3),
+            "min_ess": round(ess), "min_ess_per_s": round(ess / dt),
+            "accept": round(float(res.accept_rate[-20:].mean()), 3),
+        }
+        if hasattr(res, "trajectory_length"):
+            out[name]["trajectory_length"] = round(
+                float(res.trajectory_length), 4)
+            out[name]["step_size"] = round(float(res.step_size), 4)
+
+    # -- Laplace evidence (deterministic quick look) -----------------------
+    ll_exact = em.loglik_fn(obs, nv, precision="contract")
+    from tpu21cmvae.sampling import laplace_evidence
+
+    dt = timed(lambda: laplace_evidence(
+        ll_exact, em.params, bounds=bounds, seed=0,
+    ), repeats=3)
+    lap = laplace_evidence(ll_exact, em.params, bounds=bounds, seed=0)
+    out["laplace"] = {"warm_wall_s": round(dt, 3),
+                      "logz": round(lap.logz, 2), "pd": bool(lap.pd)}
+
+    # -- ADVI --------------------------------------------------------------
+    from tpu21cmvae.vi import fit_advi
     dt = timed(lambda: fit_advi(
         valgrad, em.params, bounds=bounds, n_steps=600, n_mc=512, seed=0,
     ), repeats=2)

@@ -186,3 +186,52 @@ def test_live_loss_closure_keeps_cache_hit():
     a = _make_epoch_fn(loss, cfg, 32, False, False, n_real=32)
     b = _make_epoch_fn(loss, cfg, 32, False, False, n_real=32)
     assert a is b
+
+
+def test_whitened_ascent_program_cached_on_valgrad():
+    """fit_map / laplace_evidence reuse ONE compiled ascent program per
+    (valgrad, statics): a counting valgrad traces once across repeated
+    calls with different seeds and params, and a second laplace call
+    reuses both its ascent and Hessian programs. Also guards the
+    staleness contract: params is a RUN argument, so new weights flow
+    through the cached program."""
+    import jax.numpy as jnp
+
+    from tpu21cmvae.sampling import fit_map, laplace_evidence
+
+    counter = {"n": 0}
+    mu = np.array([0.5, -0.25], np.float32)
+
+    def valgrad(params, x):
+        counter["n"] += 1
+        d = (x - mu) * params
+        return -0.5 * np.e * jnp.sum(d * d, axis=-1) / np.e, -d * params
+
+    bounds = np.stack([mu - 2.0, mu + 2.0], axis=1)
+    r1 = fit_map(valgrad, jnp.float32(1.0), n_starts=32, n_steps=40,
+                 bounds=bounds, seed=0)
+    n_first = counter["n"]
+    assert n_first > 0
+    r2 = fit_map(valgrad, jnp.float32(4.0), n_starts=32, n_steps=40,
+                 bounds=bounds, seed=1)
+    assert counter["n"] == n_first  # no retrace on params/seed change
+    # sharper params -> tighter fit, proving fresh params were USED
+    assert np.allclose(r1.best, mu, atol=0.05)
+    assert np.allclose(r2.best, mu, atol=0.05)
+
+    counter["n"] = 0
+
+    def loglik(params, x):
+        counter["n"] += 1
+        d = (x - mu) * params
+        return -0.5 * jnp.sum(d * d, axis=-1)
+
+    laplace_evidence(loglik, jnp.float32(1.0), bounds=bounds,
+                     n_starts=32, n_steps=40, seed=0)
+    n_first = counter["n"]
+    lap = laplace_evidence(loglik, jnp.float32(2.0), bounds=bounds,
+                           n_starts=32, n_steps=40, seed=1)
+    assert counter["n"] == n_first  # ascent + hessian both cached
+    # params=2 doubles the precision -> std halves (fresh params used;
+    # tolerance covers the sigmoid-map distortion at sigma/span = 1/8)
+    assert np.allclose(np.sqrt(np.diag(lap.cov)), 0.5, rtol=0.12)

@@ -805,7 +805,7 @@ def _whitened_adam_ascent(
         frac = jnp.where(free.astype(bool), frac, pinned)
     y0 = jnp.log(frac / (1.0 - frac))
 
-    def ll_and_grad_y(y):
+    def ll_and_grad_y(params, y):
         s = jax.nn.sigmoid(y)
         xr = lo + span * s
         ll, g_raw = valgrad(params, xr)
@@ -825,33 +825,53 @@ def _whitened_adam_ascent(
 
     b1, b2, eps = 0.9, 0.999, 1e-8
 
-    def adam_step(state, t):
-        y, m, v = state
-        ll, g = ll_and_grad_y(y)
-        g = jnp.where(jnp.isfinite(g), g, 0.0)  # dead start ≠ NaN poison
-        m = b1 * m + (1.0 - b1) * g
-        v = b2 * v + (1.0 - b2) * g * g
-        mh = m / (1.0 - b1 ** t)
-        vh = v / (1.0 - b2 ** t)
-        # cosine decay to 5% of the initial rate: large early steps to
-        # cross the rugged landscape, small late steps to polish the
-        # optimum below the Adam-jitter floor
-        lr = learning_rate * (0.05 + 0.95 * 0.5 * (
-            1.0 + jnp.cos(jnp.pi * (t - 1.0) / n_steps)
-        ))
-        y = y + lr * mh / (jnp.sqrt(vh) + eps)  # ascent
-        return (y, m, v), None
+    def build_run():
+        def run(params, y):
+            def adam_step(state, t):
+                y, m, v = state
+                ll, g = ll_and_grad_y(params, y)
+                # dead start ≠ NaN poison
+                g = jnp.where(jnp.isfinite(g), g, 0.0)
+                m = b1 * m + (1.0 - b1) * g
+                v = b2 * v + (1.0 - b2) * g * g
+                mh = m / (1.0 - b1 ** t)
+                vh = v / (1.0 - b2 ** t)
+                # cosine decay to 5% of the initial rate: large early
+                # steps to cross the rugged landscape, small late steps
+                # to polish the optimum below the Adam-jitter floor
+                lr = learning_rate * (0.05 + 0.95 * 0.5 * (
+                    1.0 + jnp.cos(jnp.pi * (t - 1.0) / n_steps)
+                ))
+                y = y + lr * mh / (jnp.sqrt(vh) + eps)  # ascent
+                return (y, m, v), None
 
-    @jax.jit
-    def run(y):
-        state = (y, jnp.zeros_like(y), jnp.zeros_like(y))
-        (y, _, _), _ = jax.lax.scan(
-            adam_step, state, jnp.arange(1, n_steps + 1, dtype=jnp.float32)
-        )
-        ll, _ = ll_and_grad_y(y)
-        return lo + span * jax.nn.sigmoid(y), ll
+            state = (y, jnp.zeros_like(y), jnp.zeros_like(y))
+            (y, _, _), _ = jax.lax.scan(
+                adam_step, state,
+                jnp.arange(1, n_steps + 1, dtype=jnp.float32),
+            )
+            ll, _ = ll_and_grad_y(params, y)
+            return lo + span * jax.nn.sigmoid(y), ll
 
-    return run(y0)
+        return jax.jit(run)
+
+    # cached on the valgrad closure (the sampler idiom,
+    # _chain_program): repeated fits / profiles / Laplace runs / ladder
+    # warm starts with the same statics reuse one compiled program —
+    # through the tunnel that turns every warm call from a 5–20 s
+    # retrace into milliseconds. ``params`` is a RUN argument, so a
+    # retrained model's weights can never go stale in the cache.
+    run = _chain_program(
+        valgrad,
+        (
+            "ascent", _bounds_key(lo, hi), int(n_steps),
+            float(learning_rate), _fn_cache_key(log_prior),
+            None if free is None else np.asarray(free).tobytes(),
+            bool(jacobian), tuple(np.shape(x)),
+        ),
+        build_run,
+    )
+    return run(params, y0)
 
 
 @dataclasses.dataclass
@@ -951,10 +971,18 @@ def laplace_evidence(
     key = jax.random.key(seed)
     x0 = _shard_walkers(_init_walkers(key, n_starts, lo, hi), mesh)
 
-    def valgrad(p, xr):
-        ll, vjp = jax.vjp(lambda q: loglik(p, q), xr)
-        (g,) = vjp(jnp.ones_like(ll))
-        return ll, g
+    def build_valgrad():
+        def valgrad(p, xr):
+            ll, vjp = jax.vjp(lambda q: loglik(p, q), xr)
+            (g,) = vjp(jnp.ones_like(ll))
+            return ll, g
+
+        return valgrad
+
+    # one STABLE autodiff wrapper per loglik closure, so the ascent
+    # program cached on it (see _whitened_adam_ascent) survives across
+    # laplace_evidence calls instead of dying with a per-call lambda
+    valgrad = _chain_program(loglik, ("laplace-valgrad",), build_valgrad)
 
     x_fin, g_fin = _whitened_adam_ascent(
         valgrad, params, lo, hi, x0,
@@ -969,16 +997,24 @@ def laplace_evidence(
                    1.0 - 1e-7)
     y_map = jnp.asarray(np.log(frac / (1.0 - frac)), jnp.float32)
 
-    def g_scalar(y):
-        xr = lo + span * jax.nn.sigmoid(y)
-        ll = loglik(params, xr[None])[0]
-        if log_prior is not None:
-            ll = ll + _resolve_log_prior(log_prior)(xr[None])[0]
-        return ll + jnp.sum(
-            jax.nn.log_sigmoid(y) + jax.nn.log_sigmoid(-y)
-        )
+    def build_hess():
+        def g_scalar(p, y):
+            xr = lo + span * jax.nn.sigmoid(y)
+            ll = loglik(p, xr[None])[0]
+            if log_prior is not None:
+                ll = ll + _resolve_log_prior(log_prior)(xr[None])[0]
+            return ll + jnp.sum(
+                jax.nn.log_sigmoid(y) + jax.nn.log_sigmoid(-y)
+            )
 
-    h = np.asarray(jax.jit(jax.hessian(g_scalar))(y_map), np.float64)
+        return jax.jit(jax.hessian(g_scalar, argnums=1))
+
+    hess = _chain_program(
+        loglik,
+        ("laplace-hess", _bounds_key(lo, hi), _fn_cache_key(log_prior)),
+        build_hess,
+    )
+    h = np.asarray(hess(params, y_map), np.float64)
     h = 0.5 * (h + h.T)
     evals, evecs = np.linalg.eigh(-h)  # want −H ≻ 0 at a maximum
     pd = bool(evals.min() > 0)
