@@ -476,7 +476,7 @@ def test_cli_evidence(tmp_path, splits):
     # laplace quick look
     out3 = str(tmp_path / "ev_lap.npz")
     main(["evidence", ckpt, "--obs", obs_file, "--method", "laplace",
-          "--out", out3])
+          "--fit-starts", "256", "--fit-steps", "300", "--out", out3])
     blob3 = np.load(out3)
     assert np.isfinite(blob3["logz"])
     assert blob3["cov"].shape == (7, 7)

@@ -252,7 +252,7 @@ def test_laplace_matches_nested_on_emulator(tiny_direct):
     whitened posterior, ~1.1 nats on this target)."""
     model, obs, bounds = tiny_direct
     lap = model.log_evidence(obs, 25.0, bounds=bounds, method="laplace",
-                             seed=0)
+                             n_starts=512, n_steps=400, seed=0)
     nes = model.log_evidence(obs, 25.0, bounds=bounds, n_live=512,
                              n_mh=12, seed=0)
     assert lap.pd

@@ -355,3 +355,72 @@ def test_loglik_eviction_frees_chain_programs(model, splits):
     gc.collect()
     assert ref() is None, "evicted loglik closure (and its chain "\
         "programs) still pinned"
+
+
+def test_fit_endpoint(server, model, splits):
+    """POST /fit returns the multi-start ML fit: best row near the
+    observation's truth, ranked top block, option validation."""
+    truth = np.asarray(splits.par_test[2], np.float32)
+    obs = np.asarray(model.predict(truth))
+    par = np.asarray(splits.par_train, np.float64)
+    lo, hi = par.min(0), par.max(0)
+    lo[:3] = np.maximum(lo[:3], 1e-6)
+    req = {
+        "obs": obs.tolist(), "noise_var": 1.0,
+        "bounds": np.stack([lo, hi], 1).tolist(),
+        "n_starts": 128, "n_steps": 120, "seed": 0, "top": 5,
+    }
+    out = _post(server, "/fit", req)
+    assert len(out["best"]) == 7
+    assert len(out["top"]) == 5 and len(out["top_logp"]) == 5
+    assert out["top_logp"][0] == pytest.approx(out["best_logp"])
+    assert out["top_logp"] == sorted(out["top_logp"], reverse=True)
+    best = np.asarray(out["best"])
+    assert (best >= lo - 1e-6).all() and (best <= hi + 1e-6).all()
+    # noiseless obs from the model itself -> the short 120-step budget
+    # refits the 451-bin signal to ~1 mK rms (logL = -||r||^2/2 at
+    # noise_var=1; random-box params score ~-1e5 on this model)
+    assert out["best_logp"] > -2000.0
+
+    import urllib.error
+
+    for bad in (dict(req, n_starts=10**6), dict(req, bogus=1),
+                dict(req, top=0)):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(server, "/fit", bad)
+        assert ei.value.code == 400
+
+
+def test_evidence_endpoint(server, model, splits):
+    """POST /evidence: laplace default (deterministic, MAP+cov) and
+    nested (logz_err + posterior block); both agree to a few nats."""
+    truth = np.asarray(splits.par_test[0], np.float32)
+    obs = np.asarray(model.predict(truth))
+    par = np.asarray(splits.par_train, np.float64)
+    lo, hi = par.min(0), par.max(0)
+    lo[:3] = np.maximum(lo[:3], 1e-6)
+    req = {
+        "obs": obs.tolist(), "noise_var": 25.0,
+        "bounds": np.stack([lo, hi], 1).tolist(), "seed": 0,
+    }
+    lap = _post(server, "/evidence", dict(req, n_starts=128,
+                                          n_steps=400))
+    assert lap["method"] == "laplace"
+    assert np.isfinite(lap["logz"])
+    assert len(lap["map_params"]) == 7
+    assert np.asarray(lap["cov"]).shape == (7, 7)
+    nes = _post(server, "/evidence", dict(
+        req, method="nested", n_live=256, n_mh=8, max_samples=64,
+    ))
+    assert nes["method"] == "nested"
+    assert np.isfinite(nes["logz"]) and nes["logz_err"] > 0
+    assert 1 <= len(nes["posterior"]) <= 64
+    assert abs(lap["logz"] - nes["logz"]) < 6.0
+
+    import urllib.error
+
+    for bad in (dict(req, method="ladder"), dict(req, n_live=10**6),
+                dict(req, bogus=1)):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(server, "/evidence", bad)
+        assert ei.value.code == 400

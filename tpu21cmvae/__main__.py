@@ -380,9 +380,14 @@ def cmd_evidence(args):
             posterior=res.posterior(4096, seed=args.seed),
         )
     elif args.method == "laplace":
+        kw = {}
+        if args.fit_starts is not None:
+            kw["n_starts"] = args.fit_starts
+        if args.fit_steps is not None:
+            kw["n_steps"] = args.fit_steps
         res = model.log_evidence(
             obs, noise_var, method="laplace", seed=args.seed,
-            log_prior=None if prior is None else prior.log_prior,
+            log_prior=None if prior is None else prior.log_prior, **kw,
         )
         print(res.summary(getattr(model, "par_labels", None)))
         np.savez_compressed(
@@ -655,6 +660,11 @@ def main(argv=None):
     p.add_argument("--walkers", type=int, default=256)
     p.add_argument("--steps", type=int, default=400)
     p.add_argument("--warmup", type=int, default=200)
+    p.add_argument("--fit-starts", type=int, default=None,
+                   help="laplace: MAP ascent starts (default 4096 — "
+                        "the measured mode-finding reliability floor)")
+    p.add_argument("--fit-steps", type=int, default=None,
+                   help="laplace: MAP ascent steps (default 2000)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--prior", action="append", metavar="IDX:MEAN:SIGMA",
                    help="Gaussian prior on parameter IDX (repeatable); "

@@ -68,6 +68,7 @@ __all__ = [
     "sample_mh",
     "sample_pt",
     "sample_to_ess",
+    "valgrad_from_loglik",
     "WeightedPosterior",
     "reweight",
 ]
@@ -927,13 +928,38 @@ class LaplaceResult:
         return "\n".join(lines)
 
 
+def valgrad_from_loglik(loglik):
+    """``(params, raw) → (logL, ∇logL)`` adapter over a pure VALUE
+    likelihood via autodiff (row-wise VJP with a ones cotangent — exact
+    because the likelihood is row-independent).
+
+    The wrapper is a STABLE object cached on the likelihood closure
+    (:func:`_chain_program`), so downstream per-closure program caches
+    — the whitened-ascent program, chain programs — survive across
+    calls instead of dying with a per-call lambda. Use it to feed
+    gradient consumers (:func:`fit_map`, :func:`sample_hmc`,
+    :func:`sample_chees`) when only a value likelihood is at hand;
+    model users should prefer the bench-selected
+    ``loglik_and_grad_fn`` which is faster than autodiff on TPU."""
+
+    def build():
+        def valgrad(p, xr):
+            ll, vjp = jax.vjp(lambda q: loglik(p, q), xr)
+            (g,) = vjp(jnp.ones_like(ll))
+            return ll, g
+
+        return valgrad
+
+    return _chain_program(loglik, ("autodiff-valgrad",), build)
+
+
 def laplace_evidence(
     loglik,
     params,
     *,
     bounds=None,
-    n_starts: int = 256,
-    n_steps: int = 400,
+    n_starts: int = 4096,
+    n_steps: int = 2000,
     learning_rate: float = 0.05,
     seed: int = 0,
     log_prior=None,
@@ -959,7 +985,14 @@ def laplace_evidence(
     error of ~0.4 nats would bias ``logz`` by the same amount). The
     ascent reuses :func:`_whitened_adam_ascent` WITH the Jacobian term
     (the mode of the transformed density is what the ``y``-space
-    saddle point needs). Caveats: unimodal by construction — on
+    saddle point needs); the 4096-start/2000-step default is the
+    measured reliability floor for FINDING the dominant mode on real
+    emulator posteriors — a 1024×500 budget (the ladder warm start's
+    floor) measurably stranded the ascent 9 nats below the mode on one
+    rugged observation where 4096×2000 lands within 1 nat of nested,
+    and the heavier budget still costs ~1 s warm on a v5e (~8×10⁶
+    value+gradient rows at ~10⁷/s). Caveats: unimodal by construction
+    — on
     multimodal posteriors it reports the dominant mode's local
     evidence; check against ``method="nested"`` when in doubt (the
     nested default exists precisely because it is robust to this).
@@ -971,18 +1004,7 @@ def laplace_evidence(
     key = jax.random.key(seed)
     x0 = _shard_walkers(_init_walkers(key, n_starts, lo, hi), mesh)
 
-    def build_valgrad():
-        def valgrad(p, xr):
-            ll, vjp = jax.vjp(lambda q: loglik(p, q), xr)
-            (g,) = vjp(jnp.ones_like(ll))
-            return ll, g
-
-        return valgrad
-
-    # one STABLE autodiff wrapper per loglik closure, so the ascent
-    # program cached on it (see _whitened_adam_ascent) survives across
-    # laplace_evidence calls instead of dying with a per-call lambda
-    valgrad = _chain_program(loglik, ("laplace-valgrad",), build_valgrad)
+    valgrad = valgrad_from_loglik(loglik)
 
     x_fin, g_fin = _whitened_adam_ascent(
         valgrad, params, lo, hi, x0,

@@ -32,6 +32,15 @@ Endpoints (all JSON):
   cached on the same per-observation likelihood closure ``/loglik``
   uses, so repeat requests with the same chain sizes compile nothing
   (:meth:`EmulatorService.sample`).
+* ``POST /fit``        ``{"obs": …, "noise_var": …, "n_starts": …,
+  "n_steps": …, "top": …}`` → maximum-likelihood parameters (multi-
+  start Adam ascent; best row + ranked top block). Ascent programs are
+  cached on the same likelihood closure — repeat fits compile nothing.
+* ``POST /evidence``   ``{"obs": …, "noise_var": …, "method":
+  "laplace"|"nested", …}`` → ``log Z`` for model screening (Laplace:
+  deterministic, ~0.3 s warm, + MAP/covariance; nested: robust, ~10 s,
+  + posterior block). Served at the model's default tier — see the
+  tier caveat on :meth:`EmulatorService.evidence`.
 
 Device work is serialized by an explicit lock (one warm program
 saturates the chip at mega-batch sizes — docs/PERF.md; scale-out is
@@ -312,6 +321,153 @@ class EmulatorService:
             out["betas"] = res.betas.tolist()
         return out
 
+    def _check_bounds(self, opts):
+        bounds = opts.pop("bounds", None)
+        if bounds is None:
+            return {}
+        bounds = np.asarray(bounds, np.float64)
+        if bounds.shape != (self.model.config.n_params, 2):
+            raise ValueError(
+                f"bounds must be ({self.model.config.n_params}, 2)"
+            )
+        return {"bounds": bounds}
+
+    def fit(self, obs, noise_var=1.0, **opts) -> dict:
+        """Maximum-likelihood parameter fit as a service: multi-start
+        Adam ascent (:func:`tpu21cmvae.sampling.fit_map`) over the
+        cached per-observation likelihood — the ascent program is
+        cached on the same closure ``/loglik`` and ``/sample`` use, so
+        repeat fits compile nothing. Options: ``n_starts`` (default
+        1,024, capped at ``SAMPLE_MAX_WALKERS``), ``n_steps`` (default
+        300, capped at ``SAMPLE_MAX_STEPS``), ``seed``, ``bounds``,
+        ``top`` (how many ranked starts to return, default 16)."""
+        from tpu21cmvae.sampling import fit_map, valgrad_from_loglik
+
+        kwargs = dict(
+            n_starts=int(opts.pop("n_starts", 1024)),
+            n_steps=int(opts.pop("n_steps", 300)),
+            seed=int(opts.pop("seed", 0)),
+        )
+        top = int(opts.pop("top", 16))
+        if kwargs["n_starts"] > self.SAMPLE_MAX_WALKERS:
+            raise ValueError(
+                f"n_starts capped at {self.SAMPLE_MAX_WALKERS}"
+            )
+        if kwargs["n_steps"] > self.SAMPLE_MAX_STEPS:
+            raise ValueError(f"n_steps capped at {self.SAMPLE_MAX_STEPS}")
+        if not 1 <= top <= min(kwargs["n_starts"],
+                               self.SAMPLE_MAX_RETURN):
+            raise ValueError("top out of range")
+        kwargs.update(self._check_bounds(opts))
+        if opts:
+            raise ValueError(f"unknown fit options: {sorted(opts)}")
+        key, entry = self._loglik_lookup(
+            np.asarray(obs, np.float32), np.asarray(noise_var, np.float32)
+        )
+        with self._device_lock:
+            res = fit_map(
+                valgrad_from_loglik(entry[1]), self.model.params,
+                mesh=self._mesh, **kwargs,
+            )
+        self._loglik_commit(key, entry)
+        order = np.argsort(-np.nan_to_num(res.logp, nan=-np.inf))[:top]
+        return {
+            "par_labels": list(getattr(self.model, "par_labels", [])),
+            "best": res.best.tolist(),
+            "best_logp": float(res.best_logp),
+            "top": res.params[order].tolist(),
+            "top_logp": res.logp[order].tolist(),
+        }
+
+    #: /evidence caps (nested): live points and constrained-MH steps
+    EVIDENCE_MAX_LIVE = 4096
+    EVIDENCE_MAX_MH = 64
+
+    def evidence(self, obs, noise_var=1.0, **opts) -> dict:
+        """Bayesian evidence as a service. ``method="laplace"``
+        (default over HTTP — deterministic, ~0.3 s warm) or
+        ``"nested"`` (robust, ~10 s; ``n_live``/``n_mh`` capped).
+
+        Tier caveat: the served likelihood is the model's DEFAULT tier
+        (near-mode |ΔlogL| ≈ 0.43 on the flagship), which bounds the
+        absolute accuracy of any served ``logz`` — fine for screening;
+        for publication-grade Bayes factors run
+        ``model.log_evidence`` in-process, which pins the exact tier
+        for Laplace (``DirectEmulator.loglik_fn`` documents the
+        contract tier)."""
+        method = opts.pop("method", "laplace")
+        seed = int(opts.pop("seed", 0))
+        bkw = self._check_bounds(opts)
+        key, entry = self._loglik_lookup(
+            np.asarray(obs, np.float32), np.asarray(noise_var, np.float32)
+        )
+        if method == "laplace":
+            from tpu21cmvae.sampling import laplace_evidence
+
+            n_starts = int(opts.pop("n_starts", 4096))
+            n_steps = int(opts.pop("n_steps", 2000))
+            if n_starts > self.SAMPLE_MAX_WALKERS:
+                raise ValueError(
+                    f"n_starts capped at {self.SAMPLE_MAX_WALKERS}"
+                )
+            if n_steps > self.SAMPLE_MAX_STEPS:
+                raise ValueError(
+                    f"n_steps capped at {self.SAMPLE_MAX_STEPS}"
+                )
+            if opts:
+                raise ValueError(
+                    f"unknown evidence options: {sorted(opts)}"
+                )
+            with self._device_lock:
+                res = laplace_evidence(
+                    entry[1], self.model.params, n_starts=n_starts,
+                    n_steps=n_steps, seed=seed, mesh=self._mesh, **bkw,
+                )
+            self._loglik_commit(key, entry)
+            return {
+                "method": "laplace",
+                "logz": float(res.logz),
+                "pd": bool(res.pd),
+                "map_params": res.map_params.tolist(),
+                "map_logp": float(res.map_logp),
+                "cov": res.cov.tolist(),
+            }
+        if method != "nested":
+            raise ValueError(
+                f"method must be 'laplace' or 'nested' over HTTP; "
+                f"got {method!r}"
+            )
+        from tpu21cmvae.nested import nested_sampling
+
+        n_live = int(opts.pop("n_live", 1024))
+        n_mh = int(opts.pop("n_mh", 16))
+        if n_live > self.EVIDENCE_MAX_LIVE:
+            raise ValueError(f"n_live capped at {self.EVIDENCE_MAX_LIVE}")
+        if n_mh > self.EVIDENCE_MAX_MH:
+            raise ValueError(f"n_mh capped at {self.EVIDENCE_MAX_MH}")
+        max_samples = int(opts.pop("max_samples", 1000))
+        if not 1 <= max_samples <= self.SAMPLE_MAX_RETURN:
+            raise ValueError(
+                f"max_samples must be in [1, {self.SAMPLE_MAX_RETURN}]"
+            )
+        if opts:
+            raise ValueError(f"unknown evidence options: {sorted(opts)}")
+        with self._device_lock:
+            res = nested_sampling(
+                entry[1], self.model.params, n_live=n_live, n_mh=n_mh,
+                seed=seed, mesh=self._mesh, **bkw,
+            )
+        self._loglik_commit(key, entry)
+        return {
+            "method": "nested",
+            "logz": float(res.logz),
+            "logz_err": float(res.logz_err),
+            "h": float(res.h),
+            "ess": float(res.ess),
+            "truncated": bool(res.truncated),
+            "posterior": res.posterior(max_samples, seed=seed).tolist(),
+        }
+
 
 def _make_handler(service: EmulatorService):
     class Handler(BaseHTTPRequestHandler):
@@ -365,6 +521,14 @@ def _make_handler(service: EmulatorService):
                     obs = req.pop("obs")
                     nv = req.pop("noise_var", 1.0)
                     self._reply(200, service.sample(obs, nv, **req))
+                elif self.path == "/fit":
+                    obs = req.pop("obs")
+                    nv = req.pop("noise_var", 1.0)
+                    self._reply(200, service.fit(obs, nv, **req))
+                elif self.path == "/evidence":
+                    obs = req.pop("obs")
+                    nv = req.pop("noise_var", 1.0)
+                    self._reply(200, service.evidence(obs, nv, **req))
                 else:
                     self._reply(404, {"error": f"unknown path {self.path}"})
             except (KeyError, ValueError, TypeError) as e:
