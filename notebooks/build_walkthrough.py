@@ -205,8 +205,11 @@ CELL_SAMPLING = """\
 # ~25 likelihood evaluations/s. Here the ENTIRE chain runs on device
 # (tpu21cmvae/sampling.py): observe a known signal + noise, then sample
 # the 7 astrophysical parameters with adaptive Metropolis-Hastings.
-# (HMC over the fused value+gradient kernel is one keyword away:
-# sampler="hmc"; measured throughputs in docs/PERF.md.)
+# (Gradient-based samplers are one keyword away: sampler="hmc" rides
+# the fused value+gradient kernel, sampler="chees" additionally adapts
+# the trajectory length from ensemble statistics — ChEES-HMC, the
+# accelerator-native NUTS replacement; measured throughputs in
+# docs/PERF.md.)
 rng = np.random.default_rng(11)
 truth = np.asarray(data.par_test[2], np.float32)
 obs = model.predict(truth) + rng.normal(0, 5.0, data.n_bins)
@@ -268,6 +271,17 @@ ev = model.log_evidence(
     n_mh=8 if FAST else 24, seed=0,
 )
 print(ev.summary())
+
+# Deterministic quick look: method="laplace" (MAP + Hessian, exact in
+# the Gaussian limit). Its gap to the nested estimate IS a measurement
+# of the posterior's non-Gaussianity.
+lap = model.log_evidence(
+    obs, 25.0, bounds=bounds, method="laplace",
+    n_starts=256 if FAST else 4096, n_steps=300 if FAST else 2000,
+    seed=0,
+)
+print(f"laplace quick look: log Z = {lap.logz:.2f} "
+      f"(gap to nested {lap.logz - ev.logz:+.2f} nats)")
 
 # (4) fit_advi -- quick-look posterior: a full-rank Gaussian ADVI fit
 #     over the same value+gradient path (iid draws, no chains to tune;

@@ -157,3 +157,31 @@ def test_pt_sharded_moments_and_evidence_free_swaps(mesh):
             normalized_loglik, None, n_rungs=9, n_walkers=64, n_steps=10,
             n_warmup=5, bounds=BOUNDS, mesh=mesh,
         )
+
+
+def test_chees_sharded_moments(mesh):
+    """ChEES under a mesh: the warmup's ChEES-gradient ensemble mean
+    and the metric's cross-walker std are the only collectives — the
+    sharded chain must still adapt (trajectory grows from its tiny
+    init) and recover exact moments."""
+    from tpu21cmvae.sampling import sample_chees
+
+    res = sample_chees(
+        valgrad, None, n_walkers=256, n_steps=300, n_warmup=200,
+        thin=5, bounds=BOUNDS, seed=2, mesh=mesh,
+    )
+    _check_moments(res.flat, 300)
+    assert res.trajectory_length > 0.2  # adapted above the 0.08 init
+
+
+def test_laplace_evidence_sharded(mesh):
+    """Laplace under a mesh: starts shard, logz matches -log V for the
+    normalized likelihood (wide box, Gaussian-exact regime)."""
+    from tpu21cmvae.sampling import laplace_evidence
+
+    res = laplace_evidence(
+        normalized_loglik, None, bounds=BOUNDS, n_starts=64,
+        n_steps=300, seed=0, mesh=mesh,
+    )
+    assert res.pd
+    assert abs(res.logz - LOGZ_BOX) < 0.05
