@@ -220,7 +220,9 @@ def test_compare_evidence_prefers_generating_family(splits):
 def test_laplace_evidence_analytic_gaussian():
     """Laplace log Z matches the closed form on a wide-box Gaussian
     (sigmoid-map distortion is second order at σ/span = 1/20), with a
-    correct raw-space covariance and in-box posterior draws."""
+    correct raw-space covariance and in-box posterior draws; the
+    default IS sharpening turns it into an exact estimate with a real
+    MC error bar and near-full weight ESS."""
     from tpu21cmvae.sampling import LaplaceResult, laplace_evidence
 
     def loglik(params, x):
@@ -231,32 +233,54 @@ def test_laplace_evidence_analytic_gaussian():
     logz_true = -float(np.log((hi - lo).astype(np.float64)).sum())
     for s in SIG:
         logz_true += math.log(s * math.sqrt(2 * math.pi))
-    res = laplace_evidence(loglik, None, bounds=bounds, seed=0)
-    assert isinstance(res, LaplaceResult)
-    assert res.pd
-    assert abs(res.logz - logz_true) < 0.05
-    assert np.allclose(res.map_params, MU, atol=0.02 * SIG)
-    assert np.allclose(np.sqrt(np.diag(res.cov)), SIG, rtol=0.03)
-    draws = res.posterior(4096, seed=1)
+    kw = dict(bounds=bounds, n_starts=256, n_steps=300, seed=0)
+    # raw saddle point (n_is=0): systematic-only contract
+    res0 = laplace_evidence(loglik, None, n_is=0, **kw)
+    assert isinstance(res0, LaplaceResult)
+    assert res0.pd
+    assert abs(res0.logz - logz_true) < 0.05
+    assert np.isnan(res0.logz_err)  # systematic, not MC
+    assert np.allclose(res0.map_params, MU, atol=0.02 * SIG)
+    assert np.allclose(np.sqrt(np.diag(res0.cov)), SIG, rtol=0.03)
+    draws = res0.posterior(4096, seed=1)
     assert draws.shape == (4096, 3)
     assert (draws >= lo - 1e-5).all() and (draws <= hi + 1e-5).all()
     assert np.allclose(draws.mean(0), MU, atol=0.1 * SIG)
-    assert "log Z" in res.summary()
-    assert np.isnan(res.logz_err)  # systematic, not MC
+    # default: IS sharpening — exact within its own (tiny) error bar
+    res = laplace_evidence(loglik, None, **kw)
+    assert abs(res.logz - logz_true) < max(3 * res.logz_err, 1e-2)
+    assert res.logz_err < 0.01
+    assert res.is_ess > 0.8 * 4096
+    assert res.logz_laplace == pytest.approx(res0.logz)
+    # importance-resampled posterior: exact moments, in the box
+    d = res.posterior(5000, seed=1)
+    assert (d >= lo - 1e-5).all() and (d <= hi + 1e-5).all()
+    assert np.allclose(d.mean(0), MU, atol=0.1 * SIG)
+    assert np.allclose(d.std(0), SIG, rtol=0.1)
+    assert "±" in res.summary() and "ESS" in res.summary()
 
 
 def test_laplace_matches_nested_on_emulator(tiny_direct):
     """Cross-estimator consistency on a real emulator posterior: the
-    deterministic Laplace quick look lands within a few nats of the
-    robust nested estimate (the gap measures non-Gaussianity of the
-    whitened posterior, ~1.1 nats on this target)."""
+    IS-sharpened Laplace estimate agrees with a CONVERGED nested run
+    and beats the raw saddle point's non-Gaussianity gap.
+
+    Budget note (measured): nested at 512 live / 12 MH reads this
+    posterior 1.4 nats LOW (−23.9 vs the −22.4…−22.6 that 2048+ live /
+    24+ MH and 65k–262k-draw t-IS independently converge to) — the
+    under-budgeted comparison is the wrong reference, so this test pays
+    for the converged one."""
     model, obs, bounds = tiny_direct
     lap = model.log_evidence(obs, 25.0, bounds=bounds, method="laplace",
                              n_starts=512, n_steps=400, seed=0)
-    nes = model.log_evidence(obs, 25.0, bounds=bounds, n_live=512,
-                             n_mh=12, seed=0)
+    nes = model.log_evidence(obs, 25.0, bounds=bounds, n_live=2048,
+                             n_mh=24, seed=0)
     assert lap.pd
-    assert abs(lap.logz - nes.logz) < 3.0
+    assert np.isfinite(lap.logz_err) and lap.is_ess > 50
+    err = float(np.hypot(lap.logz_err, nes.logz_err))
+    assert abs(lap.logz - nes.logz) < max(0.5, 4.0 * err)
+    # the IS stage must beat the raw saddle point against nested
+    assert abs(lap.logz - nes.logz) <= abs(lap.logz_laplace - nes.logz)
     # the Laplace MAP sits in the posterior bulk nested found
     p = np.exp(nes.log_w)
     mean = (p[:, None] * nes.samples).sum(0)

@@ -878,21 +878,27 @@ def _whitened_adam_ascent(
 @dataclasses.dataclass
 class LaplaceResult:
     """Gaussian (Laplace) approximation of the posterior and evidence
-    from :func:`laplace_evidence`.
+    from :func:`laplace_evidence`, optionally sharpened to an
+    asymptotically EXACT estimate by importance sampling.
 
-    ``logz``: the Laplace log-evidence under the normalized flat box
-    prior — comparable to :func:`log_evidence` /
-    :func:`tpu21cmvae.nested.nested_sampling` values. ``logz_err`` is
-    ``nan``: the Laplace error is SYSTEMATIC (non-Gaussianity of the
-    whitened posterior), not Monte-Carlo — treat disagreements with the
-    nested estimate as a non-Gaussianity measurement, not noise.
-    ``map_params``: the mode of the whitened-space density in RAW
-    units; ``map_logp`` its whitened log-density; ``cov``: raw-space
-    posterior covariance by the delta method; ``pd`` is False when the
-    Hessian was not negative-definite at the found mode (a failed fit
-    or a ridge — distrust ``logz``). ``posterior(n)`` draws from the
-    fitted Gaussian (in whitened space, mapped through the box
-    transform, so draws always lie inside the box)."""
+    ``logz``: with the default ``n_is > 0``, the self-normalized
+    importance-sampling estimate (draws from the fitted Gaussian,
+    weights against the true whitened density — one batched likelihood
+    call) with ``logz_err`` its delta-method MC error; ``logz_laplace``
+    keeps the raw saddle-point value, and ``logz − logz_laplace`` is a
+    direct measurement of the posterior's non-Gaussianity. With
+    ``n_is=0``, ``logz`` IS the saddle point and ``logz_err`` is
+    ``nan`` (systematic error only). ``is_ess``: Kish effective sample
+    size of the weights — an ``is_ess ≪ n_is`` means the Gaussian is a
+    poor proposal (heavy tails / missed mode); distrust the estimate
+    and run ``method="nested"``. ``map_params``: the mode of the
+    whitened-space density in RAW units; ``map_logp`` its whitened
+    log-density; ``cov``: raw-space posterior covariance by the delta
+    method; ``pd`` is False when the Hessian was not negative-definite
+    at the found mode (a failed fit or a ridge — distrust ``logz``).
+    ``posterior(n)`` draws from the fitted Gaussian mapped into the box
+    — importance-RESAMPLED when IS ran (asymptotically exact posterior
+    draws), plain Gaussian otherwise."""
 
     logz: float
     map_params: np.ndarray
@@ -900,15 +906,26 @@ class LaplaceResult:
     cov: np.ndarray
     pd: bool
     logz_err: float = float("nan")
+    logz_laplace: float = float("nan")
+    is_ess: float = float("nan")
     _y_map: np.ndarray = dataclasses.field(default=None, repr=False)
     _y_chol: np.ndarray = dataclasses.field(default=None, repr=False)
     _lo: np.ndarray = dataclasses.field(default=None, repr=False)
     _hi: np.ndarray = dataclasses.field(default=None, repr=False)
+    _is_x: np.ndarray = dataclasses.field(default=None, repr=False)
+    _is_logw: np.ndarray = dataclasses.field(default=None, repr=False)
 
     def posterior(self, n: int, seed: int = 0) -> np.ndarray:
-        """``(n, P)`` draws from the Laplace Gaussian, mapped into the
-        box (same contract as ``NestedResult.posterior``)."""
+        """``(n, P)`` posterior draws inside the box (same contract as
+        ``NestedResult.posterior``): importance-resampled from the IS
+        cloud when it exists, otherwise from the Laplace Gaussian."""
         rng = np.random.default_rng(seed)
+        if self._is_x is not None:
+            lw = self._is_logw - self._is_logw.max()
+            p = np.exp(lw)
+            p /= p.sum()
+            idx = rng.choice(p.shape[0], size=n, p=p)
+            return self._is_x[idx]
         z = rng.standard_normal((n, self._y_map.shape[0]))
         y = self._y_map + z @ self._y_chol.T
         s = 1.0 / (1.0 + np.exp(-y))
@@ -917,14 +934,35 @@ class LaplaceResult:
     def summary(self, labels=None) -> str:
         sd = np.sqrt(np.maximum(np.diag(self.cov), 0.0))
         labels = labels or [f"p{i}" for i in range(sd.shape[0])]
+        if np.isfinite(self.logz_err):
+            head = (
+                f"log Z = {self.logz:.4f} ± {self.logz_err:.4f}  "
+                f"(Laplace+IS; saddle point {self.logz_laplace:.4f}, "
+                f"weight ESS {self.is_ess:.0f}; negative-definite "
+                f"Hessian: {self.pd})"
+            )
+        else:
+            head = (
+                f"log Z = {self.logz:.4f}  (Laplace — systematic "
+                f"error, no MC term; negative-definite Hessian: "
+                f"{self.pd})"
+            )
         lines = [
-            f"log Z = {self.logz:.4f}  (Laplace — systematic error, "
-            f"no MC term; negative-definite Hessian: {self.pd})",
+            head,
             f"MAP log-density {self.map_logp:.4f}",
         ] + [
             f"  {l:>8}: {m:12.5g} ± {s:10.4g}"
             for l, m, s in zip(labels, self.map_params, sd)
         ]
+        if (self._is_logw is not None
+                and self.is_ess < 0.05 * self._is_logw.shape[0]):
+            lines.append(
+                f"  WARNING: weight ESS {self.is_ess:.0f} of "
+                f"{self._is_logw.shape[0]} draws — the Gaussian fit is "
+                f"a poor proposal here (heavy tails or missed mass); "
+                f"the error bar is optimistic. Confirm with "
+                f"method='nested'."
+            )
         return "\n".join(lines)
 
 
@@ -961,14 +999,17 @@ def laplace_evidence(
     n_starts: int = 4096,
     n_steps: int = 2000,
     learning_rate: float = 0.05,
+    n_is: int = 16384,
     seed: int = 0,
     log_prior=None,
     mesh=None,
 ) -> LaplaceResult:
-    """Laplace (saddle-point) approximation of the Bayesian evidence:
-    one multi-start MAP fit plus one 7×7 Hessian instead of a sampling
-    run — milliseconds where nested sampling takes seconds, exact in
-    the Gaussian-posterior limit.
+    """Laplace (saddle-point) approximation of the Bayesian evidence,
+    sharpened by default into an asymptotically EXACT importance-
+    sampling estimate: one multi-start MAP fit, one 7×7 Hessian, and
+    one batched likelihood call on ``n_is`` Gaussian draws — fractions
+    of a second where nested sampling takes ~10, with a real MC error
+    bar (``n_is=0`` for the raw saddle point).
 
     The approximation lives in the sigmoid-whitened ``y``-space (same
     map as :func:`sample_hmc`), where the normalized flat box prior's
@@ -991,8 +1032,12 @@ def laplace_evidence(
     floor) measurably stranded the ascent 9 nats below the mode on one
     rugged observation where 4096×2000 lands within 1 nat of nested,
     and the heavier budget still costs ~1 s warm on a v5e (~8×10⁶
-    value+gradient rows at ~10⁷/s). Caveats: unimodal by construction
-    — on
+    value+gradient rows at ~10⁷/s). The IS stage draws ``n_is`` rows
+    from the fitted Gaussian and weights them against the true
+    whitened density — the estimate then converges to the exact ``Z``
+    regardless of the saddle point's Gaussian error, which only sets
+    the weight variance; check ``is_ess`` (Kish) before trusting a
+    hard case. Caveats: unimodal by construction — on
     multimodal posteriors it reports the dominant mode's local
     evidence; check against ``method="nested"`` when in doubt (the
     nested default exists precisely because it is robust to this).
@@ -1050,17 +1095,90 @@ def laplace_evidence(
     s = 1.0 / (1.0 + np.exp(-np.asarray(y_map, np.float64)))
     jac = np.asarray(span, np.float64) * s * (1.0 - s)
     cov_x = cov_y * jac[:, None] * jac[None, :]
-    return LaplaceResult(
+    res = LaplaceResult(
         logz=float(logz),
         map_params=x_map,
         map_logp=float(g_np[best]),
         cov=cov_x,
         pd=pd,
+        logz_laplace=float(logz),
         _y_map=np.asarray(y_map, np.float64),
         _y_chol=chol_y,
         _lo=np.asarray(lo, np.float64),
         _hi=np.asarray(hi, np.float64),
     )
+    if n_is <= 0:
+        return res
+
+    # -- importance-sampling sharpening: draw from a Student-t centered
+    # on the fitted Gaussian, weight against the true whitened density
+    # — one batched likelihood call; exact as n_is → ∞ REGARDLESS of
+    # the saddle point's Gaussian error (q only sets the variance).
+    # The proposal MUST be t, not Gaussian: the whitened target's tails
+    # are EXPONENTIAL (the sigmoid log-Jacobian decays like e^{−|y|}
+    # while logL flattens to a constant far outside the box center), so
+    # a Gaussian proposal has unbounded weight variance — measured as a
+    # few-tenths-of-a-nat LOW bias with a misleadingly small error bar
+    # on real emulator posteriors. Polynomial t-tails dominate any
+    # exponential tail, restoring finite-variance weights; df=4 and a
+    # 1.3× scale widen the core a little and the tails a lot.
+    df, scale = 4.0, 1.3
+
+    def build_is():
+        def run(params, y_map_f, chol_f, key):
+            kz, ku = jax.random.split(key)
+            pdim = y_map_f.shape[0]
+            z = jax.random.normal(kz, (n_is, pdim))
+            u = 2.0 * jax.random.gamma(ku, df / 2.0, (n_is,))  # χ²_df
+            t = z * jnp.sqrt(df / u)[:, None]
+            y = y_map_f + (t @ chol_f.T) * scale
+            xr = lo + span * jax.nn.sigmoid(y)
+            ll = loglik(params, xr)
+            if log_prior is not None:
+                ll = ll + _resolve_log_prior(log_prior)(xr)
+            g = ll + jnp.sum(
+                jax.nn.log_sigmoid(y) + jax.nn.log_sigmoid(-y), axis=-1
+            )
+            # z-dependent part of −log q_t (constants folded in below)
+            logq_var = -0.5 * (df + pdim) * jnp.log1p(
+                jnp.sum(t * t, axis=-1) / df
+            )
+            return g - logq_var, xr
+
+        return jax.jit(run)
+
+    run_is = _chain_program(
+        loglik,
+        ("laplace-is", _bounds_key(lo, hi), int(n_is),
+         _fn_cache_key(log_prior)),
+        build_is,
+    )
+    gq, xr = run_is(
+        params,
+        jnp.asarray(y_map, jnp.float32),
+        jnp.asarray(chol_y, jnp.float32),
+        jax.random.key(seed + 7919),
+    )
+    # z-independent part of −log q_t: the multivariate-t normalization
+    # with scale matrix (scale²·Σ), logdet Σ = −logdet(−H)
+    import math as _math
+
+    logq_const = float(
+        _math.lgamma((df + p) / 2.0) - _math.lgamma(df / 2.0)
+        - 0.5 * p * np.log(df * np.pi)
+        - 0.5 * (-logdet) - p * np.log(scale)
+    )
+    logw = np.asarray(gq, np.float64) - logq_const
+    m = logw.max()
+    w = np.exp(logw - m)
+    n_ok = float(w.size)
+    mean_w = float(w.mean())
+    res.logz = float(m + np.log(mean_w))
+    res.logz_err = float(w.std(ddof=1) / (np.sqrt(n_ok) * mean_w))
+    res.is_ess = float(w.sum() ** 2 / (w * w).sum())
+    res._is_x = np.asarray(xr)
+    res._is_logw = logw
+    return res
 
 
 def _dual_averaging_consts(init: float):
