@@ -17,6 +17,15 @@ fast-tier accuracy gates are calibrated on trained weights, and a
 exists to avoid (bench.py docstring). ``--retrain`` forces the inline
 toy training anyway.
 
+This example builds the HMC kernel BY HAND to show the moving parts
+(whitening, leapfrog, Metropolis correction). For production use prefer
+the library samplers, which add dual-averaging step adaptation, an
+ensemble-statistics metric, and — with ``sampler="chees"`` — adaptive
+trajectory lengths (ChEES-HMC, measured 1.46× the min-ESS/s of tuned
+HMC on v5e, docs/PERF.md)::
+
+    model.sample_posterior(obs, noise_var, sampler="chees")
+
 Usage:
     python examples/hmc_inference.py --walkers 4096 --steps 100 \
         --leapfrog 8

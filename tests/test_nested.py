@@ -286,3 +286,96 @@ def test_laplace_matches_nested_on_emulator(tiny_direct):
     mean = (p[:, None] * nes.samples).sum(0)
     sd = np.sqrt((p[:, None] * (nes.samples - mean) ** 2).sum(0))
     assert (np.abs(lap.map_params - mean) < 4.0 * sd + 1e-6).all()
+
+
+def test_laplace_evidence_multi_analytic():
+    """Batched Laplace+IS: two analytic Gaussian 'observations' in one
+    call — each logz matches the closed form, and observation 0's
+    estimate matches the single-observation path."""
+    import math
+
+    from tpu21cmvae.sampling import laplace_evidence, laplace_evidence_multi
+
+    SIGB = np.array([0.3, 0.7, 0.2], np.float32)
+    MUS = np.stack([
+        np.array([0.5, -1.0, 2.0]), np.array([-0.5, 0.3, 1.0])
+    ]).astype(np.float32)
+    lo, hi = MUS.min(0) - 10 * SIGB, MUS.max(0) + 10 * SIGB
+    bounds = np.stack([lo, hi], 1)
+
+    def loglik_multi(params, x):
+        x = jnp.atleast_2d(x)
+        xr = x.reshape(2, x.shape[0] // 2, 3)
+        z = (xr - MUS[:, None, :]) / SIGB
+        return (-0.5 * jnp.sum(z * z, axis=-1)).reshape(-1)
+
+    kw = dict(bounds=bounds, n_starts=128, n_steps=300, n_is=8192, seed=0)
+    res = laplace_evidence_multi(loglik_multi, None, 2, **kw)
+    true = -float(np.log((hi - lo).astype(np.float64)).sum()) + sum(
+        math.log(s * math.sqrt(2 * math.pi)) for s in SIGB
+    )
+    assert len(res) == 2
+    for o, r in enumerate(res):
+        assert r.pd
+        assert abs(r.logz - true) < max(4 * r.logz_err, 0.02)
+        assert np.allclose(r.map_params, MUS[o], atol=0.05)
+        d = r.posterior(2000, seed=1)
+        assert np.allclose(d.mean(0), MUS[o], atol=0.15 * SIGB)
+
+    def loglik0(params, x):
+        return -0.5 * jnp.sum(((x - MUS[0]) / SIGB) ** 2, axis=-1)
+
+    s0 = laplace_evidence(loglik0, None, **kw)
+    assert abs(res[0].logz - s0.logz) < max(
+        0.05, 4 * float(np.hypot(res[0].logz_err, s0.logz_err))
+    )
+
+
+def test_log_evidence_batch_matches_single(tiny_direct, splits):
+    """Model-level survey evidence: the batched result agrees with the
+    per-observation laplace path on a real emulator posterior."""
+    model, obs, bounds = tiny_direct
+    obs2 = np.asarray(model.predict(splits.par_test[1]))
+    batch = np.stack([obs, obs2])
+    kw = dict(bounds=bounds, n_starts=512, n_steps=400, n_is=4096, seed=0)
+    res = model.log_evidence_batch(batch, 25.0, **kw)
+    assert len(res) == 2
+    for o, r in enumerate(res):
+        single = model.log_evidence(
+            batch[o], 25.0, method="laplace", **kw
+        )
+        err = float(np.hypot(r.logz_err, single.logz_err))
+        assert abs(r.logz - single.logz) < max(0.5, 5 * err)
+        d = r.posterior(64, seed=0)
+        assert d.shape == (64, 7)
+        assert (d >= bounds[:, 0] - 1e-5).all()
+        assert (d <= bounds[:, 1] + 1e-5).all()
+
+
+def test_log_evidence_batch_two_stage_family(splits):
+    """The em->decoder families run the same batched path (generic
+    stacked-observation likelihood): shapes, finiteness, in-box MAP."""
+    from tpu21cmvae.models.autoencoder import AutoEncoderEmulator
+    from tpu21cmvae.utils.config import AutoEncoderConfig
+
+    model = AutoEncoderEmulator(splits, config=AutoEncoderConfig(
+        latent_dim=3, enc_hidden_dims=(16,), dec_hidden_dims=(16,),
+        em_hidden_dims=(16,),
+    ))
+    batch = np.stack([
+        np.asarray(model.predict(splits.par_test[0])),
+        np.asarray(model.predict(splits.par_test[1])),
+    ])
+    par = np.asarray(splits.par_train, np.float64)
+    lo, hi = par.min(0), par.max(0)
+    lo[:3] = np.maximum(lo[:3], 1e-6)
+    bounds = np.stack([lo, hi], 1)
+    res = model.log_evidence_batch(
+        batch, 25.0, bounds=bounds, n_starts=64, n_steps=150,
+        n_is=1024, seed=0,
+    )
+    assert len(res) == 2
+    for r in res:
+        assert np.isfinite(r.logz) and np.isfinite(r.logz_err)
+        assert (r.map_params >= bounds[:, 0] - 1e-6).all()
+        assert (r.map_params <= bounds[:, 1] + 1e-6).all()

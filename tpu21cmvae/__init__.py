@@ -60,6 +60,7 @@ from tpu21cmvae.sampling import (  # noqa: F401
     compare_evidence,
     fit_map,
     laplace_evidence,
+    laplace_evidence_multi,
     log_evidence,
     make_emcee_log_prob,
     posterior_predictive,

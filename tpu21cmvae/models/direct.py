@@ -527,6 +527,26 @@ class DirectEmulator:
             bounds=bounds, **kwargs,
         )
 
+    def log_evidence_batch(self, obs_batch, noise_var=1.0, *,
+                           bounds=None, **kwargs):
+        """Survey-scale model comparison: Laplace+IS ``log Z`` for a
+        BATCH of observed spectra in three device programs total
+        (:func:`tpu21cmvae.sampling.laplace_evidence_multi` over the
+        stacked gram likelihood at the exact tier — the gram trunk is
+        shared across observations, so O evidences cost ≈ what one
+        costs). Returns a list of
+        :class:`~tpu21cmvae.sampling.LaplaceResult`, one per row of
+        ``obs_batch``; check each ``is_ess`` and confirm suspicious
+        rows with the per-observation ``log_evidence`` (nested)."""
+        from tpu21cmvae.sampling import laplace_evidence_multi
+
+        obs_batch = np.atleast_2d(np.asarray(obs_batch, np.float32))
+        return laplace_evidence_multi(
+            self.loglik_multi_fn(obs_batch, noise_var,
+                                 precision="contract"),
+            self.params, obs_batch.shape[0], bounds=bounds, **kwargs,
+        )
+
     def fit_params(self, obs, noise_var=1.0, *, bounds=None, **kwargs):
         """Maximum-likelihood fit of the 7 parameters to an observed
         spectrum: on-device multi-start Adam ascent over the fused

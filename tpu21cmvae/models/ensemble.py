@@ -400,6 +400,55 @@ class DeepEnsemble:
             bounds=bounds, **kwargs,
         )
 
+    def loglik_multi_fn(self, obs_batch, noise_var=1.0, *,
+                        method: str = "gram", precision=None,
+                        memo: bool = True):
+        """Jitted stacked-observation MIXTURE likelihood — the member
+        axis rides a vmap over the stacked-observation member
+        likelihood; same row contract as
+        :meth:`DirectEmulator.loglik_multi_fn`."""
+        from tpu21cmvae.models._memo import memo_program
+        from tpu21cmvae.ops.loglik import make_loglik_multi
+
+        def build():
+            member = make_loglik_multi(
+                self.config, self.normalizer, obs_batch, noise_var,
+                method=method, precision=precision,
+            )
+            vll = jax.vmap(member, in_axes=(0, None))
+            log_m = float(np.log(len(self.members)))
+
+            def mixture(stacked, raw):
+                return jax.scipy.special.logsumexp(
+                    vll(stacked, raw), axis=0
+                ) - log_m
+
+            return jax.jit(mixture)
+
+        return memo_program(
+            self,
+            ("multi", np.asarray(obs_batch, np.float32),
+             np.asarray(noise_var, np.float64), method, str(precision)),
+            build,
+            memo=memo,
+        )
+
+    def log_evidence_batch(self, obs_batch, noise_var=1.0, *,
+                           bounds=None, **kwargs):
+        """Batched Laplace+IS evidence under the member-mixture
+        likelihood (exact tier — the mixture reads absolute
+        log-densities) — same contract as
+        :meth:`DirectEmulator.log_evidence_batch`."""
+        from tpu21cmvae.sampling import laplace_evidence_multi
+
+        obs_batch = np.atleast_2d(np.asarray(obs_batch, np.float32))
+        return laplace_evidence_multi(
+            self.loglik_multi_fn(obs_batch, noise_var,
+                                 precision="contract"),
+            self.stacked_params, obs_batch.shape[0], bounds=bounds,
+            **kwargs,
+        )
+
     def sample_posterior_batch(
         self, obs_batch, noise_var=1.0, *, sampler: str = "mh",
         n_walkers: int = 256, bounds=None, method: str = "gram",

@@ -235,6 +235,36 @@ class VAEEmulator:
             memo=memo,
         )
 
+    def loglik_multi_fn(self, obs_batch, noise_var=1.0, *,
+                        memo: bool = True):
+        """Jitted stacked-observation likelihood over the em→decoder
+        pipeline (posterior-mean latents) — same contract as
+        :meth:`DirectEmulator.loglik_multi_fn`."""
+        from tpu21cmvae.models._memo import memo_program
+        from tpu21cmvae.ops.loglik import make_loglik_multi_from_predict
+
+        return memo_program(
+            self,
+            ("multi", np.asarray(obs_batch, np.float32),
+             np.asarray(noise_var, np.float64)),
+            lambda: jax.jit(make_loglik_multi_from_predict(
+                self.predict_fn(), obs_batch, noise_var
+            )),
+            memo=memo,
+        )
+
+    def log_evidence_batch(self, obs_batch, noise_var=1.0, *,
+                           bounds=None, **kwargs):
+        """Batched Laplace+IS evidence — same contract as
+        :meth:`DirectEmulator.log_evidence_batch`."""
+        from tpu21cmvae.sampling import laplace_evidence_multi
+
+        obs_batch = np.atleast_2d(np.asarray(obs_batch, np.float32))
+        return laplace_evidence_multi(
+            self.loglik_multi_fn(obs_batch, noise_var), self.params,
+            obs_batch.shape[0], bounds=bounds, **kwargs,
+        )
+
     def sample_posterior(
         self, obs, noise_var=1.0, *, sampler: str = "hmc", bounds=None,
         **kwargs,
