@@ -379,3 +379,72 @@ def test_log_evidence_batch_two_stage_family(splits):
         assert np.isfinite(r.logz) and np.isfinite(r.logz_err)
         assert (r.map_params >= bounds[:, 0] - 1e-6).all()
         assert (r.map_params <= bounds[:, 1] + 1e-6).all()
+
+
+def test_amis_adaptation_lifts_ess_on_sharp_mode_wide_bulk():
+    """The adaptive IS rounds (_amis_sharpen) earn their keep on a
+    target whose mode curvature is far sharper than its bulk — a
+    scale-mixture Gaussian with 70 % of the mass in a 12x-wider
+    component (the measured real-posterior pathology: Hessian up to
+    ~80x sharper than the posterior spread, docs/PERF.md). Closed-form
+    evidence; 3 adaptive rounds must match it and lift the weight-ESS
+    fraction by well over an order of magnitude vs the one-shot
+    Hessian proposal (measured here: 0.4 % -> 59 %)."""
+    from tpu21cmvae.sampling import laplace_evidence
+
+    sig = np.array([0.1, 0.15, 0.08], np.float64)
+    mu = np.array([0.2, -0.4, 1.0], np.float64)
+    wide = 12.0
+    lo, hi = mu - 60 * sig, mu + 60 * sig
+    bounds = np.stack([lo, hi], 1).astype(np.float32)
+    p = 3
+
+    def loglik(params, x):
+        zn = jnp.sum(((x - mu) / sig) ** 2, axis=-1)
+        zw = jnp.sum(((x - mu) / (wide * sig)) ** 2, axis=-1)
+        return jnp.logaddexp(
+            math.log(0.3) - 0.5 * zn,
+            math.log(0.7) - p * math.log(wide) - 0.5 * zw,
+        )
+
+    # both components integrate to prod(sig*sqrt(2pi)) after the
+    # wide one's W^-p normalization, so Z = prod(sig*sqrt(2pi)) / V
+    true = -float(np.log(hi - lo).sum()) + float(
+        np.log(sig * math.sqrt(2 * math.pi)).sum()
+    )
+    kw = dict(bounds=bounds, n_starts=256, n_steps=400, n_is=4096,
+              seed=0)
+    one = laplace_evidence(loglik, None, n_rounds=1, **kw)
+    ada = laplace_evidence(loglik, None, n_rounds=3, **kw)
+    assert abs(ada.logz - true) < max(4 * ada.logz_err, 0.03)
+    # ESS as a fraction of draws: adaptation must at least 10x it
+    frac_one = one.is_ess / one._is_logw.shape[0]
+    frac_ada = ada.is_ess / ada._is_logw.shape[0]
+    assert frac_ada > 10 * frac_one, (frac_one, frac_ada)
+    # the adapted error bar is real: truth inside 4 sigma, and the
+    # bar itself an order of magnitude tighter than the one-shot's
+    assert ada.logz_err < 0.2 * one.logz_err
+
+
+def test_psis_recovers_tail_index_and_preserves_bulk():
+    """_psis on weights with a known generalized-Pareto tail: khat
+    recovers the true index, only the tail is touched, and the
+    smoothed maximum never exceeds the raw maximum."""
+    from tpu21cmvae.sampling import _psis
+
+    rng = np.random.default_rng(0)
+    k_true = 0.45
+    n = 20000
+    u = rng.uniform(size=n)
+    w = np.expm1(-k_true * np.log1p(-u)) / k_true  # GPD(k, sigma=1)
+    logw = np.log(w + 1e-12) + 3.0
+    sm, khat = _psis(logw)
+    assert abs(khat - k_true) < 0.12
+    assert sm.max() <= logw.max() + 1e-12
+    # bulk untouched: all but the fitted tail are bit-identical
+    changed = np.sum(~np.isclose(sm, logw))
+    assert changed <= int(3 * np.sqrt(n)) + 1
+    # smoothing must not move the normalization materially for a
+    # healthy (k < 0.5) weight set
+    lse = np.logaddexp.reduce
+    assert abs(lse(sm) - lse(logw)) < 0.05

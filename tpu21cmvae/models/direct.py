@@ -529,15 +529,16 @@ class DirectEmulator:
 
     def log_evidence_batch(self, obs_batch, noise_var=1.0, *,
                            bounds=None, **kwargs):
-        """Survey-scale model comparison: Laplace+IS ``log Z`` for a
-        BATCH of observed spectra in three device programs total
-        (:func:`tpu21cmvae.sampling.laplace_evidence_multi` over the
-        stacked gram likelihood at the exact tier — the gram trunk is
-        shared across observations, so O evidences cost ≈ what one
-        costs). Returns a list of
-        :class:`~tpu21cmvae.sampling.LaplaceResult`, one per row of
-        ``obs_batch``; check each ``is_ess`` and confirm suspicious
-        rows with the per-observation ``log_evidence`` (nested)."""
+        """Survey-scale model comparison: adaptive Laplace+IS ``log Z``
+        for a BATCH of observed spectra, every stage batched over
+        observations (:func:`tpu21cmvae.sampling.laplace_evidence_multi`
+        over the stacked gram likelihood at the exact tier — the gram
+        trunk is shared across observations; measured 64 evidences in
+        33 s warm on v5e, ≈0.5 s each, docs/PERF.md). Returns a list
+        of :class:`~tpu21cmvae.sampling.LaplaceResult`, one per row of
+        ``obs_batch``; check each ``khat`` (trustworthy below 0.7) and
+        confirm suspicious rows with the per-observation
+        ``log_evidence`` (nested)."""
         from tpu21cmvae.sampling import laplace_evidence_multi
 
         obs_batch = np.atleast_2d(np.asarray(obs_batch, np.float32))

@@ -37,6 +37,7 @@ Design notes:
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -890,9 +891,12 @@ class LaplaceResult:
     direct measurement of the posterior's non-Gaussianity. With
     ``n_is=0``, ``logz`` IS the saddle point and ``logz_err`` is
     ``nan`` (systematic error only). ``is_ess``: Kish effective sample
-    size of the weights — an ``is_ess ≪ n_is`` means the Gaussian is a
-    poor proposal (heavy tails / missed mode); distrust the estimate
-    and run ``method="nested"``. ``map_params``: the mode of the
+    size of the (Pareto-smoothed) weights over all adaptive rounds —
+    an ``is_ess`` far below the draw count means a poor proposal.
+    ``khat``: the PSIS generalized-Pareto tail index (Vehtari et al.
+    2021) — the primary reliability diagnostic: ``khat < 0.7`` means
+    the smoothed estimate has finite variance and a trustworthy error
+    bar; above, distrust the estimate and run ``method="nested"``. ``map_params``: the mode of the
     whitened-space density in RAW units; ``map_logp`` its whitened
     log-density; ``cov``: raw-space posterior covariance by the delta
     method; ``pd`` is False when the Hessian was not negative-definite
@@ -909,6 +913,7 @@ class LaplaceResult:
     logz_err: float = float("nan")
     logz_laplace: float = float("nan")
     is_ess: float = float("nan")
+    khat: float = float("nan")
     _y_map: np.ndarray = dataclasses.field(default=None, repr=False)
     _y_chol: np.ndarray = dataclasses.field(default=None, repr=False)
     _lo: np.ndarray = dataclasses.field(default=None, repr=False)
@@ -939,8 +944,8 @@ class LaplaceResult:
             head = (
                 f"log Z = {self.logz:.4f} ± {self.logz_err:.4f}  "
                 f"(Laplace+IS; saddle point {self.logz_laplace:.4f}, "
-                f"weight ESS {self.is_ess:.0f}; negative-definite "
-                f"Hessian: {self.pd})"
+                f"weight ESS {self.is_ess:.0f}, khat {self.khat:.2f}; "
+                f"negative-definite Hessian: {self.pd})"
             )
         else:
             head = (
@@ -955,14 +960,16 @@ class LaplaceResult:
             f"  {l:>8}: {m:12.5g} ± {s:10.4g}"
             for l, m, s in zip(labels, self.map_params, sd)
         ]
-        if (self._is_logw is not None
-                and self.is_ess < 0.05 * self._is_logw.shape[0]):
+        if self._is_logw is not None and (
+            (np.isfinite(self.khat) and self.khat > 0.7)
+            or self.is_ess < 0.02 * self._is_logw.shape[0]
+        ):
             lines.append(
-                f"  WARNING: weight ESS {self.is_ess:.0f} of "
-                f"{self._is_logw.shape[0]} draws — the Gaussian fit is "
-                f"a poor proposal here (heavy tails or missed mass); "
-                f"the error bar is optimistic. Confirm with "
-                f"method='nested'."
+                f"  WARNING: khat {self.khat:.2f} / weight ESS "
+                f"{self.is_ess:.0f} of {self._is_logw.shape[0]} draws "
+                f"— the adapted proposal is still a poor match here "
+                f"(curved ridge or missed mass); the error bar is "
+                f"optimistic. Confirm with method='nested'."
             )
         return "\n".join(lines)
 
@@ -992,6 +999,200 @@ def valgrad_from_loglik(loglik):
     return _chain_program(loglik, ("autodiff-valgrad",), build)
 
 
+# Student-t proposal constants shared by the IS stages: df=4 keeps
+# polynomial tails (the whitened target's tails are exponential — see
+# laplace_evidence's IS comment), 1.3× widens the Hessian-based round-1
+# proposal, 1.15× over-disperses the moment-matched adapted rounds
+# (measured best compromise: pure moment match loses tail coverage on
+# sharp posteriors, 1.3× over-widens already-matched ones).
+_IS_DF = 4.0
+_IS_SCALE0 = 1.3
+_IS_SCALE_ADAPT = 1.15
+
+
+def _gpd_fit(x):
+    """Zhang & Stephens (2009) empirical-Bayes generalized-Pareto fit
+    to sorted-ascending exceedances ``x > 0``. Returns ``(k, sigma)``
+    with the paper's weak prior shrinking ``k`` toward 0.5 (the PSIS
+    recommendation, Vehtari et al. 2021 §3)."""
+    n = x.shape[0]
+    m = 30 + int(math.sqrt(n))
+    b = 1.0 - np.sqrt(m / (np.arange(1, m + 1) - 0.5))
+    b /= 3.0 * x[int(n / 4 + 0.5) - 1]
+    b += 1.0 / x[-1]
+    k = np.mean(np.log1p(-b[:, None] * x), axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        logl = n * (np.log(-b / k) - k - 1.0)
+    logl = np.where(np.isfinite(logl), logl, -np.inf)
+    w = 1.0 / np.exp(logl - logl[:, None]).sum(axis=1)
+    w = np.where(np.isfinite(w), w, 0.0)
+    if w.sum() <= 0:
+        return float("nan"), float("nan")
+    b_post = float(np.sum(b * w) / w.sum())
+    k_post = float(np.mean(np.log1p(-b_post * x)))
+    sigma = -k_post / b_post
+    k_post = (n * k_post + 5.0) / (n + 10.0)
+    return k_post, sigma
+
+
+def _psis(logw):
+    """Pareto-smoothed importance sampling (Vehtari, Simpson, Gelman &
+    Yao 2021): fit a generalized Pareto to the largest ~min(20 %,
+    3·√M) weights and replace them by the fit's expected order
+    statistics (capped at the raw maximum). Returns ``(smoothed logw,
+    k_hat)`` — ``k_hat`` is THE reliability diagnostic: below 0.7 the
+    smoothed estimate has finite variance and trustworthy error bars;
+    above, no IS budget rescues the proposal (escalate to nested).
+    Smoothing bounds the damage of the one-lucky-draw failure mode
+    where a single tail weight carries the whole estimate."""
+    m0 = logw.max()
+    if not np.isfinite(m0):
+        return logw, float("inf")
+    lw = logw - m0
+    n = lw.shape[0]
+    s = int(min(0.2 * n, 3.0 * math.sqrt(n)))
+    if s < 5:
+        return logw, float("nan")
+    order = np.argsort(lw)
+    tail = order[-s:]
+    cut = np.exp(lw[order[-s - 1]])
+    exc = np.exp(lw[tail]) - cut  # ascending, ≥ 0
+    if exc[-1] <= 0:
+        return logw, float("nan")
+    k, sigma = _gpd_fit(np.maximum(exc, 1e-300))
+    if not (np.isfinite(k) and np.isfinite(sigma) and sigma > 0):
+        return logw, float("nan")
+    q = (np.arange(1, s + 1) - 0.5) / s
+    if abs(k) < 1e-6:
+        quant = -np.log1p(-q) * sigma
+    else:
+        quant = sigma * np.expm1(-k * np.log1p(-q)) / k
+    smoothed = np.minimum(cut + quant, np.exp(lw[order[-1]]))
+    out = lw.copy()
+    out[tail] = np.log(smoothed)
+    return out + m0, float(k)
+
+
+def _amis_sharpen(run_is, y_map, chol0, *, n_is, n_rounds, seed):
+    """Adaptive multiple importance sampling (AMIS, Cornuet et al.
+    2012) in the whitened space, batched over ``O`` observations.
+
+    ``run_is(y_centers (O,P) f32, scale_mats (O,P,P) f32, key) →
+    (g (O,n_is), y (O,n_is,P))`` is ONE cached device program — every
+    round re-invokes it with new proposal parameters, so adaptation
+    compiles nothing. Round 1 proposes from the Hessian-based Student-t
+    (df=4, 1.3× scale — exactly the pre-adaptive estimator); each later
+    round refits the t to the self-normalized weighted moments of ALL
+    draws so far (shrunk toward the current proposal when the weight
+    ESS is tiny, so a garbage refit cannot strand the sampler) and
+    draws again. All rounds are combined with deterministic-mixture
+    (balance-heuristic) weights ``w_i = π(y_i) / mean_r q_r(y_i)`` —
+    provably robust to any single bad proposal, and measured to recover
+    observations whose intermediate round collapsed to ESS ≈ 4.
+
+    Why this exists, measured (docs/PERF.md): the Hessian curvature at
+    the MAP is up to ~80× sharper than the posterior bulk on real
+    emulator posteriors, so the one-shot proposal's Kish ESS sat at
+    ~0.5–1.5 %; three AMIS rounds lift it ~10–100× at the same
+    per-round budget.
+
+    Returns ``(logw (O, n_rounds·n_is) f64, Y (O, n_rounds·n_is, P)
+    f64)``.
+    """
+    df = _IS_DF
+    mu = np.asarray(y_map, np.float64)
+    n_obs, p = mu.shape
+    props = [(mu, np.asarray(chol0, np.float64) * _IS_SCALE0)]
+    gs, ys = [], []
+
+    def logq_mix(Y):
+        # (O, M) log of the equal-weight mixture of all proposals
+        const = (
+            math.lgamma((df + p) / 2.0) - math.lgamma(df / 2.0)
+            - 0.5 * p * np.log(df * np.pi)
+        )
+        terms = []
+        for mu_r, L_r in props:
+            sld = np.linalg.slogdet(L_r)[1]  # (O,)
+            d = (Y - mu_r[:, None, :]).transpose(0, 2, 1)  # (O,P,M)
+            t = np.linalg.solve(L_r, d)  # (O,P,M)
+            q2 = np.sum(t * t, axis=1)  # (O,M)
+            terms.append(
+                const - sld[:, None]
+                - 0.5 * (df + p) * np.log1p(q2 / df)
+            )
+        return np.logaddexp.reduce(np.stack(terms), 0) - np.log(
+            len(props)
+        )
+
+    for rnd in range(n_rounds):
+        mu_r, L_r = props[-1]
+        g, y = run_is(
+            jnp.asarray(mu_r, jnp.float32),
+            jnp.asarray(L_r, jnp.float32),
+            jax.random.key(seed + 7919 + rnd * 104729),
+        )
+        gs.append(np.asarray(g, np.float64))
+        ys.append(np.asarray(y, np.float64))
+        if rnd == n_rounds - 1:
+            break
+        Y = np.concatenate(ys, axis=1)
+        logw = np.concatenate(gs, axis=1) - logq_mix(Y)
+        logw = np.where(np.isfinite(logw), logw, -np.inf)
+        mu_next = mu_r.copy()
+        L_next = L_r.copy()
+        for o in range(n_obs):
+            lw = _psis(logw[o])[0]  # smoothed weights for the refit
+            m = lw.max()
+            if not np.isfinite(m):
+                continue  # keep the current proposal
+            wn = np.exp(lw - m)
+            wn /= wn.sum()
+            ess = 1.0 / float((wn * wn).sum())
+            muw = wn @ Y[o]
+            d = Y[o] - muw
+            covw = (wn[:, None] * d).T @ d
+            # shrink toward the CURRENT proposal's moments when the
+            # weight ESS is too small to trust the refit
+            a = ess / (ess + 10.0)
+            cov_prop = (L_r[o] @ L_r[o].T) * df / (df - 2.0)
+            cov_next = a * covw + (1.0 - a) * cov_prop
+            mu_next[o] = a * muw + (1.0 - a) * mu_r[o]
+            ev, evec = np.linalg.eigh(0.5 * (cov_next + cov_next.T))
+            ev = np.maximum(ev, max(1e-10 * ev.max(), 1e-14))
+            L_next[o] = (
+                (evec * np.sqrt(ev * (df - 2.0) / df)) @ evec.T
+            ) * _IS_SCALE_ADAPT
+        props.append((mu_next, L_next))
+    Y = np.concatenate(ys, axis=1)
+    logw = np.concatenate(gs, axis=1) - logq_mix(Y)
+    return np.where(np.isfinite(logw), logw, -np.inf), Y
+
+
+def _finish_laplace(res, logw, y, lo, hi):
+    """Fill a LaplaceResult's IS fields from one observation's combined
+    AMIS cloud (``logw (M,)``, ``y (M,P)`` in the whitened space),
+    Pareto-smoothing the weights (:func:`_psis`) and recording
+    ``khat``."""
+    logw, khat = _psis(logw)
+    res.khat = float(khat)
+    m = logw.max()
+    w = np.exp(logw - m)
+    mean_w = float(w.mean())
+    res.logz = float(m + np.log(mean_w))
+    res.logz_err = float(
+        w.std(ddof=1) / (np.sqrt(float(w.size)) * mean_w)
+    )
+    res.is_ess = float(w.sum() ** 2 / (w * w).sum())
+    span = np.asarray(hi, np.float64) - np.asarray(lo, np.float64)
+    s = np.exp(-np.logaddexp(0.0, -y))  # overflow-safe sigmoid
+    res._is_x = (np.asarray(lo, np.float64) + span * s).astype(
+        np.float32
+    )
+    res._is_logw = logw
+    return res
+
+
 def laplace_evidence(
     loglik,
     params,
@@ -1001,6 +1202,7 @@ def laplace_evidence(
     n_steps: int = 2000,
     learning_rate: float = 0.05,
     n_is: int = 16384,
+    n_rounds: int = 3,
     seed: int = 0,
     log_prior=None,
     mesh=None,
@@ -1008,9 +1210,10 @@ def laplace_evidence(
     """Laplace (saddle-point) approximation of the Bayesian evidence,
     sharpened by default into an asymptotically EXACT importance-
     sampling estimate: one multi-start MAP fit, one 7×7 Hessian, and
-    one batched likelihood call on ``n_is`` Gaussian draws — fractions
-    of a second where nested sampling takes ~10, with a real MC error
-    bar (``n_is=0`` for the raw saddle point).
+    ``n_rounds`` batched likelihood calls on ``n_is`` adaptive
+    Student-t draws each — a second or two where nested sampling takes
+    ~10, with a real MC error bar (``n_is=0`` for the raw saddle
+    point).
 
     The approximation lives in the sigmoid-whitened ``y``-space (same
     map as :func:`sample_hmc`), where the normalized flat box prior's
@@ -1033,12 +1236,16 @@ def laplace_evidence(
     floor) measurably stranded the ascent 9 nats below the mode on one
     rugged observation where 4096×2000 lands within 1 nat of nested,
     and the heavier budget still costs ~1 s warm on a v5e (~8×10⁶
-    value+gradient rows at ~10⁷/s). The IS stage draws ``n_is`` rows
-    from the fitted Gaussian and weights them against the true
-    whitened density — the estimate then converges to the exact ``Z``
-    regardless of the saddle point's Gaussian error, which only sets
-    the weight variance; check ``is_ess`` (Kish) before trusting a
-    hard case. Caveats: unimodal by construction — on
+    value+gradient rows at ~10⁷/s). The IS stage runs ``n_rounds``
+    rounds of ``n_is`` Student-t draws with ADAPTIVE proposals
+    (:func:`_amis_sharpen` — moment-matched refits combined by the
+    balance heuristic; ``n_rounds=1`` is the plain Hessian-proposal
+    estimator) and weights them against the true whitened density —
+    the estimate then converges to the exact ``Z`` regardless of the
+    saddle point's Gaussian error, which only sets the weight
+    variance; check ``is_ess`` (Kish, over all ``n_rounds·n_is``
+    draws) before trusting a hard case. Caveats: unimodal by
+    construction — on
     multimodal posteriors it reports the dominant mode's local
     evidence; check against ``method="nested"`` when in doubt (the
     nested default exists precisely because it is robust to this).
@@ -1113,26 +1320,28 @@ def laplace_evidence(
 
     # -- importance-sampling sharpening: draw from a Student-t centered
     # on the fitted Gaussian, weight against the true whitened density
-    # — one batched likelihood call; exact as n_is → ∞ REGARDLESS of
-    # the saddle point's Gaussian error (q only sets the variance).
-    # The proposal MUST be t, not Gaussian: the whitened target's tails
-    # are EXPONENTIAL (the sigmoid log-Jacobian decays like e^{−|y|}
-    # while logL flattens to a constant far outside the box center), so
-    # a Gaussian proposal has unbounded weight variance — measured as a
-    # few-tenths-of-a-nat LOW bias with a misleadingly small error bar
-    # on real emulator posteriors. Polynomial t-tails dominate any
-    # exponential tail, restoring finite-variance weights; df=4 and a
-    # 1.3× scale widen the core a little and the tails a lot.
-    df, scale = 4.0, 1.3
+    # — one batched likelihood call per round; exact as draws → ∞
+    # REGARDLESS of the saddle point's Gaussian error (q only sets the
+    # variance). The proposal MUST be t, not Gaussian: the whitened
+    # target's tails are EXPONENTIAL (the sigmoid log-Jacobian decays
+    # like e^{−|y|} while logL flattens to a constant far outside the
+    # box center), so a Gaussian proposal has unbounded weight variance
+    # — measured as a few-tenths-of-a-nat LOW bias with a misleadingly
+    # small error bar on real emulator posteriors. Polynomial t-tails
+    # dominate any exponential tail, restoring finite-variance weights.
+    # With n_rounds > 1 the proposal ADAPTS (see _amis_sharpen): the
+    # Hessian at the mode is measurably far sharper than the posterior
+    # bulk, and moment-matched rounds lift the weight ESS ~10–100×.
+    df = _IS_DF
 
     def build_is():
-        def run(params, y_map_f, chol_f, key):
+        def run(params, y_c, scale_mat, key):
             kz, ku = jax.random.split(key)
-            pdim = y_map_f.shape[0]
+            pdim = y_c.shape[0]
             z = jax.random.normal(kz, (n_is, pdim))
             u = 2.0 * jax.random.gamma(ku, df / 2.0, (n_is,))  # χ²_df
             t = z * jnp.sqrt(df / u)[:, None]
-            y = y_map_f + (t @ chol_f.T) * scale
+            y = y_c + t @ scale_mat.T
             xr = lo + span * jax.nn.sigmoid(y)
             ll = loglik(params, xr)
             if log_prior is not None:
@@ -1140,46 +1349,26 @@ def laplace_evidence(
             g = ll + jnp.sum(
                 jax.nn.log_sigmoid(y) + jax.nn.log_sigmoid(-y), axis=-1
             )
-            # z-dependent part of −log q_t (constants folded in below)
-            logq_var = -0.5 * (df + pdim) * jnp.log1p(
-                jnp.sum(t * t, axis=-1) / df
-            )
-            return g - logq_var, xr
+            return g, y
 
         return jax.jit(run)
 
     run_is = _chain_program(
         loglik,
-        ("laplace-is", _bounds_key(lo, hi), int(n_is),
+        ("laplace-is2", _bounds_key(lo, hi), int(n_is),
          _fn_cache_key(log_prior)),
         build_is,
     )
-    gq, xr = run_is(
-        params,
-        jnp.asarray(y_map, jnp.float32),
-        jnp.asarray(chol_y, jnp.float32),
-        jax.random.key(seed + 7919),
-    )
-    # z-independent part of −log q_t: the multivariate-t normalization
-    # with scale matrix (scale²·Σ), logdet Σ = −logdet(−H)
-    import math as _math
 
-    logq_const = float(
-        _math.lgamma((df + p) / 2.0) - _math.lgamma(df / 2.0)
-        - 0.5 * p * np.log(df * np.pi)
-        - 0.5 * (-logdet) - p * np.log(scale)
+    def run_obs1(mu_f, L_f, key):
+        g, y = run_is(params, mu_f[0], L_f[0], key)
+        return g[None], y[None]
+
+    logw, y_all = _amis_sharpen(
+        run_obs1, np.asarray(y_map, np.float64)[None], chol_y[None],
+        n_is=n_is, n_rounds=n_rounds, seed=seed,
     )
-    logw = np.asarray(gq, np.float64) - logq_const
-    m = logw.max()
-    w = np.exp(logw - m)
-    n_ok = float(w.size)
-    mean_w = float(w.mean())
-    res.logz = float(m + np.log(mean_w))
-    res.logz_err = float(w.std(ddof=1) / (np.sqrt(n_ok) * mean_w))
-    res.is_ess = float(w.sum() ** 2 / (w * w).sum())
-    res._is_x = np.asarray(xr)
-    res._is_logw = logw
-    return res
+    return _finish_laplace(res, logw[0], y_all[0], lo, hi)
 
 
 def laplace_evidence_multi(
@@ -1188,9 +1377,10 @@ def laplace_evidence_multi(
     n_obs: int,
     *,
     bounds=None,
-    n_starts: int = 1024,
-    n_steps: int = 1000,
+    n_starts: int = 4096,
+    n_steps: int = 2000,
     n_is: int = 4096,
+    n_rounds: int = 3,
     learning_rate: float = 0.05,
     seed: int = 0,
     log_prior=None,
@@ -1218,13 +1408,18 @@ def laplace_evidence_multi(
        are identically zero, so perturbing every observation's k-th
        coordinate AT ONCE yields each observation's own k-th Hessian
        column: P (=7) passes regardless of O;
-    3. one Student-t IS batch of ``O·n_is`` rows (see
+    3. ``n_rounds`` Student-t IS batches of ``O·n_is`` rows with
+       per-observation ADAPTIVE proposals (:func:`_amis_sharpen`; see
        :func:`laplace_evidence` for why t, not Gaussian).
 
-    Defaults are per-observation budgets; they are lighter than the
-    single-observation defaults because stages batch (raise them for
-    rugged observations — and check each result's ``is_ess``). Returns
-    a list of ``O`` :class:`LaplaceResult`.
+    Defaults are per-observation budgets at the measured reliability
+    floor (4096-start/2000-step ascent — lighter 1024-start budgets
+    measurably land different modes on different seeds, up to ~11 nats
+    of seed-to-seed log Z on rugged observations; with the floor the
+    MAP log-densities agree across seeds to ≲0.3 nats on all of 64
+    real-posterior test rows). Lower them for quick looks; always
+    check each result's ``is_ess``. Returns a list of ``O``
+    :class:`LaplaceResult`.
     """
     lo, hi = _resolve_bounds(bounds)
     span = hi - lo
@@ -1290,16 +1485,16 @@ def laplace_evidence_multi(
     h = np.asarray(hess(params, y_map), np.float64)
     h = 0.5 * (h + np.transpose(h, (0, 2, 1)))
 
-    df, scale = 4.0, 1.3
+    df = _IS_DF
 
     def build_is():
-        def run(params, y_map_f, chol_f, key):
+        def run(params, y_c, scale_mats, key):
             kz, ku = jax.random.split(key)
             z = jax.random.normal(kz, (n_obs, n_is, p))
             u = 2.0 * jax.random.gamma(ku, df / 2.0, (n_obs, n_is))
             t = z * jnp.sqrt(df / u)[:, :, None]
-            y = y_map_f[:, None, :] + scale * jnp.einsum(
-                "oik,ojk->oij", t, chol_f
+            y = y_c[:, None, :] + jnp.einsum(
+                "oik,ojk->oij", t, scale_mats
             )
             xr = (lo + span * jax.nn.sigmoid(y)).reshape(-1, p)
             ll = loglik_multi(params, xr)
@@ -1310,25 +1505,17 @@ def laplace_evidence_multi(
                 jax.nn.log_sigmoid(yf) + jax.nn.log_sigmoid(-yf),
                 axis=-1,
             )
-            logq_var = -0.5 * (df + p) * jnp.log1p(
-                jnp.sum(t * t, axis=-1).reshape(-1) / df
-            )
-            return (g - logq_var).reshape(n_obs, n_is), xr.reshape(
-                n_obs, n_is, p
-            )
+            return g.reshape(n_obs, n_is), y
 
         return jax.jit(run)
 
     run_is = _chain_program(
         loglik_multi,
-        ("laplace-is-multi", _bounds_key(lo, hi), int(n_obs), int(n_is),
-         _fn_cache_key(log_prior)),
+        ("laplace-is2-multi", _bounds_key(lo, hi), int(n_obs),
+         int(n_is), _fn_cache_key(log_prior)),
         build_is,
     )
 
-    import math as _math
-
-    out = []
     evals_all = np.linalg.eigh(-h)
     chols = np.empty((n_obs, p, p))
     logdets = np.empty(n_obs)
@@ -1340,46 +1527,35 @@ def laplace_evidence_multi(
         evals = np.maximum(evals, floor)
         logdets[o] = float(np.sum(np.log(evals)))
         chols[o] = evecs @ np.diag(1.0 / np.sqrt(evals)) @ evecs.T
-    gq, xr = run_is(
-        params, y_map, jnp.asarray(chols, jnp.float32),
-        jax.random.key(seed + 7919),
+
+    logw_all, y_all = _amis_sharpen(
+        lambda mu_f, L_f, key: run_is(params, mu_f, L_f, key),
+        np.asarray(y_map, np.float64), chols,
+        n_is=n_is, n_rounds=n_rounds, seed=seed,
     )
-    gq = np.asarray(gq, np.float64)
-    xr = np.asarray(xr)
     y_map_np = np.asarray(y_map, np.float64)
+    out = []
     for o in range(n_obs):
         logz_lap = (float(g_best[o]) + 0.5 * p * np.log(2 * np.pi)
                     - 0.5 * logdets[o])
-        logq_const = float(
-            _math.lgamma((df + p) / 2.0) - _math.lgamma(df / 2.0)
-            - 0.5 * p * np.log(df * np.pi)
-            - 0.5 * (-logdets[o]) - p * np.log(scale)
-        )
-        logw = gq[o] - logq_const
-        m = logw.max()
-        w = np.exp(logw - m)
-        mean_w = float(w.mean())
         s = 1.0 / (1.0 + np.exp(-y_map_np[o]))
         jac = np.asarray(span, np.float64) * s * (1.0 - s)
         cov_y = chols[o] @ chols[o].T
-        out.append(LaplaceResult(
-            logz=float(m + np.log(mean_w)),
+        res = LaplaceResult(
+            logz=float(logz_lap),
             map_params=x_map[o],
             map_logp=float(g_best[o]),
             cov=cov_y * jac[:, None] * jac[None, :],
             pd=bool(pds[o]),
-            logz_err=float(
-                w.std(ddof=1) / (np.sqrt(float(w.size)) * mean_w)
-            ),
             logz_laplace=float(logz_lap),
-            is_ess=float(w.sum() ** 2 / (w * w).sum()),
             _y_map=y_map_np[o],
             _y_chol=chols[o],
             _lo=np.asarray(lo, np.float64),
             _hi=np.asarray(hi, np.float64),
-            _is_x=xr[o],
-            _is_logw=logw,
-        ))
+        )
+        out.append(
+            _finish_laplace(res, logw_all[o], y_all[o], lo, hi)
+        )
     return out
 
 
