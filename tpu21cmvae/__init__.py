@@ -69,6 +69,7 @@ from tpu21cmvae.sampling import (  # noqa: F401
     sample_ensemble,
     sample_hmc,
     sample_mh,
+    sample_nuts,
     sample_pt,
     sample_to_ess,
     WeightedPosterior,

@@ -219,6 +219,8 @@ def cmd_sample(args):
     elif args.sampler == "chees":
         if args.max_leapfrog is not None:
             kwargs["max_leapfrog"] = args.max_leapfrog
+    elif args.sampler == "nuts":
+        kwargs["max_depth"] = args.max_depth
     elif args.sampler == "pt":
         kwargs["n_rungs"] = args.rungs
     if args.target_ess is not None:
@@ -238,6 +240,9 @@ def cmd_sample(args):
         blob["trajectory_length"] = res.trajectory_length
     if getattr(res, "swap_rate", None) is not None:  # PT diagnostics
         blob["swap_rate"] = res.swap_rate
+    if getattr(res, "mean_leapfrog", None):  # NUTS diagnostics
+        blob["divergence_rate"] = res.divergence_rate
+        blob["mean_leapfrog"] = res.mean_leapfrog
         blob["betas"] = res.betas
         if res.swap_rate.min() < 0.05:
             print(f"WARNING: min per-edge swap rate "
@@ -544,12 +549,15 @@ def main(argv=None):
                         "optional noise_var — serve.load_obs_specs "
                         "format, exactly one entry)")
     p.add_argument("--sampler",
-                   choices=["hmc", "chees", "mh", "ensemble", "pt"],
+                   choices=["hmc", "chees", "nuts", "mh", "ensemble",
+                            "pt"],
                    default="hmc",
                    help="chees = HMC with adaptive trajectory length "
-                        "(no --leapfrog tuning); pt = parallel "
-                        "tempering (robust on multimodal posteriors; "
-                        "--rungs tempered replicas)")
+                        "(no --leapfrog tuning); nuts = batched "
+                        "iterative No-U-Turn sampler (per-walker "
+                        "trajectories, divergence diagnostics); pt = "
+                        "parallel tempering (robust on multimodal "
+                        "posteriors; --rungs tempered replicas)")
     p.add_argument("--walkers", type=int, default=4096)
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--warmup", type=int, default=100)
@@ -557,6 +565,9 @@ def main(argv=None):
     p.add_argument("--max-leapfrog", type=int, default=None,
                    help="with --sampler chees: cap on the adapted "
                         "per-iteration leapfrog count (default 128)")
+    p.add_argument("--max-depth", type=int, default=6,
+                   help="with --sampler nuts: tree-doubling cap "
+                        "(max 2**depth - 1 leapfrogs per draw)")
     p.add_argument("--rungs", type=int, default=32,
                    help="temperature-ladder size for --sampler pt")
     p.add_argument("--target-ess", type=float, default=None,

@@ -387,12 +387,15 @@ class AutoEncoderEmulator:
                 self.loglik_fn(obs, noise_var), self.params,
                 bounds=bounds, **kwargs,
             )
-        if sampler not in ("hmc", "chees"):
+        if sampler not in ("hmc", "chees", "nuts"):
             raise ValueError(
-                f"sampler must be 'mh', 'ensemble', 'hmc', 'chees' or "
-                f"'pt'; got {sampler!r}"
+                f"sampler must be 'mh', 'ensemble', 'hmc', 'chees', "
+                f"'nuts' or 'pt'; got {sampler!r}"
             )
-        fn = sample_chees if sampler == "chees" else sample_hmc
+        from tpu21cmvae.sampling import sample_nuts
+
+        fn = {"chees": sample_chees, "nuts": sample_nuts,
+              "hmc": sample_hmc}[sampler]
         return fn(
             self.loglik_and_grad_fn(obs, noise_var), self.params,
             bounds=bounds, **kwargs,

@@ -437,10 +437,10 @@ class DirectEmulator:
                 self.loglik_fn(obs, noise_var), self.params,
                 bounds=bounds, **kwargs,
             )
-        if sampler not in ("hmc", "chees"):
+        if sampler not in ("hmc", "chees", "nuts"):
             raise ValueError(
-                f"sampler must be 'mh', 'ensemble', 'hmc', 'chees' or "
-                f"'pt'; got {sampler!r}"
+                f"sampler must be 'mh', 'ensemble', 'hmc', 'chees', "
+                f"'nuts' or 'pt'; got {sampler!r}"
             )
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         valgrad = self.loglik_and_grad_fn(
@@ -450,6 +450,12 @@ class DirectEmulator:
             from tpu21cmvae.sampling import sample_chees
 
             return sample_chees(
+                valgrad, self.params, bounds=bounds, **kwargs
+            )
+        if sampler == "nuts":
+            from tpu21cmvae.sampling import sample_nuts
+
+            return sample_nuts(
                 valgrad, self.params, bounds=bounds, **kwargs
             )
         return sample_hmc(valgrad, self.params, bounds=bounds, **kwargs)

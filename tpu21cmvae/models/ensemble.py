@@ -299,18 +299,19 @@ class DeepEnsemble:
                 self.loglik_fn(obs, noise_var), self.stacked_params,
                 bounds=bounds, **kwargs,
             )
-        if sampler not in ("hmc", "chees"):
+        if sampler not in ("hmc", "chees", "nuts"):
             raise ValueError(
-                f"sampler must be 'mh', 'ensemble', 'hmc', 'chees' or "
-                f"'pt'; got {sampler!r}"
+                f"sampler must be 'mh', 'ensemble', 'hmc', 'chees', "
+                f"'nuts' or 'pt'; got {sampler!r}"
             )
         valgrad = self.loglik_and_grad_fn(
             obs, noise_var, grad_precision="default"
         )
-        if sampler == "chees":
-            from tpu21cmvae.sampling import sample_chees
+        if sampler in ("chees", "nuts"):
+            from tpu21cmvae.sampling import sample_chees, sample_nuts
 
-            return sample_chees(
+            fn = sample_chees if sampler == "chees" else sample_nuts
+            return fn(
                 valgrad, self.stacked_params, bounds=bounds, **kwargs
             )
         return sample_hmc(valgrad, self.stacked_params, bounds=bounds, **kwargs)

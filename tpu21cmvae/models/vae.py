@@ -301,15 +301,16 @@ class VAEEmulator:
                 self.loglik_fn(obs, noise_var), self.params,
                 bounds=bounds, **kwargs,
             )
-        if sampler not in ("hmc", "chees"):
+        if sampler not in ("hmc", "chees", "nuts"):
             raise ValueError(
-                f"sampler must be 'mh', 'ensemble', 'hmc', 'chees' or "
-                f"'pt'; got {sampler!r}"
+                f"sampler must be 'mh', 'ensemble', 'hmc', 'chees', "
+                f"'nuts' or 'pt'; got {sampler!r}"
             )
-        if sampler == "chees":
-            from tpu21cmvae.sampling import sample_chees
+        if sampler in ("chees", "nuts"):
+            from tpu21cmvae.sampling import sample_chees, sample_nuts
 
-            return sample_chees(
+            fn = sample_chees if sampler == "chees" else sample_nuts
+            return fn(
                 self.loglik_and_grad_fn(obs, noise_var), self.params,
                 bounds=bounds, **kwargs,
             )

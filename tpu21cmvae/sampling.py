@@ -51,6 +51,7 @@ __all__ = [
     "EvidenceResult",
     "FitResult",
     "LaplaceResult",
+    "NUTSSampleResult",
     "PTSampleResult",
     "PredictiveBand",
     "ProfileResult",
@@ -67,6 +68,7 @@ __all__ = [
     "sample_chees",
     "sample_ensemble",
     "sample_hmc",
+    "sample_nuts",
     "sample_mh",
     "sample_pt",
     "sample_to_ess",
@@ -2452,6 +2454,349 @@ def sample_chees(
         accept_rate=np.asarray(rates),
         step_size=float(eps),
         trajectory_length=float(h),
+    )
+
+
+def _popcount32(n):
+    """Population count of a traced int32/uint32 (Hacker's Delight
+    fig. 5-2) — checkpoint indexing for :func:`sample_nuts`'s iterative
+    tree building."""
+    n = n.astype(jnp.uint32)
+    n = n - ((n >> 1) & jnp.uint32(0x55555555))
+    n = (n & jnp.uint32(0x33333333)) + ((n >> 2) & jnp.uint32(0x33333333))
+    n = (n + (n >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return ((n * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+
+@dataclasses.dataclass
+class NUTSSampleResult(SampleResult):
+    """:class:`SampleResult` from :func:`sample_nuts`, plus NUTS-specific
+    diagnostics: ``divergence_rate`` — fraction of (draw, walker) pairs
+    whose trajectory hit a divergence (ΔH > 1000; a nonzero rate on a
+    smooth emulator posterior means the step size adapted too large —
+    lower ``target_accept``... or raise it, Stan-style, toward 0.95);
+    ``mean_leapfrog`` — mean leapfrog steps per draw per walker (the
+    cost knob: compare against ``2**max_depth - 1`` to see whether the
+    U-turn criterion, not the depth cap, is ending trajectories)."""
+
+    divergence_rate: float = 0.0
+    mean_leapfrog: float = 0.0
+
+
+def sample_nuts(
+    valgrad,
+    params,
+    *,
+    n_walkers: int = 4096,
+    n_steps: int = 200,
+    n_warmup: int = 300,
+    max_depth: int = 6,
+    bounds=None,
+    target_accept: float = 0.8,
+    init_step: float = 0.01,
+    thin: int = 5,
+    seed: int = 0,
+    x0=None,
+    precondition: bool = True,
+    log_prior=None,
+    mesh=None,
+) -> NUTSSampleResult:
+    """No-U-Turn Sampler (multinomial NUTS) over ``valgrad``, built as a
+    BATCHED ITERATIVE tree — the TPU-native formulation of the sampler
+    Stan/PyMC/NumPyro users expect.
+
+    Textbook NUTS is recursive with data-dependent trajectory lengths —
+    hostile to SPMD batching (see :func:`sample_chees`, which remains
+    the recommended adaptive sampler on TPU: measured numbers in
+    docs/PERF.md). This implementation removes the recursion, not the
+    algorithm: per draw, trajectory doubling ``d = 0 … max_depth-1``
+    runs as an unrolled loop of fixed-shape subtree builds (one
+    ``fori_loop`` of ``2**d`` leapfrog steps, each one batched MXU
+    call across all walkers), with
+
+    * **multinomial sampling** within and across subtrees (Betancourt
+      2017 §A.3): streaming categorical by cumulative ``logaddexp``
+      weight within a subtree, biased-progressive acceptance
+      ``min(1, w_subtree/w_tree)`` across subtrees;
+    * **sub-U-turn checks without recursion** via the checkpoint-stack
+      scheme (as in NumPyro's iterative NUTS): build-order leaf ``i``
+      stores its (momentum, cumulative-momentum-sum) at stack slot
+      ``popcount(i)`` when ``i`` is even, and when odd checks the
+      generalized U-turn criterion ``⟨ρ_seg, p_left⟩ ≤ 0 ∨
+      ⟨ρ_seg, p_right⟩ ≤ 0`` against slots ``[popcount(i) -
+      tz(i+1), popcount(i) - 1]`` — exactly the complete sub-subtrees
+      ending at leaf ``i``, with ``ρ_seg`` recovered from the stored
+      cumulative sums. ``max_depth`` stack slots suffice;
+    * **lockstep walkers with masked termination**: every walker runs
+      every doubling until ALL are done (then a ``lax.cond`` skips the
+      remaining depths); finished walkers' updates are ``where``-masked.
+      This lockstep cost — each draw pays the slowest walker's tree —
+      is exactly why ChEES wins on throughput; NUTS is here for
+      robustness (per-walker trajectory adaptation, divergence
+      diagnostics) and ecosystem parity;
+    * step-size warmup by dual averaging toward ``target_accept``
+      (Stan's accept-stat: trajectory-mean ``min(1, e^{-ΔH})``), with
+      the ensemble-statistics diagonal metric restart of
+      :func:`sample_hmc` under ``precondition``.
+
+    ``valgrad``/``bounds``/``log_prior``/``mesh``/``thin``/``x0`` as in
+    :func:`sample_hmc`; sampling happens in the same sigmoid-whitened
+    ``y``-space. Divergences (ΔH > 1000, Stan's threshold) end the
+    walker's trajectory with the offending subtree discarded and are
+    reported in ``divergence_rate``. The reference leaves sampling to
+    external CPU samplers entirely (``README.rst:9-11``).
+    """
+    lo, hi = _resolve_bounds(bounds)
+    span = hi - lo
+    key = jax.random.key(seed)
+    k_init, k_warm, k_run = jax.random.split(key, 3)
+    x = _shard_walkers(
+        jnp.asarray(x0, jnp.float32)
+        if x0 is not None
+        else _init_walkers(k_init, n_walkers, lo, hi),
+        mesh,
+    )
+    y = _whiten_init(x, lo, span)
+    to_params, logp_and_grad = _whitened_target(valgrad, log_prior, lo, span)
+
+    use_metric = precondition and n_warmup >= 20 and y.shape[0] >= 16
+    n_warm1 = n_warmup // 2 if use_metric else n_warmup
+    gamma, t0, kappa = 0.05, 10.0, 0.75  # dual averaging (H&G Alg. 5)
+    md = int(max_depth)
+    if md < 1:
+        raise ValueError(f"max_depth must be >= 1; got {max_depth}")
+
+    def nuts_step(params, y, lp, glp, sd, eps_s, k):
+        B, D = y.shape
+        eps = eps_s * sd
+        kp, kt = jax.random.split(k)
+        p0 = jax.random.normal(kp, (B, D), y.dtype)
+        h0 = lp - 0.5 * jnp.sum(p0**2, -1)  # leaf log-weight base
+
+        def build(state, kd, d):
+            (zl, pl, gl, zr, pr, gr, zp, lpp, gp, rho, logw, done,
+             ndiv, a_sum, a_cnt, nleap) = state
+            k_dir, k_take, k_sub = jax.random.split(kd, 3)
+            right = jax.random.bernoulli(k_dir, 0.5, (B,))
+            eps_d = jnp.where(right[:, None], eps, -eps)
+            z0 = jnp.where(right[:, None], zr, zl)
+            q0 = jnp.where(right[:, None], pr, pl)
+            g0 = jnp.where(right[:, None], gr, gl)
+            n_ck = max(d, 1)
+
+            def leaf(i, carry):
+                (z, p, g, cum, lw, zs, ls, gs, turn, div, pck, rck,
+                 asum, k_s) = carry
+                k_s, ku = jax.random.split(k_s)
+                ph = p + 0.5 * eps_d * g
+                z2 = z + eps_d * ph
+                lp2, g2 = logp_and_grad(params, z2)
+                p2 = ph + 0.5 * eps_d * g2
+                w = lp2 - 0.5 * jnp.sum(p2**2, -1) - h0
+                w = jnp.where(jnp.isfinite(w), w, -jnp.inf)
+                div = div | (w < -1000.0)
+                lw_new = jnp.logaddexp(lw, w)
+                # streaming multinomial within the subtree: leaf i wins
+                # the proposal slot with prob w_i / Σ_{j≤i} w_j
+                take = jnp.log(
+                    jax.random.uniform(ku, (B,))
+                ) < (w - lw_new)
+                zs = jnp.where(take[:, None], z2, zs)
+                ls = jnp.where(take, lp2, ls)
+                gs = jnp.where(take[:, None], g2, gs)
+                cum = cum + p2
+                pc = _popcount32(i)
+                even = (i % 2) == 0
+                slot = jnp.where(even, pc, 0)
+                # even leaf: store (p, cumulative ρ) at slot popcount(i)
+                # (odd leaves write the old value back — a no-op)
+                pck = pck.at[slot].set(
+                    jnp.where(even, p2, pck[slot])
+                )
+                rck = rck.at[slot].set(
+                    jnp.where(even, cum, rck[slot])
+                )
+                # odd leaf: U-turn-check the complete sub-subtrees
+                # ending here — checkpoint slots [pc - tz(i+1), pc - 1]
+                tz = _popcount32(~(i + 1) & i)
+                smin, smax = pc - tz, pc - 1
+
+                def chk(s, turn):
+                    seg = cum - rck[s] + pck[s]
+                    t_s = (
+                        jnp.sum(seg * pck[s], -1) <= 0.0
+                    ) | (jnp.sum(seg * p2, -1) <= 0.0)
+                    m = (~even) & (s >= smin) & (s <= smax)
+                    return turn | (m & t_s)
+
+                turn = jax.lax.fori_loop(0, n_ck, chk, turn)
+                asum = asum + jnp.where(
+                    ~done, jnp.minimum(1.0, jnp.exp(w)), 0.0
+                )
+                return (
+                    z2, p2, g2, cum, lw_new, zs, ls, gs, turn, div,
+                    pck, rck, asum, k_s,
+                )
+
+            zeros_ck = jnp.zeros((n_ck, B, D), y.dtype)
+            init = (
+                z0, q0, g0, jnp.zeros((B, D), y.dtype),
+                jnp.full((B,), -jnp.inf, y.dtype), z0,
+                jnp.full((B,), -jnp.inf, y.dtype), g0,
+                jnp.zeros((B,), bool), jnp.zeros((B,), bool),
+                zeros_ck, zeros_ck, a_sum, k_sub,
+            )
+            (z_e, p_e, g_e, rho_sub, lw_sub, zs, ls, gs, turn_s,
+             div_s, _, _, a_sum, _) = jax.lax.fori_loop(
+                0, 2**d, leaf, init
+            )
+            ok = (~done) & (~turn_s) & (~div_s)
+            # biased-progressive acceptance of the new subtree's proposal
+            take = ok & (
+                jnp.log(jax.random.uniform(k_take, (B,)))
+                < (lw_sub - logw)
+            )
+            zp = jnp.where(take[:, None], zs, zp)
+            lpp = jnp.where(take, ls, lpp)
+            gp = jnp.where(take[:, None], gs, gp)
+            logw = jnp.where(ok, jnp.logaddexp(logw, lw_sub), logw)
+            rho = jnp.where(ok[:, None], rho + rho_sub, rho)
+            upd_r = (ok & right)[:, None]
+            upd_l = (ok & ~right)[:, None]
+            zr = jnp.where(upd_r, z_e, zr)
+            pr = jnp.where(upd_r, p_e, pr)
+            gr = jnp.where(upd_r, g_e, gr)
+            zl = jnp.where(upd_l, z_e, zl)
+            pl = jnp.where(upd_l, p_e, pl)
+            gl = jnp.where(upd_l, g_e, gl)
+            full_turn = (jnp.sum(rho * pl, -1) <= 0.0) | (
+                jnp.sum(rho * pr, -1) <= 0.0
+            )
+            ndiv = ndiv + jnp.where((~done) & div_s, 1.0, 0.0)
+            nleap = nleap + jnp.where(~done, float(2**d), 0.0)
+            a_cnt = a_cnt + jnp.where(~done, float(2**d), 0.0)
+            done = done | turn_s | div_s | (ok & full_turn)
+            return (zl, pl, gl, zr, pr, gr, zp, lpp, gp, rho, logw,
+                    done, ndiv, a_sum, a_cnt, nleap)
+
+        zb = jnp.zeros((B,), jnp.float32)
+        state = (
+            y, p0, glp, y, p0, glp, y, lp, glp, p0,
+            jnp.zeros((B,), y.dtype), jnp.zeros((B,), bool),
+            zb, zb, zb, zb,
+        )
+        for d in range(md):
+            kd = jax.random.fold_in(kt, d)
+            state = jax.lax.cond(
+                jnp.all(state[11]),
+                lambda s: s,
+                lambda s, _kd=kd, _d=d: build(s, _kd, _d),
+                state,
+            )
+        (_, _, _, _, _, _, zp, lpp, gp, _, _, _, ndiv, a_sum, a_cnt,
+         nleap) = state
+        a_mean = jnp.mean(a_sum / jnp.maximum(a_cnt, 1.0))
+        return (
+            zp, lpp, gp, a_mean,
+            jnp.mean((ndiv > 0).astype(jnp.float32)), jnp.mean(nleap),
+        )
+
+    def make_warm_step(params):
+        def warm_step(state, ik):
+            i, k = ik
+            y, lp, glp, sd, mu, log_eps, log_eps_bar, h_bar = state
+            y, lp, glp, a_mean, _, _ = nuts_step(
+                params, y, lp, glp, sd, jnp.exp(log_eps), k
+            )
+            t = i + 1.0
+            h_bar = (1.0 - 1.0 / (t + t0)) * h_bar + (
+                target_accept - a_mean
+            ) / (t + t0)
+            log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+            w = t ** (-kappa)
+            log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+            return (
+                y, lp, glp, sd, mu, log_eps, log_eps_bar, h_bar
+            ), a_mean
+
+        return warm_step
+
+    def warm_phase(params, y, lp, glp, sd, eps0, ik):
+        state = (
+            y, lp, glp, sd, jnp.log(10.0 * eps0), jnp.log(eps0),
+            jnp.log(eps0), jnp.float32(0.0),
+        )
+        state, _ = jax.lax.scan(make_warm_step(params), state, ik)
+        y, lp, glp, _, _, _, log_eps_bar, _ = state
+        return y, lp, glp, jnp.exp(log_eps_bar)
+
+    def build_run():
+        def run(params, y, warm1_ik, warm2_ik, run_keys):
+            def run_step(state, k):
+                y, lp, glp, sd, eps = state
+                y, lp, glp, a_mean, dv, nl = nuts_step(
+                    params, y, lp, glp, sd, eps, k
+                )
+                return (y, lp, glp, sd, eps), (
+                    a_mean, dv, nl, to_params(y) if thin else None
+                )
+
+            lp, glp = logp_and_grad(params, y)
+            sd = jnp.ones((y.shape[1],), y.dtype)
+            eps = jnp.float32(init_step)
+            if n_warm1 > 0:  # static — no hidden warmup on continuation
+                y, lp, glp, eps = warm_phase(
+                    params, y, lp, glp, sd, eps, warm1_ik
+                )
+            if use_metric:
+                raw_sd = jnp.std(y, axis=0)
+                sd = raw_sd / jnp.maximum(jnp.exp(
+                    jnp.mean(jnp.log(jnp.maximum(raw_sd, 1e-6)))
+                ), 1e-6)
+                sd = jnp.clip(sd, 0.1, 10.0)
+                y, lp, glp, eps = warm_phase(
+                    params, y, lp, glp, sd, eps, warm2_ik
+                )
+            (y, lp, glp, _, _), (rates, divs, leaps, kept) = jax.lax.scan(
+                run_step, (y, lp, glp, sd, eps), run_keys
+            )
+            return y, lp, rates, divs, leaps, kept, eps
+
+        return jax.jit(run)
+
+    run = _chain_program(
+        valgrad,
+        (
+            "nuts", _bounds_key(lo, hi), float(init_step),
+            float(target_accept), bool(thin), md, use_metric,
+            n_warm1 > 0, _fn_cache_key(log_prior),
+        ),
+        build_run,
+    )
+
+    def ik(k, n):
+        n = max(n, 1)
+        return (jnp.arange(n, dtype=jnp.float32), jax.random.split(k, n))
+
+    k_warm1, k_warm2 = jax.random.split(k_warm)
+    run_keys = jax.random.split(k_run, n_steps)
+    y, lp, rates, divs, leaps, kept, eps = run(
+        params, y, ik(k_warm1, n_warm1), ik(k_warm2, n_warmup - n_warm1),
+        run_keys,
+    )
+    chain = (
+        np.asarray(kept)[thin - 1:: thin]
+        if thin
+        else np.empty((0, y.shape[0], y.shape[1]), np.float32)
+    )
+    return NUTSSampleResult(
+        chain=chain,
+        final=np.asarray(to_params(y)),
+        logp=np.asarray(lp),
+        accept_rate=np.asarray(rates),
+        step_size=float(eps),
+        divergence_rate=float(np.mean(np.asarray(divs))),
+        mean_leapfrog=float(np.mean(np.asarray(leaps))),
     )
 
 
