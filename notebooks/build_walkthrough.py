@@ -208,8 +208,10 @@ CELL_SAMPLING = """\
 # (Gradient-based samplers are one keyword away: sampler="hmc" rides
 # the fused value+gradient kernel, sampler="chees" additionally adapts
 # the trajectory length from ensemble statistics — ChEES-HMC, the
-# accelerator-native NUTS replacement; measured throughputs in
-# docs/PERF.md.)
+# accelerator-native NUTS replacement — and sampler="nuts" is the
+# literal No-U-Turn sampler as a batched iterative tree, with
+# divergence_rate / mean_leapfrog diagnostics; measured throughputs
+# in docs/PERF.md.)
 rng = np.random.default_rng(11)
 truth = np.asarray(data.par_test[2], np.float32)
 obs = model.predict(truth) + rng.normal(0, 5.0, data.n_bins)

@@ -88,7 +88,7 @@ def main():
                      "min_ess": round(float(res.ess().min()))}
 
     # -- HMC vs ChEES at a matched budget ---------------------------------
-    from tpu21cmvae.sampling import sample_chees, sample_hmc
+    from tpu21cmvae.sampling import sample_chees, sample_hmc, sample_nuts
 
     backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     valgrad = em.loglik_and_grad_fn(
@@ -99,6 +99,7 @@ def main():
     for name, fn, extra in (
         ("hmc", sample_hmc, {"n_leapfrog": 8}),
         ("chees", sample_chees, {}),
+        ("nuts", sample_nuts, {"max_depth": 6}),
     ):
         res = fn(valgrad, em.params, **kwh, **extra)  # compile
         t0 = time.perf_counter()
@@ -114,6 +115,10 @@ def main():
             out[name]["trajectory_length"] = round(
                 float(res.trajectory_length), 4)
             out[name]["step_size"] = round(float(res.step_size), 4)
+        if hasattr(res, "mean_leapfrog"):
+            out[name]["mean_leapfrog"] = round(
+                float(res.mean_leapfrog), 1)
+            out[name]["divergence_rate"] = float(res.divergence_rate)
 
     # -- Laplace evidence (deterministic quick look) -----------------------
     ll_exact = em.loglik_fn(obs, nv, precision="contract")
