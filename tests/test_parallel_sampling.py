@@ -174,6 +174,24 @@ def test_chees_sharded_moments(mesh):
     assert res.trajectory_length > 0.2  # adapted above the 0.08 init
 
 
+def test_nuts_sharded_moments(mesh):
+    """NUTS under a mesh: per-walker trees are walker-local (masked
+    where-updates, no cross-walker data flow), so only the all-done
+    early-exit reduction, the accept-stat mean, and the DENSE ensemble
+    metric (cross-walker covariance + eigh — metric="auto" resolves
+    dense for NUTS) are collectives. Exact moments on the analytic
+    Gaussian prove the sharded program is the same sampler."""
+    from tpu21cmvae.sampling import sample_nuts
+
+    res = sample_nuts(
+        valgrad, None, n_walkers=256, n_steps=300, n_warmup=200,
+        thin=5, bounds=BOUNDS, seed=2, mesh=mesh, max_depth=6,
+    )
+    _check_moments(res.flat, 300)
+    assert res.divergence_rate < 0.01
+    assert res.ess().min() > 1000.0
+
+
 def test_laplace_evidence_sharded(mesh):
     """Laplace under a mesh: starts shard, logz matches -log V for the
     normalized likelihood (wide box, Gaussian-exact regime)."""

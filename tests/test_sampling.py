@@ -117,7 +117,7 @@ def test_model_sample_posterior_entry(setup, splits):
     )
     assert res_hmc.final.shape == (32, 7)
     with pytest.raises(ValueError, match="sampler"):
-        model.sample_posterior(obs, sampler="nuts")
+        model.sample_posterior(obs, sampler="slice")
 
 
 def test_sampler_resume_from_state(setup, splits):
@@ -917,8 +917,11 @@ def test_chees_beats_fixed_trajectory_on_correlated_gaussian():
 
     sig = np.sqrt(np.diag(C))
     bounds = np.stack([-8 * sig, 8 * sig], axis=1)
+    # metric="diag" pins the regime under test: under metric="dense"
+    # the whitened target is isotropic and even fixed-L8 mixes
+    # (see test_dense_metric_whitens_correlated_gaussian)
     kw = dict(n_walkers=256, n_steps=300, n_warmup=200, thin=5, seed=3,
-              bounds=bounds)
+              bounds=bounds, metric="diag")
     r_c = sample_chees(valgrad, None, **kw)
     r_h = sample_hmc(valgrad, None, n_leapfrog=8, **kw)
     assert np.allclose(r_c.flat.std(0), sig, rtol=0.08)
@@ -1030,12 +1033,53 @@ def test_nuts_deep_trees_on_correlated_gaussian():
     bounds = np.stack([-8 * sig, 8 * sig], axis=1)
     res = sample_nuts(
         valgrad, None, n_walkers=256, n_steps=300, n_warmup=200,
-        thin=5, seed=3, bounds=bounds, max_depth=8,
+        thin=5, seed=3, bounds=bounds, max_depth=8, metric="diag",
     )
     assert np.allclose(res.flat.std(0), sig, rtol=0.08)
     assert res.mean_leapfrog > 8.0  # trees actually deepened
     assert res.divergence_rate == 0.0
     assert res.ess().min() > 1000.0
+
+
+def test_dense_metric_whitens_correlated_gaussian():
+    """The dense ensemble metric (metric="auto"/"dense"): the leapfrog
+    integrates in the cross-walker-covariance square-root space, so the
+    0.99 correlation the diagonal metric cannot see disappears — NUTS
+    trees collapse toward the isotropic ~3 leapfrogs (vs >8 deep under
+    metric="diag"), and even fixed-L8 HMC (whose diag-metric stds are
+    >15 % wrong on this target — see the ChEES test above) becomes
+    exact. Same target, same budget, same seeds as those tests."""
+    import jax.numpy as jnp
+
+    from tpu21cmvae.sampling import sample_hmc, sample_nuts
+
+    C = np.array(
+        [[1.0, 0.99, 0.0], [0.99, 1.0, 0.0], [0.0, 0.0, 0.04]],
+        np.float32,
+    )
+    P = np.linalg.inv(C).astype(np.float32)
+
+    def valgrad(params, x):
+        g = -x @ P.T
+        return 0.5 * jnp.sum(x * g, axis=-1), g
+
+    sig = np.sqrt(np.diag(C))
+    bounds = np.stack([-8 * sig, 8 * sig], axis=1)
+    kw = dict(n_walkers=256, n_steps=300, n_warmup=200, thin=5, seed=3,
+              bounds=bounds)
+    r_n = sample_nuts(valgrad, None, max_depth=8, metric="dense", **kw)
+    assert np.allclose(r_n.flat.std(0), sig, rtol=0.08)
+    assert r_n.mean_leapfrog < 6.0  # whitened trees terminate early
+    assert r_n.ess().min() > 1000.0
+    # NUTS's metric="auto" resolves to dense (per-walker trees re-adapt
+    # every draw, so the whitening is pure win — _resolve_metric)
+    r_a = sample_nuts(valgrad, None, max_depth=8, **kw)
+    assert r_a.mean_leapfrog < 6.0
+    r_h = sample_hmc(valgrad, None, n_leapfrog=8, metric="dense", **kw)
+    assert np.allclose(r_h.flat.std(0), sig, rtol=0.10)
+    assert np.allclose(r_h.flat.mean(0), 0.0, atol=0.15 * sig)
+    with pytest.raises(ValueError, match="metric"):
+        sample_hmc(valgrad, None, metric="full", **kw)
 
 
 def test_nuts_divergences_are_detected():

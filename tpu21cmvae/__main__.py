@@ -221,6 +221,8 @@ def cmd_sample(args):
             kwargs["max_leapfrog"] = args.max_leapfrog
     elif args.sampler == "nuts":
         kwargs["max_depth"] = args.max_depth
+    if args.sampler in ("hmc", "chees", "nuts"):
+        kwargs["metric"] = args.metric
     elif args.sampler == "pt":
         kwargs["n_rungs"] = args.rungs
     if args.target_ess is not None:
@@ -568,6 +570,13 @@ def main(argv=None):
     p.add_argument("--max-depth", type=int, default=6,
                    help="with --sampler nuts: tree-doubling cap "
                         "(max 2**depth - 1 leapfrogs per draw)")
+    p.add_argument("--metric", choices=["auto", "dense", "diag"],
+                   default="auto",
+                   help="gradient samplers' ensemble mass matrix: "
+                        "dense = cross-walker covariance square root "
+                        "(whitens correlations), diag = per-dimension "
+                        "std, auto = dense for nuts / diag for "
+                        "hmc+chees (measured defaults)")
     p.add_argument("--rungs", type=int, default=32,
                    help="temperature-ladder size for --sampler pt")
     p.add_argument("--target-ess", type=float, default=None,

@@ -1946,6 +1946,76 @@ def _whitened_target(valgrad, log_prior, lo, span):
     return to_params, logp_and_grad
 
 
+def _ens_metric(y, dense):
+    """Ensemble-statistics metric from the cross-walker spread of ``y``.
+
+    ``dense=False``: per-dimension std, normalized to unit geometric
+    mean (dual averaging owns the GLOBAL step scale) and clipped to
+    [0.1, 10] so a not-yet-spread dimension cannot zero its step.
+
+    ``dense=True``: the symmetric square root ``L = V·√w·Vᵀ`` of the
+    cross-walker covariance, eigenvalues normalized to unit geometric
+    mean and clipped to [0.01, 100] (the diagonal clip squared). The
+    leapfrog then integrates in the ``L``-whitened space, which removes
+    cross-parameter CORRELATIONS the diagonal metric cannot see — on
+    correlated posteriors NUTS trees shrink and ChEES trajectories
+    shorten accordingly (docs/PERF.md). The covariance deliberately
+    uses the FULL ensemble, unconverged stragglers included: their
+    spread gives the not-yet-contracted directions large early steps
+    (a top-half-by-log-density estimate was measured WORSE — it starves
+    exactly those directions). D is tiny here (7), so the eigh and the
+    per-step (B,D)@(D,D) matmuls are negligible against the emulator
+    chain. Under a sharded walker axis the reductions are GSPMD
+    collectives — still one program.
+    """
+    if not dense:
+        raw_sd = jnp.std(y, axis=0)
+        sd = raw_sd / jnp.maximum(jnp.exp(
+            jnp.mean(jnp.log(jnp.maximum(raw_sd, 1e-6)))
+        ), 1e-6)
+        return jnp.clip(sd, 0.1, 10.0)
+    d = y.shape[1]
+    yc = y - jnp.mean(y, axis=0)
+    cov = yc.T @ yc / y.shape[0] + 1e-10 * jnp.eye(d, dtype=y.dtype)
+    w, v = jnp.linalg.eigh(cov)
+    w = jnp.maximum(w, 1e-12)
+    w = w / jnp.exp(jnp.mean(jnp.log(w)))
+    w = jnp.clip(w, 1e-2, 1e2)
+    return (v * jnp.sqrt(w)) @ v.T
+
+
+def _met_scale(met, v):
+    """Metric-space momentum → y-space displacement (``L v``).
+    ``met`` is a (D,) diagonal or a (D,D) symmetric square root."""
+    return v * met if met.ndim == 1 else v @ met.T
+
+
+def _met_pull(met, g):
+    """y-space gradient → metric-space force (``Lᵀ g``)."""
+    return g * met if met.ndim == 1 else g @ met
+
+
+def _resolve_metric(metric, precondition, n_warmup, n_walkers,
+                    auto_dense):
+    """Shared policy for the gradient samplers: returns ``(use_metric,
+    dense)``. ``metric``: "dense", "diag", or "auto" — which resolves
+    per sampler (``auto_dense``): NUTS defaults dense (per-walker trees
+    re-adapt the trajectory every draw, so a noisy mid-warmup rotation
+    costs depth, never correctness — and on correlated targets the
+    whitening collapses the trees, measured in docs/PERF.md);
+    HMC/ChEES default diag (their trajectory is fixed after warmup —
+    a rotation estimated from a still-converging ensemble was measured
+    to slow the sharp-posterior stragglers where the diagonal's
+    straggler-inflated scales help)."""
+    if metric not in ("auto", "dense", "diag"):
+        raise ValueError(
+            f'metric must be "auto", "dense" or "diag"; got {metric!r}'
+        )
+    use_metric = precondition and n_warmup >= 20 and n_walkers >= 16
+    dense = metric == "dense" or (metric == "auto" and auto_dense)
+    return use_metric, use_metric and dense
+
+
 def sample_hmc(
     valgrad,
     params,
@@ -1962,10 +2032,11 @@ def sample_hmc(
     x0=None,
     jitter: bool = True,
     precondition: bool = True,
+    metric: str = "auto",
     log_prior=None,
     mesh=None,
 ) -> SampleResult:
-    """HMC ensemble over ``valgrad(params, raw) → (logL, dlogL/draw)``.
+    """HMC ensemble over ``valgrad(params, raw) → (logL, dlogL/raw)``.
 
     ``valgrad`` is typically ``DirectEmulator.loglik_and_grad_fn(obs,
     noise_var)`` (bench-selected fused value+gradient kernel on TPU).
@@ -1978,14 +2049,22 @@ def sample_hmc(
     Two robustness features (both valid-MCMC — they change mixing
     speed, never the target):
 
-    * ``precondition`` — a diagonal metric from ENSEMBLE statistics:
-      halfway through warmup the per-dimension step rescales by the
-      cross-walker std of ``y`` (thousands of walkers give an
-      instantaneous variance estimate — no within-chain adaptation
-      windows, the accelerator-ensemble analogue of NUTS's metric
-      warmup), and dual averaging restarts at the rescaled step. Fixes
-      the slow-mixing axis when the posterior's y-space scales differ
-      by orders of magnitude.
+    * ``precondition`` — a mass matrix from ENSEMBLE statistics:
+      halfway through warmup the leapfrog rescales by the cross-walker
+      spread of ``y`` (thousands of walkers give an instantaneous
+      estimate — no within-chain adaptation windows, the
+      accelerator-ensemble analogue of NUTS's metric warmup), and dual
+      averaging restarts at the rescaled step. ``metric`` picks the
+      shape: ``"diag"`` is the per-dimension std (fixes scale
+      mismatches); ``"dense"`` is the symmetric square root of the full
+      cross-walker COVARIANCE (additionally removes correlations — the
+      leapfrog integrates in the whitened space, a (B,D)@(D,D) matmul
+      per half-step, negligible at D=7); ``"auto"`` (default) resolves
+      per sampler — diag here and in :func:`sample_chees` (the
+      trajectory is frozen after warmup, so a rotation estimated from
+      a still-converging ensemble can starve the straggler directions
+      — measured), dense in :func:`sample_nuts` (per-walker trees
+      re-adapt every draw; see `_resolve_metric`).
     * ``jitter`` — each iteration draws its leapfrog count uniformly
       from ``{⌈n_leapfrog/2⌉ … n_leapfrog}`` (shared by all walkers;
       independent of state, so detailed balance is untouched). Breaks
@@ -2016,8 +2095,11 @@ def sample_hmc(
     to_params, logp_and_grad = _whitened_target(valgrad, log_prior, lo, span)
 
     # metric estimation needs enough walkers for a stable cross-walker
-    # std and enough warmup for phase 2 to re-adapt the step
-    use_metric = precondition and n_warmup >= 20 and y.shape[0] >= 16
+    # spread and enough warmup for phase 2 to re-adapt the step
+    use_metric, dense = _resolve_metric(
+        metric, precondition, n_warmup, y.shape[0],
+        auto_dense=False,
+    )
     n_warm1 = n_warmup // 2 if use_metric else n_warmup
 
     l_min = max(1, (n_leapfrog + 1) // 2)
@@ -2027,25 +2109,26 @@ def sample_hmc(
             return jnp.int32(n_leapfrog)
         return jax.random.randint(k, (), l_min, n_leapfrog + 1)
 
-    def hmc_step(params, y, lp, glp, eps, n_leap, k):
-        # ``eps``: per-dimension step vector (scalar step × metric scale
-        # — a diagonal mass matrix absorbed into the step, the standard
-        # equivalence); ``n_leap``: traced leapfrog count.
+    def hmc_step(params, y, lp, glp, met, eps, n_leap, k):
+        # ``eps``: scalar step; ``met``: the ensemble metric (a (D,)
+        # diagonal or (D,D) dense square root — momenta live in the
+        # metric-whitened space, positions in ``y``, the standard mass-
+        # matrix equivalence); ``n_leap``: traced leapfrog count.
         kp, ku = jax.random.split(k)
         p0 = jax.random.normal(kp, y.shape, y.dtype)
-        p = p0 + 0.5 * eps * glp
+        p = p0 + 0.5 * eps * _met_pull(met, glp)
 
         def leap(_, qpg):
             q, p, g = qpg
-            q = q + eps * p
+            q = q + eps * _met_scale(met, p)
             _, g = logp_and_grad(params, q)
-            p = p + eps * g
+            p = p + eps * _met_pull(met, g)
             return q, p, g
 
         q, p, g = jax.lax.fori_loop(0, n_leap - 1, leap, (y, p, glp))
-        q = q + eps * p
+        q = q + eps * _met_scale(met, p)
         lp_new, g_new = logp_and_grad(params, q)
-        p = p + 0.5 * eps * g_new
+        p = p + 0.5 * eps * _met_pull(met, g_new)
         dh = (lp_new - lp) - 0.5 * (jnp.sum(p**2, -1) - jnp.sum(p0**2, -1))
         acc = jnp.log(jax.random.uniform(ku, (y.shape[0],))) < dh
         # recover walkers with a non-finite current lp (see sample_mh)
@@ -2066,7 +2149,7 @@ def sample_hmc(
             kl, kh = jax.random.split(k)
             y, lp, glp, sd, mu, log_eps, log_eps_bar, h_bar = state
             y, lp, glp, a_mean = hmc_step(
-                params, y, lp, glp, jnp.exp(log_eps) * sd, draw_l(kl), kh
+                params, y, lp, glp, sd, jnp.exp(log_eps), draw_l(kl), kh
             )
             t = i + 1.0
             h_bar = (1.0 - 1.0 / (t + t0)) * h_bar + (
@@ -2093,12 +2176,12 @@ def sample_hmc(
     def build_run():
         def run(params, y, warm1_ik, warm2_ik, run_keys):
             def run_step(state, k):
-                y, lp, glp, eps = state
+                y, lp, glp, sd, eps = state
                 kl, kh = jax.random.split(k)
                 y, lp, glp, a_mean = hmc_step(
-                    params, y, lp, glp, eps, draw_l(kl), kh
+                    params, y, lp, glp, sd, eps, draw_l(kl), kh
                 )
-                return (y, lp, glp, eps), (
+                return (y, lp, glp, sd, eps), (
                     a_mean, to_params(y) if thin else None
                 )
 
@@ -2110,20 +2193,17 @@ def sample_hmc(
                     params, y, lp, glp, sd, eps, warm1_ik
                 )
             if use_metric:
-                # cross-walker scale, normalized to leave the GLOBAL
-                # step magnitude to dual averaging; clipped so a
-                # not-yet-spread (or degenerate) dimension cannot zero
-                # its step
-                raw_sd = jnp.std(y, axis=0)
-                sd = raw_sd / jnp.maximum(jnp.exp(
-                    jnp.mean(jnp.log(jnp.maximum(raw_sd, 1e-6)))
-                ), 1e-6)
-                sd = jnp.clip(sd, 0.1, 10.0)
+                sd = _ens_metric(y, dense)
                 y, lp, glp, eps = warm_phase(
                     params, y, lp, glp, sd, eps, warm2_ik
                 )
-            (y, lp, glp, _), (rates, kept) = jax.lax.scan(
-                run_step, (y, lp, glp, eps * sd), run_keys
+                # (no post-warmup metric refresh here: with a FIXED
+                # trajectory length the step cannot re-adapt to the
+                # refreshed geometry — measured worse on the correlated
+                # Gaussian; ChEES/NUTS refresh because their
+                # trajectories adapt per step)
+            (y, lp, glp, _, _), (rates, kept) = jax.lax.scan(
+                run_step, (y, lp, glp, sd, eps), run_keys
             )
             return y, lp, rates, kept, eps
 
@@ -2134,7 +2214,7 @@ def sample_hmc(
         (
             "hmc", _bounds_key(lo, hi), float(init_step),
             float(target_accept), bool(jitter), bool(precondition),
-            bool(thin), int(n_leapfrog), use_metric, n_warm1 > 0,
+            bool(thin), int(n_leapfrog), use_metric, dense, n_warm1 > 0,
             _fn_cache_key(log_prior),
         ),
         build_run,
@@ -2211,6 +2291,7 @@ def sample_chees(
     seed: int = 0,
     x0=None,
     precondition: bool = True,
+    metric: str = "auto",
     log_prior=None,
     mesh=None,
 ) -> ChEESSampleResult:
@@ -2248,8 +2329,11 @@ def sample_chees(
       ``traj_lr``) on the per-iteration ChEES gradient, iterate-
       averaged with the same ``t^{-0.75}`` weights; ``τ`` is clamped
       to ``[ε, ε·max_leapfrog]``;
-    * ``precondition`` reuses the ensemble-statistics diagonal metric
-      (halfway restart) from :func:`sample_hmc`.
+    * ``precondition``/``metric`` reuse the ensemble-statistics metric
+      (halfway restart) from :func:`sample_hmc`; ``metric="dense"``
+      opts into the covariance square root, so the trajectory
+      adaptation only has to learn the residual whitened geometry
+      (``"auto"`` stays diag here — see `_resolve_metric`).
 
     ``valgrad``/``bounds``/``log_prior``/``mesh``/``thin`` as in
     :func:`sample_hmc` (the ChEES gradient adds one cross-walker mean
@@ -2272,7 +2356,10 @@ def sample_chees(
     y = _whiten_init(x, lo, span)
     to_params, logp_and_grad = _whitened_target(valgrad, log_prior, lo, span)
 
-    use_metric = precondition and n_warmup >= 20 and y.shape[0] >= 16
+    use_metric, dense = _resolve_metric(
+        metric, precondition, n_warmup, y.shape[0],
+        auto_dense=False,
+    )
     n_warm1 = n_warmup // 2 if use_metric else n_warmup
     h0 = float(init_traj) if init_traj is not None else 8.0 * init_step
     gamma, t0, kappa = 0.05, 10.0, 0.75  # dual averaging (H&G Alg. 5)
@@ -2280,30 +2367,29 @@ def sample_chees(
     log_cap = float(np.log(max_leapfrog))
 
     def chees_step(params, y, lp, glp, sd, eps_s, h, u, k, want_grad):
-        # ``eps_s``: scalar step; ``sd``: diagonal metric (absorbed into
-        # the per-dimension step); ``h``: total trajectory time; ``u``:
-        # this iteration's jitter fraction. ``want_grad`` is static —
-        # the sampling phase skips the ChEES-gradient arithmetic (and
-        # its cross-walker mean).
-        eps = eps_s * sd
+        # ``eps_s``: scalar step; ``sd``: the ensemble metric ((D,)
+        # diagonal or (D,D) dense square root); ``h``: total trajectory
+        # time; ``u``: this iteration's jitter fraction. ``want_grad``
+        # is static — the sampling phase skips the ChEES-gradient
+        # arithmetic (and its cross-walker mean).
         n_leap = jnp.clip(
             jnp.ceil(u * h / eps_s).astype(jnp.int32), 1, max_leapfrog
         )
         kp, ku = jax.random.split(k)
         p0 = jax.random.normal(kp, y.shape, y.dtype)
-        p = p0 + 0.5 * eps * glp
+        p = p0 + 0.5 * eps_s * _met_pull(sd, glp)
 
         def leap(_, qpg):
             q, p, g = qpg
-            q = q + eps * p
+            q = q + eps_s * _met_scale(sd, p)
             _, g = logp_and_grad(params, q)
-            p = p + eps * g
+            p = p + eps_s * _met_pull(sd, g)
             return q, p, g
 
         q, p, g = jax.lax.fori_loop(0, n_leap - 1, leap, (y, p, glp))
-        q = q + eps * p
+        q = q + eps_s * _met_scale(sd, p)
         lp_new, g_new = logp_and_grad(params, q)
-        p_end = p + 0.5 * eps * g_new
+        p_end = p + 0.5 * eps_s * _met_pull(sd, g_new)
         dh = (lp_new - lp) - 0.5 * (
             jnp.sum(p_end**2, -1) - jnp.sum(p0**2, -1)
         )
@@ -2312,12 +2398,12 @@ def sample_chees(
             # Δ·⟨q'−m, dq'/dt⟩ per walker, accept-prob weighted, with
             # dt/dlogτ ∝ u·τ — the constant τ is absorbed by Adam's
             # scale invariance, the per-iteration u is not. Velocity in
-            # scalar-time units is sd·p (metric chain rule).
+            # scalar-time units is L·p (metric chain rule).
             alpha = jnp.exp(jnp.minimum(dh, 0.0))
             m = jnp.mean(y, axis=0)
             dqp = q - m
             delta = jnp.sum(dqp**2, -1) - jnp.sum((y - m) ** 2, -1)
-            dot = jnp.sum(dqp * (sd * p_end), -1)
+            dot = jnp.sum(dqp * _met_scale(sd, p_end), -1)
             per = alpha * u * delta * dot
             ok = jnp.isfinite(per)
             w = jnp.where(ok, alpha, 0.0)
@@ -2396,14 +2482,15 @@ def sample_chees(
                     params, y, lp, glp, sd, eps, h, warm1_txk
                 )
             if use_metric:
-                raw_sd = jnp.std(y, axis=0)
-                sd = raw_sd / jnp.maximum(jnp.exp(
-                    jnp.mean(jnp.log(jnp.maximum(raw_sd, 1e-6)))
-                ), 1e-6)
-                sd = jnp.clip(sd, 0.1, 10.0)
+                sd = _ens_metric(y, dense)
                 y, lp, glp, eps, h = warm_phase(
                     params, y, lp, glp, sd, eps, h, warm2_txk
                 )
+                # (no post-warmup metric refresh: like sample_hmc, the
+                # adapted step+trajectory cannot re-tune to refreshed
+                # geometry — measured acceptance collapse on a sharp
+                # emulator posterior; NUTS refreshes because per-walker
+                # trees re-adapt the trajectory every draw)
             (y, lp, glp, _, _, _), (rates, kept) = jax.lax.scan(
                 run_step, (y, lp, glp, sd, eps, h), run_ixk
             )
@@ -2416,7 +2503,7 @@ def sample_chees(
         (
             "chees", _bounds_key(lo, hi), float(init_step), float(h0),
             float(target_accept), float(traj_lr), bool(thin),
-            int(max_leapfrog), use_metric, n_warm1 > 0,
+            int(max_leapfrog), use_metric, dense, n_warm1 > 0,
             _fn_cache_key(log_prior),
         ),
         build_run,
@@ -2498,6 +2585,7 @@ def sample_nuts(
     seed: int = 0,
     x0=None,
     precondition: bool = True,
+    metric: str = "auto",
     log_prior=None,
     mesh=None,
 ) -> NUTSSampleResult:
@@ -2536,8 +2624,11 @@ def sample_nuts(
       diagnostics) and ecosystem parity;
     * step-size warmup by dual averaging toward ``target_accept``
       (Stan's accept-stat: trajectory-mean ``min(1, e^{-ΔH})``), with
-      the ensemble-statistics diagonal metric restart of
-      :func:`sample_hmc` under ``precondition``.
+      the ensemble-statistics metric restart of :func:`sample_hmc`
+      under ``precondition`` (``metric="auto"`` → DENSE cross-walker
+      covariance square root: on correlated posteriors the whitened
+      trees terminate orders-of-magnitude earlier — measured
+      mean-leapfrog numbers in docs/PERF.md).
 
     ``valgrad``/``bounds``/``log_prior``/``mesh``/``thin``/``x0`` as in
     :func:`sample_hmc`; sampling happens in the same sigmoid-whitened
@@ -2559,7 +2650,10 @@ def sample_nuts(
     y = _whiten_init(x, lo, span)
     to_params, logp_and_grad = _whitened_target(valgrad, log_prior, lo, span)
 
-    use_metric = precondition and n_warmup >= 20 and y.shape[0] >= 16
+    use_metric, dense = _resolve_metric(
+        metric, precondition, n_warmup, y.shape[0],
+        auto_dense=True,
+    )
     n_warm1 = n_warmup // 2 if use_metric else n_warmup
     gamma, t0, kappa = 0.05, 10.0, 0.75  # dual averaging (H&G Alg. 5)
     md = int(max_depth)
@@ -2568,7 +2662,6 @@ def sample_nuts(
 
     def nuts_step(params, y, lp, glp, sd, eps_s, k):
         B, D = y.shape
-        eps = eps_s * sd
         kp, kt = jax.random.split(k)
         p0 = jax.random.normal(kp, (B, D), y.dtype)
         h0 = lp - 0.5 * jnp.sum(p0**2, -1)  # leaf log-weight base
@@ -2578,7 +2671,9 @@ def sample_nuts(
              ndiv, a_sum, a_cnt, nleap) = state
             k_dir, k_take, k_sub = jax.random.split(kd, 3)
             right = jax.random.bernoulli(k_dir, 0.5, (B,))
-            eps_d = jnp.where(right[:, None], eps, -eps)
+            # per-walker signed SCALAR step; the metric enters through
+            # _met_scale/_met_pull in the leapfrog below
+            eps_d = jnp.where(right[:, None], eps_s, -eps_s)
             z0 = jnp.where(right[:, None], zr, zl)
             q0 = jnp.where(right[:, None], pr, pl)
             g0 = jnp.where(right[:, None], gr, gl)
@@ -2588,10 +2683,10 @@ def sample_nuts(
                 (z, p, g, cum, lw, zs, ls, gs, turn, div, pck, rck,
                  asum, k_s) = carry
                 k_s, ku = jax.random.split(k_s)
-                ph = p + 0.5 * eps_d * g
-                z2 = z + eps_d * ph
+                ph = p + 0.5 * eps_d * _met_pull(sd, g)
+                z2 = z + eps_d * _met_scale(sd, ph)
                 lp2, g2 = logp_and_grad(params, z2)
-                p2 = ph + 0.5 * eps_d * g2
+                p2 = ph + 0.5 * eps_d * _met_pull(sd, g2)
                 w = lp2 - 0.5 * jnp.sum(p2**2, -1) - h0
                 w = jnp.where(jnp.isfinite(w), w, -jnp.inf)
                 div = div | (w < -1000.0)
@@ -2749,14 +2844,13 @@ def sample_nuts(
                     params, y, lp, glp, sd, eps, warm1_ik
                 )
             if use_metric:
-                raw_sd = jnp.std(y, axis=0)
-                sd = raw_sd / jnp.maximum(jnp.exp(
-                    jnp.mean(jnp.log(jnp.maximum(raw_sd, 1e-6)))
-                ), 1e-6)
-                sd = jnp.clip(sd, 0.1, 10.0)
+                sd = _ens_metric(y, dense)
                 y, lp, glp, eps = warm_phase(
                     params, y, lp, glp, sd, eps, warm2_ik
                 )
+                if dense:
+                    # refresh from the now-mixed ensemble (see sample_hmc)
+                    sd = _ens_metric(y, dense)
             (y, lp, glp, _, _), (rates, divs, leaps, kept) = jax.lax.scan(
                 run_step, (y, lp, glp, sd, eps), run_keys
             )
@@ -2768,7 +2862,7 @@ def sample_nuts(
         valgrad,
         (
             "nuts", _bounds_key(lo, hi), float(init_step),
-            float(target_accept), bool(thin), md, use_metric,
+            float(target_accept), bool(thin), md, use_metric, dense,
             n_warm1 > 0, _fn_cache_key(log_prior),
         ),
         build_run,
