@@ -285,6 +285,17 @@ lap = model.log_evidence(
 print(f"laplace quick look: log Z = {lap.logz:.2f} "
       f"(gap to nested {lap.logz - ev.logz:+.2f} nats)")
 
+# Adaptive tempered SMC: the pocoMC-style anneal as one device program
+# (self-chosen beta schedule, replication logz_err, posterior
+# particles in .final; ~0.4 s WARM per evidence -- docs/PERF.md).
+smc = model.log_evidence(
+    obs, 25.0, bounds=bounds, method="smc",
+    n_particles=512 if FAST else 2048, seed=0,
+)
+print(f"smc: log Z = {smc.logz:.2f} +- {smc.logz_err:.2f} "
+      f"({smc.n_stages} adaptive stages, gap to nested "
+      f"{smc.logz - ev.logz:+.2f} nats)")
+
 # (4) fit_advi -- quick-look posterior: a full-rank Gaussian ADVI fit
 #     over the same value+gradient path (iid draws, no chains to tune;
 #     prefer the samplers when the posterior may be non-Gaussian);

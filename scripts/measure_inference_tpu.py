@@ -172,10 +172,25 @@ def main():
             "drift": round(ev.ladder_drift, 3),
             "wall_s": round(time.perf_counter() - t0, 2),
         }
+    from tpu21cmvae.sampling import sample_smc
+
+    t0 = time.perf_counter()
+    smc = sample_smc(loglik, em.params, n_particles=4096, bounds=bounds,
+                     seed=0)
+    smc_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    smc = sample_smc(loglik, em.params, n_particles=4096, bounds=bounds,
+                     seed=1)
+    smc_warm = time.perf_counter() - t0
     out["evidence"] = {
         "nested": {"logz": round(ns.logz, 2),
                    "err": round(ns.logz_err, 3),
                    "wall_s": round(ns_dt, 2)},
+        "smc": {"logz": round(smc.logz, 2),
+                "err": round(smc.logz_err, 3),
+                "stages": smc.n_stages,
+                "wall_cold_s": round(smc_cold, 2),
+                "wall_warm_s": round(smc_warm, 2)},
         "ladder": ladders,
     }
 

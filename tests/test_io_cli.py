@@ -375,6 +375,23 @@ def test_cli_sample(tmp_path, splits):
     assert blob["final"].shape == (32, 7)
     assert blob["chain"].shape == (4, 32, 7)
     assert np.isfinite(blob["logp"]).all()
+    # nuts: the gradient sampler with per-walker diagnostics
+    out_n = str(tmp_path / "chain_nuts.npz")
+    main(["sample", ckpt, "--obs", obs_file, "--sampler", "nuts",
+          "--walkers", "32", "--steps", "10", "--warmup", "20",
+          "--max-depth", "4", "--thin", "5", "--out", out_n])
+    blob_n = np.load(out_n)
+    assert blob_n["final"].shape == (32, 7)
+    assert np.isfinite(blob_n["mean_leapfrog"])
+    assert np.isfinite(blob_n["divergence_rate"])
+    # smc: particle anneal — log Z rides along
+    out_s = str(tmp_path / "chain_smc.npz")
+    main(["sample", ckpt, "--obs", obs_file, "--sampler", "smc",
+          "--walkers", "512", "--out", out_s])
+    blob_s = np.load(out_s)
+    assert blob_s["final"].shape == (512, 7)
+    assert np.isfinite(blob_s["logz"])
+    assert blob_s["betas"][-1] == 1.0
 
 
 def test_cli_fit(tmp_path, splits):
@@ -481,6 +498,15 @@ def test_cli_evidence(tmp_path, splits):
     assert np.isfinite(blob3["logz"])
     assert blob3["cov"].shape == (7, 7)
     assert blob3["posterior"].shape == (4096, 7)
+    # adaptive tempered SMC (n_particles = 8 * walkers)
+    out4 = str(tmp_path / "ev_smc.npz")
+    main(["evidence", ckpt, "--obs", obs_file, "--method", "smc",
+          "--walkers", "64", "--out", out4])
+    blob4 = np.load(out4)
+    assert np.isfinite(blob4["logz"])
+    assert np.isfinite(blob4["logz_err"])
+    assert blob4["posterior"].shape == (512, 7)
+    assert blob4["betas"][-1] == 1.0
 
 
 def test_cli_sbc(tmp_path, splits):

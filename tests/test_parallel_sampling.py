@@ -192,6 +192,24 @@ def test_nuts_sharded_moments(mesh):
     assert res.ess().min() > 1000.0
 
 
+def test_smc_sharded_evidence_and_moments(mesh):
+    """SMC under a mesh: the per-sub-population particle axis shards
+    (weighting/ESS bisection reduce via GSPMD collectives; systematic
+    resampling gathers — particles are tiny rows); exact logz and
+    moments on the normalized Gaussian prove the sharded anneal is the
+    same algorithm."""
+    from tpu21cmvae.sampling import sample_smc
+
+    res = sample_smc(
+        normalized_loglik, None, n_particles=512, bounds=BOUNDS,
+        seed=0, mesh=mesh,
+    )
+    assert abs(res.logz - LOGZ_BOX) < max(0.3, 4 * res.logz_err)
+    assert np.allclose(res.final.mean(0), MU, atol=6 * SIG / np.sqrt(512))
+    assert np.allclose(res.final.std(0), SIG, rtol=0.15)
+    assert res.betas[-1] == 1.0
+
+
 def test_laplace_evidence_sharded(mesh):
     """Laplace under a mesh: starts shard, logz matches -log V for the
     normalized likelihood (wide box, Gaussian-exact regime)."""

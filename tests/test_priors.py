@@ -175,6 +175,21 @@ def test_ladder_evidence_under_gaussian_prior(prior):
     assert abs(res.logz - LOGZ) < max(0.5, 4 * res.logz_err)
 
 
+def test_smc_evidence_under_gaussian_prior(prior):
+    """SMC with an external prior: the uncredited box→prior conversion
+    stage plus the tempered anneal must reproduce the analytic
+    conjugate evidence AND the conjugate posterior moments."""
+    from tpu21cmvae.sampling import sample_smc
+
+    res = sample_smc(
+        normalized_loglik, None, n_particles=2048, bounds=BOUNDS,
+        seed=0, log_prior=prior.log_prior,
+    )
+    assert abs(res.logz - LOGZ) < max(0.3, 4 * res.logz_err)
+    assert np.allclose(res.final.mean(0), MU_C, atol=0.05)
+    assert np.allclose(res.final.std(0), SIG_C, rtol=0.15)
+
+
 def test_model_level_prior_passthrough(splits):
     """log_prior flows through sample_posterior/fit_params on a real
     emulator (smoke + the prior visibly shifts the fit)."""

@@ -71,7 +71,9 @@ from tpu21cmvae.sampling import (  # noqa: F401
     sample_mh,
     sample_nuts,
     sample_pt,
+    sample_smc,
     sample_to_ess,
+    SMCResult,
     WeightedPosterior,
     reweight,
 )

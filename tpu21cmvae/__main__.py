@@ -207,10 +207,14 @@ def cmd_sample(args):
               f"{len(specs)}", file=sys.stderr)
         return 2
     obs, noise_var = specs[0]
-    kwargs = dict(
-        n_walkers=args.walkers, n_steps=args.steps, n_warmup=args.warmup,
-        thin=args.thin, seed=args.seed,
-    )
+    if args.sampler == "smc":
+        # the SMC anneal self-schedules: no steps/warmup/thin knobs
+        kwargs = dict(n_particles=args.walkers, seed=args.seed)
+    else:
+        kwargs = dict(
+            n_walkers=args.walkers, n_steps=args.steps,
+            n_warmup=args.warmup, thin=args.thin, seed=args.seed,
+        )
     prior = _build_prior(args.prior)
     if prior is not None:
         kwargs["log_prior"] = prior.log_prior
@@ -234,6 +238,15 @@ def cmd_sample(args):
         obs, noise_var, sampler=args.sampler, **kwargs
     )
     print(res.summary(getattr(model, "par_labels", None)))
+    if args.sampler == "smc":
+        np.savez_compressed(
+            args.out, final=res.final, logp=res.logp, logz=res.logz,
+            logz_err=res.logz_err, betas=res.betas,
+            stage_ess=res.stage_ess, accept_rate=res.accept_rate,
+        )
+        print(f"wrote {args.out} (particles {res.final.shape}, "
+              f"log Z = {res.logz:.4f})")
+        return 0
     blob = dict(
         chain=res.chain, final=res.final, logp=res.logp,
         accept_rate=res.accept_rate, step_size=res.step_size,
@@ -242,14 +255,14 @@ def cmd_sample(args):
         blob["trajectory_length"] = res.trajectory_length
     if getattr(res, "swap_rate", None) is not None:  # PT diagnostics
         blob["swap_rate"] = res.swap_rate
-    if getattr(res, "mean_leapfrog", None):  # NUTS diagnostics
-        blob["divergence_rate"] = res.divergence_rate
-        blob["mean_leapfrog"] = res.mean_leapfrog
         blob["betas"] = res.betas
         if res.swap_rate.min() < 0.05:
             print(f"WARNING: min per-edge swap rate "
                   f"{res.swap_rate.min():.3f} — the ladder barely "
                   f"transports; add --rungs or lower beta_min")
+    if getattr(res, "mean_leapfrog", None):  # NUTS diagnostics
+        blob["divergence_rate"] = res.divergence_rate
+        blob["mean_leapfrog"] = res.mean_leapfrog
     np.savez_compressed(args.out, **blob)
     print(f"wrote {args.out} (chain {res.chain.shape}, "
           f"final {res.final.shape})")
@@ -385,6 +398,21 @@ def cmd_evidence(args):
             args.out, logz=res.logz, logz_err=res.logz_err, h=res.h,
             samples=res.samples, logl=res.logl, log_w=res.log_w,
             posterior=res.posterior(4096, seed=args.seed),
+        )
+    elif args.method == "smc":
+        res = model.log_evidence(
+            obs, noise_var, method="smc", n_particles=args.walkers * 8,
+            seed=args.seed,
+            log_prior=None if prior is None else prior.log_prior,
+        )
+        print(f"SMC: log Z = {res.logz:.4f} +- {res.logz_err:.4f} "
+              f"({res.n_stages} stages, mean mutation acceptance "
+              f"{res.accept_rate.mean():.3f})")
+        np.savez_compressed(
+            args.out, logz=res.logz, logz_err=res.logz_err,
+            betas=res.betas, stage_ess=res.stage_ess,
+            accept_rate=res.accept_rate, posterior=res.final,
+            logp=res.logp,
         )
     elif args.method == "laplace":
         kw = {}
@@ -552,14 +580,16 @@ def main(argv=None):
                         "format, exactly one entry)")
     p.add_argument("--sampler",
                    choices=["hmc", "chees", "nuts", "mh", "ensemble",
-                            "pt"],
+                            "pt", "smc"],
                    default="hmc",
                    help="chees = HMC with adaptive trajectory length "
                         "(no --leapfrog tuning); nuts = batched "
                         "iterative No-U-Turn sampler (per-walker "
                         "trajectories, divergence diagnostics); pt = "
                         "parallel tempering (robust on multimodal "
-                        "posteriors; --rungs tempered replicas)")
+                        "posteriors; --rungs tempered replicas); smc = "
+                        "adaptive tempered SMC (--walkers particles, "
+                        "self-scheduled anneal, log Z for free)")
     p.add_argument("--walkers", type=int, default=4096)
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--warmup", type=int, default=100)
@@ -664,10 +694,14 @@ def main(argv=None):
     p.add_argument("--obs", required=True, metavar="FILE",
                    help="observation spec (.json or .npz — "
                         "serve.load_obs_specs format, exactly one entry)")
-    p.add_argument("--method", choices=("nested", "laplace", "ladder"),
+    p.add_argument("--method",
+                   choices=("nested", "smc", "laplace", "ladder"),
                    default="nested",
                    help="nested sampling (robust default; measured "
                         "~0.04-nat seed spread on real posteriors), "
+                        "smc (adaptive tempered Sequential Monte Carlo "
+                        "— self-chosen anneal schedule, replication "
+                        "logz_err, posterior particles for free), "
                         "laplace (deterministic Gaussian quick look — "
                         "exact-tier MAP + Hessian, unimodal only) or "
                         "the PT stepping-stone ladder (cross-check "

@@ -387,10 +387,17 @@ class AutoEncoderEmulator:
                 self.loglik_fn(obs, noise_var), self.params,
                 bounds=bounds, **kwargs,
             )
+        if sampler == "smc":
+            from tpu21cmvae.sampling import sample_smc
+
+            return sample_smc(
+                self.loglik_fn(obs, noise_var), self.params,
+                bounds=bounds, **kwargs,
+            )
         if sampler not in ("hmc", "chees", "nuts"):
             raise ValueError(
                 f"sampler must be 'mh', 'ensemble', 'hmc', 'chees', "
-                f"'nuts' or 'pt'; got {sampler!r}"
+                f"'nuts', 'pt' or 'smc'; got {sampler!r}"
             )
         from tpu21cmvae.sampling import sample_nuts
 
@@ -409,13 +416,22 @@ class AutoEncoderEmulator:
         :meth:`DirectEmulator.log_evidence` (``method="nested"``
         default via :func:`tpu21cmvae.nested.nested_sampling`;
         ``"laplace"`` quick look via
-        :func:`tpu21cmvae.sampling.laplace_evidence`; ``"ladder"`` with
+        :func:`tpu21cmvae.sampling.laplace_evidence`; ``"smc"``
+        adaptive tempered SMC via
+        :func:`tpu21cmvae.sampling.sample_smc`; ``"ladder"`` with
         the fit-seeded warm start via
         :func:`tpu21cmvae.sampling.log_evidence`)."""
         if method == "nested":
             from tpu21cmvae.nested import nested_sampling
 
             return nested_sampling(
+                self.loglik_fn(obs, noise_var), self.params,
+                bounds=bounds, **kwargs,
+            )
+        if method == "smc":
+            from tpu21cmvae.sampling import sample_smc
+
+            return sample_smc(
                 self.loglik_fn(obs, noise_var), self.params,
                 bounds=bounds, **kwargs,
             )
@@ -428,8 +444,8 @@ class AutoEncoderEmulator:
             )
         if method != "ladder":
             raise ValueError(
-                f"method must be 'nested', 'laplace' or 'ladder'; "
-                f"got {method!r}"
+                f"method must be 'nested', 'smc', 'laplace' or "
+                f"'ladder'; got {method!r}"
             )
         from tpu21cmvae.sampling import log_evidence
 

@@ -402,8 +402,11 @@ class DirectEmulator:
         ``sampler="pt"`` runs a parallel-tempering ladder
         (:func:`~tpu21cmvae.sampling.sample_pt` — replica exchange
         transports modes to the cold chain, recovering correct mode
-        WEIGHTS), and :meth:`log_evidence`'s nested-sampling default
-        explores modes in volume proportion
+        WEIGHTS), ``sampler="smc"`` anneals a particle population from
+        the prior (:func:`~tpu21cmvae.sampling.sample_smc` —
+        mode weights preserved by construction, the evidence comes out
+        free in ``result.logz``), and :meth:`log_evidence`'s
+        nested-sampling default explores modes in volume proportion
         (``result.posterior(n)`` for equal-weight draws).
         """
         from tpu21cmvae.sampling import (
@@ -437,10 +440,17 @@ class DirectEmulator:
                 self.loglik_fn(obs, noise_var), self.params,
                 bounds=bounds, **kwargs,
             )
+        if sampler == "smc":
+            from tpu21cmvae.sampling import sample_smc
+
+            return sample_smc(
+                self.loglik_fn(obs, noise_var), self.params,
+                bounds=bounds, **kwargs,
+            )
         if sampler not in ("hmc", "chees", "nuts"):
             raise ValueError(
                 f"sampler must be 'mh', 'ensemble', 'hmc', 'chees', "
-                f"'nuts' or 'pt'; got {sampler!r}"
+                f"'nuts', 'pt' or 'smc'; got {sampler!r}"
             )
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         valgrad = self.loglik_and_grad_fn(
@@ -488,6 +498,14 @@ class DirectEmulator:
         (default True, ladder only) seeds every rung from a
         1024-start :meth:`fit_params`.
 
+        ``method="smc"`` runs adaptive tempered Sequential Monte Carlo
+        (:func:`tpu21cmvae.sampling.sample_smc`; returns an
+        :class:`~tpu21cmvae.sampling.SMCResult` whose ``final`` doubles
+        as posterior draws) — the self-scheduling anneal: no
+        rung/β tuning, a replication-based ``logz_err``, and mode
+        weights preserved by construction; measured within ~1 nat of
+        nested on real emulator posteriors (docs/PERF.md).
+
         ``method="laplace"`` is the deterministic quick look
         (:func:`tpu21cmvae.sampling.laplace_evidence` — one multi-start
         MAP fit + one 7×7 Hessian, milliseconds): exact in the
@@ -502,6 +520,13 @@ class DirectEmulator:
                 self.loglik_fn(obs, noise_var), self.params,
                 bounds=bounds, **kwargs,
             )
+        if method == "smc":
+            from tpu21cmvae.sampling import sample_smc
+
+            return sample_smc(
+                self.loglik_fn(obs, noise_var), self.params,
+                bounds=bounds, **kwargs,
+            )
         if method == "laplace":
             from tpu21cmvae.sampling import laplace_evidence
 
@@ -511,8 +536,8 @@ class DirectEmulator:
             )
         if method != "ladder":
             raise ValueError(
-                f"method must be 'nested', 'laplace' or 'ladder'; "
-                f"got {method!r}"
+                f"method must be 'nested', 'smc', 'laplace' or "
+                f"'ladder'; got {method!r}"
             )
         from tpu21cmvae.sampling import log_evidence
 

@@ -299,10 +299,17 @@ class DeepEnsemble:
                 self.loglik_fn(obs, noise_var), self.stacked_params,
                 bounds=bounds, **kwargs,
             )
+        if sampler == "smc":
+            from tpu21cmvae.sampling import sample_smc
+
+            return sample_smc(
+                self.loglik_fn(obs, noise_var), self.stacked_params,
+                bounds=bounds, **kwargs,
+            )
         if sampler not in ("hmc", "chees", "nuts"):
             raise ValueError(
                 f"sampler must be 'mh', 'ensemble', 'hmc', 'chees', "
-                f"'nuts' or 'pt'; got {sampler!r}"
+                f"'nuts', 'pt' or 'smc'; got {sampler!r}"
             )
         valgrad = self.loglik_and_grad_fn(
             obs, noise_var, grad_precision="default"
@@ -348,6 +355,13 @@ class DeepEnsemble:
                 self.loglik_fn(obs, noise_var), self.stacked_params,
                 bounds=bounds, **kwargs,
             )
+        if method == "smc":
+            from tpu21cmvae.sampling import sample_smc
+
+            return sample_smc(
+                self.loglik_fn(obs, noise_var), self.stacked_params,
+                bounds=bounds, **kwargs,
+            )
         if method == "laplace":
             from tpu21cmvae.sampling import laplace_evidence
 
@@ -357,8 +371,8 @@ class DeepEnsemble:
             )
         if method != "ladder":
             raise ValueError(
-                f"method must be 'nested', 'laplace' or 'ladder'; "
-                f"got {method!r}"
+                f"method must be 'nested', 'smc', 'laplace' or "
+                f"'ladder'; got {method!r}"
             )
         from tpu21cmvae.sampling import log_evidence
 
