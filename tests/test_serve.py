@@ -416,10 +416,19 @@ def test_evidence_endpoint(server, model, splits):
     assert np.isfinite(nes["logz"]) and nes["logz_err"] > 0
     assert 1 <= len(nes["posterior"]) <= 64
     assert abs(lap["logz"] - nes["logz"]) < 6.0
+    smc = _post(server, "/evidence", dict(
+        req, method="smc", n_particles=512, n_mh=4, max_samples=64,
+    ))
+    assert smc["method"] == "smc"
+    assert np.isfinite(smc["logz"]) and smc["logz_err"] >= 0
+    assert smc["n_stages"] >= 2
+    assert 1 <= len(smc["posterior"]) <= 64
+    assert abs(smc["logz"] - nes["logz"]) < 6.0
 
     import urllib.error
 
     for bad in (dict(req, method="ladder"), dict(req, n_live=10**6),
+                dict(req, method="smc", n_particles=10**6),
                 dict(req, bogus=1)):
         with pytest.raises(urllib.error.HTTPError) as ei:
             _post(server, "/evidence", bad)

@@ -37,10 +37,12 @@ Endpoints (all JSON):
   start Adam ascent; best row + ranked top block). Ascent programs are
   cached on the same likelihood closure — repeat fits compile nothing.
 * ``POST /evidence``   ``{"obs": …, "noise_var": …, "method":
-  "laplace"|"nested", …}`` → ``log Z`` for model screening (Laplace:
-  deterministic, ~0.3 s warm, + MAP/covariance; nested: robust, ~10 s,
-  + posterior block). Served at the model's default tier — see the
-  tier caveat on :meth:`EmulatorService.evidence`.
+  "laplace"|"smc"|"nested", …}`` → ``log Z`` for model screening
+  (Laplace: deterministic, ~0.3 s warm, + MAP/covariance; smc:
+  adaptive tempered anneal, ~0.4 s warm, replication error bar +
+  posterior block; nested: robust, ~10 s, + posterior block). Served
+  at the model's default tier — see the tier caveat on
+  :meth:`EmulatorService.evidence`.
 
 Device work is serialized by an explicit lock (one warm program
 saturates the chip at mega-batch sizes — docs/PERF.md; scale-out is
@@ -385,8 +387,11 @@ class EmulatorService:
 
     def evidence(self, obs, noise_var=1.0, **opts) -> dict:
         """Bayesian evidence as a service. ``method="laplace"``
-        (default over HTTP — deterministic, ~0.3 s warm) or
-        ``"nested"`` (robust, ~10 s; ``n_live``/``n_mh`` capped).
+        (default over HTTP — deterministic, ~0.3 s warm), ``"smc"``
+        (adaptive tempered anneal — ~0.4 s warm, replication
+        ``logz_err``, posterior particles included; the screening
+        sweet spot), or ``"nested"`` (robust, ~10 s;
+        ``n_live``/``n_mh`` capped).
 
         Tier caveat: the served likelihood is the model's DEFAULT tier
         (near-mode |ΔlogL| ≈ 0.43 on the flagship), which bounds the
@@ -432,10 +437,47 @@ class EmulatorService:
                 "map_logp": float(res.map_logp),
                 "cov": res.cov.tolist(),
             }
+        if method == "smc":
+            from tpu21cmvae.sampling import sample_smc
+
+            n_particles = int(opts.pop("n_particles", 4096))
+            n_mh = int(opts.pop("n_mh", 8))
+            if n_particles > self.SAMPLE_MAX_WALKERS:
+                raise ValueError(
+                    f"n_particles capped at {self.SAMPLE_MAX_WALKERS}"
+                )
+            if n_mh > self.EVIDENCE_MAX_MH:
+                raise ValueError(f"n_mh capped at {self.EVIDENCE_MAX_MH}")
+            max_samples = int(opts.pop("max_samples", 1000))
+            if not 1 <= max_samples <= self.SAMPLE_MAX_RETURN:
+                raise ValueError(
+                    f"max_samples must be in [1, {self.SAMPLE_MAX_RETURN}]"
+                )
+            if opts:
+                raise ValueError(
+                    f"unknown evidence options: {sorted(opts)}"
+                )
+            with self._device_lock:
+                res = sample_smc(
+                    entry[1], self.model.params,
+                    n_particles=n_particles, n_mh=n_mh, seed=seed,
+                    mesh=self._mesh, **bkw,
+                )
+            self._loglik_commit(key, entry)
+            rng = np.random.default_rng(seed)
+            take = rng.permutation(res.final.shape[0])[:max_samples]
+            return {
+                "method": "smc",
+                "logz": float(res.logz),
+                "logz_err": float(res.logz_err),
+                "n_stages": int(res.n_stages),
+                "accept_rate": float(res.accept_rate.mean()),
+                "posterior": res.final[take].tolist(),
+            }
         if method != "nested":
             raise ValueError(
-                f"method must be 'laplace' or 'nested' over HTTP; "
-                f"got {method!r}"
+                f"method must be 'laplace', 'smc' or 'nested' over "
+                f"HTTP; got {method!r}"
             )
         from tpu21cmvae.nested import nested_sampling
 
