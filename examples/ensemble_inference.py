@@ -68,7 +68,7 @@ def main():
         res = model.sample_posterior(obs, noise_var, **kwargs)
         res.flat  # block on the chain
         runs[name] = res
-        print(f"{name}: accept {float(res.accept_rate):.2f}, "
+        print(f"{name}: accept {float(res.accept_rate.mean()):.2f}, "
               f"{time.perf_counter() - t0:.1f} s")
 
     single = runs["member-0"].flat

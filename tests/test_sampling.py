@@ -1124,3 +1124,58 @@ def test_nuts_model_entry_and_cache(setup, splits):
     assert len(valgrad._t21_chain_cache) == n_cached  # no new program
     assert (res2.final >= bounds[:, 0] - 1e-5).all()
     assert (res2.final <= bounds[:, 1] + 1e-5).all()
+
+
+def test_device_thinning_matches_full_chain():
+    """Thinning now happens INSIDE the chain program (a keep-buffer in
+    the scan carry — ~1/thin the HBM and host transfer of emitting
+    every step). Kept rows must be bit-identical to slicing an
+    unthinned (thin=1) run of the same seed: ``chain[thin-1::thin]``,
+    including a trailing remainder that is silently dropped."""
+    import jax.numpy as jnp
+
+    from tpu21cmvae.sampling import (
+        sample_chees, sample_ensemble, sample_hmc, sample_mh,
+        sample_nuts, sample_pt, valgrad_from_loglik,
+    )
+
+    mu = np.array([0.3, -0.5, 1.2], np.float32)
+
+    def loglik(params, x):
+        return -0.5 * jnp.sum(((x - mu) / 0.4) ** 2, axis=-1)
+
+    bounds = np.stack([mu - 2.0, mu + 2.0], axis=1)
+    kw = dict(bounds=bounds, n_steps=11, n_warmup=16, seed=3)
+    for name, run in (
+        ("mh", lambda thin: sample_mh(
+            loglik, None, n_walkers=32, thin=thin, **kw)),
+        ("ensemble", lambda thin: sample_ensemble(
+            loglik, None, n_walkers=32, thin=thin, **kw)),
+        ("hmc", lambda thin: sample_hmc(
+            valgrad_from_loglik(loglik), None, n_walkers=32,
+            n_leapfrog=3, thin=thin, **kw)),
+        ("pt", lambda thin: sample_pt(
+            loglik, None, n_walkers=32, n_rungs=4, thin=thin, **kw)),
+        # chees counts kept steps from a GLOBAL (warmup-offset) index
+        ("chees", lambda thin: sample_chees(
+            valgrad_from_loglik(loglik), None, n_walkers=32,
+            thin=thin, **kw)),
+        ("nuts", lambda thin: sample_nuts(
+            valgrad_from_loglik(loglik), None, n_walkers=32,
+            max_depth=3, thin=thin, **kw)),
+    ):
+        full = run(1)
+        thinned = run(3)
+        assert full.chain.shape[0] == 11, name
+        assert thinned.chain.shape[0] == 3, name  # 11 // 3
+        np.testing.assert_array_equal(
+            thinned.chain, full.chain[2::3], err_msg=name
+        )
+        np.testing.assert_array_equal(
+            thinned.final, full.final, err_msg=name
+        )
+        # thin=0 keeps nothing but still runs the same chain
+        none = run(0)
+        assert none.chain.shape[0] == 0, name
+        np.testing.assert_array_equal(none.final, full.final,
+                                      err_msg=name)

@@ -263,6 +263,24 @@ def test_load_obs_specs_roundtrip(tmp_path, splits):
     specs = load_obs_specs(str(npath))
     assert len(specs) == 2 and float(specs[1][1]) == 9.0
 
+    # (k,) noise_var = one scalar per observation, NOT a broadcast of
+    # the whole vector onto every observation
+    np.savez(npath, obs=obs, noise_var=np.array([25.0, 16.0]))
+    specs = load_obs_specs(str(npath))
+    assert [float(nv) for _, nv in specs] == [25.0, 16.0]
+
+    # (n_bins,) noise_var = one per-bin curve shared by every obs
+    curve = np.linspace(1.0, 2.0, obs.shape[1]).astype(np.float32)
+    np.savez(npath, obs=obs, noise_var=curve)
+    specs = load_obs_specs(str(npath))
+    assert specs[0][1].shape == (obs.shape[1],)
+    np.testing.assert_allclose(specs[1][1], curve)
+
+    # anything matching neither axis is rejected loudly
+    np.savez(npath, obs=obs, noise_var=np.ones(5, np.float32))
+    with pytest.raises(ValueError, match="matches neither"):
+        load_obs_specs(str(npath))
+
 
 def test_sample_endpoint_posterior_and_program_reuse(server, model, splits):
     """POST /sample runs a full on-device chain and returns a sane

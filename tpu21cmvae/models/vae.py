@@ -375,6 +375,7 @@ class VAEEmulator:
                 obs, noise_var, bounds=bounds,
                 n_starts=max(1024, kwargs.get("n_walkers", 256)),
                 n_steps=500, seed=kwargs.get("seed", 0) + 101,
+                log_prior=kwargs.get("log_prior"),
             )
             kwargs.setdefault("n_walkers", 256)
             kwargs["x0"] = fit.top(kwargs["n_walkers"])[0]

@@ -137,6 +137,30 @@ class GaussianBoxPrior:
         z = (jnp.asarray(x) - m) * inv_s
         return -0.5 * jnp.sum(z * z, axis=-1)
 
+    def log_box_mean(self, lo=None, hi=None) -> float:
+        """``log E_flat[exp(log_prior)]`` over the box — the constant
+        that converts a raw-density integral against the NORMALIZED
+        flat measure (``∫ f·π_raw dx / V``) into one against the box-
+        normalized prior (``∫ f dπ̃``). Analytic: per Gaussian dim
+        ``log[s·√(2π)·(Φ(b)−Φ(a)) / span]``, flat dims 0. Consumed by
+        :func:`tpu21cmvae.sampling.laplace_evidence` so its ``logz``
+        shares the ladder/SMC/nested convention (evidence under the
+        box-normalized prior). ``lo``/``hi`` override the box (the
+        evidence call's bounds may differ from the prior's)."""
+        import math
+
+        lo = self.lo if lo is None else np.asarray(lo, np.float64)
+        hi = self.hi if hi is None else np.asarray(hi, np.float64)
+        gauss = np.isfinite(self.sigma)
+        total = 0.0
+        for j in np.nonzero(gauss)[0]:
+            s, m = float(self.sigma[j]), float(self.mean[j])
+            a = 0.5 * (1.0 + math.erf((lo[j] - m) / (s * _SQRT2)))
+            b = 0.5 * (1.0 + math.erf((hi[j] - m) / (s * _SQRT2)))
+            mass = s * math.sqrt(2.0 * math.pi) * (b - a)
+            total += math.log(mass) - math.log(float(hi[j] - lo[j]))
+        return total
+
     def prior_transform(self, u) -> jnp.ndarray:
         """Traceable unit-cube map ``(B, P) → (B, P)``: uniform ``u``
         gives prior-distributed θ (exact truncated-Gaussian inverse CDF

@@ -297,6 +297,34 @@ def _shard_walkers(x, mesh):
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
+def _thin_state(n_steps: int, thin: int, x):
+    """Device-side thinning buffer: ``(n_keep + 1, *x.shape)`` zeros
+    whose LAST row is a scratch slot non-kept steps write into.
+
+    The naive pattern — emit ``x`` from every scan step and slice
+    ``[thin-1::thin]`` on the host — materializes the FULL
+    ``(n_steps, n_walkers, P)`` stack in HBM and ships it through the
+    tunnel, a factor-``thin`` waste on both (at the /sample caps,
+    5000×8192×7 f32 is ~1.1 GB where ~115 MB is kept). Instead the
+    buffer rides the scan carry and :func:`_thin_write` updates it in
+    place (``dynamic_update_slice`` in a ``while``-loop carry lowers to
+    an in-place update; non-kept steps land on the scratch row). Kept
+    rows are bit-identical to the host slice — step ``t`` (0-based) is
+    kept iff ``(t+1) % thin == 0``."""
+    n_keep = n_steps // thin if thin else 0
+    return n_keep, jnp.zeros((n_keep + 1,) + x.shape, x.dtype)
+
+
+def _thin_write(buf, t, x, thin: int, n_keep: int):
+    """Write ``x`` into ``buf`` at its keep-slot (or the scratch row)
+    for 0-based step ``t`` (int32). See :func:`_thin_state`."""
+    keep = (t + 1) % thin == 0
+    idx = jnp.where(keep, (t + 1) // thin - 1, n_keep)
+    return jax.lax.dynamic_update_slice(
+        buf, x[None], (idx,) + (0,) * x.ndim
+    )
+
+
 def _resolve_log_prior(log_prior):
     """None → the flat box prior (a traced zero — XLA folds the add).
 
@@ -1171,6 +1199,38 @@ def _amis_sharpen(run_is, y_map, chol0, *, n_is, n_rounds, seed):
     return np.where(np.isfinite(logw), logw, -np.inf), Y
 
 
+def _prior_log_box_mean(log_prior, lo, hi, *, n_mc: int = 1 << 18,
+                        seed: int = 1086) -> float:
+    """``log E_flat[exp(log_prior)]`` over the box ``[lo, hi]`` — the
+    convention-fixing constant for the Laplace/IS evidence paths.
+
+    The whitened-space integral those paths evaluate is
+    ``∫ L·π_raw dx / V``; the ladder/SMC/nested estimators all report
+    evidence under the BOX-NORMALIZED prior ``π̃ = π_raw/∫π_raw``
+    (sampled prior expectations self-normalize). Subtracting this
+    constant makes Laplace agree — and makes its ``logz`` invariant to
+    a constant shift of ``log_prior``, as :mod:`tpu21cmvae.priors`
+    promises. ``None`` → 0. A :class:`~tpu21cmvae.priors
+    .GaussianBoxPrior` bound method resolves analytically via
+    ``log_box_mean``; any other callable falls back to one prior-only
+    MC sweep (no emulator calls; 2¹⁸ flat-box draws — worst measured
+    error ~0.03 nats for a σ/span ≈ 0.004 prior, far under the
+    estimator's own MC error bar)."""
+    if log_prior is None:
+        return 0.0
+    owner = getattr(log_prior, "__self__", None)
+    analytic = getattr(owner, "log_box_mean", None)
+    if analytic is not None:
+        return float(analytic(np.asarray(lo), np.asarray(hi)))
+    u = jax.random.uniform(
+        jax.random.key(seed), (n_mc, int(lo.shape[0]))
+    )
+    lp = _resolve_log_prior(log_prior)(lo + (hi - lo) * u)
+    return float(
+        jax.scipy.special.logsumexp(lp) - jnp.log(float(n_mc))
+    )
+
+
 def _finish_laplace(res, logw, y, lo, hi):
     """Fill a LaplaceResult's IS fields from one observation's combined
     AMIS cloud (``logw (M,)``, ``y (M,P)`` in the whitened space),
@@ -1221,7 +1281,14 @@ def laplace_evidence(
     map as :func:`sample_hmc`), where the normalized flat box prior's
     ``1/V`` cancels against the map's volume factor: the whitened
     log-density ``g(y) = logL(x(y)) + Σ log σ'(y)`` integrates to
-    exactly ``Z = ∫ L·π dx``, and
+    exactly ``Z = ∫ L·π dx``. With a supplied ``log_prior`` the raw
+    integral is ``∫ L·π_raw dx / V``; the result is shifted by
+    ``−log E_flat[π_raw]`` (:func:`_prior_log_box_mean` — analytic for
+    a :class:`~tpu21cmvae.priors.GaussianBoxPrior`, one prior-only MC
+    sweep otherwise) so ``logz`` reports evidence under the
+    BOX-NORMALIZED prior — the same convention as the ladder/SMC/
+    nested paths, and invariant to a constant shift of ``log_prior``.
+    The Gaussian step is
 
     ``log Z ≈ g(ŷ) + (P/2)·log 2π − ½·log det(−H)``, ``H = ∇²g(ŷ)``.
 
@@ -1256,6 +1323,9 @@ def laplace_evidence(
     """
     lo, hi = _resolve_bounds(bounds)
     span = hi - lo
+    # evidence convention: report under the box-normalized prior, like
+    # the ladder/SMC/nested paths (see _prior_log_box_mean)
+    prior_lbm = _prior_log_box_mean(log_prior, lo, hi)
     key = jax.random.key(seed)
     x0 = _shard_walkers(_init_walkers(key, n_starts, lo, hi), mesh)
 
@@ -1299,7 +1369,8 @@ def laplace_evidence(
     evals = np.maximum(evals, floor)
     p = y_map.shape[0]
     logdet = float(np.sum(np.log(evals)))
-    logz = float(g_np[best]) + 0.5 * p * np.log(2 * np.pi) - 0.5 * logdet
+    logz = (float(g_np[best]) + 0.5 * p * np.log(2 * np.pi)
+            - 0.5 * logdet - prior_lbm)
     cov_y = evecs @ np.diag(1.0 / evals) @ evecs.T
     chol_y = evecs @ np.diag(1.0 / np.sqrt(evals)) @ evecs.T
     s = 1.0 / (1.0 + np.exp(-np.asarray(y_map, np.float64)))
@@ -1370,7 +1441,9 @@ def laplace_evidence(
         run_obs1, np.asarray(y_map, np.float64)[None], chol_y[None],
         n_is=n_is, n_rounds=n_rounds, seed=seed,
     )
-    return _finish_laplace(res, logw[0], y_all[0], lo, hi)
+    res = _finish_laplace(res, logw[0], y_all[0], lo, hi)
+    res.logz -= prior_lbm
+    return res
 
 
 def laplace_evidence_multi(
@@ -1426,6 +1499,7 @@ def laplace_evidence_multi(
     lo, hi = _resolve_bounds(bounds)
     span = hi - lo
     p = int(lo.shape[0])
+    prior_lbm = _prior_log_box_mean(log_prior, lo, hi)
     key = jax.random.key(seed)
     x0 = _shard_walkers(
         _init_walkers(key, n_obs * n_starts, lo, hi), mesh
@@ -1539,7 +1613,7 @@ def laplace_evidence_multi(
     out = []
     for o in range(n_obs):
         logz_lap = (float(g_best[o]) + 0.5 * p * np.log(2 * np.pi)
-                    - 0.5 * logdets[o])
+                    - 0.5 * logdets[o] - prior_lbm)
         s = 1.0 / (1.0 + np.exp(-y_map_np[o]))
         jac = np.asarray(span, np.float64) * s * (1.0 - s)
         cov_y = chols[o] @ chols[o].T
@@ -1555,9 +1629,9 @@ def laplace_evidence_multi(
             _lo=np.asarray(lo, np.float64),
             _hi=np.asarray(hi, np.float64),
         )
-        out.append(
-            _finish_laplace(res, logw_all[o], y_all[o], lo, hi)
-        )
+        res = _finish_laplace(res, logw_all[o], y_all[o], lo, hi)
+        res.logz -= prior_lbm
+        out.append(res)
     return out
 
 
@@ -1714,10 +1788,13 @@ def sample_mh(
                 )
                 return (x, lp, log_m, log_m_bar, h_bar), a
 
-            def run_step(state, k):
-                x, lp, mult = state
+            def run_step(state, tk):
+                t, k = tk
+                x, lp, mult, buf = state
                 x, lp, a = mh_step(params, x, lp, mult, k)
-                return (x, lp, mult), (a, x if thin else None)
+                if thin:
+                    buf = _thin_write(buf, t, x, thin, n_keep)
+                return (x, lp, mult, buf), a
 
             lp = loglik(params, x) + log_prior(x)
             # warmup presence is static (part of the cache key): with
@@ -1733,10 +1810,14 @@ def sample_mh(
                 mult = jnp.exp(log_m_bar)
             else:
                 mult = jnp.float32(1.0)
-            (x, lp, mult), (rates, kept) = jax.lax.scan(
-                run_step, (x, lp, mult), run_keys
+            n_keep, buf = _thin_state(run_keys.shape[0], thin, x)
+            (x, lp, mult, buf), rates = jax.lax.scan(
+                run_step,
+                (x, lp, mult, buf),
+                (jnp.arange(run_keys.shape[0], dtype=jnp.int32),
+                 run_keys),
             )
-            return x, lp, rates, kept, mult
+            return x, lp, rates, buf[:n_keep], mult
 
         return jax.jit(run)
 
@@ -1744,7 +1825,7 @@ def sample_mh(
         loglik,
         (
             "mh", _bounds_key(lo, hi), float(step_frac),
-            float(target_accept), bool(adapt), bool(thin), n_warmup > 0,
+            float(target_accept), bool(adapt), int(thin), n_warmup > 0,
             _fn_cache_key(raw_log_prior),
         ),
         build_run,
@@ -1756,7 +1837,7 @@ def sample_mh(
     run_keys = jax.random.split(k_run, n_steps)
     x, lp, rates, kept, mult = run(params, x, warm_ik, run_keys)
     chain = (
-        np.asarray(kept)[thin - 1:: thin]
+        np.asarray(kept)
         if thin
         else np.empty((0,) + x.shape, np.float32)
     )
@@ -1881,24 +1962,33 @@ def sample_ensemble(
         x, lp, _ = move(x, lp, k)
         return (x, lp), None
 
-    def run_step(state, k):
-        x, lp = state
+    def run_step(state, tk):
+        t, k = tk
+        x, lp, buf = state
         x, lp, r = move(x, lp, k)
-        return (x, lp), (r, x if thin else None)
+        if thin:
+            buf = _thin_write(buf, t, x, thin, n_keep_steps)
+        return (x, lp, buf), r
+
+    n_keep_steps = n_steps // thin if thin else 0
 
     @jax.jit
     def run(x, warm_keys, run_keys):
         lp = safe_loglik(x)
         if n_warmup > 0:  # static — no hidden warmup step on continuation
             (x, lp), _ = jax.lax.scan(warm_step, (x, lp), warm_keys)
-        (x, lp), (rates, kept) = jax.lax.scan(run_step, (x, lp), run_keys)
-        return x, lp, rates, kept
+        _, buf = _thin_state(run_keys.shape[0], thin, x)
+        (x, lp, buf), rates = jax.lax.scan(
+            run_step, (x, lp, buf),
+            (jnp.arange(run_keys.shape[0], dtype=jnp.int32), run_keys),
+        )
+        return x, lp, rates, buf[:n_keep_steps]
 
     warm_keys = jax.random.split(k_warm, max(n_warmup, 1))
     run_keys = jax.random.split(k_run, n_steps)
     x, lp, rates, kept = run(x, warm_keys, run_keys)
     chain = (
-        np.asarray(kept)[thin - 1:: thin]
+        np.asarray(kept)
         if thin
         else np.empty((0,) + x.shape, np.float32)
     )
@@ -2175,15 +2265,18 @@ def sample_hmc(
 
     def build_run():
         def run(params, y, warm1_ik, warm2_ik, run_keys):
-            def run_step(state, k):
-                y, lp, glp, sd, eps = state
+            def run_step(state, tk):
+                t, k = tk
+                y, lp, glp, sd, eps, buf = state
                 kl, kh = jax.random.split(k)
                 y, lp, glp, a_mean = hmc_step(
                     params, y, lp, glp, sd, eps, draw_l(kl), kh
                 )
-                return (y, lp, glp, sd, eps), (
-                    a_mean, to_params(y) if thin else None
-                )
+                if thin:
+                    buf = _thin_write(
+                        buf, t, to_params(y), thin, n_keep
+                    )
+                return (y, lp, glp, sd, eps, buf), a_mean
 
             lp, glp = logp_and_grad(params, y)
             sd = jnp.ones((y.shape[1],), y.dtype)
@@ -2202,10 +2295,13 @@ def sample_hmc(
                 # refreshed geometry — measured worse on the correlated
                 # Gaussian; ChEES/NUTS refresh because their
                 # trajectories adapt per step)
-            (y, lp, glp, _, _), (rates, kept) = jax.lax.scan(
-                run_step, (y, lp, glp, sd, eps), run_keys
+            n_keep, buf = _thin_state(run_keys.shape[0], thin, y)
+            (y, lp, glp, _, _, buf), rates = jax.lax.scan(
+                run_step, (y, lp, glp, sd, eps, buf),
+                (jnp.arange(run_keys.shape[0], dtype=jnp.int32),
+                 run_keys),
             )
-            return y, lp, rates, kept, eps
+            return y, lp, rates, buf[:n_keep], eps
 
         return jax.jit(run)
 
@@ -2214,7 +2310,7 @@ def sample_hmc(
         (
             "hmc", _bounds_key(lo, hi), float(init_step),
             float(target_accept), bool(jitter), bool(precondition),
-            bool(thin), int(n_leapfrog), use_metric, dense, n_warm1 > 0,
+            int(thin), int(n_leapfrog), use_metric, dense, n_warm1 > 0,
             _fn_cache_key(log_prior),
         ),
         build_run,
@@ -2231,7 +2327,7 @@ def sample_hmc(
         run_keys,
     )
     chain = (
-        np.asarray(kept)[thin - 1:: thin]
+        np.asarray(kept)
         if thin
         else np.empty((0, y.shape[0], y.shape[1]), np.float32)
     )
@@ -2465,13 +2561,18 @@ def sample_chees(
         def run(params, y, warm1_txk, warm2_txk, run_ixk):
             def run_step(state, ixk):
                 i, k = ixk
-                y, lp, glp, sd, eps, h = state
+                y, lp, glp, sd, eps, h, buf = state
                 y, lp, glp, a_mean, _ = chees_step(
                     params, y, lp, glp, sd, eps, h, _vdc(i), k, False
                 )
-                return (y, lp, glp, sd, eps, h), (
-                    a_mean, to_params(y) if thin else None
-                )
+                if thin:
+                    # i is the GLOBAL step index (warmup offset, for
+                    # the van-der-Corput jitter); thinning counts
+                    # post-warmup steps
+                    buf = _thin_write(
+                        buf, i - n_warmup, to_params(y), thin, n_keep
+                    )
+                return (y, lp, glp, sd, eps, h, buf), a_mean
 
             lp, glp = logp_and_grad(params, y)
             sd = jnp.ones((y.shape[1],), y.dtype)
@@ -2491,10 +2592,11 @@ def sample_chees(
                 # geometry — measured acceptance collapse on a sharp
                 # emulator posterior; NUTS refreshes because per-walker
                 # trees re-adapt the trajectory every draw)
-            (y, lp, glp, _, _, _), (rates, kept) = jax.lax.scan(
-                run_step, (y, lp, glp, sd, eps, h), run_ixk
+            n_keep, buf = _thin_state(run_ixk[0].shape[0], thin, y)
+            (y, lp, glp, _, _, _, buf), rates = jax.lax.scan(
+                run_step, (y, lp, glp, sd, eps, h, buf), run_ixk
             )
-            return y, lp, rates, kept, eps, h
+            return y, lp, rates, buf[:n_keep], eps, h
 
         return jax.jit(run)
 
@@ -2502,7 +2604,7 @@ def sample_chees(
         valgrad,
         (
             "chees", _bounds_key(lo, hi), float(init_step), float(h0),
-            float(target_accept), float(traj_lr), bool(thin),
+            float(target_accept), float(traj_lr), int(thin),
             int(max_leapfrog), use_metric, dense, n_warm1 > 0,
             _fn_cache_key(log_prior),
         ),
@@ -2530,7 +2632,7 @@ def sample_chees(
         ixk(k_run, n_steps, n_warmup),
     )
     chain = (
-        np.asarray(kept)[thin - 1:: thin]
+        np.asarray(kept)
         if thin
         else np.empty((0, y.shape[0], y.shape[1]), np.float32)
     )
@@ -2827,14 +2929,17 @@ def sample_nuts(
 
     def build_run():
         def run(params, y, warm1_ik, warm2_ik, run_keys):
-            def run_step(state, k):
-                y, lp, glp, sd, eps = state
+            def run_step(state, tk):
+                t, k = tk
+                y, lp, glp, sd, eps, buf = state
                 y, lp, glp, a_mean, dv, nl = nuts_step(
                     params, y, lp, glp, sd, eps, k
                 )
-                return (y, lp, glp, sd, eps), (
-                    a_mean, dv, nl, to_params(y) if thin else None
-                )
+                if thin:
+                    buf = _thin_write(
+                        buf, t, to_params(y), thin, n_keep
+                    )
+                return (y, lp, glp, sd, eps, buf), (a_mean, dv, nl)
 
             lp, glp = logp_and_grad(params, y)
             sd = jnp.ones((y.shape[1],), y.dtype)
@@ -2851,10 +2956,13 @@ def sample_nuts(
                 if dense:
                     # refresh from the now-mixed ensemble (see sample_hmc)
                     sd = _ens_metric(y, dense)
-            (y, lp, glp, _, _), (rates, divs, leaps, kept) = jax.lax.scan(
-                run_step, (y, lp, glp, sd, eps), run_keys
+            n_keep, buf = _thin_state(run_keys.shape[0], thin, y)
+            (y, lp, glp, _, _, buf), (rates, divs, leaps) = jax.lax.scan(
+                run_step, (y, lp, glp, sd, eps, buf),
+                (jnp.arange(run_keys.shape[0], dtype=jnp.int32),
+                 run_keys),
             )
-            return y, lp, rates, divs, leaps, kept, eps
+            return y, lp, rates, divs, leaps, buf[:n_keep], eps
 
         return jax.jit(run)
 
@@ -2862,7 +2970,7 @@ def sample_nuts(
         valgrad,
         (
             "nuts", _bounds_key(lo, hi), float(init_step),
-            float(target_accept), bool(thin), md, use_metric, dense,
+            float(target_accept), int(thin), md, use_metric, dense,
             n_warm1 > 0, _fn_cache_key(log_prior),
         ),
         build_run,
@@ -2879,7 +2987,7 @@ def sample_nuts(
         run_keys,
     )
     chain = (
-        np.asarray(kept)[thin - 1:: thin]
+        np.asarray(kept)
         if thin
         else np.empty((0, y.shape[0], y.shape[1]), np.float32)
     )
@@ -3235,11 +3343,14 @@ def sample_pt(
             def run_step(state, ik):
                 i, k = ik
                 km, ks = jax.random.split(k)
-                x, ll, lpr = state
+                x, ll, lpr, buf = state
                 x, ll, lpr, acc = sweep(params, x, ll, lpr, betas, km)
                 x, ll, lpr, s = swap_phase(x, ll, lpr, betas, i, ks)
-                kept = x[-1] if thin else None  # β=1 rung only
-                return (x, ll, lpr), (jnp.mean(acc), s, kept)
+                if thin:  # β=1 rung only
+                    buf = _thin_write(
+                        buf, i.astype(jnp.int32), x[-1], thin, n_keep
+                    )
+                return (x, ll, lpr, buf), (jnp.mean(acc), s)
 
             ll, lpr, _ = eval_ll(params, x.reshape(-1, n_params))
             ll = ll.reshape(n_rungs, n_walkers)
@@ -3253,10 +3364,13 @@ def sample_pt(
                 state, _ = jax.lax.scan(warm_step, state, warm_ik)
                 x, ll, lpr, log_gaps, _ = state
             betas = ladder(log_gaps)
-            (x, ll, lpr), (rates, srates, kept) = jax.lax.scan(
-                run_step, (x, ll, lpr), run_ik
+            n_keep, buf = _thin_state(
+                run_ik[0].shape[0], thin, x[-1]
             )
-            return x, ll, lpr, betas, rates, srates, kept
+            (x, ll, lpr, buf), (rates, srates) = jax.lax.scan(
+                run_step, (x, ll, lpr, buf), run_ik
+            )
+            return x, ll, lpr, betas, rates, srates, buf[:n_keep]
 
         return jax.jit(run)
 
@@ -3265,7 +3379,7 @@ def sample_pt(
         (
             "pt", _bounds_key(lo, hi), n_rungs, n_walkers, float(a),
             float(beta_min),
-            bool(adapt_ladder), n_sw, bool(thin), int(n_warmup),
+            bool(adapt_ladder), n_sw, int(thin), int(n_warmup),
             _fn_cache_key(raw_log_prior),
         ),
         build_run,
@@ -3279,7 +3393,7 @@ def sample_pt(
         params, x, ik(k_warm, n_warmup), ik(k_run, n_steps)
     )
     chain = (
-        np.asarray(kept)[thin - 1:: thin]
+        np.asarray(kept)
         if thin
         else np.empty((0, n_walkers, n_params), np.float32)
     )

@@ -89,6 +89,10 @@ class EmulatorService:
         # device dispatch is serialized on purpose; holding the lock only
         # around device work lets /health answer during long calls
         self._device_lock = threading.Lock()
+        # the LRU itself is mutated from every handler thread
+        # (ThreadingHTTPServer): get/move_to_end in a lookup can race an
+        # eviction in another thread's commit — guard ALL dict ops
+        self._cache_lock = threading.Lock()
 
     def _bucket_sizes(self, batch_sizes, up_to: Optional[int]):
         if up_to is None:
@@ -168,7 +172,10 @@ class EmulatorService:
         key = hashlib.sha256(
             obs.tobytes() + nv.tobytes() + repr(nv.shape).encode()
         ).hexdigest()
-        entry = self._loglik.get(key)
+        with self._cache_lock:
+            entry = self._loglik.get(key)
+            if entry is not None:
+                self._loglik.move_to_end(key)
         if entry is None:
             # memo=False: this LRU is the sole owner of the closure, so
             # its eviction (cap ``loglik_cache``) really frees the
@@ -178,15 +185,14 @@ class EmulatorService:
                 ShardedEmulator(fn, self.model.params, mesh=self._mesh),
                 fn,
             )
-        else:
-            self._loglik.move_to_end(key)
         return key, entry
 
     def _loglik_commit(self, key: str, entry) -> None:
-        if key not in self._loglik:
-            self._loglik[key] = entry
-            if len(self._loglik) > self._loglik_cap:
-                self._loglik.popitem(last=False)  # evict oldest program
+        with self._cache_lock:
+            if key not in self._loglik:
+                self._loglik[key] = entry
+                if len(self._loglik) > self._loglik_cap:
+                    self._loglik.popitem(last=False)  # evict oldest
 
     def loglik(self, params, obs, noise_var=1.0) -> np.ndarray:
         key, entry = self._loglik_lookup(
@@ -612,9 +618,21 @@ def load_obs_specs(path: str):
             if "noise_var" in blob
             else np.float32(1.0)
         )
-        nvs = (
-            nv if nv.ndim == 2 else np.broadcast_to(nv, (obs.shape[0],) + nv.shape)
-        )
+        if nv.ndim == 2:
+            nvs = nv  # (k, n_bins): per-observation per-bin
+        elif nv.ndim == 1 and nv.shape[0] == obs.shape[1]:
+            # (n_bins,): one per-bin noise curve shared by every obs
+            nvs = np.broadcast_to(nv, (obs.shape[0],) + nv.shape)
+        elif nv.ndim == 1 and nv.shape[0] == obs.shape[0]:
+            nvs = nv  # (k,): one scalar per observation
+        elif nv.ndim == 0:
+            nvs = np.broadcast_to(nv, (obs.shape[0],))
+        else:
+            raise ValueError(
+                f"noise_var shape {nv.shape} matches neither the "
+                f"{obs.shape[0]} observations nor the {obs.shape[1]} "
+                "bins"
+            )
         return [(o, n) for o, n in zip(obs, nvs)]
     with open(path) as f:
         doc = json.load(f)
