@@ -79,6 +79,12 @@ from tpu21cmvae.sampling import (  # noqa: F401
 )
 from tpu21cmvae.nested import NestedResult, nested_sampling  # noqa: F401
 from tpu21cmvae.vi import ADVIResult, fit_advi  # noqa: F401
+from tpu21cmvae.flows import (  # noqa: F401
+    FlowEvidenceResult,
+    FlowResult,
+    fit_flow,
+    flow_evidence,
+)
 from tpu21cmvae.priors import GaussianBoxPrior  # noqa: F401
 from tpu21cmvae.calibration import SBCResult, sbc  # noqa: F401
 from tpu21cmvae.models.direct import DirectEmulator  # noqa: F401

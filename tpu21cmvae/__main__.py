@@ -430,6 +430,20 @@ def cmd_evidence(args):
             map_logp=res.map_logp, cov=res.cov, pd=res.pd,
             posterior=res.posterior(4096, seed=args.seed),
         )
+    elif args.method == "flow":
+        kw = {}
+        if args.fit_steps is not None:
+            kw["n_steps"] = args.fit_steps
+        res = model.log_evidence(
+            obs, noise_var, method="flow", seed=args.seed,
+            log_prior=None if prior is None else prior.log_prior, **kw,
+        )
+        print(res.summary())
+        np.savez_compressed(
+            args.out, logz=res.logz, logz_err=res.logz_err,
+            khat=res.khat, is_ess=res.is_ess,
+            posterior=res.posterior(4096, seed=args.seed),
+        )
     else:
         res = model.log_evidence(
             obs, noise_var, method="ladder", n_rungs=args.rungs,
@@ -695,7 +709,8 @@ def main(argv=None):
                    help="observation spec (.json or .npz — "
                         "serve.load_obs_specs format, exactly one entry)")
     p.add_argument("--method",
-                   choices=("nested", "smc", "laplace", "ladder"),
+                   choices=("nested", "smc", "laplace", "flow",
+                            "ladder"),
                    default="nested",
                    help="nested sampling (robust default; measured "
                         "~0.04-nat seed spread on real posteriors), "
@@ -703,9 +718,12 @@ def main(argv=None):
                         "— self-chosen anneal schedule, replication "
                         "logz_err, posterior particles for free), "
                         "laplace (deterministic Gaussian quick look — "
-                        "exact-tier MAP + Hessian, unimodal only) or "
-                        "the PT stepping-stone ladder (cross-check "
-                        "only — check its drift/err diagnostics)")
+                        "exact-tier MAP + Hessian, unimodal only), "
+                        "flow (normalizing-flow importance sampling — "
+                        "for curved/skewed unimodal posteriors; trust "
+                        "it when khat < 0.7) or the PT stepping-stone "
+                        "ladder (cross-check only — check its "
+                        "drift/err diagnostics)")
     p.add_argument("--live", type=int, default=2048,
                    help="nested: number of live points")
     p.add_argument("--mh-steps", type=int, default=24,

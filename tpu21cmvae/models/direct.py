@@ -512,7 +512,17 @@ class DirectEmulator:
         Gaussian-posterior limit, runs on the EXACT likelihood tier
         (a fast-tier near-mode value error of ~0.4 nats would bias
         ``logz`` directly), blind to multimodality — cross-check
-        against ``"nested"`` when modes are suspected."""
+        against ``"nested"`` when modes are suspected.
+
+        ``method="flow"`` fits a normalizing flow to the posterior and
+        importance-samples through it
+        (:func:`tpu21cmvae.flows.evidence_with_flow`; returns a
+        :class:`~tpu21cmvae.flows.FlowEvidenceResult`) — the estimator
+        for CURVED/skewed unimodal posteriors, where the Laplace
+        stage's ellipsoidal proposals measurably saturate at
+        ``khat ≥ 0.7`` (docs/PERF.md). Pass ``flow=`` to reuse a
+        :meth:`fit_flow` result; check ``khat < 0.7`` before trusting
+        it, exactly as with ``"laplace"``."""
         if method == "nested":
             from tpu21cmvae.nested import nested_sampling
 
@@ -534,10 +544,18 @@ class DirectEmulator:
                 self.loglik_fn(obs, noise_var, precision="contract"),
                 self.params, bounds=bounds, **kwargs,
             )
+        if method == "flow":
+            from tpu21cmvae.flows import evidence_with_flow
+
+            return evidence_with_flow(
+                self.loglik_fn(obs, noise_var, precision="contract"),
+                self.loglik_and_grad_fn(obs, noise_var),
+                self.params, bounds=bounds, **kwargs,
+            )
         if method != "ladder":
             raise ValueError(
-                f"method must be 'nested', 'smc', 'laplace' or "
-                f"'ladder'; got {method!r}"
+                f"method must be 'nested', 'smc', 'laplace', 'flow' "
+                f"or 'ladder'; got {method!r}"
             )
         from tpu21cmvae.sampling import log_evidence
 
@@ -624,7 +642,9 @@ class DirectEmulator:
         sampler warm starts in a fraction of a chain's wall time.
         Returns an :class:`~tpu21cmvae.vi.ADVIResult` (``.sample(n)``
         for iid draws, ``.mean()``/``.std()``); prefer the chain
-        samplers when the posterior may be non-Gaussian."""
+        samplers when the posterior may be non-Gaussian — or
+        :meth:`fit_flow`, which stays variational but drops the
+        Gaussian shape restriction."""
         from tpu21cmvae.vi import fit_advi
 
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -632,6 +652,26 @@ class DirectEmulator:
             obs, noise_var, backend=backend, grad_precision="default"
         )
         return fit_advi(valgrad, self.params, bounds=bounds, **kwargs)
+
+    def fit_flow(self, obs, noise_var=1.0, *, bounds=None, **kwargs):
+        """Normalizing-flow posterior fit
+        (:func:`tpu21cmvae.flows.fit_flow`): :meth:`fit_advi`'s
+        drop-in upgrade for non-Gaussian (curved, skewed) posteriors —
+        a RealNVP coupling stack trained by reparameterized ELBO
+        ascent over the same fused value+gradient path, still ONE
+        ``lax.scan`` device program. Returns a
+        :class:`~tpu21cmvae.flows.FlowResult` (``.sample(n)`` for iid
+        draws, exact ``.log_q``). Feed it to
+        ``log_evidence(method="flow", flow=...)`` for the
+        curved-posterior evidence estimator whose ``khat`` the
+        adaptive-t Laplace stage cannot reach (docs/PERF.md)."""
+        from tpu21cmvae.flows import fit_flow
+
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        valgrad = self.loglik_and_grad_fn(
+            obs, noise_var, backend=backend, grad_precision="default"
+        )
+        return fit_flow(valgrad, self.params, bounds=bounds, **kwargs)
 
     def posterior_predictive(self, samples, **kwargs):
         """Signal-space credible bands implied by posterior parameter

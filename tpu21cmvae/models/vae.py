@@ -360,10 +360,18 @@ class VAEEmulator:
                 self.loglik_fn(obs, noise_var), self.params,
                 bounds=bounds, **kwargs,
             )
+        if method == "flow":
+            from tpu21cmvae.flows import evidence_with_flow
+
+            return evidence_with_flow(
+                self.loglik_fn(obs, noise_var),
+                self.loglik_and_grad_fn(obs, noise_var),
+                self.params, bounds=bounds, **kwargs,
+            )
         if method != "ladder":
             raise ValueError(
-                f"method must be 'nested', 'smc', 'laplace' or "
-                f"'ladder'; got {method!r}"
+                f"method must be 'nested', 'smc', 'laplace', 'flow' "
+                f"or 'ladder'; got {method!r}"
             )
         from tpu21cmvae.sampling import log_evidence
 
@@ -440,6 +448,17 @@ class VAEEmulator:
         from tpu21cmvae.vi import fit_advi
 
         return fit_advi(
+            self.loglik_and_grad_fn(obs, noise_var), self.params,
+            bounds=bounds, **kwargs,
+        )
+
+    def fit_flow(self, obs, noise_var=1.0, *, bounds=None, **kwargs):
+        """Normalizing-flow posterior fit — same contract as
+        :meth:`DirectEmulator.fit_flow`
+        (:func:`tpu21cmvae.flows.fit_flow`)."""
+        from tpu21cmvae.flows import fit_flow
+
+        return fit_flow(
             self.loglik_and_grad_fn(obs, noise_var), self.params,
             bounds=bounds, **kwargs,
         )
