@@ -249,6 +249,75 @@ def test_flow_evidence_prior_convention():
     assert ev_base.logz == pytest.approx(ev.logz, abs=0.05)
 
 
+def test_fit_flow_tracks_fresh_params_through_cache():
+    """Regression: the cached fit program must take the model weights
+    as a RUN argument, not bake the first call's into the trace — a
+    second fit through the same valgrad closure (e.g. after
+    retraining) with different params must follow the new target."""
+
+    def valgrad(params, x):
+        def lp(q):
+            return -0.5 * jnp.sum((q - params) ** 2, axis=-1)
+
+        return lp(x), jax.grad(lambda q: lp(q).sum())(x)
+
+    kw = dict(bounds=_BOUNDS, n_steps=400, n_mc=128, seed=0,
+              warm_start=False)
+    f_a = fit_flow(valgrad, jnp.array([2.0, 2.0, 0.5]), **kw)
+    f_b = fit_flow(valgrad, jnp.array([-2.0, -2.0, -0.5]), **kw)
+    np.testing.assert_allclose(f_a.mean(), [2.0, 2.0, 0.5], atol=0.3)
+    np.testing.assert_allclose(f_b.mean(), [-2.0, -2.0, -0.5], atol=0.3)
+
+
+def _random_flow(n_layers, seed):
+    theta = init_flow(jax.random.key(seed), 3, n_layers=n_layers,
+                      width=8)
+    leaves, tree = jax.tree_util.tree_flatten(theta)
+    keys = jax.random.split(jax.random.key(seed + 100), len(leaves))
+    theta = jax.tree_util.tree_unflatten(tree, [
+        l + 0.2 * jax.random.normal(k, l.shape, l.dtype)
+        for l, k in zip(leaves, keys)
+    ])
+    return FlowResult(
+        theta=jax.tree_util.tree_map(np.asarray, theta),
+        masks=_masks(3, n_layers),
+        elbo=np.zeros(1, np.float32),
+        _lo=np.asarray(_BOUNDS[:, 0], np.float64),
+        _hi=np.asarray(_BOUNDS[:, 1], np.float64),
+    )
+
+
+def test_flow_evidence_cache_keyed_on_architecture():
+    """Regression: the IS program closes over the mask stack, so a
+    deeper flow through the same loglik closure must NOT hit the
+    shallower flow's cached program (zip would silently truncate the
+    coupling stack — exactly the 'refit with more layers' workflow
+    the khat diagnostic prescribes)."""
+
+    def loglik(p, x):
+        return _banana_logp(x)
+
+    f6, f8 = _random_flow(6, 0), _random_flow(8, 1)
+    flow_evidence(loglik, None, f6, bounds=_BOUNDS, n_is=2048, seed=3)
+    ev8 = flow_evidence(loglik, None, f8, bounds=_BOUNDS, n_is=2048,
+                        seed=3)
+    fresh = flow_evidence(lambda p, x: _banana_logp(x), None, f8,
+                          bounds=_BOUNDS, n_is=2048, seed=3)
+    assert ev8.logz == pytest.approx(fresh.logz, abs=1e-6)
+    assert ev8.khat == pytest.approx(fresh.khat, abs=1e-6)
+
+
+def test_flow_evidence_rejects_mismatched_bounds():
+    """The fitted flow remembers its box; evaluating the evidence in a
+    different one is a silent wrong answer, so it must raise."""
+    flow = _random_flow(4, 2)
+    other = _BOUNDS.copy()
+    other[0, 1] = 5.0
+    with pytest.raises(ValueError, match="bounds"):
+        flow_evidence(lambda p, x: _banana_logp(x), None, flow,
+                      bounds=other)
+
+
 def test_base_logpdf_is_standard_normal():
     z = np.array([[0.0, 0.0], [1.0, -2.0]], np.float32)
     want = -0.5 * (z**2).sum(-1) - math.log(2 * math.pi)

@@ -82,6 +82,7 @@ from tpu21cmvae.vi import ADVIResult, fit_advi  # noqa: F401
 from tpu21cmvae.flows import (  # noqa: F401
     FlowEvidenceResult,
     FlowResult,
+    evidence_with_flow,
     fit_flow,
     flow_evidence,
 )

@@ -55,11 +55,12 @@ from tpu21cmvae.sampling import (
     _chain_program,
     _fn_cache_key,
     _bounds_key,
-    _log_prior_val_grad,
     _prior_log_box_mean,
     _psis,
     _resolve_bounds,
     _resolve_log_prior,
+    _whitened_center,
+    _whitened_vi_target,
 )
 
 __all__ = ["FlowResult", "FlowEvidenceResult", "fit_flow",
@@ -296,20 +297,7 @@ def fit_flow(
     lo, hi = _resolve_bounds(bounds)
     n_params = int(lo.shape[0])
     span = hi - lo
-    if x0 is not None:
-        frac = np.clip(
-            (np.asarray(x0, np.float64) - np.asarray(lo))
-            / np.asarray(span),
-            1e-4, 1.0 - 1e-4,
-        )
-        mu0 = jnp.asarray(np.log(frac / (1.0 - frac)), jnp.float32)
-        if mu0.shape != (n_params,):
-            raise ValueError(
-                f"x0 must be a single ({n_params},) center; "
-                f"got {np.shape(x0)}"
-            )
-    else:
-        mu0 = None
+    mu0 = None if x0 is None else _whitened_center(x0, lo, hi)
     masks = _masks(n_params, n_layers)
     key = jax.random.key(seed)
     k_init, k_fit = jax.random.split(key)
@@ -324,60 +312,53 @@ def fit_flow(
     theta0 = init_flow(k_init, n_params, n_layers=n_layers,
                        width=width, mu0=mu0, chol0=chol0)
 
-    def integrand_val_grad(y):
-        # same target as fit_advi/laplace: logL (+ logπ) + sigmoid
-        # log-Jacobian, value and FIRST-order y-gradient
-        s = jnp.clip(jax.nn.sigmoid(y), 1e-7, 1.0 - 1e-7)
-        xr = lo + span * s
-        ll, g_raw = valgrad(params, xr)
-        if log_prior is not None:
-            lpr, g_pr = _log_prior_val_grad(log_prior, xr)
-            ll = ll + lpr
-            g_raw = g_raw + g_pr
-        jac = jnp.sum(
-            jax.nn.log_sigmoid(y) + jax.nn.log_sigmoid(-y), axis=-1
-        )
-        g_y = g_raw * (span * s * (1.0 - s)) + (1.0 - 2.0 * s)
-        return ll + jac, g_y
+    # same target as fit_advi/laplace: logL (+ logπ) + sigmoid
+    # log-Jacobian (span-free convention), value and FIRST-order
+    # y-gradient — the shared variational integrand
+    integrand_val_grad = _whitened_vi_target(
+        valgrad, lo, span, log_prior, span_jac=False
+    )
 
     b1, b2, eps_adam = 0.9, 0.999, 1e-8
     h_base = 0.5 * n_params * math.log(2.0 * math.pi * math.e)
 
     def build_run():
-        def step(state, tk):
-            t, k = tk
-            theta, m, v = state
-            z = jax.random.normal(k, (n_mc, n_params), jnp.float32)
-            (y, logdet), pull = jax.vjp(
-                lambda th: flow_forward(th, z, masks), theta
-            )
-            f, g_y = integrand_val_grad(y)
-            g_y = jnp.where(jnp.isfinite(g_y), g_y, 0.0)
-            # ∂/∂θ E[f(y) + logdet]: one pullback carries both the
-            # integrand cotangent and the logdet's (entropy ascent)
-            (g_th,) = pull((
-                g_y / n_mc, jnp.full((n_mc,), 1.0 / n_mc),
-            ))
-            elbo = f.mean() + logdet.mean() + h_base
-            m = jax.tree_util.tree_map(
-                lambda mm, gg: b1 * mm + (1 - b1) * gg, m, g_th
-            )
-            v = jax.tree_util.tree_map(
-                lambda vv, gg: b2 * vv + (1 - b2) * gg * gg, v, g_th
-            )
-            lr = learning_rate * (0.05 + 0.95 * 0.5 * (
-                1.0 + jnp.cos(jnp.pi * (t - 1.0) / n_steps)
-            ))
-            theta = jax.tree_util.tree_map(
-                lambda p, mm, vv: p + lr * (mm / (1 - b1**t)) / (
-                    jnp.sqrt(vv / (1 - b2**t)) + eps_adam
-                ),
-                theta, m, v,
-            )
-            return (theta, m, v), elbo
-
         def run(params, theta, keys):
-            del params  # closed over by valgrad; kept for the cache API
+            # params is a RUN argument (not baked into the trace): the
+            # cached program must honor fresh weights when the same
+            # valgrad closure is reused after retraining
+            def step(state, tk):
+                t, k = tk
+                theta, m, v = state
+                z = jax.random.normal(k, (n_mc, n_params), jnp.float32)
+                (y, logdet), pull = jax.vjp(
+                    lambda th: flow_forward(th, z, masks), theta
+                )
+                f, g_y = integrand_val_grad(params, y)
+                g_y = jnp.where(jnp.isfinite(g_y), g_y, 0.0)
+                # ∂/∂θ E[f(y) + logdet]: one pullback carries both the
+                # integrand cotangent and the logdet's (entropy ascent)
+                (g_th,) = pull((
+                    g_y / n_mc, jnp.full((n_mc,), 1.0 / n_mc),
+                ))
+                elbo = f.mean() + logdet.mean() + h_base
+                m = jax.tree_util.tree_map(
+                    lambda mm, gg: b1 * mm + (1 - b1) * gg, m, g_th
+                )
+                v = jax.tree_util.tree_map(
+                    lambda vv, gg: b2 * vv + (1 - b2) * gg * gg, v, g_th
+                )
+                lr = learning_rate * (0.05 + 0.95 * 0.5 * (
+                    1.0 + jnp.cos(jnp.pi * (t - 1.0) / n_steps)
+                ))
+                theta = jax.tree_util.tree_map(
+                    lambda p, mm, vv: p + lr * (mm / (1 - b1**t)) / (
+                        jnp.sqrt(vv / (1 - b2**t)) + eps_adam
+                    ),
+                    theta, m, v,
+                )
+                return (theta, m, v), elbo
+
             zeros = jax.tree_util.tree_map(jnp.zeros_like, theta)
             state = (theta, zeros, zeros)
             (theta, _, _), elbo = jax.lax.scan(
@@ -508,6 +489,15 @@ def flow_evidence(
     trust signal. ``bounds``/``log_prior`` MUST match the fit.
     """
     lo, hi = _resolve_bounds(bounds)
+    if not (
+        np.array_equal(np.asarray(lo, np.float64), flow._lo)
+        and np.array_equal(np.asarray(hi, np.float64), flow._hi)
+    ):
+        raise ValueError(
+            "bounds do not match the box the flow was fitted in "
+            f"(fit lo={flow._lo.tolist()} hi={flow._hi.tolist()}); "
+            "pass the same bounds= used for fit_flow, or refit"
+        )
     span = hi - lo
     n_params = int(lo.shape[0])
     prior_lbm = _prior_log_box_mean(log_prior, lo, hi)
@@ -534,8 +524,11 @@ def flow_evidence(
 
     run = _chain_program(
         loglik,
+        # masks bytes: the program closes over the mask stack, so a
+        # flow with a different layer count/pattern must not hit a
+        # stale entry (zip would silently truncate the coupling stack)
         ("flow-is", _bounds_key(lo, hi), int(n_is),
-         _fn_cache_key(log_prior)),
+         np.asarray(masks).tobytes(), _fn_cache_key(log_prior)),
         build_is,
     )
     logw, xr = run(params, theta, jax.random.key(seed))

@@ -547,9 +547,16 @@ class DirectEmulator:
         if method == "flow":
             from tpu21cmvae.flows import evidence_with_flow
 
+            # same valgrad selection as fit_flow: the fit's gradient
+            # tier only shapes the PROPOSAL (the IS weights use the
+            # contract-tier value fn), so take the fast path on TPU
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
             return evidence_with_flow(
                 self.loglik_fn(obs, noise_var, precision="contract"),
-                self.loglik_and_grad_fn(obs, noise_var),
+                self.loglik_and_grad_fn(
+                    obs, noise_var, backend=backend,
+                    grad_precision="default",
+                ),
                 self.params, bounds=bounds, **kwargs,
             )
         if method != "ladder":

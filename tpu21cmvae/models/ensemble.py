@@ -372,9 +372,13 @@ class DeepEnsemble:
         if method == "flow":
             from tpu21cmvae.flows import evidence_with_flow
 
+            # same valgrad selection as fit_flow (the fit's gradient
+            # tier only shapes the proposal; IS weights stay contract)
             return evidence_with_flow(
                 self.loglik_fn(obs, noise_var, precision="contract"),
-                self.loglik_and_grad_fn(obs, noise_var),
+                self.loglik_and_grad_fn(
+                    obs, noise_var, grad_precision="default"
+                ),
                 self.stacked_params, bounds=bounds, **kwargs,
             )
         if method != "ladder":

@@ -2036,6 +2036,62 @@ def _whitened_target(valgrad, log_prior, lo, span):
     return to_params, logp_and_grad
 
 
+def _whitened_center(x0, lo, hi):
+    """Raw-space center → whitened ``mu0`` (float32), the shared
+    ``x0=`` handling of :func:`tpu21cmvae.vi.fit_advi` and
+    :func:`tpu21cmvae.flows.fit_flow`. Host-side float64 on purpose
+    (a one-off conversion; float32 logit loses digits near the box
+    edge). Raises if ``x0`` is not a single ``(P,)`` center."""
+    lo = np.asarray(lo, np.float64)
+    span = np.asarray(hi, np.float64) - lo
+    frac = np.clip(
+        (np.asarray(x0, np.float64) - lo) / span, 1e-4, 1.0 - 1e-4
+    )
+    mu0 = jnp.asarray(np.log(frac / (1.0 - frac)), jnp.float32)
+    if mu0.shape != lo.shape:
+        raise ValueError(
+            f"x0 must be a single ({lo.shape[0]},) center; "
+            f"got {np.shape(x0)}"
+        )
+    return mu0
+
+
+def _whitened_vi_target(valgrad, lo, span, log_prior, *, span_jac):
+    """The variational fitters' shared ELBO integrand: ``(params, y) →
+    (target value, y-gradient)`` over the sigmoid-whitened space, using
+    only the FIRST-order ``valgrad`` (reparameterization trick). The
+    sigmoid is clamped because float32 saturates to exactly 0/1 at
+    |y|≳17, which would poison the span-Jacobian with log(0).
+
+    Two equivalent log-Jacobian conventions, chosen by ``span_jac``
+    (they differ by the constant ``Σ log span``, which shifts the ELBO
+    but not its gradient): ``True`` → ``Σ log(span·s·(1−s))``, the ADVI
+    convention (:func:`tpu21cmvae.vi.fit_advi`); ``False`` →
+    ``Σ [log σ(y) + log σ(−y)]``, the chain-sampler convention
+    (:func:`_whitened_target`) that :func:`tpu21cmvae.flows.fit_flow`
+    shares so its ELBO and the flow-IS weights cancel the box volume
+    exactly (see :func:`tpu21cmvae.flows.flow_evidence`)."""
+
+    def val_grad(params, y):
+        s = jnp.clip(jax.nn.sigmoid(y), 1e-7, 1.0 - 1e-7)
+        xr = lo + span * s
+        ll, g_raw = valgrad(params, xr)
+        if log_prior is not None:
+            lpr, g_pr = _log_prior_val_grad(log_prior, xr)
+            ll = ll + lpr
+            g_raw = g_raw + g_pr
+        if span_jac:
+            jac = jnp.sum(jnp.log(span * s * (1.0 - s)), axis=-1)
+        else:
+            jac = jnp.sum(
+                jax.nn.log_sigmoid(y) + jax.nn.log_sigmoid(-y), axis=-1
+            )
+        g_y = g_raw * (span * s * (1.0 - s)) + (1.0 - 2.0 * s)
+        return ll + jac, g_y
+
+    return val_grad
+
+
 def _ens_metric(y, dense):
     """Ensemble-statistics metric from the cross-walker spread of ``y``.
 

@@ -43,8 +43,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu21cmvae.sampling import (
-    _log_prior_val_grad,
     _resolve_bounds,
+    _whitened_center,
+    _whitened_vi_target,
 )
 
 __all__ = ["ADVIResult", "fit_advi"]
@@ -110,17 +111,7 @@ def fit_advi(
     n_params = int(lo.shape[0])
     span = hi - lo
     if x0 is not None:
-        frac = np.clip(
-            (np.asarray(x0, np.float64) - np.asarray(lo))
-            / np.asarray(span),
-            1e-4, 1.0 - 1e-4,
-        )
-        mu0 = jnp.asarray(np.log(frac / (1.0 - frac)), jnp.float32)
-        if mu0.shape != (n_params,):
-            raise ValueError(
-                f"x0 must be a single ({n_params},) center; "
-                f"got {np.shape(x0)}"
-            )
+        mu0 = _whitened_center(x0, lo, hi)
     else:
         mu0 = jnp.zeros((n_params,), jnp.float32)
     # start wide (sigmoid(±1.5) spans ~60% of the box) so early steps
@@ -129,23 +120,11 @@ def fit_advi(
     a0 = jnp.zeros((n_params, n_params), jnp.float32)
     key = jax.random.key(seed)
 
-    def integrand_val_grad(y):
-        """Target log-density (up to const) and its y-gradient, per
-        row: logL + logπ + Σ log(span·s(1−s)); gradient uses only the
-        first-order valgrad (reparameterization trick)."""
-        # clamp: float32 sigmoid saturates to exactly 0/1 at |y|≳17,
-        # which would make the Jacobian log(0) = −inf and poison the
-        # ELBO trace; the clamp keeps the restoring gradient finite
-        s = jnp.clip(jax.nn.sigmoid(y), 1e-7, 1.0 - 1e-7)
-        xr = lo + span * s
-        ll, g_raw = valgrad(params, xr)
-        if log_prior is not None:
-            lpr, g_pr = _log_prior_val_grad(log_prior, xr)
-            ll = ll + lpr
-            g_raw = g_raw + g_pr
-        jac = jnp.sum(jnp.log(span * s * (1.0 - s)), axis=-1)
-        g_y = g_raw * (span * s * (1.0 - s)) + (1.0 - 2.0 * s)
-        return ll + jac, g_y
+    # shared variational integrand (span-Jacobian convention): target
+    # value + FIRST-order y-gradient via the reparameterization trick
+    integrand = _whitened_vi_target(
+        valgrad, lo, span, log_prior, span_jac=True
+    )
 
     b1, b2, eps_adam = 0.9, 0.999, 1e-8
     tril_mask = jnp.tril(jnp.ones((n_params, n_params), jnp.float32), -1)
@@ -156,7 +135,7 @@ def fit_advi(
         L = a * tril_mask + jnp.diag(jnp.exp(d))
         eps = jax.random.normal(k, (n_mc, n_params), jnp.float32)
         y = mu + eps @ L.T
-        f, g = integrand_val_grad(y)
+        f, g = integrand(params, y)
         g = jnp.where(jnp.isfinite(g), g, 0.0)
         # reparameterized ELBO gradients (entropy terms analytic)
         g_mu = g.mean(axis=0)
