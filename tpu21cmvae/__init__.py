@@ -86,6 +86,14 @@ from tpu21cmvae.flows import (  # noqa: F401
     fit_flow,
     flow_evidence,
 )
+from tpu21cmvae.foregrounds import (  # noqa: F401
+    MarginalizedNoise,
+    foreground_basis,
+    linlog_basis,
+    marginalize_foreground,
+    polynomial_basis,
+    powerlaw_basis,
+)
 from tpu21cmvae.priors import GaussianBoxPrior  # noqa: F401
 from tpu21cmvae.calibration import SBCResult, sbc  # noqa: F401
 from tpu21cmvae.models.direct import DirectEmulator  # noqa: F401

@@ -176,6 +176,39 @@ def cmd_serve(args):
                warmup_obs=args.warmup_obs)
 
 
+def _apply_foreground(model, args, noise_var):
+    """Wrap the observation's noise spec in a foreground-marginalized
+    noise model when --fg-terms is given (tpu21cmvae.foregrounds)."""
+    if getattr(args, "fg_terms", None) is None:
+        return noise_var
+    return model.marginalize_foreground(
+        noise_var, n_terms=args.fg_terms, basis=args.fg_basis,
+        prior_var=args.fg_prior_var,
+    )
+
+
+def _add_fg_args(p):
+    p.add_argument("--fg-terms", type=int, default=None, metavar="K",
+                   help="marginalize a K-term linear foreground out of "
+                        "the likelihood ANALYTICALLY (the joint "
+                        "signal+foreground fit without the K extra "
+                        "chain dimensions; zero per-sample cost in the "
+                        "default gram likelihood — see "
+                        "tpu21cmvae.foregrounds)")
+    p.add_argument("--fg-basis",
+                   choices=["linlog", "powerlaw", "polynomial"],
+                   default="linlog",
+                   help="foreground family: linlog (Hills et al. 2018 "
+                        "damped log-polynomial, default), powerlaw "
+                        "(EDGES-style linearized spectral index), or "
+                        "polynomial (Legendre)")
+    p.add_argument("--fg-prior-var", type=float, default=None,
+                   help="Gaussian prior variance per foreground "
+                        "coefficient (default: improper flat prior — "
+                        "exact injection invariance; set a proper "
+                        "prior for publishable Bayes factors)")
+
+
 def _build_prior(specs):
     """``--prior IDX:MEAN:SIGMA`` (repeatable) → GaussianBoxPrior over
     the default 21cmGEM-shaped box, or None when no specs were given."""
@@ -207,6 +240,7 @@ def cmd_sample(args):
               f"{len(specs)}", file=sys.stderr)
         return 2
     obs, noise_var = specs[0]
+    noise_var = _apply_foreground(model, args, noise_var)
     if args.sampler == "smc":
         # the SMC anneal self-schedules: no steps/warmup/thin knobs
         kwargs = dict(n_particles=args.walkers, seed=args.seed)
@@ -280,6 +314,7 @@ def cmd_fit(args):
               f"{len(specs)}", file=sys.stderr)
         return 2
     obs, noise_var = specs[0]
+    noise_var = _apply_foreground(model, args, noise_var)
     prior = _build_prior(args.prior)
     res = model.fit_params(
         obs, noise_var, n_starts=args.starts, n_steps=args.steps,
@@ -306,6 +341,7 @@ def cmd_advi(args):
               f"{len(specs)}", file=sys.stderr)
         return 2
     obs, noise_var = specs[0]
+    noise_var = _apply_foreground(model, args, noise_var)
     prior = _build_prior(args.prior)
     res = model.fit_advi(
         obs, noise_var, n_steps=args.steps, n_mc=args.mc,
@@ -339,6 +375,7 @@ def cmd_profile(args):
               f"{len(specs)}", file=sys.stderr)
         return 2
     obs, noise_var = specs[0]
+    noise_var = _apply_foreground(model, args, noise_var)
     n_params = model.config.n_params
     if not 0 <= args.index < n_params:
         print(f"--index must be in [0, {n_params}); got {args.index}",
@@ -384,6 +421,7 @@ def cmd_evidence(args):
               f"{len(specs)}", file=sys.stderr)
         return 2
     obs, noise_var = specs[0]
+    noise_var = _apply_foreground(model, args, noise_var)
     prior = _build_prior(args.prior)
     if args.method == "nested":
         res = model.log_evidence(
@@ -635,6 +673,7 @@ def main(argv=None):
                         "tau constraint); unlisted parameters stay flat "
                         "over the box")
     p.add_argument("--out", default="chain.npz")
+    _add_fg_args(p)
     p.set_defaults(fn=cmd_sample)
 
     p = sub.add_parser(
@@ -654,6 +693,7 @@ def main(argv=None):
                    help="Gaussian prior on parameter IDX (repeatable) — "
                         "the fit then maximizes logL + log pi (MAP)")
     p.add_argument("--out", default="fit.npz")
+    _add_fg_args(p)
     p.set_defaults(fn=cmd_fit)
 
     p = sub.add_parser(
@@ -676,6 +716,7 @@ def main(argv=None):
     p.add_argument("--prior", action="append", metavar="IDX:MEAN:SIGMA",
                    help="Gaussian prior on parameter IDX (repeatable)")
     p.add_argument("--out", default="advi.npz")
+    _add_fg_args(p)
     p.set_defaults(fn=cmd_advi)
 
     p = sub.add_parser(
@@ -697,6 +738,7 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="profile.npz")
+    _add_fg_args(p)
     p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser(
@@ -744,6 +786,7 @@ def main(argv=None):
                         "(nested uses its unit-cube transform, the "
                         "ladder its log-density)")
     p.add_argument("--out", default="evidence.npz")
+    _add_fg_args(p)
     p.set_defaults(fn=cmd_evidence)
 
     p = sub.add_parser(

@@ -36,6 +36,16 @@ def _key_part(p):
     return p
 
 
+def noise_key(noise_var):
+    """Value-identity key part for a noise spec: arrays/scalars key by
+    float64 bytes; objects exposing ``memo_key()`` (e.g.
+    :class:`tpu21cmvae.foregrounds.MarginalizedNoise`) key by it."""
+    mk = getattr(noise_var, "memo_key", None)
+    if callable(mk):
+        return mk()
+    return np.asarray(noise_var, np.float64)
+
+
 def memo_program(model, key_parts, build, *, memo: bool = True):
     """Return ``build()`` memoized on ``model`` under ``key_parts``.
 

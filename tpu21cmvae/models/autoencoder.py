@@ -290,13 +290,13 @@ class AutoEncoderEmulator:
         Value-identical calls return the same cached program object
         (:mod:`tpu21cmvae.models._memo`).
         """
-        from tpu21cmvae.models._memo import memo_program
+        from tpu21cmvae.models._memo import memo_program, noise_key
         from tpu21cmvae.ops.loglik import make_loglik_from_predict
 
         return memo_program(
             self,
             ("loglik", np.asarray(obs, np.float32),
-             np.asarray(noise_var, np.float64)),
+             noise_key(noise_var)),
             lambda: jax.jit(make_loglik_from_predict(
                 self.predict_fn(), obs, noise_var
             )),
@@ -307,13 +307,13 @@ class AutoEncoderEmulator:
         """Jitted ``(weights, raw) → (logL, dlogL/draw)`` over the
         em→decoder pipeline (autodiff — the HMC inner loop for this
         family; the direct family has faster analytic/fused variants)."""
-        from tpu21cmvae.models._memo import memo_program
+        from tpu21cmvae.models._memo import memo_program, noise_key
         from tpu21cmvae.ops.loglik import make_loglik_and_grad_from_predict
 
         return memo_program(
             self,
             ("valgrad", np.asarray(obs, np.float32),
-             np.asarray(noise_var, np.float64)),
+             noise_key(noise_var)),
             lambda: jax.jit(make_loglik_and_grad_from_predict(
                 self.predict_fn(), obs, noise_var
             )),
@@ -325,17 +325,37 @@ class AutoEncoderEmulator:
         """Jitted stacked-observation likelihood over the em→decoder
         pipeline — same contract as
         :meth:`DirectEmulator.loglik_multi_fn`."""
-        from tpu21cmvae.models._memo import memo_program
+        from tpu21cmvae.models._memo import memo_program, noise_key
         from tpu21cmvae.ops.loglik import make_loglik_multi_from_predict
 
         return memo_program(
             self,
             ("multi", np.asarray(obs_batch, np.float32),
-             np.asarray(noise_var, np.float64)),
+             noise_key(noise_var)),
             lambda: jax.jit(make_loglik_multi_from_predict(
                 self.predict_fn(), obs_batch, noise_var
             )),
             memo=memo,
+        )
+
+    def marginalize_foreground(self, noise_var=1.0, *, n_terms: int = 5,
+                               basis="linlog", prior_var=None,
+                               nu_ref=None):
+        """Foreground-marginalized noise model on this emulator's
+        frequency axis — same contract as
+        :meth:`DirectEmulator.marginalize_foreground`
+        (:mod:`tpu21cmvae.foregrounds`)."""
+        from tpu21cmvae.foregrounds import (
+            foreground_basis,
+            marginalize_foreground,
+        )
+
+        f = (foreground_basis(self.frequencies, n_terms, basis,
+                              nu_ref=nu_ref)
+             if isinstance(basis, str) else basis)
+        return marginalize_foreground(
+            f, noise_var, n_bins=int(self.frequencies.shape[0]),
+            prior_var=prior_var,
         )
 
     def log_evidence_batch(self, obs_batch, noise_var=1.0, *,

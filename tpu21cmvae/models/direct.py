@@ -221,13 +221,13 @@ class DirectEmulator:
         matmuls, near-mode error ≤ ~5e-3 for gram, 0 for
         ``method="direct"``) at ~55 % of the default's throughput.
         """
-        from tpu21cmvae.models._memo import memo_program
+        from tpu21cmvae.models._memo import memo_program, noise_key
         from tpu21cmvae.ops.loglik import make_loglik
 
         return memo_program(
             self,
             ("loglik", np.asarray(obs, np.float32),
-             np.asarray(noise_var, np.float64), backend, method,
+             noise_key(noise_var), backend, method,
              str(precision)),
             lambda: jax.jit(
                 make_loglik(
@@ -264,13 +264,13 @@ class DirectEmulator:
         return the SAME cached program object
         (:mod:`tpu21cmvae.models._memo`), so repeated sampling on one
         observation reuses the compiled chain programs too."""
-        from tpu21cmvae.models._memo import memo_program
+        from tpu21cmvae.models._memo import memo_program, noise_key
         from tpu21cmvae.ops.loglik import make_loglik_and_grad
 
         return memo_program(
             self,
             ("valgrad", np.asarray(obs, np.float32),
-             np.asarray(noise_var, np.float64), backend, method,
+             noise_key(noise_var), backend, method,
              str(precision), str(grad_precision)),
             lambda: jax.jit(
                 make_loglik_and_grad(
@@ -296,18 +296,49 @@ class DirectEmulator:
         structure is shared across observations). Powers
         :meth:`sample_posterior_batch` and SBC
         (:mod:`tpu21cmvae.calibration`)."""
-        from tpu21cmvae.models._memo import memo_program
+        from tpu21cmvae.models._memo import memo_program, noise_key
         from tpu21cmvae.ops.loglik import make_loglik_multi
 
         return memo_program(
             self,
             ("multi", np.asarray(obs_batch, np.float32),
-             np.asarray(noise_var, np.float64), method, str(precision)),
+             noise_key(noise_var), method, str(precision)),
             lambda: jax.jit(make_loglik_multi(
                 self.config, self.normalizer, obs_batch, noise_var,
                 method=method, precision=precision,
             )),
             memo=memo,
+        )
+
+    def marginalize_foreground(self, noise_var=1.0, *, n_terms: int = 5,
+                               basis="linlog", prior_var=None,
+                               nu_ref=None):
+        """Foreground-marginalized noise model on this emulator's
+        frequency axis (:mod:`tpu21cmvae.foregrounds`) — pass the
+        result anywhere ``noise_var`` is accepted (``loglik_fn``,
+        ``sample_*``, ``log_evidence``, ``fit_*`` …) to infer the 21-cm
+        parameters with a linear foreground ``F·a`` integrated out of
+        the likelihood EXACTLY. Zero per-sample cost in the default
+        gram form: the projection folds into the output layer
+        (docs/PERF.md). ``basis``: ``"linlog"`` (Hills et al. 2018),
+        ``"powerlaw"`` (EDGES-style linearized, Bowman et al. 2018),
+        ``"polynomial"`` (Legendre), or an explicit ``(n_bins, k)``
+        design matrix. ``prior_var``: per-coefficient Gaussian prior
+        variances; None = improper flat (then the likelihood is exactly
+        invariant to any ``F·a`` added to the observation). Use the
+        returned object's ``coeff_posterior(obs − predict(θ))`` to
+        reconstruct the best-fit foreground afterwards."""
+        from tpu21cmvae.foregrounds import (
+            foreground_basis,
+            marginalize_foreground,
+        )
+
+        f = (foreground_basis(self.frequencies, n_terms, basis,
+                              nu_ref=nu_ref)
+             if isinstance(basis, str) else basis)
+        return marginalize_foreground(
+            f, noise_var, n_bins=int(self.frequencies.shape[0]),
+            prior_var=prior_var,
         )
 
     def sample_posterior_batch(

@@ -183,7 +183,7 @@ class DeepEnsemble:
         log-density uses — the logsumexp is dominated by the best
         member, so member-level bounds carry through to the mixture).
         """
-        from tpu21cmvae.models._memo import memo_program
+        from tpu21cmvae.models._memo import memo_program, noise_key
         from tpu21cmvae.ops.loglik import make_loglik
 
         def build():
@@ -204,7 +204,7 @@ class DeepEnsemble:
         return memo_program(
             self,
             ("loglik", np.asarray(obs, np.float32),
-             np.asarray(noise_var, np.float64), backend, method,
+             noise_key(noise_var), backend, method,
              str(precision)),
             build,
             memo=memo,
@@ -227,7 +227,7 @@ class DeepEnsemble:
         gradients (exact: ∇ logsumexp_m l_m = Σ_m softmax(l_m) ∇l_m), so
         the hand-written analytic gram backward selected by the grad
         bench (docs/PERF.md) is reused per member under one ``vmap``."""
-        from tpu21cmvae.models._memo import memo_program
+        from tpu21cmvae.models._memo import memo_program, noise_key
         from tpu21cmvae.ops.loglik import make_loglik_and_grad
 
         def build():
@@ -250,7 +250,7 @@ class DeepEnsemble:
         return memo_program(
             self,
             ("valgrad", np.asarray(obs, np.float32),
-             np.asarray(noise_var, np.float64), backend, method,
+             noise_key(noise_var), backend, method,
              str(precision), str(grad_precision)),
             build,
             memo=memo,
@@ -446,7 +446,7 @@ class DeepEnsemble:
         axis rides a vmap over the stacked-observation member
         likelihood; same row contract as
         :meth:`DirectEmulator.loglik_multi_fn`."""
-        from tpu21cmvae.models._memo import memo_program
+        from tpu21cmvae.models._memo import memo_program, noise_key
         from tpu21cmvae.ops.loglik import make_loglik_multi
 
         def build():
@@ -467,9 +467,29 @@ class DeepEnsemble:
         return memo_program(
             self,
             ("multi", np.asarray(obs_batch, np.float32),
-             np.asarray(noise_var, np.float64), method, str(precision)),
+             noise_key(noise_var), method, str(precision)),
             build,
             memo=memo,
+        )
+
+    def marginalize_foreground(self, noise_var=1.0, *, n_terms: int = 5,
+                               basis="linlog", prior_var=None,
+                               nu_ref=None):
+        """Foreground-marginalized noise model on this emulator's
+        frequency axis — same contract as
+        :meth:`DirectEmulator.marginalize_foreground`
+        (:mod:`tpu21cmvae.foregrounds`)."""
+        from tpu21cmvae.foregrounds import (
+            foreground_basis,
+            marginalize_foreground,
+        )
+
+        f = (foreground_basis(self.frequencies, n_terms, basis,
+                              nu_ref=nu_ref)
+             if isinstance(basis, str) else basis)
+        return marginalize_foreground(
+            f, noise_var, n_bins=int(self.frequencies.shape[0]),
+            prior_var=prior_var,
         )
 
     def log_evidence_batch(self, obs_batch, noise_var=1.0, *,

@@ -32,22 +32,55 @@ from tpu21cmvae.ops.transforms import Normalizer, par_transform, unpreproc
 from tpu21cmvae.utils.config import DirectEmulatorConfig
 
 
+def _resid_quad(noise_var, n_bins: int, precision=None):
+    """``(residual (…, n_bins) → rᵀ·P·r rows, log_norm)`` for a noise
+    spec: diagonal (scalar / per-bin σ²) or foreground-marginalized
+    (:class:`tpu21cmvae.foregrounds.MarginalizedNoise`, where ``P``
+    projects the foreground modes out — see that module). The shared
+    residual reduction of every non-folded likelihood path here."""
+    from tpu21cmvae.foregrounds import MarginalizedNoise
+    from tpu21cmvae.ops.pallas.fused_loglik import noise_log_norm
+
+    if isinstance(noise_var, MarginalizedNoise):
+        r_mat = jnp.asarray(noise_var.whiten, jnp.float32)
+        if r_mat.shape != (n_bins, n_bins):
+            raise ValueError(
+                f"MarginalizedNoise built for {r_mat.shape[0]} bins; "
+                f"the observation has {n_bins}"
+            )
+        prec = jax.lax.Precision.HIGHEST if precision is None else precision
+
+        def quad(r):
+            z = jnp.matmul(r, r_mat, precision=prec)
+            return jnp.sum(z * z, axis=-1)
+
+        return quad, noise_log_norm(noise_var)
+
+    invvar = jnp.broadcast_to(
+        1.0 / jnp.asarray(noise_var, jnp.float32), (n_bins,)
+    )
+
+    def quad(r):
+        return jnp.sum(r * r * invvar, axis=-1)
+
+    return quad, 0.0
+
+
 def make_loglik_from_predict(predict_fn, obs, noise_var=1.0):
     """Generic Gaussian log-likelihood over ANY ``(weights, raw) →
     signals`` prediction function — the two-stage families
     (:class:`AutoEncoderEmulator`, :class:`VAEEmulator`) plug their
     ``predict_fn`` in here. The direct family should prefer
     :func:`make_loglik`, whose folded/gram/Pallas specializations only
-    exist for a single-MLP forward."""
+    exist for a single-MLP forward. ``noise_var``: scalar, per-bin σ²,
+    or a :class:`~tpu21cmvae.foregrounds.MarginalizedNoise`."""
     obs = jnp.asarray(obs, jnp.float32)
-    invvar = 1.0 / jnp.broadcast_to(
-        jnp.asarray(noise_var, jnp.float32), obs.shape
-    )
+    quad, log_norm = _resid_quad(noise_var, int(obs.shape[-1]))
 
     def loglik(weights, raw_params):
         raw = jnp.atleast_2d(jnp.asarray(raw_params, jnp.float32))
         pred = predict_fn(weights, raw)
-        return -0.5 * jnp.sum((pred - obs) ** 2 * invvar, axis=-1)
+        return -0.5 * quad(pred - obs) + log_norm
 
     return loglik
 
@@ -170,10 +203,15 @@ def make_loglik(
     obs = jnp.asarray(obs, jnp.float32)
 
     if method == "gram":
-        from tpu21cmvae.ops.pallas.fused_loglik import gram_fold, noise_scale
+        from tpu21cmvae.ops.pallas.fused_loglik import (
+            gram_fold,
+            noise_log_norm,
+            noise_scale,
+        )
         from tpu21cmvae.ops.pallas.fused_mlp import _log_clamp
 
         scale = noise_scale(noise_var, config.n_bins)
+        log_norm = noise_log_norm(noise_var)
 
         from tpu21cmvae.ops.mlp import (
             SKINNY_DENSE_MAX_IN,
@@ -198,13 +236,13 @@ def make_loglik(
                     )
                 h = act(h)
             g = jnp.matmul(h, G, precision=precision)
-            return -0.5 * (jnp.sum((g + 2.0 * u) * h, axis=-1) + c)
+            return (
+                -0.5 * (jnp.sum((g + 2.0 * u) * h, axis=-1) + c) + log_norm
+            )
 
         return loglik_gram
 
-    invvar = jnp.broadcast_to(
-        1.0 / jnp.asarray(noise_var, jnp.float32), (config.n_bins,)
-    )
+    quad, log_norm = _resid_quad(noise_var, config.n_bins)
     activation = config.activation
 
     def loglik(params, raw_params):
@@ -213,7 +251,7 @@ def make_loglik(
         pred = unpreproc(
             mlp_apply(params, x, activation, precision=precision), norm
         )
-        return -0.5 * jnp.sum((pred - obs) ** 2 * invvar, axis=-1)
+        return -0.5 * quad(pred - obs) + log_norm
 
     return loglik
 
@@ -225,16 +263,13 @@ def make_loglik_multi_from_predict(predict_fn, obs_batch, noise_var=1.0):
     :class:`VAEEmulator`) batched-survey path. Row ``o·W + w`` of the
     observation-major batch scores against ``obs_batch[o]``; ``W`` is
     inferred per call (see :func:`make_loglik_multi`). ``noise_var``:
-    scalar or per-bin vector shared across observations."""
+    scalar, per-bin vector, or
+    :class:`~tpu21cmvae.foregrounds.MarginalizedNoise` — shared across
+    observations."""
     obs_batch = jnp.atleast_2d(jnp.asarray(obs_batch, jnp.float32))
     n_obs = int(obs_batch.shape[0])
-    nv = jnp.asarray(noise_var, jnp.float32)
-    if nv.ndim > 1 or (nv.ndim == 1 and nv.shape != obs_batch.shape[1:]):
-        raise ValueError(
-            "noise_var must be a scalar or per-bin vector shared across "
-            f"observations; got shape {nv.shape}"
-        )
-    invvar = 1.0 / jnp.broadcast_to(nv, obs_batch.shape[1:])
+    _check_multi_noise(noise_var, int(obs_batch.shape[1]))
+    quad, log_norm = _resid_quad(noise_var, int(obs_batch.shape[1]))
 
     def loglik(weights, raw_params):
         raw = jnp.atleast_2d(jnp.asarray(raw_params, jnp.float32))
@@ -246,9 +281,32 @@ def make_loglik_multi_from_predict(predict_fn, obs_batch, noise_var=1.0):
         w = raw.shape[0] // n_obs
         pred = predict_fn(weights, raw)
         r = pred.reshape(n_obs, w, -1) - obs_batch[:, None, :]
-        return (-0.5 * jnp.sum(r * r * invvar, axis=-1)).reshape(-1)
+        return (-0.5 * quad(r) + log_norm).reshape(-1)
 
     return loglik
+
+
+def _check_multi_noise(noise_var, n_bins: int):
+    """Shared-noise validation for the stacked-observation builders:
+    scalar, per-bin (n_bins,) vector, or a MarginalizedNoise of the
+    right bin count (per-OBSERVATION noise would break the shared gram
+    structure — score heterogeneous-noise surveys in groups)."""
+    from tpu21cmvae.foregrounds import MarginalizedNoise
+
+    if isinstance(noise_var, MarginalizedNoise):
+        if noise_var.whiten.shape != (n_bins, n_bins):
+            raise ValueError(
+                f"MarginalizedNoise built for {noise_var.whiten.shape[0]} "
+                f"bins; the observations have {n_bins}"
+            )
+        return
+    nv = jnp.asarray(noise_var, jnp.float32)
+    if nv.ndim > 1 or (nv.ndim == 1 and nv.shape[0] != n_bins):
+        raise ValueError(
+            "noise_var must be a scalar, a per-bin vector shared across "
+            "observations, or a MarginalizedNoise; got shape "
+            f"{nv.shape}"
+        )
 
 
 def per_row_grad(loglik):
@@ -289,13 +347,14 @@ def make_loglik_multi(
     :mod:`tpu21cmvae.calibration` is built on it).
 
     ``obs_batch``: (O, n_bins) observed signals in mK. ``noise_var``:
-    scalar or per-bin (n_bins,) variance SHARED across observations
-    (per-observation noise would break the shared gram form — score
-    heterogeneous-noise surveys in groups). ``method="gram"`` keeps the
-    single-observation speed structure: ``G = WWᵀ`` and the trunk are
-    observation-independent (computed once), only the tiny ``u``/``c``
-    constants become per-observation rows. Precision semantics match
-    :func:`make_loglik`.
+    scalar, per-bin (n_bins,) variance, or
+    :class:`~tpu21cmvae.foregrounds.MarginalizedNoise` — SHARED across
+    observations (per-observation noise would break the shared gram
+    form — score heterogeneous-noise surveys in groups).
+    ``method="gram"`` keeps the single-observation speed structure:
+    ``G = WWᵀ`` and the trunk are observation-independent (computed
+    once), only the tiny ``u``/``c`` constants become per-observation
+    rows. Precision semantics match :func:`make_loglik`.
     """
     if method not in ("direct", "gram"):
         raise ValueError(f"method must be 'direct' or 'gram'; got {method!r}")
@@ -305,12 +364,7 @@ def make_loglik_multi(
         raise ValueError(
             f"obs_batch must be (O, {config.n_bins}); got {obs_batch.shape}"
         )
-    nv = jnp.asarray(noise_var, jnp.float32)
-    if nv.ndim > 1 or (nv.ndim == 1 and nv.shape[0] != config.n_bins):
-        raise ValueError(
-            "noise_var must be a scalar or a per-bin (n_bins,) vector "
-            f"shared across observations; got shape {nv.shape}"
-        )
+    _check_multi_noise(noise_var, config.n_bins)
     from tpu21cmvae.ops.pallas.fused_mlp import resolve_precision
 
     if isinstance(precision, str) and precision.lower().replace("_", "-") in (
@@ -332,7 +386,7 @@ def make_loglik_multi(
         return b // n_obs
 
     if method == "direct":
-        invvar = jnp.broadcast_to(1.0 / nv, (config.n_bins,))
+        quad, log_norm = _resid_quad(noise_var, config.n_bins)
         activation = config.activation
 
         def loglik_direct(params, raw_params):
@@ -343,7 +397,7 @@ def make_loglik_multi(
                 mlp_apply(params, x, activation, precision=precision), norm
             )
             r = pred.reshape(n_obs, w, config.n_bins) - obs_batch[:, None, :]
-            return (-0.5 * jnp.sum(r * r * invvar, axis=-1)).reshape(-1)
+            return (-0.5 * quad(r) + log_norm).reshape(-1)
 
         return loglik_direct
 
@@ -354,19 +408,21 @@ def make_loglik_multi(
     )
     from tpu21cmvae.ops.pallas.fused_loglik import (
         fold_loglik_constants,
+        noise_log_norm,
         noise_scale,
     )
     from tpu21cmvae.ops.pallas.fused_mlp import _log_clamp
 
-    scale = noise_scale(nv, config.n_bins)
+    scale = noise_scale(noise_var, config.n_bins)
+    log_norm = noise_log_norm(noise_var)
     act = resolve_activation(config.activation)
     hp = jax.lax.Precision.HIGHEST
 
     def _constants(params):
-        # one fold at obs=0 gives the shared trunk and scaled last
+        # one fold at obs=0 gives the shared trunk and whitened last
         # layer (Wₛ, b₀); G = Wₛ Wₛᵀ is observation-independent, and
         # each observation only shifts the folded bias (b_o = b₀ −
-        # obs_o·scale), so the gram constants vectorize exactly:
+        # whiten(obs_o)), so the gram constants vectorize exactly:
         # u_o = Wₛ b_o, c_o = b_o·b_o — tiny (O, hidden) rows.
         folded = fold_loglik_constants(
             params, norm, jnp.zeros((config.n_bins,), jnp.float32), scale
@@ -374,7 +430,10 @@ def make_loglik_multi(
         *trunk, last = folded
         w_s, b0 = last["w"], last["b"]
         G = jnp.matmul(w_s, w_s.T, precision=hp)
-        b_all = b0 - obs_batch * scale  # (O, n_bins)
+        if scale.ndim == 2:  # marginalized noise: whiten = right-matmul
+            b_all = b0 - jnp.matmul(obs_batch, scale, precision=hp)
+        else:
+            b_all = b0 - obs_batch * scale  # (O, n_bins)
         u_all = jnp.matmul(b_all, w_s.T, precision=hp)  # (O, hidden)
         c_all = jnp.sum(b_all * b_all, axis=-1)  # (O,)
         return tuple(trunk), G, u_all, c_all
@@ -396,7 +455,7 @@ def make_loglik_multi(
         quad = jnp.sum(
             (gg + 2.0 * u_all[:, None, :]) * hh, axis=-1
         ) + c_all[:, None]
-        return (-0.5 * quad).reshape(-1)
+        return (-0.5 * quad + log_norm).reshape(-1)
 
     return loglik_gram
 
@@ -533,7 +592,11 @@ def make_loglik_and_grad(
             f"activation={config.activation!r} — use variant='autodiff'"
         )
     from tpu21cmvae.ops.mlp import SKINNY_DENSE_MAX_IN, skinny_dense
-    from tpu21cmvae.ops.pallas.fused_loglik import gram_fold, noise_scale
+    from tpu21cmvae.ops.pallas.fused_loglik import (
+        gram_fold,
+        noise_log_norm,
+        noise_scale,
+    )
     from tpu21cmvae.ops.pallas.fused_mlp import (
         _log_clamp,
         _log_clamp_grad,
@@ -551,6 +614,7 @@ def make_loglik_and_grad(
     bwd_prec = _tier(grad_precision, fwd_prec)
     hp = jax.lax.Precision.HIGHEST
     scale = noise_scale(noise_var, config.n_bins)
+    log_norm = noise_log_norm(noise_var)
 
     def loglik_grad(params, raw_params):
         trunk, G, u, c = gram_fold(params, norm, obs, scale)
@@ -574,6 +638,6 @@ def make_loglik_and_grad(
             pr = hp if i == 0 else bwd_prec
             e = jnp.matmul(e, trunk[i]["w"].T, precision=pr)
         grad = -(_log_clamp_grad(x) * e)
-        return -0.5 * quad, grad
+        return -0.5 * quad + log_norm, grad
 
     return loglik_grad

@@ -70,10 +70,38 @@ DEFAULT_LOGLIK_VMEM_LIMIT = 110 * 1024 * 1024
 
 
 def noise_scale(noise_var, n_bins: int) -> jax.Array:
-    """Per-bin 1/σ column scale from a scalar variance or a (n_bins,)
-    per-bin variance vector."""
+    """Residual-whitening operator from a noise spec: per-bin ``1/σ``
+    column scale (1-D) from a scalar or ``(n_bins,)`` variance, or the
+    precomputed ``(n_bins, n_bins)`` factor ``R`` with ``P = R·Rᵀ``
+    from a foreground-marginalized noise model
+    (:class:`tpu21cmvae.foregrounds.MarginalizedNoise`). Both fold into
+    the emulator's linear output layer
+    (:func:`fold_loglik_constants`), so every downstream path — gram,
+    fused kernels, analytic gradient — is whitening-agnostic."""
+    from tpu21cmvae.foregrounds import MarginalizedNoise
+
+    if isinstance(noise_var, MarginalizedNoise):
+        w = jnp.asarray(noise_var.whiten, jnp.float32)
+        if w.shape != (n_bins, n_bins):
+            raise ValueError(
+                f"MarginalizedNoise built for {w.shape[0]} bins; the "
+                f"model has {n_bins}"
+            )
+        return w
     nv = jnp.asarray(noise_var, jnp.float32)
     return jnp.broadcast_to(jax.lax.rsqrt(nv), (n_bins,))
+
+
+def noise_log_norm(noise_var) -> float:
+    """θ-independent additive log-likelihood constant of a noise spec
+    (0 for plain diagonal noise; the marginal-density normalization for
+    :class:`~tpu21cmvae.foregrounds.MarginalizedNoise`). Irrelevant to
+    posterior sampling; required for comparable evidences."""
+    from tpu21cmvae.foregrounds import MarginalizedNoise
+
+    if isinstance(noise_var, MarginalizedNoise):
+        return float(noise_var.log_norm)
+    return 0.0
 
 
 def fold_loglik_constants(
@@ -83,12 +111,22 @@ def fold_loglik_constants(
 
     On top of :func:`fold_emulator_constants` (par-affine into the first
     layer, unpreproc into the last), shift the last bias by ``-obs`` and
-    scale the last layer's columns by ``scale = 1/σ`` — exact, since the
-    output layer is linear. The folded network's output is the
-    noise-whitened residual ``(pred − obs)/σ``.
+    whiten the last layer — exact, since the output layer is linear.
+    ``scale`` is :func:`noise_scale`'s operator: a per-bin ``1/σ``
+    column scale (diagonal noise) or a full ``(n_bins, n_bins)`` factor
+    ``R`` (foreground-marginalized noise, ``P = R·Rᵀ`` — the fold
+    ``W @ R`` makes marginalization free per sample). Either way the
+    folded network's output has ``‖out‖² = rᵀ·P·r``.
     """
     folded = fold_emulator_constants(params, norm)
     *rest, last = folded
+    if scale.ndim == 2:
+        hp = jax.lax.Precision.HIGHEST
+        return (
+            *rest,
+            {"w": jnp.matmul(last["w"], scale, precision=hp),
+             "b": jnp.matmul(last["b"] - obs, scale, precision=hp)},
+        )
     return (
         *rest,
         {"w": last["w"] * scale, "b": (last["b"] - obs) * scale},
@@ -187,6 +225,7 @@ def make_fused_loglik_gram(
         )
     obs = jnp.asarray(obs, jnp.float32)
     scale = noise_scale(noise_var, config.n_bins)
+    log_norm = noise_log_norm(noise_var)
     sizes = config.mlp().sizes
     hidden = sizes[-2]
     in_dim = sizes[0]
@@ -264,7 +303,7 @@ def make_fused_loglik_gram(
             interpret=interpret,
         )(x, *flat)
         quad = quad[:n, 0] if padded != n else quad[:, 0]
-        return -0.5 * (quad + c)
+        return -0.5 * (quad + c) + log_norm
 
     return loglik
 
@@ -391,6 +430,7 @@ def make_fused_loglik_grad_gram(
         )
     obs = jnp.asarray(obs, jnp.float32)
     scale = noise_scale(noise_var, config.n_bins)
+    log_norm = noise_log_norm(noise_var)
     sizes = config.mlp().sizes
     hidden = sizes[-2]
     in_dim = sizes[0]
@@ -495,7 +535,7 @@ def make_fused_loglik_grad_gram(
             ),
             interpret=interpret,
         )(x, *flat)
-        return -0.5 * (quad[:n, 0] + c), -dx[:n]
+        return -0.5 * (quad[:n, 0] + c) + log_norm, -dx[:n]
 
     return loglik_grad
 
@@ -542,8 +582,10 @@ def make_fused_loglik(
         interleave=interleave,
     )
 
+    log_norm = noise_log_norm(noise_var)
+
     def loglik(params: MLPParams, raw_params: jax.Array) -> jax.Array:
         folded = fold_loglik_constants(params, norm, obs, scale)
-        return -0.5 * mlp(folded, raw_params.astype(jnp.float32))
+        return -0.5 * mlp(folded, raw_params.astype(jnp.float32)) + log_norm
 
     return loglik
