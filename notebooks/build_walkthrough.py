@@ -430,6 +430,54 @@ plt.tight_layout()
 plt.show()
 """
 
+CELL_FOREGROUND = """\
+# Foreground marginalization. Real measurements see the 21-cm trough
+# UNDER a ~1e3-K galactic foreground; the standard pipeline samples K
+# foreground coefficients jointly with the signal parameters. Here the
+# linear foreground is integrated out ANALYTICALLY
+# (tpu21cmvae/foregrounds.py): the marginal likelihood is still a
+# quadratic form whose projected precision folds into the emulator's
+# output layer -- zero per-sample cost in the default gram form
+# (docs/PERF.md), and with the default flat coefficient prior the
+# likelihood is EXACTLY invariant to any injected foreground.
+from tpu21cmvae import linlog_basis
+
+F = linlog_basis(model.frequencies, 5)
+fg_true = F @ np.array([1500.0, -120.0, 40.0, -8.0, 2.0])
+obs_fg = (model.predict(truth) + fg_true
+          + rng.normal(0, 5.0, data.n_bins)).astype(np.float32)
+
+mn = model.marginalize_foreground(25.0, basis=F)  # or n_terms=5
+res_fg = model.sample_posterior(
+    obs_fg, mn, sampler="mh", bounds=bounds, n_walkers=512,
+    n_steps=60 if FAST else 300, n_warmup=60 if FAST else 300,
+    thin=10, seed=5,
+)
+ll = model.loglik_fn(obs_fg, mn, precision="contract")(
+    model.params, res_fg.flat
+)
+best = res_fg.flat[int(np.argmax(np.asarray(ll)))]
+sig_hat = model.predict(best)
+coeff, coeff_cov = mn.coeff_posterior(np.asarray(obs_fg, float) - sig_hat)
+fg_hat = mn.reconstruct(coeff)
+print("signal residual   (mean |mK|):",
+      float(np.abs(sig_hat - model.predict(truth)).mean()))
+print("foreground residual (mean |mK|):",
+      float(np.abs(fg_hat - fg_true).mean()),
+      " -- vs foreground amplitude", float(np.abs(fg_true).mean()))
+
+fig, (a1, a2) = plt.subplots(1, 2, figsize=(10, 3.5))
+a1.plot(model.frequencies, obs_fg, lw=0.8, label="observed (fg + signal)")
+a1.plot(model.frequencies, fg_hat, "--", label="reconstructed foreground")
+a1.set_xlabel(r"$\\nu$ [MHz]"); a1.set_ylabel("T [mK]"); a1.legend()
+a2.plot(model.frequencies, model.predict(truth), "k--", label="true signal")
+a2.plot(model.frequencies, sig_hat, label="recovered signal")
+a2.set_xlabel(r"$\\nu$ [MHz]"); a2.legend()
+a1.set_title("what the instrument sees"); a2.set_title("what the fit recovers")
+plt.tight_layout()
+plt.show()
+"""
+
 MD_OUTRO = """\
 ## Where to go next
 
@@ -463,6 +511,7 @@ def build() -> nbf.NotebookNode:
         nbf.v4.new_code_cell(CELL_FIT_EVIDENCE),
         nbf.v4.new_code_cell(CELL_PT),
         nbf.v4.new_code_cell(CELL_PRIOR_BAND),
+        nbf.v4.new_code_cell(CELL_FOREGROUND),
         nbf.v4.new_code_cell(CELL_MIXTURE),
         nbf.v4.new_markdown_cell(MD_OUTRO),
     ]
