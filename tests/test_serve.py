@@ -451,3 +451,68 @@ def test_evidence_endpoint(server, model, splits):
         with pytest.raises(urllib.error.HTTPError) as ei:
             _post(server, "/evidence", bad)
         assert ei.value.code == 400
+
+
+def test_foreground_marginalized_endpoints(server, model, splits):
+    """`fg_terms` on /loglik, /sample and /evidence marginalizes a
+    linear foreground out of the served likelihood: values match the
+    in-process MarginalizedNoise likelihood, the spec keys the program
+    cache by value, and a bad basis is a 400."""
+    from tpu21cmvae.foregrounds import linlog_basis
+
+    rng = np.random.default_rng(5)
+    F = linlog_basis(model.frequencies, 4)
+    sig = np.asarray(model.predict(splits.par_test[0]))
+    obs = (sig + F @ np.array([800.0, -60.0, 20.0, -4.0])
+           + rng.normal(0, 5, sig.shape)).astype(np.float32)
+    rows = np.asarray(splits.par_test[:9], np.float32)
+    fg = {"fg_terms": 4, "fg_basis": "linlog"}
+    out = _post(server, "/loglik", {
+        "params": rows.tolist(), "obs": obs.tolist(),
+        "noise_var": 25.0, **fg,
+    })
+    mn = model.marginalize_foreground(25.0, n_terms=4, basis="linlog")
+    want = np.asarray(model.loglik_fn(obs, mn)(model.params, rows))
+    np.testing.assert_allclose(np.asarray(out["loglik"]), want,
+                               rtol=2e-4, atol=2e-2)
+    # value-keyed cache: same spec → no new entry; different K → new
+    svc = server.service
+    n_cached = len(svc._loglik)
+    _post(server, "/loglik", {
+        "params": rows.tolist(), "obs": obs.tolist(),
+        "noise_var": 25.0, **fg,
+    })
+    assert len(svc._loglik) == n_cached
+    _post(server, "/loglik", {
+        "params": rows.tolist(), "obs": obs.tolist(),
+        "noise_var": 25.0, "fg_terms": 3,
+    })
+    assert len(svc._loglik) == n_cached + 1
+
+    out = _post(server, "/sample", {
+        "obs": obs.tolist(), "noise_var": 25.0, **fg,
+        "n_walkers": 128, "n_steps": 40, "n_warmup": 20, "thin": 4,
+        "max_samples": 64,
+    })
+    assert len(out["mean"]) == model.config.n_params
+    assert np.isfinite(out["mean"]).all()
+
+    out = _post(server, "/evidence", {
+        "obs": obs.tolist(), "noise_var": 25.0, **fg,
+        "method": "laplace", "n_starts": 256, "n_steps": 200,
+    })
+    assert np.isfinite(out["logz"])
+
+    bad = urllib.request.Request(
+        _url(server, "/loglik"),
+        data=json.dumps({
+            "params": rows.tolist(), "obs": obs.tolist(),
+            "fg_terms": 4, "fg_basis": "sinusoid",
+        }).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(bad, timeout=60)
+        raise AssertionError("bad fg_basis accepted")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

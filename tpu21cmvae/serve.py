@@ -24,6 +24,12 @@ Endpoints (all JSON):
   Served at the model's default tier: near-mode |ΔlogL| ≤ ~0.43 on the
   flagship (safe for MH acceptance, not for absolute log-density reads
   — ``DirectEmulator.loglik_fn`` documents the contract tier).
+  ``/loglik``, ``/sample``, ``/fit`` and ``/evidence`` all additionally
+  accept ``"fg_terms": K`` (+ optional ``"fg_basis": "linlog"|
+  "powerlaw"|"polynomial"``, ``"fg_prior_var": v``) to marginalize a
+  K-term linear foreground out of the likelihood analytically — zero
+  per-sample cost (:mod:`tpu21cmvae.foregrounds`); programs cache per
+  (obs, noise spec) value as usual.
 * ``POST /sample``     ``{"obs": …, "noise_var": …, "sampler": "mh"|
   "pt", "n_walkers": …, "n_steps": …, "target_ess": …, …}`` → posterior
   summary JSON (moments, 16/50/84 quantiles, ESS, R-hat, diagnostics,
@@ -153,9 +159,30 @@ class EmulatorService:
         with self._device_lock:
             return np.atleast_2d(self._sharded(np.asarray(params, np.float32)))
 
-    def _loglik_lookup(self, obs: np.ndarray, nv: np.ndarray):
-        """Validated arrays → (cache key, ShardedEmulator) — built cold
-        when absent; the caller commits after first success."""
+    def _noise_spec(self, noise_var, opts):
+        """Request noise spec → per-bin array, or a foreground-
+        marginalized noise model when the request carries ``fg_terms``
+        (+ optional ``fg_basis``/``fg_prior_var`` — see
+        :mod:`tpu21cmvae.foregrounds`). Rebuilt per request (host-side
+        milliseconds); the program cache keys on its VALUE, so repeat
+        requests with the same spec hit the same compiled programs."""
+        fg_terms = opts.pop("fg_terms", None)
+        fg_basis = opts.pop("fg_basis", "linlog")
+        fg_prior_var = opts.pop("fg_prior_var", None)
+        nv = np.asarray(noise_var, np.float32)
+        if fg_terms is None:
+            return nv
+        return self.model.marginalize_foreground(
+            nv, n_terms=int(fg_terms), basis=fg_basis,
+            prior_var=fg_prior_var,
+        )
+
+    def _loglik_lookup(self, obs: np.ndarray, nv):
+        """Validated (obs, noise spec) → (cache key, ShardedEmulator) —
+        built cold when absent; the caller commits after first
+        success. ``nv``: per-bin array or a
+        :class:`~tpu21cmvae.foregrounds.MarginalizedNoise`."""
+        from tpu21cmvae.foregrounds import MarginalizedNoise
         from tpu21cmvae.parallel.inference import ShardedEmulator
 
         n_bins = self.model.config.n_bins
@@ -164,14 +191,21 @@ class EmulatorService:
                 f"obs must be a flat list of {n_bins} floats; got shape "
                 f"{obs.shape}"
             )
-        if nv.shape not in ((), (n_bins,)):
-            raise ValueError(
-                f"noise_var must be a scalar or {n_bins} per-bin values; "
-                f"got shape {nv.shape}"
-            )
-        key = hashlib.sha256(
-            obs.tobytes() + nv.tobytes() + repr(nv.shape).encode()
-        ).hexdigest()
+        if isinstance(nv, MarginalizedNoise):
+            if nv.whiten.shape != (n_bins, n_bins):
+                raise ValueError(
+                    f"MarginalizedNoise built for {nv.whiten.shape[0]} "
+                    f"bins; the model has {n_bins}"
+                )
+            nv_key = repr(nv.memo_key()).encode()
+        else:
+            if nv.shape not in ((), (n_bins,)):
+                raise ValueError(
+                    f"noise_var must be a scalar or {n_bins} per-bin "
+                    f"values; got shape {nv.shape}"
+                )
+            nv_key = nv.tobytes() + repr(nv.shape).encode()
+        key = hashlib.sha256(obs.tobytes() + nv_key).hexdigest()
         with self._cache_lock:
             entry = self._loglik.get(key)
             if entry is not None:
@@ -194,10 +228,11 @@ class EmulatorService:
                 if len(self._loglik) > self._loglik_cap:
                     self._loglik.popitem(last=False)  # evict oldest
 
-    def loglik(self, params, obs, noise_var=1.0) -> np.ndarray:
-        key, entry = self._loglik_lookup(
-            np.asarray(obs, np.float32), np.asarray(noise_var, np.float32)
-        )
+    def loglik(self, params, obs, noise_var=1.0, **opts) -> np.ndarray:
+        nv = self._noise_spec(noise_var, opts)
+        if opts:
+            raise ValueError(f"unknown loglik options: {sorted(opts)}")
+        key, entry = self._loglik_lookup(np.asarray(obs, np.float32), nv)
         with self._device_lock:
             out = np.atleast_1d(entry[0](np.asarray(params, np.float32)))
         # cache only after a successful call, so a request that fails at
@@ -234,6 +269,7 @@ class EmulatorService:
         """
         from tpu21cmvae.sampling import sample_mh, sample_pt, sample_to_ess
 
+        noise_var = self._noise_spec(noise_var, opts)
         sampler = opts.pop("sampler", "mh")
         max_samples = int(opts.pop("max_samples", 1000))
         if not 1 <= max_samples <= self.SAMPLE_MAX_RETURN:
@@ -289,7 +325,7 @@ class EmulatorService:
             raise ValueError(f"unknown sample options: {sorted(opts)}")
 
         key, entry = self._loglik_lookup(
-            np.asarray(obs, np.float32), np.asarray(noise_var, np.float32)
+            np.asarray(obs, np.float32), noise_var
         )
         with self._device_lock:
             res = fn_run(
@@ -351,6 +387,7 @@ class EmulatorService:
         ``top`` (how many ranked starts to return, default 16)."""
         from tpu21cmvae.sampling import fit_map, valgrad_from_loglik
 
+        noise_var = self._noise_spec(noise_var, opts)
         kwargs = dict(
             n_starts=int(opts.pop("n_starts", 1024)),
             n_steps=int(opts.pop("n_steps", 300)),
@@ -370,7 +407,7 @@ class EmulatorService:
         if opts:
             raise ValueError(f"unknown fit options: {sorted(opts)}")
         key, entry = self._loglik_lookup(
-            np.asarray(obs, np.float32), np.asarray(noise_var, np.float32)
+            np.asarray(obs, np.float32), noise_var
         )
         with self._device_lock:
             res = fit_map(
@@ -406,11 +443,12 @@ class EmulatorService:
         ``model.log_evidence`` in-process, which pins the exact tier
         for Laplace (``DirectEmulator.loglik_fn`` documents the
         contract tier)."""
+        noise_var = self._noise_spec(noise_var, opts)
         method = opts.pop("method", "laplace")
         seed = int(opts.pop("seed", 0))
         bkw = self._check_bounds(opts)
         key, entry = self._loglik_lookup(
-            np.asarray(obs, np.float32), np.asarray(noise_var, np.float32)
+            np.asarray(obs, np.float32), noise_var
         )
         if method == "laplace":
             from tpu21cmvae.sampling import laplace_evidence
@@ -561,9 +599,10 @@ def _make_handler(service: EmulatorService):
                     out = service.predict(req["params"])
                     self._reply(200, {"signals": out.tolist()})
                 elif self.path == "/loglik":
-                    out = service.loglik(
-                        req["params"], req["obs"], req.get("noise_var", 1.0)
-                    )
+                    params = req.pop("params")
+                    obs = req.pop("obs")
+                    nv = req.pop("noise_var", 1.0)
+                    out = service.loglik(params, obs, nv, **req)
                     self._reply(200, {"loglik": out.tolist()})
                 elif self.path == "/sample":
                     obs = req.pop("obs")
