@@ -94,6 +94,10 @@ from tpu21cmvae.foregrounds import (  # noqa: F401
     polynomial_basis,
     powerlaw_basis,
 )
+from tpu21cmvae.noisescale import (  # noqa: F401
+    ScaleMarginalNoise,
+    marginalize_noise_scale,
+)
 from tpu21cmvae.priors import GaussianBoxPrior  # noqa: F401
 from tpu21cmvae.calibration import SBCResult, sbc  # noqa: F401
 from tpu21cmvae.models.direct import DirectEmulator  # noqa: F401

@@ -26,6 +26,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpu21cmvae.ops.mlp import mlp_apply
 from tpu21cmvae.ops.transforms import Normalizer, par_transform, unpreproc
@@ -73,7 +74,13 @@ def make_loglik_from_predict(predict_fn, obs, noise_var=1.0):
     ``predict_fn`` in here. The direct family should prefer
     :func:`make_loglik`, whose folded/gram/Pallas specializations only
     exist for a single-MLP forward. ``noise_var``: scalar, per-bin σ²,
-    or a :class:`~tpu21cmvae.foregrounds.MarginalizedNoise`."""
+    a :class:`~tpu21cmvae.foregrounds.MarginalizedNoise`, or a
+    :class:`~tpu21cmvae.noisescale.ScaleMarginalNoise`."""
+    from tpu21cmvae.noisescale import ScaleMarginalNoise
+
+    if isinstance(noise_var, ScaleMarginalNoise):
+        base = make_loglik_from_predict(predict_fn, obs, noise_var.base)
+        return noise_var.wrap_value(base, int(np.shape(obs)[-1]))
     obs = jnp.asarray(obs, jnp.float32)
     quad, log_norm = _resid_quad(noise_var, int(obs.shape[-1]))
 
@@ -141,6 +148,18 @@ def make_loglik(
     """
     if method not in ("direct", "gram"):
         raise ValueError(f"method must be 'direct' or 'gram'; got {method!r}")
+    from tpu21cmvae.noisescale import ScaleMarginalNoise
+
+    if isinstance(noise_var, ScaleMarginalNoise):
+        # noise-level marginalization is an exact scalar post-transform
+        # of the σ=1 base likelihood (tpu21cmvae.noisescale) — every
+        # backend/method/tier below is reused unchanged
+        base = make_loglik(
+            config, norm, obs, noise_var.base, backend=backend,
+            method=method, precision=precision, block_rows=block_rows,
+            interpret=interpret,
+        )
+        return noise_var.wrap_value(base, config.n_bins)
     if backend == "pallas":
         from tpu21cmvae.ops.pallas.fused_loglik import (
             DEFAULT_LOGLIK_BLOCK_ROWS,
@@ -264,8 +283,19 @@ def make_loglik_multi_from_predict(predict_fn, obs_batch, noise_var=1.0):
     observation-major batch scores against ``obs_batch[o]``; ``W`` is
     inferred per call (see :func:`make_loglik_multi`). ``noise_var``:
     scalar, per-bin vector, or
-    :class:`~tpu21cmvae.foregrounds.MarginalizedNoise` — shared across
+    :class:`~tpu21cmvae.foregrounds.MarginalizedNoise`, or a
+    :class:`~tpu21cmvae.noisescale.ScaleMarginalNoise` (the noise
+    LEVEL is then marginalized per observation) — shared across
     observations."""
+    from tpu21cmvae.noisescale import ScaleMarginalNoise
+
+    if isinstance(noise_var, ScaleMarginalNoise):
+        base = make_loglik_multi_from_predict(
+            predict_fn, obs_batch, noise_var.base
+        )
+        return noise_var.wrap_value(
+            base, int(np.atleast_2d(np.asarray(obs_batch)).shape[-1])
+        )
     obs_batch = jnp.atleast_2d(jnp.asarray(obs_batch, jnp.float32))
     n_obs = int(obs_batch.shape[0])
     _check_multi_noise(noise_var, int(obs_batch.shape[1]))
@@ -358,6 +388,14 @@ def make_loglik_multi(
     """
     if method not in ("direct", "gram"):
         raise ValueError(f"method must be 'direct' or 'gram'; got {method!r}")
+    from tpu21cmvae.noisescale import ScaleMarginalNoise
+
+    if isinstance(noise_var, ScaleMarginalNoise):
+        base = make_loglik_multi(
+            config, norm, obs_batch, noise_var.base, method=method,
+            precision=precision,
+        )
+        return noise_var.wrap_value(base, config.n_bins)
     obs_batch = jnp.atleast_2d(jnp.asarray(obs_batch, jnp.float32))
     n_obs = int(obs_batch.shape[0])
     if obs_batch.shape[1] != config.n_bins:
@@ -539,6 +577,18 @@ def make_loglik_and_grad(
         # gram has a hand-written/fused backward on both backends; the
         # direct method only exists as autodiff
         variant = "autodiff" if method == "direct" else "analytic"
+    from tpu21cmvae.noisescale import ScaleMarginalNoise
+
+    if isinstance(noise_var, ScaleMarginalNoise):
+        # exact chain rule through the scalar post-transform — the
+        # analytic/fused gradient backends carry over unchanged
+        base = make_loglik_and_grad(
+            config, norm, obs, noise_var.base, backend=backend,
+            method=method, variant=variant, precision=precision,
+            grad_precision=grad_precision, block_rows=block_rows,
+            interpret=interpret,
+        )
+        return noise_var.wrap_valgrad(base, config.n_bins)
     if backend == "pallas":
         if method != "gram" or variant == "autodiff":
             raise ValueError(
