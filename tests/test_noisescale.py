@@ -282,3 +282,67 @@ def test_sampler_end_to_end(model, splits, noise_shape):
     # the posterior support brackets the truth on most parameters
     inside = (truth >= lo) & (truth <= hi)
     assert inside.sum() >= truth.size - 2
+
+
+def test_cli_scale_marginal(tmp_path, splits):
+    """`sample --marginalize-noise-scale` runs end to end (composed
+    with --fg-terms), and --noise-alpha without the flag is an error."""
+    import json as _json
+
+    from tpu21cmvae.__main__ import main
+
+    model = DirectEmulator(
+        splits, config=DirectEmulatorConfig(hidden_dims=(16,))
+    )
+    ckpt = str(tmp_path / "m.npz")
+    model.save(ckpt)
+    obs = model.predict(splits.par_test[0])
+    obs_file = str(tmp_path / "obs.json")
+    with open(obs_file, "w") as f:
+        _json.dump({"obs": np.asarray(obs).tolist(), "noise_var": 25.0},
+                   f)
+    out = str(tmp_path / "chain.npz")
+    main(["sample", ckpt, "--obs", obs_file, "--sampler", "mh",
+          "--walkers", "32", "--steps", "20", "--warmup", "10",
+          "--thin", "5", "--marginalize-noise-scale",
+          "--noise-alpha", "3.0", "--noise-beta", "2.0",
+          "--fg-terms", "3", "--out", out])
+    blob = np.load(out)
+    assert blob["final"].shape == (32, model.config.n_params)
+    assert np.isfinite(blob["logp"]).all()
+    with pytest.raises(ValueError, match="together"):
+        main(["sample", ckpt, "--obs", obs_file, "--sampler", "mh",
+              "--walkers", "32", "--steps", "10", "--warmup", "5",
+              "--marginalize-noise-scale", "--noise-alpha", "3.0",
+              "--out", out])
+
+
+def test_zero_residual_jeffreys_finite(model, splits, rows):
+    """A noiseless observation evaluated at its own parameters gives
+    residual q = 0; under Jeffreys (beta=0) the exact marginal diverges,
+    but the implementation must floor it to a FINITE value (and finite
+    gradients) — +inf poisons MH ratios (inf-inf=NaN) and the
+    a/(beta+q/2) chain-rule rescale. Regression: the old q-floor was a
+    float32 subnormal, which the TPU flushes to zero -> log(0)."""
+    from tpu21cmvae.ops.loglik import make_loglik, make_loglik_and_grad
+
+    obs0 = np.asarray(model.predict(splits.par_test[0]), np.float32)
+    sm = marginalize_noise_scale(
+        np.full(model.config.n_bins, 25.0, np.float32)
+    )
+    batch = np.concatenate(
+        [np.asarray(splits.par_test[:1], np.float32), rows]
+    )
+    ll = np.asarray(
+        jax.jit(
+            make_loglik(model.config, model.normalizer, obs0, sm)
+        )(model.params, batch)
+    )
+    assert np.isfinite(ll).all(), ll
+    # the degenerate row still dominates: a perfect fit is the MAP
+    assert ll[0] >= ll[1:].max()
+    v, g = jax.jit(
+        make_loglik_and_grad(model.config, model.normalizer, obs0, sm)
+    )(model.params, batch)
+    assert np.isfinite(np.asarray(v)).all()
+    assert np.isfinite(np.asarray(g)).all()

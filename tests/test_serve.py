@@ -516,3 +516,59 @@ def test_foreground_marginalized_endpoints(server, model, splits):
         raise AssertionError("bad fg_basis accepted")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_scale_marginal_endpoints(server, model, splits):
+    """`noise_scale_marginal` on /loglik marginalizes the noise LEVEL:
+    values match the in-process ScaleMarginalNoise likelihood, it
+    composes with fg_terms, the cache keys by spec value, and
+    alpha-without-flag is a 400."""
+    from tpu21cmvae.noisescale import marginalize_noise_scale
+
+    rng = np.random.default_rng(9)
+    sig = np.asarray(model.predict(splits.par_test[0]))
+    obs = (sig + rng.normal(0, 10.0, sig.shape)).astype(np.float32)
+    rows = np.asarray(splits.par_test[:7], np.float32)
+    out = _post(server, "/loglik", {
+        "params": rows.tolist(), "obs": obs.tolist(),
+        "noise_var": 25.0, "noise_scale_marginal": True,
+    })
+    sm = marginalize_noise_scale(np.full(sig.shape[-1], 25.0, np.float32))
+    want = np.asarray(model.loglik_fn(obs, sm)(model.params, rows))
+    np.testing.assert_allclose(np.asarray(out["loglik"]), want,
+                               rtol=2e-4, atol=2e-2)
+    # composed with a foreground spec + proper InvGamma prior
+    out2 = _post(server, "/loglik", {
+        "params": rows.tolist(), "obs": obs.tolist(),
+        "noise_var": 25.0, "noise_scale_marginal": True,
+        "noise_alpha": 3.0, "noise_beta": 2.0, "fg_terms": 3,
+    })
+    mn = model.marginalize_foreground(
+        np.full(sig.shape[-1], 25.0, np.float32), n_terms=3,
+    )
+    sm2 = marginalize_noise_scale(mn, alpha=3.0, beta=2.0)
+    want2 = np.asarray(model.loglik_fn(obs, sm2)(model.params, rows))
+    np.testing.assert_allclose(np.asarray(out2["loglik"]), want2,
+                               rtol=2e-4, atol=2e-2)
+    # value-keyed cache: repeat spec → no new entry
+    svc = server.service
+    n_cached = len(svc._loglik)
+    _post(server, "/loglik", {
+        "params": rows.tolist(), "obs": obs.tolist(),
+        "noise_var": 25.0, "noise_scale_marginal": True,
+    })
+    assert len(svc._loglik) == n_cached
+    # alpha without the flag is a 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server, "/loglik", {
+            "params": rows.tolist(), "obs": obs.tolist(),
+            "noise_var": 25.0, "noise_alpha": 3.0,
+        })
+    assert ei.value.code == 400
+    # /sample under the scale marginal executes
+    out3 = _post(server, "/sample", {
+        "obs": obs.tolist(), "noise_var": 25.0,
+        "noise_scale_marginal": True, "n_walkers": 128, "n_steps": 40,
+        "n_warmup": 20, "thin": 4, "max_samples": 32,
+    })
+    assert np.isfinite(out3["mean"]).all()

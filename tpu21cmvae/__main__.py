@@ -176,15 +176,23 @@ def cmd_serve(args):
                warmup_obs=args.warmup_obs)
 
 
-def _apply_foreground(model, args, noise_var):
-    """Wrap the observation's noise spec in a foreground-marginalized
-    noise model when --fg-terms is given (tpu21cmvae.foregrounds)."""
-    if getattr(args, "fg_terms", None) is None:
-        return noise_var
-    return model.marginalize_foreground(
-        noise_var, n_terms=args.fg_terms, basis=args.fg_basis,
-        prior_var=args.fg_prior_var,
-    )
+def _apply_noise_marginals(model, args, noise_var):
+    """Wrap the observation's noise spec per the marginalization flags:
+    --fg-terms -> foreground-marginalized (tpu21cmvae.foregrounds),
+    --marginalize-noise-scale -> noise-level-marginalized on top
+    (tpu21cmvae.noisescale); both compose exactly."""
+    if getattr(args, "fg_terms", None) is not None:
+        noise_var = model.marginalize_foreground(
+            noise_var, n_terms=args.fg_terms, basis=args.fg_basis,
+            prior_var=args.fg_prior_var,
+        )
+    if getattr(args, "marginalize_noise_scale", False):
+        from tpu21cmvae.noisescale import marginalize_noise_scale
+
+        noise_var = marginalize_noise_scale(
+            noise_var, alpha=args.noise_alpha, beta=args.noise_beta,
+        )
+    return noise_var
 
 
 def _add_fg_args(p):
@@ -207,6 +215,19 @@ def _add_fg_args(p):
                         "coefficient (default: improper flat prior — "
                         "exact injection invariance; set a proper "
                         "prior for publishable Bayes factors)")
+    p.add_argument("--marginalize-noise-scale", action="store_true",
+                   help="treat --noise-var as the noise SHAPE only and "
+                        "marginalize the absolute level sigma^2 out of "
+                        "the likelihood analytically (Student-t form; "
+                        "tpu21cmvae.noisescale) — composes with "
+                        "--fg-terms")
+    p.add_argument("--noise-alpha", type=float, default=None,
+                   help="InvGamma prior alpha on the noise-level "
+                        "multiplier (with --noise-beta; default: "
+                        "Jeffreys p(sigma^2) ~ 1/sigma^2)")
+    p.add_argument("--noise-beta", type=float, default=None,
+                   help="InvGamma prior beta on the noise-level "
+                        "multiplier")
 
 
 def _build_prior(specs):
@@ -240,7 +261,7 @@ def cmd_sample(args):
               f"{len(specs)}", file=sys.stderr)
         return 2
     obs, noise_var = specs[0]
-    noise_var = _apply_foreground(model, args, noise_var)
+    noise_var = _apply_noise_marginals(model, args, noise_var)
     if args.sampler == "smc":
         # the SMC anneal self-schedules: no steps/warmup/thin knobs
         kwargs = dict(n_particles=args.walkers, seed=args.seed)
@@ -314,7 +335,7 @@ def cmd_fit(args):
               f"{len(specs)}", file=sys.stderr)
         return 2
     obs, noise_var = specs[0]
-    noise_var = _apply_foreground(model, args, noise_var)
+    noise_var = _apply_noise_marginals(model, args, noise_var)
     prior = _build_prior(args.prior)
     res = model.fit_params(
         obs, noise_var, n_starts=args.starts, n_steps=args.steps,
@@ -341,7 +362,7 @@ def cmd_advi(args):
               f"{len(specs)}", file=sys.stderr)
         return 2
     obs, noise_var = specs[0]
-    noise_var = _apply_foreground(model, args, noise_var)
+    noise_var = _apply_noise_marginals(model, args, noise_var)
     prior = _build_prior(args.prior)
     res = model.fit_advi(
         obs, noise_var, n_steps=args.steps, n_mc=args.mc,
@@ -375,7 +396,7 @@ def cmd_profile(args):
               f"{len(specs)}", file=sys.stderr)
         return 2
     obs, noise_var = specs[0]
-    noise_var = _apply_foreground(model, args, noise_var)
+    noise_var = _apply_noise_marginals(model, args, noise_var)
     n_params = model.config.n_params
     if not 0 <= args.index < n_params:
         print(f"--index must be in [0, {n_params}); got {args.index}",
@@ -421,7 +442,7 @@ def cmd_evidence(args):
               f"{len(specs)}", file=sys.stderr)
         return 2
     obs, noise_var = specs[0]
-    noise_var = _apply_foreground(model, args, noise_var)
+    noise_var = _apply_noise_marginals(model, args, noise_var)
     prior = _build_prior(args.prior)
     if args.method == "nested":
         res = model.log_evidence(

@@ -66,6 +66,28 @@ __all__ = [
     "marginalize_noise_scale",
 ]
 
+#: Relative floor on the Student-t argument: ``t = max(β + q/2,
+#: a·_FLOOR_REL)`` with ``a = α + n_eff/2``. Only reachable under the
+#: improper Jeffreys prior (β = 0) with a numerically-zero residual —
+#: there the exact marginal diverges (σ² → 0 fits perfectly) and f32
+#: must not: ``log(0) = -inf`` makes ``logL = +inf`` (poisons MH ratios,
+#: inf − inf = NaN) and the chain-rule rescale ``a/t`` overflows.
+#: Floored at ``a·1e-30`` the rescale is ≤ 1e30 for ANY α, and the
+#: floor scales WITH ``a`` so the marginal's exact invariance under a
+#: rescaling of the base noise shape (a θ-independent logL shift) is
+#: preserved down to q ~ 1e-30·a — ~20 orders below any physical
+#: residual. NB: an absolute floor must be a NORMAL f32 — the TPU
+#: flushes subnormals to zero, which is how the original
+#: ``max(q, 1.2e-38)`` floor silently became ``log(0)``.
+_FLOOR_REL = 1e-30
+
+#: Backstop bound on the rescaled gradient: at the floored point the
+#: base gradient is pure rounding noise (exact value 0, observed O(100)
+#: through bf16 on a trained model), and ``1e30 × noise`` can still
+#: overflow f32. Clipping preserves sign; any sampler treats a 1e30
+#: gradient and a 3e38 one identically (the proposal is rejected).
+_GMAX = 1e30
+
 
 @dataclasses.dataclass(frozen=True)
 class ScaleMarginalNoise:
@@ -164,12 +186,14 @@ class ScaleMarginalNoise:
         a = self.shape_coef(n_bins)
         b = 0.0 if self.beta is None else float(self.beta)
         const = self.log_norm_const(n_bins)
-        tiny = float(np.finfo(np.float32).tiny)
 
         def wrapped(params, raw_params):
             ll = fn(params, raw_params)
-            q = jnp.maximum(2.0 * (ln0 - ll), tiny)
-            return const - a * jnp.log(b + 0.5 * q)
+            q = 2.0 * (ln0 - ll)
+            # see _FLOOR_REL: keeps the Jeffreys zero-residual
+            # degeneracy finite without breaking base-scale invariance
+            t = jnp.maximum(b + 0.5 * q, a * _FLOOR_REL)
+            return const - a * jnp.log(t)
 
         return wrapped
 
@@ -184,13 +208,18 @@ class ScaleMarginalNoise:
         a = self.shape_coef(n_bins)
         b = 0.0 if self.beta is None else float(self.beta)
         const = self.log_norm_const(n_bins)
-        tiny = float(np.finfo(np.float32).tiny)
 
         def wrapped(params, raw_params):
             ll, g = fn(params, raw_params)
-            q = jnp.maximum(2.0 * (ln0 - ll), tiny)
-            s = a / (b + 0.5 * q)
-            return const - a * jnp.log(b + 0.5 * q), s[..., None] * g
+            q = 2.0 * (ln0 - ll)
+            # same floor as wrap_value (value/gradient stay consistent);
+            # s = a/t ≤ 1/_FLOOR_REL for any α, and the product is
+            # clipped because the base gradient at a floored point is
+            # rounding noise that 1e30× can push past f32 max
+            t = jnp.maximum(b + 0.5 * q, a * _FLOOR_REL)
+            s = a / t
+            grad = jnp.clip(s[..., None] * g, -_GMAX, _GMAX)
+            return const - a * jnp.log(t), grad
 
         return wrapped
 

@@ -28,8 +28,12 @@ Endpoints (all JSON):
   accept ``"fg_terms": K`` (+ optional ``"fg_basis": "linlog"|
   "powerlaw"|"polynomial"``, ``"fg_prior_var": v``) to marginalize a
   K-term linear foreground out of the likelihood analytically — zero
-  per-sample cost (:mod:`tpu21cmvae.foregrounds`); programs cache per
-  (obs, noise spec) value as usual.
+  per-sample cost (:mod:`tpu21cmvae.foregrounds`) — and
+  ``"noise_scale_marginal": true`` (+ optional ``"noise_alpha"``/
+  ``"noise_beta"`` InvGamma prior) to marginalize the absolute noise
+  LEVEL too, treating ``noise_var`` as shape only
+  (:mod:`tpu21cmvae.noisescale`; composes with the foreground spec);
+  programs cache per (obs, noise spec) value as usual.
 * ``POST /sample``     ``{"obs": …, "noise_var": …, "sampler": "mh"|
   "pt", "n_walkers": …, "n_steps": …, "target_ess": …, …}`` → posterior
   summary JSON (moments, 16/50/84 quantiles, ESS, R-hat, diagnostics,
@@ -160,29 +164,48 @@ class EmulatorService:
             return np.atleast_2d(self._sharded(np.asarray(params, np.float32)))
 
     def _noise_spec(self, noise_var, opts):
-        """Request noise spec → per-bin array, or a foreground-
+        """Request noise spec → per-bin array, a foreground-
         marginalized noise model when the request carries ``fg_terms``
         (+ optional ``fg_basis``/``fg_prior_var`` — see
-        :mod:`tpu21cmvae.foregrounds`). Rebuilt per request (host-side
-        milliseconds); the program cache keys on its VALUE, so repeat
-        requests with the same spec hit the same compiled programs."""
+        :mod:`tpu21cmvae.foregrounds`), and/or a noise-LEVEL-
+        marginalized spec when it carries ``noise_scale_marginal: true``
+        (+ optional ``noise_alpha``/``noise_beta`` —
+        :mod:`tpu21cmvae.noisescale`; composes with the foreground
+        spec). Rebuilt per request (host-side milliseconds); the
+        program cache keys on its VALUE, so repeat requests with the
+        same spec hit the same compiled programs."""
         fg_terms = opts.pop("fg_terms", None)
         fg_basis = opts.pop("fg_basis", "linlog")
         fg_prior_var = opts.pop("fg_prior_var", None)
+        scale_marginal = bool(opts.pop("noise_scale_marginal", False))
+        noise_alpha = opts.pop("noise_alpha", None)
+        noise_beta = opts.pop("noise_beta", None)
         nv = np.asarray(noise_var, np.float32)
-        if fg_terms is None:
-            return nv
-        return self.model.marginalize_foreground(
-            nv, n_terms=int(fg_terms), basis=fg_basis,
-            prior_var=fg_prior_var,
-        )
+        if fg_terms is not None:
+            nv = self.model.marginalize_foreground(
+                nv, n_terms=int(fg_terms), basis=fg_basis,
+                prior_var=fg_prior_var,
+            )
+        if scale_marginal:
+            from tpu21cmvae.noisescale import marginalize_noise_scale
+
+            nv = marginalize_noise_scale(
+                nv, alpha=noise_alpha, beta=noise_beta,
+            )
+        elif noise_alpha is not None or noise_beta is not None:
+            raise ValueError(
+                "noise_alpha/noise_beta require noise_scale_marginal"
+            )
+        return nv
 
     def _loglik_lookup(self, obs: np.ndarray, nv):
         """Validated (obs, noise spec) → (cache key, ShardedEmulator) —
         built cold when absent; the caller commits after first
-        success. ``nv``: per-bin array or a
-        :class:`~tpu21cmvae.foregrounds.MarginalizedNoise`."""
+        success. ``nv``: per-bin array, a
+        :class:`~tpu21cmvae.foregrounds.MarginalizedNoise`, or a
+        :class:`~tpu21cmvae.noisescale.ScaleMarginalNoise`."""
         from tpu21cmvae.foregrounds import MarginalizedNoise
+        from tpu21cmvae.noisescale import ScaleMarginalNoise
         from tpu21cmvae.parallel.inference import ShardedEmulator
 
         n_bins = self.model.config.n_bins
@@ -191,19 +214,24 @@ class EmulatorService:
                 f"obs must be a flat list of {n_bins} floats; got shape "
                 f"{obs.shape}"
             )
-        if isinstance(nv, MarginalizedNoise):
-            if nv.whiten.shape != (n_bins, n_bins):
+        base = nv.base if isinstance(nv, ScaleMarginalNoise) else nv
+        if isinstance(base, MarginalizedNoise):
+            if base.whiten.shape != (n_bins, n_bins):
                 raise ValueError(
-                    f"MarginalizedNoise built for {nv.whiten.shape[0]} "
+                    f"MarginalizedNoise built for {base.whiten.shape[0]} "
                     f"bins; the model has {n_bins}"
                 )
-            nv_key = repr(nv.memo_key()).encode()
         else:
-            if nv.shape not in ((), (n_bins,)):
+            shape = np.shape(base)
+            if shape not in ((), (n_bins,)):
                 raise ValueError(
                     f"noise_var must be a scalar or {n_bins} per-bin "
-                    f"values; got shape {nv.shape}"
+                    f"values; got shape {shape}"
                 )
+        mk = getattr(nv, "memo_key", None)
+        if callable(mk):
+            nv_key = repr(mk()).encode()
+        else:
             nv_key = nv.tobytes() + repr(nv.shape).encode()
         key = hashlib.sha256(obs.tobytes() + nv_key).hexdigest()
         with self._cache_lock:
