@@ -478,6 +478,43 @@ plt.tight_layout()
 plt.show()
 """
 
+CELL_NOISESCALE = """\
+# Noise-LEVEL marginalization. Radiometers know their noise SHAPE
+# (radiometer-equation scaling across the band) far better than its
+# absolute calibrated level; published analyses fit sigma as an extra
+# chain dimension. Here sigma^2 is integrated out ANALYTICALLY
+# (tpu21cmvae/noisescale.py): the Student-t-form marginal is a scalar
+# post-transform of the quadratic form every likelihood backend already
+# computes, so samplers/evidence/gradients inherit it at zero cost.
+# Generate data at a TRUE level 2.5x the assumed shape -- the marginal
+# must absorb the mismatch, and the sigma^2-posterior should read ~2.5.
+from tpu21cmvae import marginalize_noise_scale
+
+true_level = 2.5
+obs_sc = (model.predict(truth)
+          + rng.normal(0, np.sqrt(true_level * 25.0), data.n_bins)
+          ).astype(np.float32)
+
+sm = marginalize_noise_scale(25.0)  # Jeffreys prior on the level
+res_sc = model.sample_posterior(
+    obs_sc, sm, sampler="mh", bounds=bounds, n_walkers=512,
+    n_steps=60 if FAST else 300, n_warmup=60 if FAST else 300,
+    thin=10, seed=6,
+)
+lo_q, mid, hi_q = np.percentile(res_sc.flat, [16, 50, 84], axis=0)
+inside = int(((truth >= lo_q) & (truth <= hi_q)).sum())
+print(f"truth inside the 68% interval on {inside}/7 parameters")
+
+# what noise level did the data prefer? (InvGamma posterior readout)
+best_sc = res_sc.flat[int(np.argmax(np.asarray(
+    model.loglik_fn(obs_sc, sm, precision="contract")(
+        model.params, res_sc.flat))))]
+a_post, b_post = sm.sigma2_posterior(
+    np.asarray(obs_sc, float) - model.predict(best_sc))
+print(f"posterior noise-level multiplier: {b_post / (a_post - 1):.2f} "
+      f"(generated at {true_level})")
+"""
+
 MD_OUTRO = """\
 ## Where to go next
 
@@ -512,6 +549,7 @@ def build() -> nbf.NotebookNode:
         nbf.v4.new_code_cell(CELL_PT),
         nbf.v4.new_code_cell(CELL_PRIOR_BAND),
         nbf.v4.new_code_cell(CELL_FOREGROUND),
+        nbf.v4.new_code_cell(CELL_NOISESCALE),
         nbf.v4.new_code_cell(CELL_MIXTURE),
         nbf.v4.new_markdown_cell(MD_OUTRO),
     ]
