@@ -221,3 +221,27 @@ def test_laplace_evidence_sharded(mesh):
     )
     assert res.pd
     assert abs(res.logz - LOGZ_BOX) < 0.05
+
+
+def test_mh_adapt_blocks_sharded(mesh):
+    """Per-block adaptation under a mesh (the batched-observation
+    survey path's shape): block statistics are a reshape+mean over the
+    SHARDED walker axis — GSPMD must reduce them correctly even when a
+    block spans devices. Two blocks with a 50x width split recover
+    their own moments and adapted scales."""
+    sig_blk = np.array([1.0, 0.02], np.float32)
+
+    def loglik(params, x):
+        s = jnp.repeat(jnp.asarray(sig_blk), x.shape[0] // 2)[:, None]
+        return -0.5 * jnp.sum((jnp.asarray(x) / s) ** 2, axis=-1)
+
+    bounds = np.array([[-8.0, 8.0]] * 3)
+    res = sample_mh(
+        loglik, None, n_walkers=256, adapt_blocks=2, n_steps=800,
+        n_warmup=600, thin=5, bounds=bounds, seed=0, mesh=mesh,
+    )
+    wide = res.chain[:, :128].reshape(-1, 3)
+    narrow = res.chain[:, 128:].reshape(-1, 3)
+    assert np.allclose(wide.std(0), 1.0, rtol=0.15)
+    assert np.allclose(narrow.std(0), 0.02, rtol=0.15)
+    assert res.block_step_sizes[0] > 8 * res.block_step_sizes[1]

@@ -1179,3 +1179,71 @@ def test_device_thinning_matches_full_chain():
         assert none.chain.shape[0] == 0, name
         np.testing.assert_array_equal(none.final, full.final,
                                       err_msg=name)
+
+
+def test_mh_adapt_blocks_heterogeneous_widths():
+    """Per-block proposal scales (the batched-observation path's
+    ``adapt_blocks=n_obs``): on a target whose two walker blocks are
+    Gaussians with a 50× width split, per-block adaptation recovers
+    BOTH blocks' moments, and the adapted block scales split by an
+    order of magnitude (a pooled scale is one number — it cannot serve
+    both, which shows up as SBC rank drift on heterogeneous surveys)."""
+    import jax.numpy as jnp
+
+    from tpu21cmvae.sampling import sample_mh
+
+    sig_blk = np.array([1.0, 0.02], np.float32)
+    mu = np.zeros(3, np.float32)
+
+    def loglik(params, x):
+        s = jnp.repeat(jnp.asarray(sig_blk), x.shape[0] // 2)[:, None]
+        return -0.5 * jnp.sum(((x - mu) / s) ** 2, axis=-1)
+
+    bounds = np.stack([mu - 8.0, mu + 8.0], axis=1)
+    res = sample_mh(loglik, None, n_walkers=256, adapt_blocks=2,
+                    n_steps=800, n_warmup=600, thin=5, bounds=bounds,
+                    seed=0)
+    wide = res.chain[:, :128].reshape(-1, 3)
+    narrow = res.chain[:, 128:].reshape(-1, 3)
+    assert np.allclose(wide.std(0), 1.0, rtol=0.15)
+    assert np.allclose(narrow.std(0), 0.02, rtol=0.15)
+    # the adapted scales actually split per block
+    assert res.block_step_sizes.shape == (2,)
+    assert res.block_step_sizes[0] > 8 * res.block_step_sizes[1]
+    assert np.isclose(res.step_size, res.block_step_sizes.mean())
+    with pytest.raises(ValueError, match="adapt_blocks"):
+        sample_mh(loglik, None, n_walkers=100, adapt_blocks=3,
+                  bounds=bounds)
+
+
+def test_hmc_adapt_blocks_heterogeneous_widths():
+    """Per-block leapfrog steps in HMC: same 50×-split block target;
+    per-block dual averaging recovers both blocks' moments (the pooled
+    metric is shape-only — identity here — so the block scale rides
+    entirely on the per-block step)."""
+    import jax.numpy as jnp
+
+    from tpu21cmvae.sampling import sample_hmc
+
+    sig_blk = np.array([1.0, 0.02], np.float32)
+    mu = np.zeros(3, np.float32)
+
+    def valgrad(params, x):
+        s = jnp.repeat(jnp.asarray(sig_blk), x.shape[0] // 2)[:, None]
+        z = (x - mu) / s
+        return -0.5 * jnp.sum(z**2, axis=-1), -z / s
+
+    bounds = np.stack([mu - 8.0, mu + 8.0], axis=1)
+    res = sample_hmc(
+        valgrad, None, n_walkers=256, adapt_blocks=2, n_steps=400,
+        n_warmup=300, n_leapfrog=8, thin=5, bounds=bounds, seed=1,
+    )
+    wide = res.chain[:, :128].reshape(-1, 3)
+    narrow = res.chain[:, 128:].reshape(-1, 3)
+    assert np.allclose(wide.std(0), 1.0, rtol=0.15)
+    assert np.allclose(narrow.std(0), 0.02, rtol=0.15)
+    assert res.block_step_sizes.shape == (2,)
+    assert res.block_step_sizes[0] > 8 * res.block_step_sizes[1]
+    with pytest.raises(ValueError, match="adapt_blocks"):
+        sample_hmc(valgrad, None, n_walkers=100, adapt_blocks=3,
+                   bounds=bounds)

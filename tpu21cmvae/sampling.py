@@ -88,7 +88,10 @@ class SampleResult:
     walker positions ``(n_walkers, n_params)``. ``logp``: final
     log-posterior per walker. ``accept_rate``: per-step mean acceptance
     over the sampling phase. ``step_size``: the (adapted) HMC step, or
-    the MH proposal scale.
+    the MH proposal scale — the mean over adaptation blocks when
+    ``adapt_blocks > 1``, with the per-block values in
+    ``block_step_sizes`` (shape ``(adapt_blocks,)``; ``None`` for
+    samplers without block adaptation).
     """
 
     chain: np.ndarray
@@ -96,6 +99,7 @@ class SampleResult:
     logp: np.ndarray
     accept_rate: np.ndarray
     step_size: float
+    block_step_sizes: Optional[np.ndarray] = None
 
     @property
     def flat(self) -> np.ndarray:
@@ -186,9 +190,10 @@ class BatchSampleResult:
 
     ``result`` is the underlying :class:`SampleResult` with the walker
     axis stacked observation-major (``O · walkers_per_obs`` rows); the
-    views below unstack it. Note the adaptation scalars (MH scale / HMC
-    step) were shared across observations — valid MCMC for each target,
-    tuned for their aggregate acceptance."""
+    views below unstack it. Each observation's slab adapted its own
+    proposal scale / leapfrog step (``adapt_blocks=n_obs`` in
+    :func:`run_batched_chain`); ``result.step_size`` reports the mean
+    over blocks."""
 
     n_obs: int
     result: SampleResult
@@ -212,12 +217,18 @@ class BatchSampleResult:
         :class:`SampleResult` (R̂/ESS/summary work per observation)."""
         w = self.walkers_per_obs
         sl = slice(i * w, (i + 1) * w)
+        bss = self.result.block_step_sizes
+        own_step = (
+            float(bss[i])
+            if bss is not None and bss.shape[0] == self.n_obs
+            else self.result.step_size
+        )
         return SampleResult(
             chain=self.result.chain[:, sl],
             final=self.result.final[sl],
             logp=self.result.logp[sl],
             accept_rate=self.result.accept_rate,
-            step_size=self.result.step_size,
+            step_size=own_step,
         )
 
 
@@ -241,8 +252,16 @@ def run_batched_chain(
     cross-walker pairing would propose across observations (valid
     MCMC — the complementary walker is a fixed proposal parameter —
     but mixing-hostile, each proposal shaped by the wrong posterior).
+
+    Both samplers get ``adapt_blocks=n_obs`` (overridable via kwargs):
+    each observation's walker slab adapts its OWN proposal scale /
+    leapfrog step, so heterogeneous posterior widths (per-sim noise
+    levels, different data) don't force every chain onto one
+    compromise step — the per-block statistics are a reshape+mean,
+    free next to the stacked likelihood call.
     """
     total = n_obs * n_walkers
+    kwargs.setdefault("adapt_blocks", n_obs)
     if sampler == "mh":
         return BatchSampleResult(n_obs=n_obs, result=sample_mh(
             loglik_builder(), params, n_walkers=total, bounds=bounds,
@@ -1699,6 +1718,7 @@ def sample_mh(
     step_frac: float = 0.01,
     target_accept: float = 0.3,
     adapt: bool = True,
+    adapt_blocks: int = 1,
     thin: int = 10,
     seed: int = 0,
     x0=None,
@@ -1716,12 +1736,19 @@ def sample_mh(
     the faces and piles stationary mass on the boundary, which matters
     for near-flat targets). The likelihood is evaluated on a safe
     midpoint row for outside proposals so the emulator's log-transform
-    never sees a negative parameter. During warmup the GLOBAL
+    never sees a negative parameter. During warmup the
     scale multiplier adapts by dual averaging toward ``target_accept``
     (0.3 ≈ random-walk-optimal in moderate dimension); ``adapt=False``
-    pins ``step_frac``. ``thin > 0`` keeps every ``thin``-th
-    post-warmup step. Runs as two ``lax.scan`` programs (warmup,
-    sampling) — zero host round trips inside the chains.
+    pins ``step_frac``. ``adapt_blocks=G`` keeps G INDEPENDENT
+    multipliers, one per contiguous walker block — the batched-
+    observation path passes ``G = n_obs`` so each observation's
+    posterior gets its own proposal scale (heterogeneous widths are the
+    norm there: per-sim noise levels, different data; one shared scale
+    under-serves the narrow posteriors — measured as SBC rank drift).
+    Per-block statistics are a reshape+mean over the walker axis —
+    free next to the likelihood call. ``thin > 0`` keeps every
+    ``thin``-th post-warmup step. Runs as two ``lax.scan`` programs
+    (warmup, sampling) — zero host round trips inside the chains.
 
     ``log_prior``: optional traceable log-density over RAW parameters
     added to the target (e.g.
@@ -1737,6 +1764,12 @@ def sample_mh(
     lo, hi = _resolve_bounds(bounds)
     base_scale = step_frac * (hi - lo)
     mid = (lo + hi) / 2.0
+    if n_walkers % adapt_blocks:
+        raise ValueError(
+            f"n_walkers ({n_walkers}) must divide into adapt_blocks "
+            f"({adapt_blocks}) equal contiguous blocks"
+        )
+    n_blk = int(adapt_blocks)
     key = jax.random.key(seed)
     k_init, k_warm, k_run = jax.random.split(key, 3)
     x = _shard_walkers(
@@ -1750,8 +1783,11 @@ def sample_mh(
 
     def build_run():
         def mh_step(params, x, lp, mult, k):
+            # ``mult``: (adapt_blocks,) per-block scale multipliers,
+            # expanded to rows (block = contiguous walker slab)
             k1, k2 = jax.random.split(k)
-            prop = x + mult * base_scale * jax.random.normal(
+            m_row = jnp.repeat(mult, x.shape[0] // n_blk)[:, None]
+            prop = x + m_row * base_scale * jax.random.normal(
                 k1, x.shape, x.dtype
             )
             inside = ((prop >= lo) & (prop <= hi)).all(axis=1)
@@ -1766,7 +1802,7 @@ def sample_mh(
             acc = acc | (~jnp.isfinite(lp) & jnp.isfinite(lp_prop))
             x = jnp.where(acc[:, None], prop, x)
             lp = jnp.where(acc, lp_prop, lp)
-            return x, lp, jnp.mean(acc)
+            return x, lp, acc.reshape(n_blk, -1).mean(axis=1)
 
         mu, gamma, t0, kappa = _dual_averaging_consts(1.0)
 
@@ -1794,22 +1830,20 @@ def sample_mh(
                 x, lp, a = mh_step(params, x, lp, mult, k)
                 if thin:
                     buf = _thin_write(buf, t, x, thin, n_keep)
-                return (x, lp, mult, buf), a
+                return (x, lp, mult, buf), jnp.mean(a)
 
             lp = loglik(params, x) + log_prior(x)
             # warmup presence is static (part of the cache key): with
             # 0, skip the warmup scan entirely — continuation runs via
             # x0 must not take hidden extra steps
             if n_warmup > 0:
-                state = (
-                    x, lp, jnp.float32(0.0), jnp.float32(0.0),
-                    jnp.float32(0.0),
-                )
+                zeros = jnp.zeros((n_blk,), jnp.float32)
+                state = (x, lp, zeros, zeros, zeros)
                 state, _ = jax.lax.scan(warm_step, state, warm_ik)
                 x, lp, _, log_m_bar, _ = state
                 mult = jnp.exp(log_m_bar)
             else:
-                mult = jnp.float32(1.0)
+                mult = jnp.ones((n_blk,), jnp.float32)
             n_keep, buf = _thin_state(run_keys.shape[0], thin, x)
             (x, lp, mult, buf), rates = jax.lax.scan(
                 run_step,
@@ -1825,8 +1859,8 @@ def sample_mh(
         loglik,
         (
             "mh", _bounds_key(lo, hi), float(step_frac),
-            float(target_accept), bool(adapt), int(thin), n_warmup > 0,
-            _fn_cache_key(raw_log_prior),
+            float(target_accept), bool(adapt), n_blk, int(thin),
+            n_warmup > 0, _fn_cache_key(raw_log_prior),
         ),
         build_run,
     )
@@ -1846,7 +1880,10 @@ def sample_mh(
         final=np.asarray(x),
         logp=np.asarray(lp),
         accept_rate=np.asarray(rates),
-        step_size=float(mult) * float(np.asarray(base_scale).mean()),
+        step_size=float(np.mean(np.asarray(mult)))
+        * float(np.asarray(base_scale).mean()),
+        block_step_sizes=np.asarray(mult)
+        * float(np.asarray(base_scale).mean()),
     )
 
 
@@ -2173,6 +2210,7 @@ def sample_hmc(
     bounds=None,
     target_accept: float = 0.8,
     init_step: float = 0.01,
+    adapt_blocks: int = 1,
     thin: int = 5,
     seed: int = 0,
     x0=None,
@@ -2183,6 +2221,14 @@ def sample_hmc(
     mesh=None,
 ) -> SampleResult:
     """HMC ensemble over ``valgrad(params, raw) → (logL, dlogL/raw)``.
+
+    ``adapt_blocks=G``: keep G independent dual-averaged step sizes,
+    one per contiguous walker block — the batched-observation path
+    passes ``G = n_obs`` so each observation's posterior gets its own
+    step (see :func:`sample_mh`). The ensemble metric stays POOLED
+    across blocks deliberately: it is normalized to unit geometric
+    mean (shape only — dual averaging owns the scale), and the per-
+    block scale difference is exactly what the per-block step absorbs.
 
     ``valgrad`` is typically ``DirectEmulator.loglik_and_grad_fn(obs,
     noise_var)`` (bench-selected fused value+gradient kernel on TPU).
@@ -2229,6 +2275,12 @@ def sample_hmc(
     """
     lo, hi = _resolve_bounds(bounds)
     span = hi - lo
+    if n_walkers % adapt_blocks:
+        raise ValueError(
+            f"n_walkers ({n_walkers}) must divide into adapt_blocks "
+            f"({adapt_blocks}) equal contiguous blocks"
+        )
+    n_blk = int(adapt_blocks)
     key = jax.random.key(seed)
     k_init, k_warm, k_run = jax.random.split(key, 3)
     x = _shard_walkers(
@@ -2255,11 +2307,13 @@ def sample_hmc(
             return jnp.int32(n_leapfrog)
         return jax.random.randint(k, (), l_min, n_leapfrog + 1)
 
-    def hmc_step(params, y, lp, glp, met, eps, n_leap, k):
-        # ``eps``: scalar step; ``met``: the ensemble metric (a (D,)
-        # diagonal or (D,D) dense square root — momenta live in the
-        # metric-whitened space, positions in ``y``, the standard mass-
-        # matrix equivalence); ``n_leap``: traced leapfrog count.
+    def hmc_step(params, y, lp, glp, met, eps_blk, n_leap, k):
+        # ``eps_blk``: (adapt_blocks,) per-block steps, expanded to
+        # rows; ``met``: the ensemble metric (a (D,) diagonal or (D,D)
+        # dense square root — momenta live in the metric-whitened
+        # space, positions in ``y``, the standard mass-matrix
+        # equivalence); ``n_leap``: traced leapfrog count.
+        eps = jnp.repeat(eps_blk, y.shape[0] // n_blk)[:, None]
         kp, ku = jax.random.split(k)
         p0 = jax.random.normal(kp, y.shape, y.dtype)
         p = p0 + 0.5 * eps * _met_pull(met, glp)
@@ -2282,8 +2336,12 @@ def sample_hmc(
         y = jnp.where(acc[:, None], q, y)
         lp = jnp.where(acc, lp_new, lp)
         glp = jnp.where(acc[:, None], g_new, glp)
-        # mean Metropolis probability (capped at 1) drives adaptation
-        return y, lp, glp, jnp.mean(jnp.minimum(1.0, jnp.exp(dh)))
+        # per-block mean Metropolis probability (capped at 1; NaN dh —
+        # diverged trajectory — counts as 0) drives adaptation
+        a = jnp.where(
+            jnp.isfinite(dh), jnp.minimum(1.0, jnp.exp(dh)), 0.0
+        )
+        return y, lp, glp, a.reshape(n_blk, -1).mean(axis=1)
 
     # dual averaging (Hoffman & Gelman 2014, Alg. 5) — all in-carry;
     # ``mu`` is traced so a post-preconditioning restart can re-anchor
@@ -2311,9 +2369,11 @@ def sample_hmc(
         return warm_step
 
     def warm_phase(params, y, lp, glp, sd, eps0, ik):
+        # ``eps0``: (adapt_blocks,) — the dual-averaging state is a
+        # per-block vector throughout (every update is elementwise)
         state = (
             y, lp, glp, sd, jnp.log(10.0 * eps0), jnp.log(eps0),
-            jnp.log(eps0), jnp.float32(0.0),
+            jnp.log(eps0), jnp.zeros_like(eps0),
         )
         state, _ = jax.lax.scan(make_warm_step(params), state, ik)
         y, lp, glp, _, _, _, log_eps_bar, _ = state
@@ -2332,11 +2392,11 @@ def sample_hmc(
                     buf = _thin_write(
                         buf, t, to_params(y), thin, n_keep
                     )
-                return (y, lp, glp, sd, eps, buf), a_mean
+                return (y, lp, glp, sd, eps, buf), jnp.mean(a_mean)
 
             lp, glp = logp_and_grad(params, y)
             sd = jnp.ones((y.shape[1],), y.dtype)
-            eps = jnp.float32(init_step)
+            eps = jnp.full((n_blk,), init_step, jnp.float32)
             if n_warm1 > 0:  # static — no hidden warmup on continuation
                 y, lp, glp, eps = warm_phase(
                     params, y, lp, glp, sd, eps, warm1_ik
@@ -2366,8 +2426,8 @@ def sample_hmc(
         (
             "hmc", _bounds_key(lo, hi), float(init_step),
             float(target_accept), bool(jitter), bool(precondition),
-            int(thin), int(n_leapfrog), use_metric, dense, n_warm1 > 0,
-            _fn_cache_key(log_prior),
+            n_blk, int(thin), int(n_leapfrog), use_metric, dense,
+            n_warm1 > 0, _fn_cache_key(log_prior),
         ),
         build_run,
     )
@@ -2392,7 +2452,8 @@ def sample_hmc(
         final=np.asarray(to_params(y)),
         logp=np.asarray(lp),
         accept_rate=np.asarray(rates),
-        step_size=float(eps),
+        step_size=float(np.mean(np.asarray(eps))),
+        block_step_sizes=np.asarray(eps),
     )
 
 
