@@ -326,3 +326,26 @@ def test_cli_fg_flags(tmp_path, tiny):
           "--steps", "80", "--out", out2])
     pred2 = np.asarray(em.predict(np.load(out2)["best"]))
     assert (np.abs(pred2 - sig).mean() > np.abs(pred - sig).mean())
+
+
+def test_sample_noise_matches_whitened_form(tiny):
+    """The generative counterpart is consistent with the spec's own
+    scoring: for draws from sample_noise, the whitened quadratic form
+    q = ||R^T x||^2 is chi^2 with n - K dof under the flat prior (the
+    injected foreground lies exactly in P's null space) and n dof under
+    a proper prior (the marginal covariance IS P^{-1})."""
+    em = tiny[0]
+    rng = np.random.default_rng(42)
+    n, n_draw = 451, 4000
+    nv = np.full(n, 25.0)
+    flat = em.marginalize_foreground(nv, n_terms=5)
+    x = flat.sample_noise(rng, n_draw, flat_coeff_scale=500.0)
+    q = np.einsum("bi,bi->b", x @ flat.whiten.astype(np.float64),
+                  x @ flat.whiten.astype(np.float64))
+    dof = n - 5
+    assert abs(q.mean() / dof - 1.0) < 5 * np.sqrt(2.0 / dof / n_draw) + 0.01
+    proper = em.marginalize_foreground(nv, n_terms=5, prior_var=1e4)
+    xp = proper.sample_noise(rng, n_draw)
+    qp = np.einsum("bi,bi->b", xp @ proper.whiten.astype(np.float64),
+                   xp @ proper.whiten.astype(np.float64))
+    assert abs(qp.mean() / n - 1.0) < 5 * np.sqrt(2.0 / n / n_draw) + 0.01

@@ -346,3 +346,67 @@ def test_zero_residual_jeffreys_finite(model, splits, rows):
     )(model.params, batch)
     assert np.isfinite(np.asarray(v)).all()
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_sample_noise_generative_moments(model, noise_shape):
+    """sample_noise draws from the spec's own generative model: the
+    implied level estimates q_i/n concentrate on InvGamma draws whose
+    sample mean matches E[sigma^2] = beta/(alpha-1); Jeffreys refuses;
+    scalar bases refuse (no bin count)."""
+    rng = np.random.default_rng(11)
+    n_draw = 3000
+    sm = marginalize_noise_scale(noise_shape, alpha=4.0, beta=9.0)
+    x = sm.sample_noise(rng, n_draw)
+    lvl = np.mean(x * x / noise_shape, axis=1)  # ~ sigma^2_i (n=451)
+    want = 9.0 / 3.0
+    # var of the InvGamma(4,9) mean estimate over 3000 draws
+    sd = math.sqrt((want**2 / 2.0) / n_draw)  # var = b^2/((a-1)^2(a-2))
+    assert abs(lvl.mean() - want) < 6 * sd + 0.02
+    with pytest.raises(ValueError, match="Jeffreys"):
+        marginalize_noise_scale(noise_shape).sample_noise(rng, 2)
+    with pytest.raises(ValueError, match="per-bin"):
+        marginalize_noise_scale(25.0, alpha=4.0, beta=9.0).sample_noise(
+            rng, 2
+        )
+    # composed with a flat-prior foreground base: the projected
+    # quadratic form still reads the drawn level (fg directions null)
+    mn = model.marginalize_foreground(noise_shape, n_terms=4)
+    smfg = marginalize_noise_scale(mn, alpha=4.0, beta=9.0)
+    xf = smfg.sample_noise(rng, n_draw, flat_coeff_scale=500.0)
+    z = xf @ mn.whiten.astype(np.float64)
+    lvlf = np.einsum("bi,bi->b", z, z) / (451 - 4)
+    assert abs(lvlf.mean() - want) < 6 * sd + 0.02
+
+
+def test_fisher_student_t_correction(model, noise_shape):
+    """Fisher under a proper-prior ScaleMarginalNoise equals the plain
+    Gaussian Fisher times the closed-form multivariate-t factor
+    (alpha/beta)*(2a+n_eff)/(2a+n_eff+2), with n_eff = n - K when the
+    base is a flat-prior MarginalizedNoise; Jeffreys raises."""
+    theta = np.asarray(
+        [0.05, 16.5, 1.0, 0.06, 1.3, 2.0, 30.0], np.float32
+    )
+    F0, _ = model.fisher_forecast(theta, noise_shape)
+    sm = marginalize_noise_scale(noise_shape, alpha=3.0, beta=2.0)
+    Ft, _ = model.fisher_forecast(theta, sm)
+    n = model.config.n_bins
+    want = (3.0 / 2.0) * (6.0 + n) / (6.0 + n + 2.0)
+    np.testing.assert_allclose(Ft, want * F0, rtol=1e-5)
+    # composed: base fg-marginalized (flat, K=4) -> n_eff = n - 4 and
+    # the Gaussian part is the fg-marginalized Fisher
+    mn = model.marginalize_foreground(noise_shape, n_terms=4)
+    Fm, _ = model.fisher_forecast(theta, mn)
+    smfg = marginalize_noise_scale(mn, alpha=3.0, beta=2.0)
+    Ftm, _ = model.fisher_forecast(theta, smfg)
+    want2 = (3.0 / 2.0) * (6.0 + (n - 4)) / (6.0 + (n - 4) + 2.0)
+    np.testing.assert_allclose(Ftm, want2 * Fm, rtol=1e-5)
+    # fg marginalization can only LOSE information — in the matrix
+    # AND in the quoted sigmas (forecast_errors' noise-floored float64
+    # eigensolve keeps this monotone; the old float32 pseudo-inverse
+    # let noise eigenvalues through and sigma could SHRINK)
+    assert (np.diag(Fm) <= np.diag(F0) * (1 + 1e-6)).all()
+    _, sig0 = model.fisher_forecast(theta, noise_shape)
+    _, sigm = model.fisher_forecast(theta, mn)
+    assert (np.asarray(sigm) >= np.asarray(sig0) * (1 - 1e-9)).all()
+    with pytest.raises(ValueError, match="Jeffreys"):
+        model.fisher_forecast(theta, marginalize_noise_scale(noise_shape))

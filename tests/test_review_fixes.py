@@ -275,6 +275,7 @@ def test_fisher_forecast_cache_is_bounded(splits):
         F, sig = model.fisher_forecast(theta, noise)
         assert np.isfinite(sig).all()
     assert len(model._fisher_cache) <= 8
-    # the most recent spec is still cached (LRU evicts oldest first)
-    key = (noise.shape, noise.tobytes())
-    assert key in model._fisher_cache
+    # the most recent spec is still cached (LRU evicts oldest first);
+    # keys are value-identity via noise_key (float64 bytes)
+    nk = np.asarray(noise, np.float64)
+    assert (nk.shape, nk.tobytes()) in model._fisher_cache

@@ -193,6 +193,29 @@ class MarginalizedNoise:
         """Foreground spectrum ``F @ a`` for coefficient row(s)."""
         return np.asarray(coeffs, np.float64) @ self.basis.T
 
+    def sample_noise(self, rng, n: int, *,
+                     flat_coeff_scale: float = 100.0) -> np.ndarray:
+        """Draw ``n`` realizations of this spec's own generative model,
+        ``F·a + ε`` with ``ε ~ N(0, noise_var)`` — the data-generating
+        counterpart the SBC certificate needs
+        (:func:`tpu21cmvae.calibration.sbc`). Coefficients come from
+        the proper Gaussian prior when one was given; under the flat
+        prior they are drawn ``N(0, flat_coeff_scale²)`` — the
+        marginal posterior is EXACTLY invariant to the injected
+        foreground (``P·F = 0``), so the choice cannot move the ranks,
+        and a large injection makes the certificate exercise the
+        invariance for real. Returns ``(n, n_bins)`` float64."""
+        eps = rng.normal(
+            0.0, np.sqrt(self.noise_var), (n, self.noise_var.shape[0])
+        )
+        if self.prior_var is not None:
+            a = rng.normal(size=(n, self.n_terms)) * np.sqrt(
+                self.prior_var
+            )
+        else:
+            a = rng.normal(0.0, flat_coeff_scale, (n, self.n_terms))
+        return eps + a @ self.basis.T
+
 
 def marginalize_foreground(
     basis,

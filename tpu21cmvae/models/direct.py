@@ -341,6 +341,18 @@ class DirectEmulator:
             prior_var=prior_var,
         )
 
+
+    def goodness_of_fit(self, obs, noise_var=25.0, draws=None,
+                        **kwargs):
+        """Posterior predictive model check: did the assumed
+        signal+noise family actually generate ``obs``? ``draws``:
+        posterior draws or a :class:`~tpu21cmvae.sampling.SampleResult`
+        (e.g. from :meth:`sample_posterior`). See
+        :func:`tpu21cmvae.calibration.goodness_of_fit`."""
+        from tpu21cmvae.calibration import goodness_of_fit
+
+        return goodness_of_fit(self, obs, noise_var, draws, **kwargs)
+
     def sample_posterior_batch(
         self,
         obs_batch,
@@ -363,10 +375,11 @@ class DirectEmulator:
 
         ``sampler``: ``"mh"`` (default) or ``"hmc"`` — the stretch move
         is refused here because its cross-walker pairing would propose
-        across observations (valid but mixing-hostile). Adaptation
-        scalars are shared across observations (aggregate acceptance);
-        per-observation step tuning matters only when the posteriors'
-        scales differ wildly — split such surveys into groups.
+        across observations (valid but mixing-hostile). Each
+        observation's walker slab adapts its OWN proposal scale /
+        leapfrog step (``adapt_blocks=n_obs``, overridable), so
+        heterogeneous posterior widths — per-sim noise levels,
+        different data — don't force one compromise step.
         ``kwargs`` forward to the sampler (``mesh=`` shards the stacked
         walker axis; keep ``O · n_walkers`` divisible by the mesh).
         """
@@ -746,15 +759,19 @@ class DirectEmulator:
         """
         import collections
 
+        from tpu21cmvae.models._memo import noise_key
         from tpu21cmvae.ops.fisher import forecast_errors
 
-        nv = np.asarray(noise_var, np.float32)
-        key = (nv.shape, nv.tobytes())
+        nk = noise_key(noise_var)
+        key = (
+            (nk.shape, nk.tobytes()) if isinstance(nk, np.ndarray)
+            else nk
+        )
         if not hasattr(self, "_fisher_cache"):
             self._fisher_cache = collections.OrderedDict()
         fn = self._fisher_cache.get(key)
         if fn is None:
-            fn = self._fisher_cache[key] = self.fisher_fn(nv)
+            fn = self._fisher_cache[key] = self.fisher_fn(noise_var)
             if len(self._fisher_cache) > 8:
                 self._fisher_cache.popitem(last=False)
         else:

@@ -223,6 +223,53 @@ class ScaleMarginalNoise:
 
         return wrapped
 
+    def sample_noise(self, rng, n: int, *,
+                     flat_coeff_scale: float = 100.0) -> np.ndarray:
+        """Draw ``n`` realizations of this spec's own generative model —
+        level draws ``σ²ᵢ ~ InvGamma(α, β)``, then ``σᵢ·ε`` with
+        ``ε ~ N(0, base)`` (plus the base's foreground injection when it
+        is a :class:`~tpu21cmvae.foregrounds.MarginalizedNoise`: a
+        proper coefficient prior is σ²-scaled per the conjugate
+        convention, the flat prior's injection is level-free and the
+        posterior is invariant to it). The data-generating counterpart
+        the SBC certificate needs (:func:`tpu21cmvae.calibration.sbc`).
+        Requires a PROPER prior: the improper Jeffreys prior cannot be
+        sampled — pass ``alpha=``/``beta=``. Returns ``(n, n_bins)``
+        float64."""
+        from tpu21cmvae.foregrounds import MarginalizedNoise
+
+        if self.alpha is None:
+            raise ValueError(
+                "cannot generate from the improper Jeffreys level "
+                "prior: build the spec with a proper prior "
+                "(marginalize_noise_scale(..., alpha=, beta=))"
+            )
+        sig2 = float(self.beta) / rng.gamma(float(self.alpha), size=n)
+        sig = np.sqrt(sig2)[:, None]
+        if isinstance(self.base, MarginalizedNoise):
+            nb = self.base.noise_var.shape[0]
+            out = sig * rng.normal(
+                0.0, np.sqrt(self.base.noise_var), (n, nb)
+            )
+            if self.base.prior_var is not None:
+                a = sig * rng.normal(
+                    size=(n, self.base.n_terms)
+                ) * np.sqrt(self.base.prior_var)
+            else:
+                a = rng.normal(
+                    0.0, flat_coeff_scale, (n, self.base.n_terms)
+                )
+            return out + a @ self.base.basis.T
+        base = np.asarray(self.base, np.float64)
+        nb = base.shape[0] if base.ndim else None
+        if nb is None:
+            raise ValueError(
+                "sample_noise needs a per-bin base shape (scalar bases "
+                "carry no bin count); broadcast it first: "
+                "marginalize_noise_scale(np.full(n_bins, v), ...)"
+            )
+        return sig * rng.normal(0.0, np.sqrt(base), (n, nb))
+
     # -- post-inference diagnostics --
 
     def sigma2_posterior(self, residual):

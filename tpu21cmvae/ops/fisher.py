@@ -14,14 +14,16 @@ batches of fiducials.
 
 Numerical note: the first three parameters enter through log10 and the
 Jacobian is taken with respect to the RAW parameters (the physical
-ones), so F can be badly scaled; :func:`forecast_errors` solves with a
-symmetric pseudo-inverse to stay robust near degeneracies.
+ones), so F can be badly scaled; :func:`forecast_errors` solves in
+float64 on the host with a noise-floored eigendecomposition to stay
+robust (and honest) near degeneracies.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpu21cmvae.ops.mlp import mlp_apply
 from tpu21cmvae.ops.transforms import Normalizer, par_transform, unpreproc
@@ -59,10 +61,62 @@ def make_fisher(
     precision=jax.lax.Precision.HIGHEST,
 ):
     """Build ``fn(params, theta) → (n_params, n_params)`` Fisher matrix
-    at a raw parameter vector; accepts scalar or per-bin σ² in mK²."""
+    at a raw parameter vector.
+
+    ``noise_var`` accepts everything the likelihoods do:
+
+    * scalar / per-bin σ² in mK² — the Gaussian ``Jᵀ N⁻¹ J``;
+    * a :class:`~tpu21cmvae.foregrounds.MarginalizedNoise` — exact:
+      the foreground-marginalized likelihood is still Gaussian with
+      precision ``P = R·Rᵀ``, so ``F = (RᵀJ)ᵀ(RᵀJ)`` (the K projected
+      foreground directions carry zero signal information — P's null
+      space — which is the honest forecast under a foreground fit);
+    * a :class:`~tpu21cmvae.noisescale.ScaleMarginalNoise` with a
+      PROPER InvGamma(α, β) prior — the marginal is multivariate
+      Student-t (dof ν = 2α, scale ``(β/α)·N₀``), whose location
+      Fisher is the classical heavy-tail correction of the Gaussian
+      one: ``F_t = (α/β)·(ν + n_eff)/(ν + n_eff + 2)·Jᵀ N₀⁻¹ J``
+      (Lange, Little & Taylor 1989 eq. 2.5 form). ``α/β`` is the
+      prior-mean precision multiplier; the ``<1`` t-factor is the
+      information lost to the unknown level. Under the improper
+      Jeffreys prior the marginal is scale-free, so a data-free Fisher
+      is undefined — raises ``ValueError`` (forecast at an assumed
+      level by passing the base spec instead).
+    """
+    from tpu21cmvae.foregrounds import MarginalizedNoise
+    from tpu21cmvae.noisescale import ScaleMarginalNoise
+
     jac = make_signal_jacobian(config, norm, precision=precision)
-    invvar = 1.0 / jnp.broadcast_to(
-        jnp.asarray(noise_var, jnp.float32), (config.n_bins,)
+
+    scale = 1.0
+    nv = noise_var
+    if isinstance(nv, ScaleMarginalNoise):
+        if nv.alpha is None:
+            raise ValueError(
+                "Fisher forecast under the improper Jeffreys level "
+                "prior is undefined (the Student-t marginal's scale is "
+                "fixed only by data): pass a proper prior "
+                "(marginalize_noise_scale(..., alpha=, beta=)) or "
+                "forecast at an assumed level with the base noise spec"
+            )
+        n_eff = float(nv.n_eff(config.n_bins))
+        nu = 2.0 * float(nv.alpha)
+        scale = (
+            float(nv.alpha) / float(nv.beta)
+            * (nu + n_eff) / (nu + n_eff + 2.0)
+        )
+        nv = nv.base
+    if isinstance(nv, MarginalizedNoise):
+        R = jnp.asarray(nv.whiten, jnp.float32)
+
+        def fisher(params, theta):
+            JR = R.T @ jac(params, theta)  # (n_bins, n_params)
+            return scale * (JR.T @ JR)
+
+        return fisher
+
+    invvar = scale / jnp.broadcast_to(
+        jnp.asarray(nv, jnp.float32), (config.n_bins,)
     )
 
     def fisher(params, theta):
@@ -72,15 +126,25 @@ def make_fisher(
     return fisher
 
 
-def forecast_errors(F, rcond: float = 1e-12):
+def forecast_errors(F, rcond: float = 1e-6):
     """1-σ marginalized parameter uncertainties from a Fisher matrix:
-    ``sqrt(diag(F⁻¹))`` via a symmetric eigendecomposition pseudo-
-    inverse (robust to the near-degenerate directions this parameter
-    space has). Works on a single (p, p) matrix or a batch (..., p, p).
-    """
-    F = jnp.asarray(F)
-    w, v = jnp.linalg.eigh(F)
-    wmax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
-    inv_w = jnp.where(w > rcond * wmax, 1.0 / w, 0.0)
-    cov_diag = jnp.einsum("...ij,...j,...ij->...i", v, inv_w, v)
-    return jnp.sqrt(cov_diag)
+    ``sqrt(diag(F⁻¹))`` via a float64 symmetric eigendecomposition on
+    the host (F is tiny — (p, p) or batched (..., p, p)).
+
+    F's entries come out of float32 accumulation, so eigenvalues below
+    ``rcond·λ_max`` are numerical noise, not information. They are
+    CLAMPED at that floor rather than zeroed: a pseudo-inverse treats
+    an unconstrained direction as zero-variance (silently
+    over-confident — and it let float32 noise eigenvalues through,
+    producing σ that SHRANK when information was marginalized away),
+    while clamping quotes the largest uncertainty the matrix actually
+    resolves and keeps forecasts monotone under information loss
+    (marginalizing a foreground / the noise level can only grow σ —
+    ``tests/test_noisescale.py::test_fisher_student_t_correction``).
+    Host-side NumPy — call it on results, not inside jit."""
+    F = np.asarray(F, np.float64)
+    w, v = np.linalg.eigh(F)
+    wmax = np.max(np.abs(w), axis=-1, keepdims=True)
+    w = np.maximum(w, rcond * wmax)
+    cov_diag = np.einsum("...ij,...j,...ij->...i", v, 1.0 / w, v)
+    return np.sqrt(cov_diag)
