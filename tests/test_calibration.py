@@ -262,3 +262,130 @@ def test_sbc_with_informative_prior(model, bounds):
         log_prior=None,
     )
     assert incons.pvalues[3] < 1e-4, incons.pvalues
+
+
+def test_sbc_calibrated_under_marginalized_specs(model, bounds):
+    """SBC with the composed foreground+level-marginalized likelihood,
+    observations drawn from the spec's OWN generative model (per-sim
+    foreground injections, per-sim InvGamma level draws): the analytic
+    marginalization must come out calibrated end to end — a wrong
+    n_eff, prior convention, or folded constant slopes the ranks. Then
+    the teeth check: the SAME generative data scored by the plain
+    known-level likelihood must FAIL (levels vary, the plain likelihood
+    is alternately over- and under-confident -> non-uniform ranks)."""
+    from tpu21cmvae.noisescale import marginalize_noise_scale
+
+    nv = np.full(451, 25.0)
+    mn = model.marginalize_foreground(nv, n_terms=4)
+    # wide proper level prior: E[sigma^2]=2, sd ~ 2 -> strong variation
+    smfg = marginalize_noise_scale(mn, alpha=2.5, beta=3.0)
+    res = sbc(
+        model, n_sims=96, n_walkers=64, n_steps=250, n_warmup=400,
+        thin=10, noise_var=smfg, bounds=bounds, seed=2,
+    )
+    assert (res.pvalues > 0.005).all(), res.summary(model.par_labels)
+
+    # teeth: generate under a scale-marginal model whose levels are
+    # DECISIVELY away from 1x (InvGamma(4,12): mean 4, mode 2.4 — the
+    # (2.5,3) prior above peaks at 0.86, too close to 1x to detect),
+    # score at the FIXED 1x level — systematically overconfident, so
+    # truths pile into the rank tails — fg kept marginalized so the
+    # failure isolates the LEVEL
+    import dataclasses as _dc
+
+    from tpu21cmvae.foregrounds import MarginalizedNoise
+
+    gen = marginalize_noise_scale(mn, alpha=4.0, beta=12.0)
+
+    class _GenerateSmfgScoreMn(MarginalizedNoise):
+        """scores as mn (inherited) but GENERATES from gen"""
+        def sample_noise(self, rng, n, **kw):
+            return gen.sample_noise(rng, n, **kw)
+
+    mismatch = _GenerateSmfgScoreMn(
+        **{f.name: getattr(mn, f.name) for f in _dc.fields(mn)}
+    )
+    incons = sbc(
+        model, n_sims=96, n_walkers=64, n_steps=250, n_warmup=400,
+        thin=10, noise_var=mismatch, bounds=bounds, seed=2,
+    )
+    assert (incons.pvalues < 0.005).any(), incons.pvalues
+
+
+def test_gof_calibrated_and_misfit_teeth(model, splits, bounds):
+    """Posterior predictive check: data generated by the model's own
+    family passes; an un-modeled foreground drives p -> 0 with the
+    bin_z diagnostic localizing it; a 100x over-stated noise drives
+    p -> 1 ("residuals implausibly small")."""
+    rng = np.random.default_rng(7)
+    truth = np.asarray(splits.par_test[0], np.float32)
+    clean = np.asarray(model.predict(truth))
+    obs = clean + rng.normal(0.0, 5.0, clean.shape)
+    common = dict(sampler="mh", n_walkers=256, n_steps=150,
+                  n_warmup=300, thin=10, bounds=bounds, seed=0)
+    res = model.sample_posterior(obs, 25.0, **common)
+    gof = model.goodness_of_fit(obs, 25.0, res)
+    assert 0.01 < gof.p_value < 0.99, gof.summary()
+    assert gof.dof == clean.shape[0]
+    assert abs(float(np.mean(gof.q)) / gof.dof - 1.0) < 0.15
+    assert "no evidence" in gof.summary()
+
+    # un-modeled smooth foreground: the 7-parameter signal family
+    # cannot absorb it -> tiny p, bin_z blows up
+    nu = np.asarray(model.frequencies, np.float64)
+    fg = 40.0 * (nu / nu.mean()) ** -2.5
+    obs_bad = obs + fg
+    res_bad = model.sample_posterior(obs_bad, 25.0, **common)
+    bad = model.goodness_of_fit(obs_bad, 25.0, res_bad)
+    assert bad.p_value < 0.01, bad.summary()
+    assert "MISFIT" in bad.summary()
+    assert np.abs(bad.bin_z).max() > 3.0
+
+    # noise over-stated 100x: residuals implausibly small -> p -> 1
+    res_over = model.sample_posterior(obs, 2500.0, **common)
+    over = model.goodness_of_fit(obs, 2500.0, res_over)
+    assert over.p_value > 0.99, over.summary()
+    assert "implausibly small" in over.summary()
+
+    # raw-array draws path + max_draws subsampling agree with the
+    # SampleResult path on the same data
+    sub = model.goodness_of_fit(obs, 25.0, res.flat, max_draws=128)
+    assert abs(sub.p_value - gof.p_value) < 0.2
+
+
+def test_gof_marginalized_foreground_and_refusals(model, splits, bounds):
+    """Under a flat-prior MarginalizedNoise any in-basis foreground is
+    invisible (exact invariance, dof = n - K); structure OUTSIDE the
+    basis still trips the check; the scale-marginal spec and missing
+    draws are refused with actionable errors."""
+    from tpu21cmvae.noisescale import marginalize_noise_scale
+
+    rng = np.random.default_rng(8)
+    truth = np.asarray(splits.par_test[1], np.float32)
+    clean = np.asarray(model.predict(truth))
+    nv = np.full(clean.shape[0], 25.0)
+    mn = model.marginalize_foreground(nv, n_terms=4)
+    fg_in = mn.basis @ np.array([300.0, -40.0, 10.0, 2.0])
+    obs = clean + fg_in + rng.normal(0.0, 5.0, clean.shape)
+    common = dict(sampler="mh", n_walkers=256, n_steps=150,
+                  n_warmup=300, thin=10, bounds=bounds, seed=1)
+    res = model.sample_posterior(obs, mn, **common)
+    gof = model.goodness_of_fit(obs, mn, res)
+    assert 0.01 < gof.p_value < 0.99, gof.summary()
+    assert gof.dof == clean.shape[0] - 4
+    assert np.abs(gof.bin_z).max() < 5.0  # fg-cleaned diagnostic
+
+    # out-of-basis structure: a ripple no smooth 4-term basis spans
+    nu = np.asarray(model.frequencies, np.float64)
+    ripple = 12.0 * np.sin(2 * np.pi * (nu - nu.min()) / 10.0)
+    obs_bad = obs + ripple
+    res_bad = model.sample_posterior(obs_bad, mn, **common)
+    bad = model.goodness_of_fit(obs_bad, mn, res_bad)
+    assert bad.p_value < 0.01, bad.summary()
+
+    with pytest.raises(ValueError, match="sigma2_posterior"):
+        model.goodness_of_fit(
+            obs, marginalize_noise_scale(nv), res
+        )
+    with pytest.raises(ValueError, match="draws"):
+        model.goodness_of_fit(obs, 25.0)

@@ -566,3 +566,59 @@ def test_cli_advi_and_profile(tmp_path, splits):
     lo68, hi68 = blob2["interval68"]
     lo95, hi95 = blob2["interval95"]
     assert lo95 <= lo68 <= hi68 <= hi95
+
+
+def test_cli_gof(tmp_path, splits):
+    """`gof` scores a chain file against its observation: exit 0 when
+    the model family generated the data, exit 1 on an un-modeled
+    ripple, exit 2 under the (refused) scale-marginal spec. The chain
+    is fabricated at the truth (plus jitter) so residuals are EXACTLY
+    the injected noise — the verdicts are deterministic; the
+    statistical behavior over real chains is covered by
+    tests/test_calibration.py."""
+    import json as _json
+
+    from tpu21cmvae.__main__ import main
+    from tpu21cmvae.models.direct import DirectEmulator
+    from tpu21cmvae.utils.config import DirectEmulatorConfig
+
+    model = DirectEmulator(
+        splits, config=DirectEmulatorConfig(hidden_dims=(16,))
+    )
+    ckpt = str(tmp_path / "m.npz")
+    model.save(ckpt)
+    rng = np.random.default_rng(0)
+    truth = np.asarray(splits.par_test[0], np.float32)
+    clean = np.asarray(model.predict(truth))
+    obs = clean + rng.normal(0.0, 5.0, clean.shape)
+    obs_file = str(tmp_path / "obs.json")
+    with open(obs_file, "w") as f:
+        _json.dump({"obs": obs.tolist(), "noise_var": 25.0}, f)
+    draws = truth[None] + (
+        rng.normal(0, 1e-4, (2, 64, 7)).astype(np.float32)
+        * np.abs(truth)
+    )
+    chain = str(tmp_path / "chain.npz")
+    np.savez_compressed(chain, chain=draws, final=draws[-1])
+    rc = main(["gof", ckpt, "--obs", obs_file, "--chain", chain])
+    assert rc == 0
+    # un-modeled ripple -> misfit exit (same draws: the signal family
+    # cannot absorb it)
+    nu = np.asarray(model.frequencies)
+    bad = obs + 25.0 * np.sin(2 * np.pi * (nu - nu.min()) / 8.0)
+    bad_file = str(tmp_path / "obs_bad.json")
+    with open(bad_file, "w") as f:
+        _json.dump({"obs": bad.tolist(), "noise_var": 25.0}, f)
+    assert main(["gof", ckpt, "--obs", bad_file,
+                 "--chain", chain]) == 1
+    # final-only chain files (thin=0 runs) work too
+    chain_f = str(tmp_path / "chain_final.npz")
+    np.savez_compressed(
+        chain_f, chain=np.zeros((0, 64, 7), np.float32),
+        final=draws[-1],
+    )
+    assert main(["gof", ckpt, "--obs", obs_file,
+                 "--chain", chain_f]) == 0
+    # scale-marginal spec is refused with an actionable error (rc 2)
+    assert main(["gof", ckpt, "--obs", obs_file, "--chain", chain,
+                 "--marginalize-noise-scale"]) == 2

@@ -28,6 +28,9 @@ The reference has no CLI — every workflow lives in notebook cells
     sbc        simulation-based calibration: hundreds of posteriors as
                one stacked-observation chain program, rank-uniformity
                verdict for the whole sampler+likelihood stack
+    gof        posterior predictive goodness-of-fit: did the assumed
+               signal+noise model actually generate the observation?
+               (exact chi^2 tail over a sampled chain, exit 1 on misfit)
 """
 
 from __future__ import annotations
@@ -542,6 +545,39 @@ def cmd_sbc(args):
     return 0 if (res.pvalues > 0.005).all() else 1
 
 
+def cmd_gof(args):
+    from tpu21cmvae.calibration import goodness_of_fit
+    from tpu21cmvae.models import load_model
+    from tpu21cmvae.serve import load_obs_specs
+
+    model = load_model(args.model)
+    specs = load_obs_specs(args.obs)
+    if len(specs) != 1:
+        print(f"--obs file must contain exactly one observation; got "
+              f"{len(specs)}", file=sys.stderr)
+        return 2
+    obs, noise_var = specs[0]
+    noise_var = _apply_noise_marginals(model, args, noise_var)
+    blob = np.load(args.chain)
+    if "chain" in blob and blob["chain"].size:
+        draws = blob["chain"].reshape(-1, blob["chain"].shape[-1])
+    else:
+        draws = blob["final"]
+    try:
+        res = goodness_of_fit(
+            model, obs, noise_var, draws, max_draws=args.max_draws,
+            seed=args.seed,
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(res.summary())
+    worst = int(np.argmax(np.abs(res.bin_z)))
+    print(f"worst bin: index {worst} "
+          f"(z = {res.bin_z[worst]:+.2f})")
+    return 0 if 0.01 < res.p_value < 0.99 else 1
+
+
 def cmd_verify(args):
     from tpu21cmvae.verify import format_report, run_verification, write_report
 
@@ -829,6 +865,21 @@ def main(argv=None):
                         "truths drawn from it, chains target L*pi")
     p.add_argument("--out", default="sbc.npz")
     p.set_defaults(fn=cmd_sbc)
+
+    p = sub.add_parser(
+        "gof",
+        help="posterior predictive goodness-of-fit check of a sampled "
+             "chain against its observation (exit 1 on misfit)",
+    )
+    p.add_argument("model", help="checkpoint .npz or ensemble directory")
+    p.add_argument("--obs", required=True, metavar="FILE",
+                   help="observation spec (same format as sample --obs)")
+    p.add_argument("--chain", required=True, metavar="FILE",
+                   help="chain .npz written by the sample command")
+    p.add_argument("--max-draws", type=int, default=512)
+    p.add_argument("--seed", type=int, default=0)
+    _add_fg_args(p)
+    p.set_defaults(fn=cmd_gof)
 
     p = sub.add_parser(
         "verify",

@@ -29,7 +29,7 @@ import dataclasses
 
 import numpy as np
 
-__all__ = ["SBCResult", "sbc"]
+__all__ = ["GOFResult", "SBCResult", "goodness_of_fit", "sbc"]
 
 
 @dataclasses.dataclass
@@ -96,7 +96,7 @@ def sbc(
     n_steps: int = 300,
     n_warmup: int = 300,
     thin: int = 10,
-    noise_var: float = 25.0,
+    noise_var=25.0,
     bounds=None,
     sampler: str = "mh",
     seed: int = 0,
@@ -110,7 +110,18 @@ def sbc(
     uniform over ``bounds`` (the flat box prior the samplers target;
     defaults to the 21cmGEM-shaped ranges), observations are
     ``predict(θ) + N(0, noise_var)`` — the same noise the likelihood
-    assumes, closing the self-consistency loop SBC tests. ``n_walkers``
+    assumes, closing the self-consistency loop SBC tests.
+
+    ``noise_var`` also accepts the marginalized specs
+    (:class:`~tpu21cmvae.foregrounds.MarginalizedNoise`,
+    :class:`~tpu21cmvae.noisescale.ScaleMarginalNoise` — the latter
+    needs a PROPER InvGamma prior, the improper Jeffreys one cannot be
+    sampled): observations are then drawn from the spec's OWN
+    generative model (``spec.sample_noise`` — per-simulation foreground
+    coefficients and/or noise-level draws from the prior being
+    marginalized), so the study certifies the analytic marginalization
+    end to end: a wrong ``n_eff``, prior convention, or folded
+    constant shows up as non-uniform ranks. ``n_walkers``
     is per simulation; ranks use the final kept step's walkers (see
     module docstring), so ``n_walkers`` sets the rank resolution.
     ``kwargs`` forward to :meth:`sample_posterior_batch` (e.g.
@@ -144,7 +155,10 @@ def sbc(
     else:
         thetas = (lo + (hi - lo) * u).astype(np.float32)
     clean = np.atleast_2d(np.asarray(model.predict(thetas)))
-    obs = clean + rng.normal(0.0, np.sqrt(noise_var), clean.shape)
+    if callable(getattr(noise_var, "sample_noise", None)):
+        obs = clean + noise_var.sample_noise(rng, clean.shape[0])
+    else:
+        obs = clean + rng.normal(0.0, np.sqrt(noise_var), clean.shape)
 
     res = model.sample_posterior_batch(
         obs, noise_var, sampler=sampler, n_walkers=n_walkers,
@@ -160,4 +174,154 @@ def sbc(
                         for j in range(u.shape[1])])
     return SBCResult(
         ranks=ranks, n_posterior=n_walkers, pvalues=pvalues, thetas=thetas
+    )
+
+@dataclasses.dataclass
+class GOFResult:
+    """Posterior predictive goodness-of-fit for one observed spectrum.
+
+    ``p_value``: posterior predictive p of the whitened residual
+    quadratic form ``T(d, θ) = (d − m(θ))ᵀ P (d − m(θ))`` (Gelman,
+    Meng & Stern 1996). Because ``T(d_rep, θ) | θ ~ χ²_dof`` EXACTLY
+    under the Gaussian noise model, no replicate data are simulated:
+    ``p = E_θ[SF_χ²(T(d_obs, θ))]`` over the posterior draws — one
+    batched predict. ``p → 0``: the model cannot reach the data
+    (unmodeled structure — e.g. a foreground outside the marginalized
+    basis — or underestimated noise). ``p → 1``: residuals
+    implausibly SMALL (overestimated noise / double-fitted data).
+    Posterior predictive p-values are conservative (Meng 1994): under
+    a correct model they concentrate near 0.5 rather than being
+    uniform, so act on extremes, not mild values.
+
+    ``q``: the per-draw quadratic form ``(B,)``; ``dof`` its χ²
+    degrees of freedom (``n_bins``, minus the number of flat-prior
+    foreground terms under a
+    :class:`~tpu21cmvae.foregrounds.MarginalizedNoise`). ``bin_z``:
+    per-bin posterior predictive z-scores
+    ``mean residual / √(noise + predictive variance)`` — localizes a
+    misfit in frequency (foreground-cleaned first via the GLS fit when
+    the spec marginalizes one out)."""
+
+    p_value: float
+    dof: float
+    q: np.ndarray
+    bin_z: np.ndarray
+
+    def summary(self) -> str:
+        verdict = (
+            "no evidence of misfit"
+            if 0.01 < self.p_value < 0.99
+            else ("MISFIT: the model cannot reach the data "
+                  "(unmodeled structure or underestimated noise)"
+                  if self.p_value <= 0.01 else
+                  "residuals implausibly small (overestimated noise)")
+        )
+        return (
+            f"posterior predictive p = {self.p_value:.3f} "
+            f"(q/dof = {float(np.mean(self.q)) / self.dof:.3f} over "
+            f"{self.q.shape[0]} draws, dof = {self.dof:.0f}; "
+            f"max |bin z| = {float(np.abs(self.bin_z).max()):.2f}): "
+            f"{verdict}"
+        )
+
+
+def goodness_of_fit(
+    model,
+    obs,
+    noise_var=25.0,
+    draws=None,
+    *,
+    max_draws: int = 512,
+    seed: int = 0,
+) -> GOFResult:
+    """Posterior predictive check of ``model`` against one observed
+    spectrum — the model-checking step of the Bayesian workflow
+    (sample → :func:`sbc` certifies the SAMPLER; this certifies the
+    MODEL: did the assumed signal+noise family actually generate the
+    data?). The reference leaves this entirely to its users.
+
+    ``draws``: posterior draws in RAW parameter units — a
+    :class:`~tpu21cmvae.sampling.SampleResult` (its stored chain, or
+    final walkers when ``thin=0``) or a ``(B, n_params)`` array,
+    subsampled to ``max_draws`` rows (the χ² tail average converges
+    fast; 512 draws give ~±0.01 on ``p``). ``noise_var`` accepts
+    everything the likelihoods do EXCEPT a
+    :class:`~tpu21cmvae.noisescale.ScaleMarginalNoise` — the
+    marginalized level rescales itself to absorb any overall misfit,
+    so this omnibus statistic has no power there; check the level with
+    ``spec.sigma2_posterior(residual)`` and the shape with a
+    foreground-basis split instead.
+
+    One batched ``model.predict`` + one tiny device reduction; exact
+    χ² tail via ``gammaincc`` (no replicate simulation needed).
+
+    An UNCONVERGED chain inflates ``q`` and reads as misfit (draws far
+    from the posterior leave signal in the residual — measured on a
+    trained emulator: 400 MH warmup steps gave q/dof ≈ 8.8 where the
+    converged HMC chain gave 1.01). Check ``result.rhat()`` first, or
+    use a gradient sampler; an elevated ``q/dof`` with only moderate
+    ``bin_z`` suggests unconverged draws (their spread inflates the
+    ``bin_z`` denominator), where a real misfit stands out in ``bin_z``
+    (measured 5.6 vs 74 on the same corruption)."""
+    from tpu21cmvae.foregrounds import MarginalizedNoise
+    from tpu21cmvae.noisescale import ScaleMarginalNoise
+
+    if isinstance(noise_var, ScaleMarginalNoise):
+        raise ValueError(
+            "goodness_of_fit is powerless under a marginalized noise "
+            "LEVEL (sigma^2 rescales to absorb any overall misfit): "
+            "check the level with spec.sigma2_posterior(residual) and "
+            "pass the base spec here for the shape test"
+        )
+    if draws is None:
+        raise ValueError(
+            "pass posterior draws (a SampleResult or a (B, n_params) "
+            "array), e.g. model.sample_posterior(obs, noise_var)"
+        )
+    if hasattr(draws, "chain"):
+        draws = draws.flat if draws.chain.shape[0] else draws.final
+    draws = np.atleast_2d(np.asarray(draws, np.float32))
+    if draws.shape[0] > max_draws:
+        idx = np.random.default_rng(seed).choice(
+            draws.shape[0], max_draws, replace=False
+        )
+        draws = draws[idx]
+
+    obs = np.asarray(obs, np.float64).reshape(-1)
+    m = np.asarray(model.predict(draws), np.float64)
+    r = obs[None, :] - np.atleast_2d(m)
+    n = r.shape[1]
+
+    if isinstance(noise_var, MarginalizedNoise):
+        z = r @ noise_var.whiten.astype(np.float64)
+        q = np.einsum("bi,bi->b", z, z)
+        dof = float(
+            n - noise_var.n_terms
+            if noise_var.prior_var is None
+            else n
+        )
+        # foreground-cleaned per-bin diagnostic: subtract the GLS fit
+        # to the mean residual, then z against the base noise
+        coeff, _ = noise_var.coeff_posterior(r.mean(axis=0))
+        cleaned = r - noise_var.reconstruct(coeff)[None, :]
+        base_var = noise_var.noise_var
+        bin_z = cleaned.mean(axis=0) / np.sqrt(
+            base_var + cleaned.var(axis=0)
+        )
+    else:
+        nv = np.broadcast_to(np.asarray(noise_var, np.float64), (n,))
+        q = np.einsum("bi,bi->b", r / nv[None, :], r)
+        dof = float(n)
+        bin_z = r.mean(axis=0) / np.sqrt(nv + r.var(axis=0))
+
+    # SF_chi2(q; dof) = Q(dof/2, q/2), exact upper regularized gamma
+    import jax.numpy as jnp
+    from jax.scipy.special import gammaincc
+
+    sf = np.asarray(
+        gammaincc(jnp.float32(dof / 2.0), jnp.asarray(q / 2.0,
+                                                      jnp.float32))
+    )
+    return GOFResult(
+        p_value=float(sf.mean()), dof=dof, q=q, bin_z=bin_z
     )

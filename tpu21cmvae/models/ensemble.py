@@ -508,6 +508,18 @@ class DeepEnsemble:
             **kwargs,
         )
 
+
+    def goodness_of_fit(self, obs, noise_var=25.0, draws=None,
+                        **kwargs):
+        """Posterior predictive model check: did the assumed
+        signal+noise family actually generate ``obs``? ``draws``:
+        posterior draws or a :class:`~tpu21cmvae.sampling.SampleResult`
+        (e.g. from :meth:`sample_posterior`). See
+        :func:`tpu21cmvae.calibration.goodness_of_fit`."""
+        from tpu21cmvae.calibration import goodness_of_fit
+
+        return goodness_of_fit(self, obs, noise_var, draws, **kwargs)
+
     def sample_posterior_batch(
         self, obs_batch, noise_var=1.0, *, sampler: str = "mh",
         n_walkers: int = 256, bounds=None, method: str = "gram",
