@@ -1743,10 +1743,13 @@ def sample_mh(
     multipliers, one per contiguous walker block — the batched-
     observation path passes ``G = n_obs`` so each observation's
     posterior gets its own proposal scale (heterogeneous widths are the
-    norm there: per-sim noise levels, different data; one shared scale
-    under-serves the narrow posteriors — measured as SBC rank drift).
-    Per-block statistics are a reshape+mean over the walker axis —
-    free next to the likelihood call. ``thin > 0`` keeps every
+    norm there: per-sim noise levels, different data; one pooled scale
+    mixes the narrow posteriors arbitrarily slowly — on a 50×-width
+    block split the pooled scale strands the narrow block entirely,
+    ``tests/test_sampling.py::test_mh_adapt_blocks_heterogeneous_widths``;
+    at mild heterogeneity pooled adaptation stays calibrated, just
+    slower). Per-block statistics are a reshape+mean over the walker
+    axis — free next to the likelihood call. ``thin > 0`` keeps every
     ``thin``-th post-warmup step. Runs as two ``lax.scan`` programs
     (warmup, sampling) — zero host round trips inside the chains.
 
