@@ -389,3 +389,42 @@ def test_gof_marginalized_foreground_and_refusals(model, splits, bounds):
         )
     with pytest.raises(ValueError, match="draws"):
         model.goodness_of_fit(obs, 25.0)
+
+
+def test_gof_batch_flags_the_corrupted_observation(model, splits, bounds):
+    """Survey-scale check: 3 observations sampled as one batched chain,
+    checked as one batched predict — the corrupted one (and only it)
+    is flagged, and the per-observation numbers match the single-obs
+    path on the same draws."""
+    from tpu21cmvae.calibration import goodness_of_fit
+
+    rng = np.random.default_rng(9)
+    truths = np.asarray(splits.par_test[:3], np.float32)
+    clean = np.asarray(model.predict(truths))
+    obs = clean + rng.normal(0.0, 5.0, clean.shape)
+    nu = np.asarray(model.frequencies, np.float64)
+    obs[1] += 40.0 * (nu / nu.mean()) ** -2.5  # un-modeled foreground
+    batch = model.sample_posterior_batch(
+        obs, 25.0, sampler="mh", n_walkers=256, n_steps=300,
+        n_warmup=1000, thin=10, bounds=bounds, seed=0,
+    )
+    res = model.goodness_of_fit_batch(obs, 25.0, batch, max_draws=256)
+    assert res.p_values.shape == (3,)
+    assert list(res.flagged) == [1], res.summary()
+    assert res.p_values[1] < 0.01 < min(res.p_values[0], res.p_values[2])
+    assert "obs 1" in res.summary()
+    assert np.abs(res.bin_z[1]).max() > np.abs(res.bin_z[0]).max()
+    # single-obs path on the same draws agrees
+    solo = goodness_of_fit(
+        model, obs[0], 25.0,
+        batch.per_obs(0).flat, max_draws=256, seed=0,
+    )
+    np.testing.assert_allclose(res.p_values[0], solo.p_value, atol=0.05)
+    # (O, B, P) array input and shape validation
+    arr = np.stack([batch.flat(i)[:64] for i in range(3)])
+    res2 = model.goodness_of_fit_batch(obs, 25.0, arr)
+    assert res2.p_values.shape == (3,)
+    with pytest.raises(ValueError, match="O, B, n_params"):
+        model.goodness_of_fit_batch(obs, 25.0, arr[0])
+    with pytest.raises(ValueError, match="observations"):
+        model.goodness_of_fit_batch(obs[:2], 25.0, batch)

@@ -572,3 +572,49 @@ def test_scale_marginal_endpoints(server, model, splits):
         "n_warmup": 20, "thin": 4, "max_samples": 32,
     })
     assert np.isfinite(out3["mean"]).all()
+
+
+def test_gof_endpoint(server, model, splits):
+    """POST /gof scores supplied posterior draws against the
+    observation: clean truth-draws pass, a ripple-corrupted observation
+    reports misfit with the worst-bin diagnostic, missing draws and
+    the scale-marginal spec are 400s."""
+    rng = np.random.default_rng(3)
+    truth = np.asarray(splits.par_test[0], np.float64)
+    clean = np.asarray(model.predict(truth))
+    obs = clean + rng.normal(0.0, 5.0, clean.shape)
+    draws = (truth[None] * (1 + rng.normal(0, 1e-4, (64, 7)))).tolist()
+    out = _post(server, "/gof", {
+        "obs": obs.tolist(), "noise_var": 25.0, "draws": draws,
+    })
+    assert 0.01 < out["p_value"] < 0.99, out
+    assert out["dof"] == clean.shape[0]
+    assert abs(out["q_over_dof"] - 1.0) < 0.2
+    assert "no evidence" in out["summary"]
+    # corrupted observation, same draws
+    nu = np.asarray(model.frequencies)
+    bad = obs + 25.0 * np.sin(2 * np.pi * (nu - nu.min()) / 8.0)
+    out_bad = _post(server, "/gof", {
+        "obs": bad.tolist(), "noise_var": 25.0, "draws": draws,
+    })
+    assert out_bad["p_value"] < 0.01
+    assert out_bad["max_bin_z"] > 3.0
+    assert 0 <= out_bad["worst_bin"] < clean.shape[0]
+    # fg-marginalized spec: dof drops by K
+    out_fg = _post(server, "/gof", {
+        "obs": obs.tolist(), "noise_var": 25.0, "draws": draws,
+        "fg_terms": 4,
+    })
+    assert out_fg["dof"] == clean.shape[0] - 4
+    # missing draws and scale-marginal spec are client errors
+    import urllib.error
+    for payload in (
+        {"obs": obs.tolist(), "noise_var": 25.0},
+        {"obs": obs.tolist(), "noise_var": 25.0, "draws": draws,
+         "noise_scale_marginal": True},
+        {"obs": obs.tolist(), "noise_var": 25.0, "draws": draws,
+         "bogus_option": 1},
+    ):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(server, "/gof", payload)
+        assert ei.value.code == 400

@@ -29,7 +29,8 @@ import dataclasses
 
 import numpy as np
 
-__all__ = ["GOFResult", "SBCResult", "goodness_of_fit", "sbc"]
+__all__ = ["BatchGOFResult", "GOFResult", "SBCResult",
+           "goodness_of_fit", "goodness_of_fit_batch", "sbc"]
 
 
 @dataclasses.dataclass
@@ -324,4 +325,142 @@ def goodness_of_fit(
     )
     return GOFResult(
         p_value=float(sf.mean()), dof=dof, q=q, bin_z=bin_z
+    )
+
+@dataclasses.dataclass
+class BatchGOFResult:
+    """Per-observation posterior predictive checks for a survey
+    (:func:`goodness_of_fit_batch`): ``p_values`` ``(O,)``, shared
+    ``dof``, per-observation mean quadratic form ``q_mean`` ``(O,)``
+    and per-bin z-scores ``bin_z`` ``(O, n_bins)``. Same reading as
+    :class:`GOFResult`; ``flagged`` lists the observations whose p
+    leaves (0.01, 0.99)."""
+
+    p_values: np.ndarray
+    dof: float
+    q_mean: np.ndarray
+    bin_z: np.ndarray
+
+    @property
+    def flagged(self) -> np.ndarray:
+        return np.where(
+            (self.p_values <= 0.01) | (self.p_values >= 0.99)
+        )[0]
+
+    def summary(self) -> str:
+        o = self.p_values.shape[0]
+        bad = self.flagged
+        head = (
+            f"posterior predictive check over {o} observations "
+            f"(dof = {self.dof:.0f}): "
+        )
+        if bad.size == 0:
+            return head + "no observation shows evidence of misfit"
+        lines = [
+            f"  obs {i}: p = {self.p_values[i]:.4f} "
+            f"(q/dof = {self.q_mean[i] / self.dof:.2f}, "
+            f"max |bin z| = {float(np.abs(self.bin_z[i]).max()):.1f})"
+            for i in bad
+        ]
+        return (head + f"{bad.size} flagged\n" + "\n".join(lines))
+
+
+def goodness_of_fit_batch(
+    model,
+    obs_batch,
+    noise_var=25.0,
+    draws=None,
+    *,
+    max_draws: int = 256,
+    seed: int = 0,
+) -> BatchGOFResult:
+    """:func:`goodness_of_fit` for a SURVEY: ``O`` observations checked
+    in ONE batched predict over all observations' posterior draws
+    (the same stacked economics as ``sample_posterior_batch`` — the
+    whole survey's model checking costs about one chain step).
+
+    ``draws``: a :class:`~tpu21cmvae.sampling.BatchSampleResult` from
+    ``sample_posterior_batch(obs_batch, …)``, or a ``(O, B, n_params)``
+    array of per-observation posterior draws; each observation's draws
+    are subsampled to ``max_draws``. ``noise_var`` follows
+    :func:`goodness_of_fit` (shared across observations, like the
+    stacked likelihood)."""
+    from tpu21cmvae.foregrounds import MarginalizedNoise
+    from tpu21cmvae.noisescale import ScaleMarginalNoise
+
+    if isinstance(noise_var, ScaleMarginalNoise):
+        raise ValueError(
+            "goodness_of_fit is powerless under a marginalized noise "
+            "LEVEL (sigma^2 rescales to absorb any overall misfit): "
+            "check levels with spec.sigma2_posterior per observation "
+            "and pass the base spec here for the shape test"
+        )
+    obs_batch = np.atleast_2d(np.asarray(obs_batch, np.float64))
+    n_obs, n = obs_batch.shape
+    if draws is None:
+        raise ValueError(
+            "pass per-observation posterior draws (a BatchSampleResult "
+            "or a (O, B, n_params) array), e.g. "
+            "model.sample_posterior_batch(obs_batch, noise_var)"
+        )
+    if hasattr(draws, "per_obs"):  # BatchSampleResult
+        if draws.n_obs != n_obs:
+            raise ValueError(
+                f"draws carry {draws.n_obs} observations, obs_batch "
+                f"has {n_obs}"
+            )
+        r = draws.result
+        if r.chain.shape[0]:
+            k, _, p = r.chain.shape
+            stacked = r.chain.reshape(k, n_obs, -1, p)
+            draws = np.moveaxis(stacked, 1, 0).reshape(n_obs, -1, p)
+        else:
+            draws = r.final.reshape(n_obs, -1, r.final.shape[-1])
+    draws = np.asarray(draws, np.float32)
+    if draws.ndim != 3 or draws.shape[0] != n_obs:
+        raise ValueError(
+            f"draws must be (O, B, n_params) with O = {n_obs}; got "
+            f"{draws.shape}"
+        )
+    if draws.shape[1] > max_draws:
+        rng = np.random.default_rng(seed)
+        draws = draws[
+            np.arange(n_obs)[:, None],
+            rng.choice(draws.shape[1], max_draws, replace=False)[None, :],
+        ]
+    b = draws.shape[1]
+
+    m = np.asarray(
+        model.predict(draws.reshape(n_obs * b, -1)), np.float64
+    ).reshape(n_obs, b, n)
+    r = obs_batch[:, None, :] - m
+
+    if isinstance(noise_var, MarginalizedNoise):
+        z = r @ noise_var.whiten.astype(np.float64)
+        q = np.einsum("obi,obi->ob", z, z)
+        dof = float(
+            n - noise_var.n_terms
+            if noise_var.prior_var is None
+            else n
+        )
+        coeff, _ = noise_var.coeff_posterior(r.mean(axis=1))
+        cleaned = r - noise_var.reconstruct(coeff)[:, None, :]
+        bin_z = cleaned.mean(axis=1) / np.sqrt(
+            noise_var.noise_var + cleaned.var(axis=1)
+        )
+    else:
+        nv = np.broadcast_to(np.asarray(noise_var, np.float64), (n,))
+        q = np.einsum("obi,obi->ob", r / nv, r)
+        dof = float(n)
+        bin_z = r.mean(axis=1) / np.sqrt(nv + r.var(axis=1))
+
+    import jax.numpy as jnp
+    from jax.scipy.special import gammaincc
+
+    sf = np.asarray(gammaincc(
+        jnp.float32(dof / 2.0), jnp.asarray(q / 2.0, jnp.float32)
+    ))
+    return BatchGOFResult(
+        p_values=sf.mean(axis=1), dof=dof, q_mean=q.mean(axis=1),
+        bin_z=bin_z,
     )

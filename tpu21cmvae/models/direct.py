@@ -353,6 +353,20 @@ class DirectEmulator:
 
         return goodness_of_fit(self, obs, noise_var, draws, **kwargs)
 
+
+    def goodness_of_fit_batch(self, obs_batch, noise_var=25.0,
+                              draws=None, **kwargs):
+        """Survey-scale posterior predictive checks — one batched
+        predict for ALL observations. ``draws``: a
+        :class:`~tpu21cmvae.sampling.BatchSampleResult` from
+        :meth:`sample_posterior_batch` or a ``(O, B, n_params)``
+        array. See :func:`tpu21cmvae.calibration.goodness_of_fit_batch`."""
+        from tpu21cmvae.calibration import goodness_of_fit_batch
+
+        return goodness_of_fit_batch(
+            self, obs_batch, noise_var, draws, **kwargs
+        )
+
     def sample_posterior_batch(
         self,
         obs_batch,

@@ -53,6 +53,10 @@ Endpoints (all JSON):
   posterior block; nested: robust, ~10 s, + posterior block). Served
   at the model's default tier — see the tier caveat on
   :meth:`EmulatorService.evidence`.
+* ``POST /gof``        ``{"obs": …, "noise_var": …, "draws": [[7
+  floats], …]}`` → posterior predictive goodness-of-fit of the draws
+  (e.g. a ``/sample`` response's ``samples`` block) against the
+  observation: p-value, q/dof, worst-bin z (one batched predict).
 
 Device work is serialized by an explicit lock (one warm program
 saturates the chip at mega-batch sizes — docs/PERF.md; scale-out is
@@ -393,6 +397,46 @@ class EmulatorService:
             out["betas"] = res.betas.tolist()
         return out
 
+    def gof(self, obs, noise_var=1.0, **opts) -> dict:
+        """Posterior predictive goodness-of-fit as a service
+        (:func:`tpu21cmvae.calibration.goodness_of_fit`): did the
+        assumed signal+noise model generate this observation? Options:
+        ``draws`` (REQUIRED — posterior rows in raw parameter units,
+        e.g. the ``samples`` block a ``/sample`` response returns),
+        ``max_draws`` (subsample cap, default 512), ``seed``, plus the
+        usual noise-marginalization options (``fg_terms`` …;
+        ``noise_scale_marginal`` is refused — the level absorbs any
+        overall misfit). One batched predict; returns the p-value,
+        q/dof, and the worst-bin diagnostic."""
+        from tpu21cmvae.calibration import goodness_of_fit
+
+        noise_var = self._noise_spec(noise_var, opts)
+        draws = opts.pop("draws", None)
+        if draws is None:
+            raise ValueError(
+                "gof needs 'draws': posterior rows in raw parameter "
+                "units (e.g. the samples block /sample returns)"
+            )
+        max_draws = int(opts.pop("max_draws", 512))
+        seed = int(opts.pop("seed", 0))
+        if opts:
+            raise ValueError(f"unknown gof options: {sorted(opts)}")
+        res = goodness_of_fit(
+            self.model, np.asarray(obs, np.float64), noise_var,
+            np.asarray(draws, np.float32), max_draws=max_draws,
+            seed=seed,
+        )
+        worst = int(np.argmax(np.abs(res.bin_z)))
+        return {
+            "p_value": float(res.p_value),
+            "dof": float(res.dof),
+            "q_over_dof": float(np.mean(res.q) / res.dof),
+            "n_draws": int(res.q.shape[0]),
+            "max_bin_z": float(np.abs(res.bin_z).max()),
+            "worst_bin": worst,
+            "summary": res.summary(),
+        }
+
     def _check_bounds(self, opts):
         bounds = opts.pop("bounds", None)
         if bounds is None:
@@ -644,6 +688,10 @@ def _make_handler(service: EmulatorService):
                     obs = req.pop("obs")
                     nv = req.pop("noise_var", 1.0)
                     self._reply(200, service.evidence(obs, nv, **req))
+                elif self.path == "/gof":
+                    obs = req.pop("obs")
+                    nv = req.pop("noise_var", 1.0)
+                    self._reply(200, service.gof(obs, nv, **req))
                 else:
                     self._reply(404, {"error": f"unknown path {self.path}"})
             except (KeyError, ValueError, TypeError) as e:
