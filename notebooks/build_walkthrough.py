@@ -515,6 +515,40 @@ print(f"posterior noise-level multiplier: {b_post / (a_post - 1):.2f} "
       f"(generated at {true_level})")
 """
 
+CELL_GOF = """\
+# Model checking. SBC (tests/test_calibration.py) certifies the
+# SAMPLER; goodness_of_fit certifies the MODEL: did the assumed
+# signal+noise family actually generate this observation? The whitened
+# residual quadratic form is chi^2 EXACTLY given theta, so the
+# posterior predictive p-value is one batched predict + an exact tail
+# -- no replicate simulation (tpu21cmvae/calibration.py). Caveat an
+# unconverged chain inflates q and reads as misfit -- check the
+# split-Rhat printed above before believing a misfit verdict.
+gof = model.goodness_of_fit(obs, 25.0, res)
+print("clean observation:\\n ", gof.summary())
+
+# corrupt the same observation with a ripple no smooth signal or
+# foreground family spans -- the check localizes it in frequency
+ripple = 12.0 * np.sin(
+    2 * np.pi * (model.frequencies - model.frequencies.min()) / 10.0
+)
+res_bad = model.sample_posterior(          # same sizes -> the chain
+    obs + ripple, 25.0, sampler="mh", bounds=bounds,  # program is
+    n_walkers=512, n_steps=STEPS, n_warmup=STEPS,     # already compiled
+    thin=10, seed=7,
+)
+gof_bad = model.goodness_of_fit(obs + ripple, 25.0, res_bad)
+print("ripple-corrupted:\\n ", gof_bad.summary())
+
+plt.figure(figsize=(7, 3))
+plt.plot(model.frequencies, gof.bin_z, lw=0.8, label="clean")
+plt.plot(model.frequencies, gof_bad.bin_z, lw=0.8, label="corrupted")
+plt.xlabel(r"$\\nu$ [MHz]")
+plt.ylabel("posterior predictive bin z")
+plt.legend(); plt.title("where the model cannot reach the data")
+plt.tight_layout(); plt.show()
+"""
+
 MD_OUTRO = """\
 ## Where to go next
 
@@ -550,6 +584,7 @@ def build() -> nbf.NotebookNode:
         nbf.v4.new_code_cell(CELL_PRIOR_BAND),
         nbf.v4.new_code_cell(CELL_FOREGROUND),
         nbf.v4.new_code_cell(CELL_NOISESCALE),
+        nbf.v4.new_code_cell(CELL_GOF),
         nbf.v4.new_code_cell(CELL_MIXTURE),
         nbf.v4.new_markdown_cell(MD_OUTRO),
     ]
