@@ -217,6 +217,24 @@ def check_inference_stack(data, model) -> Check:
     lp_post = float(res.logp.mean())
     acc = float(np.mean(res.accept_rate))
     ess_min = float(res.ess().min())
+    # model checking discriminates on THIS device: a 40 mK ripple the
+    # signal family cannot span must jump the posterior predictive
+    # quadratic form by ~tens of dof and localize in bin_z (the
+    # comparison uses the same draws, so it is robust to how far this
+    # short chain converged — PERF.md's unconverged-chain caveat)
+    gof = model.goodness_of_fit(obs, 25.0, res)
+    nu = np.asarray(model.frequencies, np.float64)
+    ripple = 40.0 * np.sin(2 * np.pi * (nu - nu.min()) / 10.0)
+    gof_bad = model.goodness_of_fit(
+        np.asarray(obs, np.float64) + ripple, 25.0, res
+    )
+    z_clean = float(np.abs(gof.bin_z).max())
+    z_bad = float(np.abs(gof_bad.bin_z).max())
+    gof_ok = (
+        float(np.mean(gof_bad.q) - np.mean(gof.q)) > 10.0 * gof.dof
+        and gof_bad.p_value < 1e-3
+        and z_bad > z_clean + 3.0
+    )
     # the posterior sits at the truth's likelihood level (a stuck or
     # diverged chain is hundreds-to-thousands of nats below)
     ok = (
@@ -224,13 +242,18 @@ def check_inference_stack(data, model) -> Check:
         and 0.02 < acc < 0.98
         and ess_min > 20.0
         and np.isfinite(res.rhat()).all()
+        and gof_ok
     )
     return Check(
         name, "PASS" if ok else "FAIL",
         f"posterior mean logp {lp_post:.1f} vs truth {lp_truth:.1f} "
-        f"(need > truth−50); accept {acc:.2f}; min ESS {ess_min:.0f}",
+        f"(need > truth−50); accept {acc:.2f}; min ESS {ess_min:.0f}; "
+        f"gof ripple detection {'ok' if gof_ok else 'FAILED'} "
+        f"(bin-z {z_clean:.1f} → {z_bad:.1f})",
         {"lp_post": lp_post, "lp_truth": lp_truth, "accept": acc,
-         "ess_min": ess_min},
+         "ess_min": ess_min, "gof_p_clean": float(gof.p_value),
+         "gof_p_ripple": float(gof_bad.p_value),
+         "gof_binz_clean": z_clean, "gof_binz_ripple": z_bad},
     )
 
 
