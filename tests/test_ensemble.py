@@ -18,6 +18,49 @@ def ensemble(splits):
     )
 
 
+def test_parallel_training_matches_sequential(ensemble, splits):
+    """fit_scan_stack (one vmapped whole-run program) reproduces the
+    sequential per-member fit_scan runs: same histories, same weights."""
+    par = DeepEnsemble.train(
+        splits,
+        n_members=3,
+        config=DirectEmulatorConfig(hidden_dims=(32, 48)),
+        train_config=TrainConfig(epochs=8, early_stop_patience=None),
+        parallel=True,
+    )
+    for mp, ms in zip(par.members, ensemble.members):
+        np.testing.assert_allclose(mp.history.loss, ms.history.loss,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(mp.history.val_loss, ms.history.val_loss,
+                                   rtol=1e-5)
+        for lp, ls in zip(mp.params, ms.params):
+            np.testing.assert_allclose(np.asarray(lp["w"]),
+                                       np.asarray(ls["w"]),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_parallel_training_per_member_early_stop(splits):
+    """Under vmap each member's EarlyStopping/plateau state machine runs
+    independently (masking-based): stop epochs and restored-best weights
+    match the sequential runs member by member."""
+    cfg = DirectEmulatorConfig(hidden_dims=(24,))
+    tc = TrainConfig(epochs=20, early_stop_patience=2,
+                     early_stop_min_delta=1e-3, plateau_patience=1,
+                     plateau_factor=0.5)
+    seq = DeepEnsemble.train(splits, n_members=2, config=cfg,
+                             train_config=tc, seeds=[3, 11])
+    par = DeepEnsemble.train(splits, n_members=2, config=cfg,
+                             train_config=tc, seeds=[3, 11], parallel=True)
+    for mp, ms in zip(par.members, seq.members):
+        assert mp.history.stopped_epoch == ms.history.stopped_epoch
+        assert mp.history.best_epoch == ms.history.best_epoch
+        np.testing.assert_allclose(mp.history.lr, ms.history.lr, rtol=1e-6)
+        for lp, ls in zip(mp.params, ms.params):
+            np.testing.assert_allclose(np.asarray(lp["b"]),
+                                       np.asarray(ls["b"]),
+                                       rtol=1e-5, atol=1e-6)
+
+
 def test_vmapped_matches_members(ensemble, splits):
     """One stacked-vmap device call == each member's own predict."""
     raw = splits.par_test[:6]

@@ -361,3 +361,29 @@ def test_sharded_emulator_wraps_loglik(splits):
     np.testing.assert_allclose(got, want, rtol=1e-5)
     one = sharded(splits.par_test[0])
     assert np.ndim(one) == 0 or np.shape(one) == ()  # single-row squeeze
+
+
+def test_ensemble_member_sharded_training_matches_unsharded(splits):
+    """Seed/ensemble parallelism: fit_scan_stack with the member axis
+    sharded over the 8-device mesh produces the same weights as the
+    unsharded vmapped run (each device trains its member locally; the
+    program has no cross-member collectives to get wrong)."""
+    from tpu21cmvae.models.ensemble import DeepEnsemble
+    from tpu21cmvae.utils.config import DirectEmulatorConfig
+
+    cfg = DirectEmulatorConfig(hidden_dims=(16,))
+    tc = TrainConfig(epochs=4, early_stop_patience=None,
+                     plateau_patience=None)
+    seeds = list(range(8))
+    plain = DeepEnsemble.train(splits, n_members=8, config=cfg,
+                               train_config=tc, seeds=seeds, parallel=True)
+    meshed = DeepEnsemble.train(splits, n_members=8, config=cfg,
+                                train_config=tc, seeds=seeds, parallel=True,
+                                mesh=make_mesh())
+    for mp, ms in zip(meshed.members, plain.members):
+        np.testing.assert_allclose(mp.history.loss, ms.history.loss,
+                                   rtol=1e-6)
+        for lp, ls in zip(mp.params, ms.params):
+            np.testing.assert_allclose(np.asarray(lp["w"]),
+                                       np.asarray(ls["w"]),
+                                       rtol=1e-6, atol=1e-7)

@@ -84,6 +84,27 @@ def test_retrain_best_direct(splits):
     assert pred.shape == (3, splits.n_bins)
 
 
+def test_retrain_best_multi_seed_picks_best_val(splits):
+    """n_seeds>1 trains the replicas in ONE vmapped program and returns
+    the seed with the lowest validation loss."""
+    res = tune_direct(
+        splits,
+        n_trials=1,
+        space=SearchSpace(min_layers=1, max_layers=1, width_choices=(32,)),
+        train_config=FAST,
+        seed=1,
+    )
+    tc = dataclasses.replace(FAST, epochs=4)
+    best = retrain_best(res, splits, train_config=tc, seed=0, n_seeds=3)
+    assert best.config == res.best.config
+    singles = [
+        retrain_best(res, splits, train_config=tc, seed=s) for s in range(3)
+    ]
+    want = min(min(m.history.val_loss) for m in singles)
+    got = min(best.history.val_loss)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
 def test_tune_autoencoder_runs(splits):
     res = tune_autoencoder(
         splits,

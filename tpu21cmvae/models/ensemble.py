@@ -90,15 +90,64 @@ class DeepEnsemble:
         seeds: Optional[Sequence[int]] = None,
         device_loop: bool = True,
         verbose: bool = False,
+        parallel: bool = False,
+        mesh=None,
     ) -> "DeepEnsemble":
         """Train ``n_members`` replicas from different init/shuffle seeds
-        (same data, same recipe — the deep-ensembles construction)."""
+        (same data, same recipe — the deep-ensembles construction).
+
+        ``parallel=True`` trains ALL members as one vmapped whole-run
+        XLA program (:func:`tpu21cmvae.train.scan.fit_scan_stack`): the
+        member axis rides every training matmul as a batched dim, so M
+        members cost ~one member's wall instead of M sequential runs —
+        and ``mesh=`` shards the member axis over devices (each chip
+        trains its members locally, zero collectives). Members share one
+        dataset, so their normalizers — and hence the loss closure — are
+        identical; only init/shuffle seeds differ. Parity with the
+        sequential path is pinned by ``tests/test_ensemble.py``."""
         seeds = list(seeds) if seeds is not None else list(range(n_members))
+        if parallel:
+            if not device_loop:
+                raise ValueError("parallel=True requires device_loop=True")
+            from tpu21cmvae.ops.transforms import par_transform, preproc
+            from tpu21cmvae.train.scan import fit_scan_stack
+            from tpu21cmvae.utils.config import DIRECT_TRAIN_DEFAULT
+
+            members = [DirectEmulator(data, config=config, seed=s)
+                       for s in seeds]
+            norm = members[0].normalizer
+            x = par_transform(jnp.asarray(data.par_train, jnp.float32), norm)
+            xv = par_transform(jnp.asarray(data.par_val, jnp.float32), norm)
+            y = preproc(jnp.asarray(data.signal_train, jnp.float32), norm)
+            yv = preproc(jnp.asarray(data.signal_val, jnp.float32), norm)
+            stacked = jax.tree_util.tree_map(
+                lambda *ls: jnp.stack(ls), *[m.params for m in members]
+            )
+            stacked, _, hists = fit_scan_stack(
+                stacked, members[0].loss_fn(), x, y, xv, yv,
+                train_config or DIRECT_TRAIN_DEFAULT, seeds=seeds, mesh=mesh,
+            )
+            for i, m in enumerate(members):
+                m.params = jax.tree_util.tree_map(
+                    lambda leaf, i=i: leaf[i], stacked
+                )
+                m.history = hists[i]
+            return cls(members)
+        import dataclasses
+
+        from tpu21cmvae.utils.config import DIRECT_TRAIN_DEFAULT
+
         members = []
         for s in seeds:
             m = DirectEmulator(data, config=config, seed=s)
-            m.train(train_config=train_config, device_loop=device_loop,
-                    verbose=verbose)
+            # the member seed drives the shuffle stream too (not just
+            # init) — matches fit_scan_stack's per-member key schedule
+            m.train(
+                train_config=dataclasses.replace(
+                    train_config or DIRECT_TRAIN_DEFAULT, seed=s
+                ),
+                device_loop=device_loop, verbose=verbose,
+            )
             members.append(m)
         return cls(members)
 

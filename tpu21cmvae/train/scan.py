@@ -127,6 +127,148 @@ def fit_scan(
     return params, opt_state, history
 
 
+def fit_scan_stack(
+    params_stack,
+    loss_fn: LossFn,
+    x_train,
+    y_train,
+    x_val,
+    y_val,
+    cfg: TrainConfig,
+    *,
+    seeds,
+    opt_state_stack=None,
+    stochastic: bool = False,
+    pass_epoch: bool = False,
+    n_train_real: Optional[int] = None,
+    n_val_real: Optional[int] = None,
+    mesh=None,
+):
+    """Train M member replicas as ONE vmapped whole-run XLA program.
+
+    The deep-ensembles construction (same data, same recipe, per-member
+    init/shuffle seeds — ``models/ensemble.py``) is M independent
+    :func:`fit_scan` runs. Running them sequentially serializes M
+    programs; this stacks the member axis under ``jax.vmap`` of the SAME
+    cached whole-run program, so every training matmul becomes a batched
+    matmul and all members train in one device call. The in-program
+    callbacks (EarlyStopping / ReduceLROnPlateau) are already
+    masking-based (``lax.cond`` on a carried flag), so each member stops
+    at its own epoch exactly as it would alone; histories are sliced
+    per member on the way out.
+
+    ``params_stack``: a params pytree with a leading member axis of size
+    ``len(seeds)`` on every leaf (e.g. ``tree_map(jnp.stack, members)``).
+    ``seeds``: one per member — reproduces the single-run key schedule
+    (``fit_scan`` derives shuffle/loss keys from ``jax.random.key(seed)``).
+
+    ``mesh``: optional :class:`jax.sharding.Mesh` — the member axis is
+    sharded over ``mesh`` (``len(seeds)`` must divide the device count
+    evenly into it) and the dataset is replicated, so each device trains
+    its members locally with ZERO collectives: ensemble/seed parallelism,
+    the third parallelism axis next to batch DP (``parallel/train_dp.py``)
+    and sharded inference.
+
+    Returns ``(params_stack, opt_state_stack, [History per member])``.
+    """
+    x_train = jnp.asarray(x_train, jnp.float32)
+    y_train = jnp.asarray(y_train, jnp.float32)
+    x_val = jnp.asarray(x_val, jnp.float32)
+    y_val = jnp.asarray(y_val, jnp.float32)
+    seeds = [int(s) for s in seeds]
+    m = len(seeds)
+    lead = {int(leaf.shape[0]) for leaf in jax.tree_util.tree_leaves(params_stack)}
+    if lead != {m}:
+        raise ValueError(
+            f"params_stack leading axes {sorted(lead)} != len(seeds)={m}"
+        )
+    n = x_train.shape[0]
+    n_real = n if n_train_real is None else n_train_real
+    if not 0 < n_real <= n:
+        raise ValueError(f"n_train_real={n_real} must be in (0, {n}]")
+    nv = x_val.shape[0]
+    nv_real = nv if n_val_real is None else n_val_real
+
+    if opt_state_stack is None:
+        opt_state_stack = jax.vmap(adam_init)(params_stack)
+
+    stack_all = _build_train_all_stack(
+        loss_fn, dataclasses.replace(cfg, seed=0), n, n_real, nv, nv_real,
+        stochastic, pass_epoch,
+    )
+    # same key schedule as fit_scan: key(seed) / key(seed ^ 0x5EED)
+    root_keys = jax.vmap(jax.random.key)(jnp.asarray(seeds, jnp.int32))
+    eval_keys = jax.vmap(jax.random.key)(
+        jnp.asarray([s ^ 0x5EED for s in seeds], jnp.int32)
+    )
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if m % mesh.size != 0:
+            raise ValueError(
+                f"{m} members do not shard evenly over {mesh.size} devices"
+            )
+        member_s = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        repl = NamedSharding(mesh, PartitionSpec())
+        params_stack = jax.device_put(params_stack, member_s)
+        opt_state_stack = jax.device_put(opt_state_stack, member_s)
+        root_keys = jax.device_put(root_keys, member_s)
+        eval_keys = jax.device_put(eval_keys, member_s)
+        x_train, y_train, x_val, y_val = (
+            jax.device_put(a, repl) for a in (x_train, y_train, x_val, y_val)
+        )
+
+    params_stack, opt_state_stack, losses, val_losses, lrs, stopped, best = (
+        stack_all(
+            params_stack, opt_state_stack, root_keys, eval_keys,
+            x_train, y_train, x_val, y_val,
+        )
+    )
+    # ONE host sync for all members:
+    losses = np.asarray(losses)
+    val_losses = np.asarray(val_losses)
+    lrs = np.asarray(lrs)
+    stopped = np.asarray(stopped)
+    best = np.asarray(best)
+    use_early = cfg.early_stop_patience is not None
+    histories = []
+    for i in range(m):
+        stopped_at = int(stopped[i])
+        n_ran = cfg.epochs if stopped_at < 0 else stopped_at + 1
+        histories.append(History(
+            loss=[float(v) for v in losses[i, :n_ran]],
+            val_loss=[float(v) for v in val_losses[i, :n_ran]],
+            lr=[float(v) for v in lrs[i, :n_ran]],
+            epoch_time_s=[],
+            stopped_epoch=None if stopped_at < 0 else stopped_at,
+            best_epoch=int(best[i]) if use_early and int(best[i]) >= 0 else None,
+        ))
+    return params_stack, opt_state_stack, histories
+
+
+@_weak_fn_cache
+def _build_train_all_stack(
+    loss_fn: LossFn,
+    cfg: TrainConfig,
+    n: int,
+    n_real: int,
+    nv: int,
+    nv_real: int,
+    stochastic: bool,
+    pass_epoch: bool,
+):
+    """jit(vmap(train_all)) over the member axis, cached like the single-
+    run factory (and the inner program IS the single-run factory's —
+    the two share one trace of the epoch body)."""
+    train_all = _build_train_all(
+        loss_fn, cfg, n, n_real, nv, nv_real, stochastic, pass_epoch,
+    )
+    return jax.jit(jax.vmap(
+        train_all, in_axes=(0, 0, 0, 0, None, None, None, None)
+    ))
+
+
 @_weak_fn_cache
 def _build_train_all(
     loss_fn: LossFn,

@@ -406,13 +406,33 @@ def retrain_best(
     data: DataSplits,
     train_config: Optional[TrainConfig] = None,
     seed: int = 0,
+    n_seeds: int = 1,
+    mesh=None,
 ):
     """Train the winning architecture with the full reference recipe
-    (350-epoch direct / 250-epoch AE defaults) and return the model."""
+    (350-epoch direct / 250-epoch AE defaults) and return the model.
+
+    ``n_seeds > 1`` (direct family) trains that many init/shuffle-seed
+    replicas as ONE vmapped whole-run program
+    (:func:`tpu21cmvae.train.scan.fit_scan_stack` — seed-to-seed spread
+    is real: 0.16-0.28 % across seeds 0-2 at the strong recipe,
+    docs/PERF.md) and returns the replica with the best validation loss;
+    ``mesh=`` shards the seed axis over devices."""
     cfg = result.best.config
     if isinstance(cfg, DirectEmulatorConfig):
         from tpu21cmvae.models.direct import DirectEmulator
 
+        if n_seeds > 1:
+            from tpu21cmvae.models.ensemble import DeepEnsemble
+
+            ens = DeepEnsemble.train(
+                data, n_members=n_seeds, config=cfg,
+                train_config=train_config,
+                seeds=[seed + i for i in range(n_seeds)],
+                parallel=True, mesh=mesh,
+            )
+            return min(ens.members,
+                       key=lambda m: min(m.history.val_loss))
         model = DirectEmulator(data, config=cfg, seed=seed)
         model.train(train_config=train_config)
         return model
