@@ -428,3 +428,60 @@ def test_gof_batch_flags_the_corrupted_observation(model, splits, bounds):
         model.goodness_of_fit_batch(obs, 25.0, arr[0])
     with pytest.raises(ValueError, match="observations"):
         model.goodness_of_fit_batch(obs[:2], 25.0, batch)
+
+
+def test_gof_rejects_batch_result_with_redirect(model, splits, bounds):
+    """A BatchSampleResult into the single-observation check must raise
+    the redirect error, not an opaque TypeError (its .flat is a method,
+    not a property)."""
+    import pytest
+
+    obs_batch = np.asarray(splits.signal_test[:2], np.float64)
+    batch = model.sample_posterior_batch(
+        obs_batch, 25.0, n_walkers=16, n_steps=4, n_warmup=4, thin=2,
+        bounds=bounds, seed=0,
+    )
+    with pytest.raises(ValueError, match="goodness_of_fit_batch"):
+        model.goodness_of_fit(obs_batch[0], 25.0, batch)
+    # the documented per-observation escape hatch works
+    gof = model.goodness_of_fit(obs_batch[0], 25.0, batch.per_obs(0))
+    assert np.isfinite(gof.p_value)
+
+
+def test_sbc_thin_zero_raises_friendly_error(model, bounds):
+    """thin=0 stores no chain; the guard must fire before the
+    BatchSampleResult.chain reshape view chokes on a size-0 array."""
+    import pytest
+
+    from tpu21cmvae.calibration import sbc
+
+    with pytest.raises(ValueError, match="thin > 0"):
+        sbc(model, noise_var=25.0, n_sims=2, n_walkers=8, n_steps=4,
+            n_warmup=4, thin=0, bounds=bounds, seed=0)
+
+
+def test_sbc_defaults_bounds_to_prior_box(model):
+    """A prior over a custom box: sbc adopts the prior's box for the
+    chains when bounds is omitted, and refuses an explicit mismatch."""
+    import pytest
+
+    from tpu21cmvae.calibration import sbc
+    from tpu21cmvae.priors import GaussianBoxPrior
+
+    par = np.asarray(model.data.par_train, np.float64)
+    lo, hi = par.min(0), par.max(0)
+    lo[:3] = np.maximum(lo[:3], 1e-6)
+    mid = 0.5 * (lo + hi)
+    custom = np.stack([lo + 0.2 * (mid - lo), hi - 0.2 * (hi - mid)],
+                      axis=1)
+    mean = [None] * par.shape[1]
+    sigma = [None] * par.shape[1]
+    mean[3], sigma[3] = mid[3], 0.2 * (hi[3] - lo[3])
+    prior = GaussianBoxPrior.build(mean, sigma, bounds=custom)
+    study = sbc(model, noise_var=25.0, n_sims=2, n_walkers=8, n_steps=4,
+                n_warmup=4, thin=2, prior=prior, seed=0)
+    assert study.ranks.shape == (2, par.shape[1])
+    with pytest.raises(ValueError, match="prior box"):
+        sbc(model, noise_var=25.0, n_sims=2, n_walkers=8, n_steps=4,
+            n_warmup=4, thin=2, prior=prior,
+            bounds=np.stack([lo, hi], axis=1), seed=0)

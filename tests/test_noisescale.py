@@ -410,3 +410,19 @@ def test_fisher_student_t_correction(model, noise_shape):
     assert (np.asarray(sigm) >= np.asarray(sig0) * (1 - 1e-9)).all()
     with pytest.raises(ValueError, match="Jeffreys"):
         model.fisher_forecast(theta, marginalize_noise_scale(noise_shape))
+
+
+def test_direct_construction_validates_prior(model):
+    """ScaleMarginalNoise built directly (not via the factory) rejects
+    half-specified InvGamma priors instead of crashing late or silently
+    scoring a hybrid density."""
+    import pytest
+
+    from tpu21cmvae.noisescale import ScaleMarginalNoise
+
+    with pytest.raises(ValueError, match="together"):
+        ScaleMarginalNoise(base=25.0, alpha=3.0)
+    with pytest.raises(ValueError, match="together"):
+        ScaleMarginalNoise(base=25.0, beta=5.0)
+    with pytest.raises(ValueError, match="alpha > 0"):
+        ScaleMarginalNoise(base=25.0, alpha=-1.0, beta=2.0)

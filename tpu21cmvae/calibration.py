@@ -140,6 +140,11 @@ def sbc(
 
     from tpu21cmvae.sampling import _resolve_bounds
 
+    if bounds is None and prior is not None and hasattr(prior, "lo"):
+        # the chains must walk the box the truths are drawn in
+        bounds = np.stack(
+            [np.asarray(prior.lo), np.asarray(prior.hi)], axis=1
+        )
     lo, hi = _resolve_bounds(bounds)
     lo = np.asarray(lo, np.float64)
     hi = np.asarray(hi, np.float64)
@@ -147,6 +152,17 @@ def sbc(
         bounds = np.stack([lo, hi], axis=1)
     rng = np.random.default_rng(seed)
     u = rng.uniform(size=(n_sims, lo.shape[0]))
+    if prior is not None and hasattr(prior, "lo"):
+        # truths are drawn through prior.prior_transform inside ITS box;
+        # the chains walk the resolved box — a silent mismatch piles
+        # ranks at the edges and reads as a garbage "NOT calibrated"
+        if not (np.allclose(np.asarray(prior.lo), lo)
+                and np.allclose(np.asarray(prior.hi), hi)):
+            raise ValueError(
+                "prior box != sampler box: pass bounds= matching the "
+                "prior's (prior.lo/prior.hi) so truths and chains "
+                "share one support"
+            )
     if prior is not None:
         thetas = np.asarray(
             jax.jit(prior.prior_transform)(jnp.asarray(u, jnp.float32)),
@@ -166,7 +182,9 @@ def sbc(
         bounds=bounds, n_steps=n_steps, n_warmup=n_warmup, thin=thin,
         seed=seed + 1, **kwargs,
     )
-    if res.chain.shape[0] == 0:
+    # check the INNER result's chain: BatchSampleResult.chain is a
+    # reshaping view that cannot infer its axis on a size-0 chain
+    if res.result.chain.shape[0] == 0:
         raise ValueError("sbc needs a stored chain; run with thin > 0")
     draws = res.chain[-1]  # (n_sims, n_walkers, n_params) — final step
     ranks = (draws < thetas[:, None, :]).sum(axis=1)
@@ -264,7 +282,6 @@ def goodness_of_fit(
     ``bin_z`` suggests unconverged draws (their spread inflates the
     ``bin_z`` denominator), where a real misfit stands out in ``bin_z``
     (measured 5.6 vs 74 on the same corruption)."""
-    from tpu21cmvae.foregrounds import MarginalizedNoise
     from tpu21cmvae.noisescale import ScaleMarginalNoise
 
     if isinstance(noise_var, ScaleMarginalNoise):
@@ -279,23 +296,47 @@ def goodness_of_fit(
             "pass posterior draws (a SampleResult or a (B, n_params) "
             "array), e.g. model.sample_posterior(obs, noise_var)"
         )
+    if hasattr(draws, "per_obs"):  # BatchSampleResult (.flat is a METHOD)
+        raise ValueError(
+            "got a BatchSampleResult: score the whole survey with "
+            "goodness_of_fit_batch(model, obs_batch, noise_var, draws) "
+            "or one observation with draws.per_obs(i)"
+        )
     if hasattr(draws, "chain"):
         draws = draws.flat if draws.chain.shape[0] else draws.final
     draws = np.atleast_2d(np.asarray(draws, np.float32))
-    if draws.shape[0] > max_draws:
-        idx = np.random.default_rng(seed).choice(
-            draws.shape[0], max_draws, replace=False
-        )
-        draws = draws[idx]
-
     obs = np.asarray(obs, np.float64).reshape(-1)
-    m = np.asarray(model.predict(draws), np.float64)
-    r = obs[None, :] - np.atleast_2d(m)
-    n = r.shape[1]
+    sf, q, dof, bin_z = _gof_core(
+        model, obs[None, :], noise_var, draws[None], max_draws, seed
+    )
+    return GOFResult(
+        p_value=float(sf[0].mean()), dof=dof, q=q[0], bin_z=bin_z[0]
+    )
+
+
+def _gof_core(model, obs_batch, noise_var, draws, max_draws, seed):
+    """Shared scoring core of :func:`goodness_of_fit` (O=1 slice) and
+    :func:`goodness_of_fit_batch`: ``obs_batch (O, n)`` float64 +
+    ``draws (O, B, P)`` → per-draw exact-χ² tails ``sf (O, B)``,
+    quadratic forms ``q (O, B)``, ``dof``, per-bin ``bin_z (O, n)``."""
+    from tpu21cmvae.foregrounds import MarginalizedNoise
+
+    n_obs, n = obs_batch.shape
+    if draws.shape[1] > max_draws:
+        rng = np.random.default_rng(seed)
+        draws = draws[
+            np.arange(n_obs)[:, None],
+            rng.choice(draws.shape[1], max_draws, replace=False)[None, :],
+        ]
+    b = draws.shape[1]
+    m = np.asarray(
+        model.predict(draws.reshape(n_obs * b, -1)), np.float64
+    ).reshape(n_obs, b, n)
+    r = obs_batch[:, None, :] - m
 
     if isinstance(noise_var, MarginalizedNoise):
         z = r @ noise_var.whiten.astype(np.float64)
-        q = np.einsum("bi,bi->b", z, z)
+        q = np.einsum("obi,obi->ob", z, z)
         dof = float(
             n - noise_var.n_terms
             if noise_var.prior_var is None
@@ -303,29 +344,25 @@ def goodness_of_fit(
         )
         # foreground-cleaned per-bin diagnostic: subtract the GLS fit
         # to the mean residual, then z against the base noise
-        coeff, _ = noise_var.coeff_posterior(r.mean(axis=0))
-        cleaned = r - noise_var.reconstruct(coeff)[None, :]
-        base_var = noise_var.noise_var
-        bin_z = cleaned.mean(axis=0) / np.sqrt(
-            base_var + cleaned.var(axis=0)
+        coeff, _ = noise_var.coeff_posterior(r.mean(axis=1))
+        cleaned = r - noise_var.reconstruct(coeff)[:, None, :]
+        bin_z = cleaned.mean(axis=1) / np.sqrt(
+            noise_var.noise_var + cleaned.var(axis=1)
         )
     else:
         nv = np.broadcast_to(np.asarray(noise_var, np.float64), (n,))
-        q = np.einsum("bi,bi->b", r / nv[None, :], r)
+        q = np.einsum("obi,obi->ob", r / nv, r)
         dof = float(n)
-        bin_z = r.mean(axis=0) / np.sqrt(nv + r.var(axis=0))
+        bin_z = r.mean(axis=1) / np.sqrt(nv + r.var(axis=1))
 
     # SF_chi2(q; dof) = Q(dof/2, q/2), exact upper regularized gamma
     import jax.numpy as jnp
     from jax.scipy.special import gammaincc
 
-    sf = np.asarray(
-        gammaincc(jnp.float32(dof / 2.0), jnp.asarray(q / 2.0,
-                                                      jnp.float32))
-    )
-    return GOFResult(
-        p_value=float(sf.mean()), dof=dof, q=q, bin_z=bin_z
-    )
+    sf = np.asarray(gammaincc(
+        jnp.float32(dof / 2.0), jnp.asarray(q / 2.0, jnp.float32)
+    ))
+    return sf, q, dof, bin_z
 
 @dataclasses.dataclass
 class BatchGOFResult:
@@ -385,7 +422,6 @@ def goodness_of_fit_batch(
     are subsampled to ``max_draws``. ``noise_var`` follows
     :func:`goodness_of_fit` (shared across observations, like the
     stacked likelihood)."""
-    from tpu21cmvae.foregrounds import MarginalizedNoise
     from tpu21cmvae.noisescale import ScaleMarginalNoise
 
     if isinstance(noise_var, ScaleMarginalNoise):
@@ -422,44 +458,9 @@ def goodness_of_fit_batch(
             f"draws must be (O, B, n_params) with O = {n_obs}; got "
             f"{draws.shape}"
         )
-    if draws.shape[1] > max_draws:
-        rng = np.random.default_rng(seed)
-        draws = draws[
-            np.arange(n_obs)[:, None],
-            rng.choice(draws.shape[1], max_draws, replace=False)[None, :],
-        ]
-    b = draws.shape[1]
-
-    m = np.asarray(
-        model.predict(draws.reshape(n_obs * b, -1)), np.float64
-    ).reshape(n_obs, b, n)
-    r = obs_batch[:, None, :] - m
-
-    if isinstance(noise_var, MarginalizedNoise):
-        z = r @ noise_var.whiten.astype(np.float64)
-        q = np.einsum("obi,obi->ob", z, z)
-        dof = float(
-            n - noise_var.n_terms
-            if noise_var.prior_var is None
-            else n
-        )
-        coeff, _ = noise_var.coeff_posterior(r.mean(axis=1))
-        cleaned = r - noise_var.reconstruct(coeff)[:, None, :]
-        bin_z = cleaned.mean(axis=1) / np.sqrt(
-            noise_var.noise_var + cleaned.var(axis=1)
-        )
-    else:
-        nv = np.broadcast_to(np.asarray(noise_var, np.float64), (n,))
-        q = np.einsum("obi,obi->ob", r / nv, r)
-        dof = float(n)
-        bin_z = r.mean(axis=1) / np.sqrt(nv + r.var(axis=1))
-
-    import jax.numpy as jnp
-    from jax.scipy.special import gammaincc
-
-    sf = np.asarray(gammaincc(
-        jnp.float32(dof / 2.0), jnp.asarray(q / 2.0, jnp.float32)
-    ))
+    sf, q, dof, bin_z = _gof_core(
+        model, obs_batch, noise_var, draws, max_draws, seed
+    )
     return BatchGOFResult(
         p_values=sf.mean(axis=1), dof=dof, q_mean=q.mean(axis=1),
         bin_z=bin_z,

@@ -113,6 +113,25 @@ class ScaleMarginalNoise:
     alpha: Optional[float] = None    # None = Jeffreys p(σ²) ∝ 1/σ²
     beta: Optional[float] = None
 
+    def __post_init__(self):
+        # mirror the factory's prior checks: a directly-constructed
+        # half-specified prior would otherwise crash late (beta=None
+        # inside log_norm_const) or silently score a hybrid density
+        # (alpha=None treated as the Jeffreys exponent with a proper
+        # beta in the Student-t argument)
+        if (self.alpha is None) != (self.beta is None):
+            raise ValueError(
+                "alpha and beta must be given together (proper "
+                "InvGamma prior) or both omitted (Jeffreys)"
+            )
+        if self.alpha is not None and not (
+            self.alpha > 0 and self.beta > 0
+        ):
+            raise ValueError(
+                f"InvGamma prior needs alpha > 0 and beta > 0; got "
+                f"alpha={self.alpha}, beta={self.beta}"
+            )
+
     def _is_flat_marginalized(self) -> bool:
         from tpu21cmvae.foregrounds import MarginalizedNoise
 
@@ -126,13 +145,9 @@ class ScaleMarginalNoise:
         ``n_bins``, minus the flat-prior-projected foreground directions
         when the base is a flat-prior MarginalizedNoise (a proper
         coefficient prior is σ²-scaled — conjugate convention — and
-        keeps all ``n_bins``)."""
-        from tpu21cmvae.foregrounds import MarginalizedNoise
-
+        keeps all ``n_bins``, like the plain diagonal bases)."""
         if self._is_flat_marginalized():
             return n_bins - self.base.n_terms
-        if isinstance(self.base, MarginalizedNoise):
-            return n_bins
         return n_bins
 
     def base_log_norm(self) -> float:
