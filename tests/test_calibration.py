@@ -485,3 +485,19 @@ def test_sbc_defaults_bounds_to_prior_box(model):
         sbc(model, noise_var=25.0, n_sims=2, n_walkers=8, n_steps=4,
             n_warmup=4, thin=2, prior=prior,
             bounds=np.stack([lo, hi], axis=1), seed=0)
+
+
+def test_batched_nuts_smoke(model, splits, bounds):
+    """sampler="nuts" on batched observations: per-block step sizes +
+    per-block metrics, per-walker trees; posteriors concentrate near
+    their own truths."""
+    rng = np.random.default_rng(9)
+    truths = np.asarray(splits.par_test[:2], np.float32)
+    obs_batch = model.predict(truths) + rng.normal(0, 5.0, (2, 451))
+    batch = model.sample_posterior_batch(
+        obs_batch, 25.0, sampler="nuts", n_walkers=32, n_steps=30,
+        n_warmup=40, max_depth=4, thin=5, bounds=bounds, seed=0,
+    )
+    assert batch.chain.shape[1:] == (2, 32, 7)
+    assert np.isfinite(batch.result.logp).all()
+    assert batch.result.block_step_sizes.shape == (2,)

@@ -387,13 +387,16 @@ class DirectEmulator:
         chip at small walker counts). ``n_walkers`` is PER OBSERVATION.
         Returns a :class:`~tpu21cmvae.sampling.BatchSampleResult`.
 
-        ``sampler``: ``"mh"`` (default) or ``"hmc"`` — the stretch move
-        is refused here because its cross-walker pairing would propose
-        across observations (valid but mixing-hostile). Each
-        observation's walker slab adapts its OWN proposal scale /
-        leapfrog step (``adapt_blocks=n_obs``, overridable), so
-        heterogeneous posterior widths — per-sim noise levels,
-        different data — don't force one compromise step.
+        ``sampler``: ``"mh"`` (default), ``"hmc"`` or ``"nuts"`` — the
+        stretch move is refused here because its cross-walker pairing
+        would propose across observations (valid but mixing-hostile),
+        and ChEES adapts one shared trajectory. Each observation's
+        walker slab adapts its OWN proposal scale / leapfrog step
+        (``adapt_blocks=n_obs``, overridable), so heterogeneous
+        posterior widths — per-sim noise levels, different data —
+        don't force one compromise step; NUTS additionally estimates a
+        per-observation ensemble METRIC (a pooled one would measure
+        the between-observation spread of the posterior locations).
         ``kwargs`` forward to the sampler (``mesh=`` shards the stacked
         walker axis; keep ``O · n_walkers`` divisible by the mesh).
         """

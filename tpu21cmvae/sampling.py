@@ -246,14 +246,18 @@ def run_batched_chain(
     """Shared dispatcher behind every family's
     ``sample_posterior_batch``: run ``n_obs`` posteriors' walkers
     (``n_walkers`` each, observation-major) through ONE
-    :func:`sample_mh` / :func:`sample_hmc` program over a
-    stacked-observation likelihood. The builders are lazy so only the
-    needed program is constructed. The stretch move is refused: its
-    cross-walker pairing would propose across observations (valid
-    MCMC — the complementary walker is a fixed proposal parameter —
-    but mixing-hostile, each proposal shaped by the wrong posterior).
+    :func:`sample_mh` / :func:`sample_hmc` / :func:`sample_nuts`
+    program over a stacked-observation likelihood. The builders are
+    lazy so only the needed program is constructed. The stretch move
+    is refused: its cross-walker pairing would propose across
+    observations (valid MCMC — the complementary walker is a fixed
+    proposal parameter — but mixing-hostile, each proposal shaped by
+    the wrong posterior). ChEES is refused because its trajectory
+    length is a single ensemble-adapted scalar — NUTS provides the
+    adaptive-trajectory option here, with per-walker trees and a
+    per-block metric.
 
-    Both samplers get ``adapt_blocks=n_obs`` (overridable via kwargs):
+    The samplers get ``adapt_blocks=n_obs`` (overridable via kwargs):
     each observation's walker slab adapts its OWN proposal scale /
     leapfrog step, so heterogeneous posterior widths (per-sim noise
     levels, different data) don't force every chain onto one
@@ -272,9 +276,18 @@ def run_batched_chain(
             valgrad_builder(), params, n_walkers=total, bounds=bounds,
             **kwargs,
         ))
+    if sampler == "nuts":
+        # per-block step size AND per-block metric (sample_nuts
+        # adapt_blocks): per-walker trees already end each
+        # observation's trajectories independently
+        return BatchSampleResult(n_obs=n_obs, result=sample_nuts(
+            valgrad_builder(), params, n_walkers=total, bounds=bounds,
+            **kwargs,
+        ))
     raise ValueError(
-        "sampler must be 'mh' or 'hmc' for batched observations (the "
-        f"stretch move pairs across observations); got {sampler!r}"
+        "sampler must be 'mh', 'hmc' or 'nuts' for batched "
+        "observations (the stretch move pairs across observations; "
+        f"ChEES adapts one shared trajectory); got {sampler!r}"
     )
 
 
@@ -2172,13 +2185,41 @@ def _ens_metric(y, dense):
 
 def _met_scale(met, v):
     """Metric-space momentum → y-space displacement (``L v``).
-    ``met`` is a (D,) diagonal or a (D,D) symmetric square root."""
-    return v * met if met.ndim == 1 else v @ met.T
+    ``met``: (D,) shared diagonal, (B, D) per-walker diagonal (the
+    per-block metrics of the batched-observation samplers, expanded to
+    rows), (D, D) shared square root, or (B, D, D) per-walker square
+    roots."""
+    if met.ndim == 1 or met.shape == v.shape:
+        return v * met
+    if met.ndim == 2:
+        return v @ met.T
+    return jnp.einsum("bed,bd->be", met, v)
 
 
 def _met_pull(met, g):
-    """y-space gradient → metric-space force (``Lᵀ g``)."""
-    return g * met if met.ndim == 1 else g @ met
+    """y-space gradient → metric-space force (``Lᵀ g``); shapes as in
+    :func:`_met_scale`."""
+    if met.ndim == 1 or met.shape == g.shape:
+        return g * met
+    if met.ndim == 2:
+        return g @ met
+    return jnp.einsum("bde,bd->be", met, g)
+
+
+def _ens_metric_blocks(y, dense, n_blk):
+    """Per-block ensemble metric for batched-observation chains: each
+    contiguous walker slab (one observation's posterior) gets its OWN
+    cross-walker metric — a pooled metric over a MIXTURE of posteriors
+    measures the between-observation spread of the truths, not any
+    posterior's geometry. Returns per-walker rows ((B, D) diagonals /
+    (B, D, D) square roots) for the per-walker :func:`_met_scale` /
+    :func:`_met_pull` paths."""
+    if n_blk == 1:
+        return _ens_metric(y, dense)
+    w = y.shape[0] // n_blk
+    yb = y.reshape(n_blk, w, y.shape[1])
+    mets = jax.vmap(lambda yy: _ens_metric(yy, dense))(yb)
+    return jnp.repeat(mets, w, axis=0)
 
 
 def _resolve_metric(metric, precondition, n_warmup, n_walkers,
@@ -2810,10 +2851,22 @@ def sample_nuts(
     metric: str = "auto",
     log_prior=None,
     mesh=None,
+    adapt_blocks: int = 1,
 ) -> NUTSSampleResult:
     """No-U-Turn Sampler (multinomial NUTS) over ``valgrad``, built as a
     BATCHED ITERATIVE tree — the TPU-native formulation of the sampler
     Stan/PyMC/NumPyro users expect.
+
+    ``adapt_blocks=G``: keep G independent dual-averaged step sizes AND
+    G independent ensemble metrics, one per contiguous walker block —
+    the batched-observation mode (``sample_posterior_batch``), where
+    each block is one observation's posterior. Pooling would be wrong
+    twice over there: one step size compromises across heterogeneous
+    posterior widths (as in :func:`sample_hmc`), and a pooled
+    cross-walker metric measures the BETWEEN-observation spread of the
+    posterior locations, not any posterior's local geometry — the
+    per-block metric (:func:`_ens_metric_blocks`) is what makes
+    whitened per-walker trees meaningful per observation.
 
     Textbook NUTS is recursive with data-dependent trajectory lengths —
     hostile to SPMD batching (see :func:`sample_chees`, which remains
@@ -2872,8 +2925,14 @@ def sample_nuts(
     y = _whiten_init(x, lo, span)
     to_params, logp_and_grad = _whitened_target(valgrad, log_prior, lo, span)
 
+    if n_walkers % adapt_blocks:
+        raise ValueError(
+            f"n_walkers ({n_walkers}) must divide into adapt_blocks "
+            f"({adapt_blocks}) equal contiguous blocks"
+        )
+    n_blk = int(adapt_blocks)
     use_metric, dense = _resolve_metric(
-        metric, precondition, n_warmup, y.shape[0],
+        metric, precondition, n_warmup, y.shape[0] // n_blk,
         auto_dense=True,
     )
     n_warm1 = n_warmup // 2 if use_metric else n_warmup
@@ -2882,8 +2941,10 @@ def sample_nuts(
     if md < 1:
         raise ValueError(f"max_depth must be >= 1; got {max_depth}")
 
-    def nuts_step(params, y, lp, glp, sd, eps_s, k):
+    def nuts_step(params, y, lp, glp, sd, eps_blk, k):
         B, D = y.shape
+        # (adapt_blocks,) per-block steps, expanded to walker rows
+        eps_w = jnp.repeat(eps_blk, B // n_blk)
         kp, kt = jax.random.split(k)
         p0 = jax.random.normal(kp, (B, D), y.dtype)
         h0 = lp - 0.5 * jnp.sum(p0**2, -1)  # leaf log-weight base
@@ -2895,7 +2956,7 @@ def sample_nuts(
             right = jax.random.bernoulli(k_dir, 0.5, (B,))
             # per-walker signed SCALAR step; the metric enters through
             # _met_scale/_met_pull in the leapfrog below
-            eps_d = jnp.where(right[:, None], eps_s, -eps_s)
+            eps_d = jnp.where(right, eps_w, -eps_w)[:, None]
             z0 = jnp.where(right[:, None], zr, zl)
             q0 = jnp.where(right[:, None], pr, pl)
             g0 = jnp.where(right[:, None], gr, gl)
@@ -3012,9 +3073,12 @@ def sample_nuts(
             )
         (_, _, _, _, _, _, zp, lpp, gp, _, _, _, ndiv, a_sum, a_cnt,
          nleap) = state
-        a_mean = jnp.mean(a_sum / jnp.maximum(a_cnt, 1.0))
+        # (adapt_blocks,) per-block mean accept-stat drives adaptation
+        a_blk = (
+            a_sum / jnp.maximum(a_cnt, 1.0)
+        ).reshape(n_blk, -1).mean(axis=1)
         return (
-            zp, lpp, gp, a_mean,
+            zp, lpp, gp, a_blk,
             jnp.mean((ndiv > 0).astype(jnp.float32)), jnp.mean(nleap),
         )
 
@@ -3039,9 +3103,11 @@ def sample_nuts(
         return warm_step
 
     def warm_phase(params, y, lp, glp, sd, eps0, ik):
+        # ``eps0``: (adapt_blocks,) — the dual-averaging state is a
+        # per-block vector throughout (every update is elementwise)
         state = (
             y, lp, glp, sd, jnp.log(10.0 * eps0), jnp.log(eps0),
-            jnp.log(eps0), jnp.float32(0.0),
+            jnp.log(eps0), jnp.zeros_like(eps0),
         )
         state, _ = jax.lax.scan(make_warm_step(params), state, ik)
         y, lp, glp, _, _, _, log_eps_bar, _ = state
@@ -3059,23 +3125,25 @@ def sample_nuts(
                     buf = _thin_write(
                         buf, t, to_params(y), thin, n_keep
                     )
-                return (y, lp, glp, sd, eps, buf), (a_mean, dv, nl)
+                return (y, lp, glp, sd, eps, buf), (
+                    jnp.mean(a_mean), dv, nl
+                )
 
             lp, glp = logp_and_grad(params, y)
             sd = jnp.ones((y.shape[1],), y.dtype)
-            eps = jnp.float32(init_step)
+            eps = jnp.full((n_blk,), init_step, jnp.float32)
             if n_warm1 > 0:  # static — no hidden warmup on continuation
                 y, lp, glp, eps = warm_phase(
                     params, y, lp, glp, sd, eps, warm1_ik
                 )
             if use_metric:
-                sd = _ens_metric(y, dense)
+                sd = _ens_metric_blocks(y, dense, n_blk)
                 y, lp, glp, eps = warm_phase(
                     params, y, lp, glp, sd, eps, warm2_ik
                 )
                 if dense:
                     # refresh from the now-mixed ensemble (see sample_hmc)
-                    sd = _ens_metric(y, dense)
+                    sd = _ens_metric_blocks(y, dense, n_blk)
             n_keep, buf = _thin_state(run_keys.shape[0], thin, y)
             (y, lp, glp, _, _, buf), (rates, divs, leaps) = jax.lax.scan(
                 run_step, (y, lp, glp, sd, eps, buf),
@@ -3091,7 +3159,7 @@ def sample_nuts(
         (
             "nuts", _bounds_key(lo, hi), float(init_step),
             float(target_accept), int(thin), md, use_metric, dense,
-            n_warm1 > 0, _fn_cache_key(log_prior),
+            n_warm1 > 0, _fn_cache_key(log_prior), n_blk,
         ),
         build_run,
     )
@@ -3116,7 +3184,8 @@ def sample_nuts(
         final=np.asarray(to_params(y)),
         logp=np.asarray(lp),
         accept_rate=np.asarray(rates),
-        step_size=float(eps),
+        step_size=float(np.mean(np.asarray(eps))),
+        block_step_sizes=np.asarray(eps),
         divergence_rate=float(np.mean(np.asarray(divs))),
         mean_leapfrog=float(np.mean(np.asarray(leaps))),
     )
