@@ -99,6 +99,15 @@ from tpu21cmvae.noisescale import (  # noqa: F401
     marginalize_noise_scale,
 )
 from tpu21cmvae.priors import GaussianBoxPrior  # noqa: F401
+from tpu21cmvae.deploy import (  # noqa: F401
+    ExportedFn,
+    export_loglik,
+    export_predict,
+    load_artifact,
+    save_artifact,
+    save_loglik_artifact,
+    save_predict_artifact,
+)
 from tpu21cmvae.calibration import SBCResult, sbc  # noqa: F401
 from tpu21cmvae.models.direct import DirectEmulator  # noqa: F401
 from tpu21cmvae.models.autoencoder import AutoEncoder, AutoEncoderEmulator  # noqa: F401

@@ -172,6 +172,35 @@ def cmd_export_h5(args):
         print(f"wrote {args.out}")
 
 
+def cmd_export_artifact(args):
+    import os
+
+    from tpu21cmvae import deploy
+
+    model = _load_model(args.model)
+    platforms = tuple(p for p in args.platforms.split(",") if p)
+    if args.obs is not None:
+        from tpu21cmvae.serve import load_obs_specs
+
+        specs = load_obs_specs(args.obs)
+        if len(specs) != 1:
+            print(f"--obs file must contain exactly one observation; got "
+                  f"{len(specs)}", file=sys.stderr)
+            return 2
+        obs, noise_var = specs[0]
+        path = deploy.save_loglik_artifact(
+            model, args.out, obs, noise_var, platforms=platforms
+        )
+        kind = "loglik"
+    else:
+        path = deploy.save_predict_artifact(
+            model, args.out, platforms=platforms
+        )
+        kind = "predict"
+    print(f"wrote {kind} artifact {path} "
+          f"({os.path.getsize(path)} bytes, platforms {','.join(platforms)})")
+
+
 def cmd_serve(args):
     from tpu21cmvae.serve import main as serve_main
 
@@ -657,6 +686,23 @@ def main(argv=None):
     p.add_argument("model")
     p.add_argument("--out", default="model.h5")
     p.set_defaults(fn=cmd_export_h5)
+
+    p = sub.add_parser(
+        "export-artifact",
+        help="export a self-contained StableHLO deployment artifact "
+             "(jax.export; weights + normalization folded in, symbolic "
+             "batch dim, replays on any JAX install without tpu21cmvae)",
+    )
+    p.add_argument("model")
+    p.add_argument("--out", default="emulator.bin")
+    p.add_argument("--obs", default=None, metavar="FILE",
+                   help="single-observation spec file (same formats as "
+                        "serve --warmup-obs) — export the fused "
+                        "log-likelihood for it instead of predict")
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="comma-separated lowering targets (default "
+                        "cpu,tpu — lowering for tpu needs no chip)")
+    p.set_defaults(fn=cmd_export_artifact)
 
     p = sub.add_parser(
         "serve",
