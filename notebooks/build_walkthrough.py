@@ -549,6 +549,31 @@ plt.legend(); plt.title("where the model cannot reach the data")
 plt.tight_layout(); plt.show()
 """
 
+CELL_DEPLOY = """\
+# Deployment. The reference deploys by shipping Keras h5 files that
+# need the package + TensorFlow + the training data's normalization at
+# load time (reference emulator.py:319-337). Here the whole fused chain
+# -- par_transform -> MLP -> unpreproc, weights and normalization
+# folded in -- exports as ONE self-contained StableHLO binary with a
+# SYMBOLIC batch dimension, lowered for cpu AND tpu at once
+# (tpu21cmvae/deploy.py). Any JAX install replays it: no tpu21cmvae,
+# no checkpoint, no dataset.
+import tempfile
+from jax import export as jxe
+
+art = os.path.join(tempfile.mkdtemp(), "emulator.bin")
+t.save_predict_artifact(model, art)
+print(f"artifact: {os.path.getsize(art):,} bytes "
+      "(weights + normalization, cpu+tpu)")
+
+replay = jxe.deserialize(bytearray(open(art, "rb").read()))
+for n in (1, 64):            # one export serves every batch size
+    got = np.asarray(replay.call(np.asarray(data.par_test[:n], np.float32)))
+    ref = np.atleast_2d(model.predict(data.par_test[:n]))
+    print(f"batch {n:3d}: replay == predict to "
+          f"{np.abs(got - ref).max():.1e} mK")
+"""
+
 MD_OUTRO = """\
 ## Where to go next
 
@@ -586,6 +611,7 @@ def build() -> nbf.NotebookNode:
         nbf.v4.new_code_cell(CELL_NOISESCALE),
         nbf.v4.new_code_cell(CELL_GOF),
         nbf.v4.new_code_cell(CELL_MIXTURE),
+        nbf.v4.new_code_cell(CELL_DEPLOY),
         nbf.v4.new_markdown_cell(MD_OUTRO),
     ]
     nb.cells = cells

@@ -38,7 +38,8 @@ def test_structural_checks_pass(report):
     assert by_name["ae_golden"]["status"] == "SKIP"
     assert report["ok"]  # skips are not failures
     assert by_name["inference_stack"]["status"] == "PASS"
-    assert report["fail"] == 0 and report["pass"] == 3 and report["skip"] == 2
+    assert by_name["deploy_artifact"]["status"] == "PASS"
+    assert report["fail"] == 0 and report["pass"] == 4 and report["skip"] == 2
 
 
 def test_report_roundtrip(report, tmp_path):
@@ -46,7 +47,7 @@ def test_report_roundtrip(report, tmp_path):
     loaded = json.loads(open(path).read())
     assert loaded == report
     text = format_report(report)
-    assert "batched_vs_single" in text and "3 passed" in text
+    assert "batched_vs_single" in text and "4 passed" in text
 
 
 def test_failure_detected(splits):

@@ -257,6 +257,35 @@ def check_inference_stack(data, model) -> Check:
     )
 
 
+def check_deploy_artifact(data, model) -> Check:
+    """The deployment path end to end ON THIS DEVICE: export the model
+    as a self-contained StableHLO artifact (:mod:`tpu21cmvae.deploy`),
+    reload it from disk, and assert the replay matches the in-process
+    predict (measured bit-exact; asserted at the reference's own
+    batched-vs-single tolerance) and that the single-row squeeze
+    convention survives (reference ``emulator.py:404-407``)."""
+    name = "deploy_artifact"
+    import tempfile
+
+    from tpu21cmvae import deploy
+
+    with tempfile.TemporaryDirectory() as d:
+        fn = deploy.load_artifact(
+            deploy.save_predict_artifact(model, os.path.join(d, "em.bin"))
+        )
+    raw = np.asarray(data.par_test[:10], np.float32)
+    worst = float(np.abs(fn(raw) - model.predict(raw)).max())
+    row = fn(raw[0])
+    squeezed = row.shape == (data.n_bins,)
+    ok = worst <= 5e-5 and squeezed and "tpu" in fn.platforms
+    return Check(
+        name, "PASS" if ok else "FAIL",
+        f"max |artifact − predict| = {worst:.2e} (limit 5e-5); "
+        f"single-row squeeze: {squeezed}; platforms {fn.platforms}",
+        {"max_abs_diff": worst},
+    )
+
+
 def run_verification(
     data,
     *,
@@ -296,6 +325,7 @@ def run_verification(
              lambda: check_batched_vs_single(data, probe)),
         _run("band_mask_consistency", lambda: check_band_mask(data, probe)),
         _run("inference_stack", lambda: check_inference_stack(data, probe)),
+        _run("deploy_artifact", lambda: check_deploy_artifact(data, probe)),
     ]
     counts = {s: sum(c.status == s for c in checks)
               for s in ("PASS", "FAIL", "SKIP")}
