@@ -79,6 +79,31 @@ def test_loglik_artifact_matches_fused_loglik(tmp_path, direct, rng):
     )
 
 
+def test_valgrad_artifact_matches_fused_valgrad(tmp_path, direct, rng):
+    """The (logL, grad) tuple artifact: structure survives serialization
+    and both leaves match the in-process fused value+gradient program to
+    reduction-order tolerance."""
+    obs = np.asarray(direct.predict(np.full((7,), 0.5, np.float32)))
+    raw = rng.uniform(0.2, 0.8, (6, 7)).astype(np.float32)
+    path = deploy.save_valgrad_artifact(
+        direct, str(tmp_path / "vg.bin"), obs, 1e-2
+    )
+    fn = deploy.load_artifact(path)
+    got_v, got_g = fn(raw)
+    want_v, want_g = direct.loglik_and_grad_fn(obs, 1e-2)(
+        direct.params, raw
+    )
+    assert got_v.shape == (6,) and got_g.shape == (6, 7)
+    np.testing.assert_allclose(got_v, np.asarray(want_v), rtol=2e-3)
+    scale = float(np.max(np.abs(np.asarray(want_g))))
+    np.testing.assert_allclose(
+        got_g, np.asarray(want_g), rtol=1e-3, atol=1e-4 * scale
+    )
+    # single-row squeeze applies leaf-wise to the tuple
+    v1, g1 = fn(raw[0])
+    assert v1.shape == () and g1.shape == (7,)
+
+
 def test_two_stage_family_exports(tmp_path, normalizer, rng):
     cfg = AutoEncoderConfig(
         latent_dim=3, enc_hidden_dims=(8,), dec_hidden_dims=(8,),
@@ -134,6 +159,15 @@ def test_cli_export_artifact(tmp_path, direct, rng):
     llfn = deploy.load_artifact(ll_out)
     want = np.asarray(direct.loglik_fn(obs, 1e-2)(direct.params, raw))
     np.testing.assert_allclose(llfn(raw), want, rtol=2e-3)
+
+    # --valgrad without --obs is a usage error, not a crash
+    assert main(["export-artifact", ckpt, "--valgrad"]) == 2
+    # --valgrad with --obs exports the (logL, grad) pair
+    vg_out = str(tmp_path / "vg.bin")
+    main(["export-artifact", ckpt, "--obs", spec, "--out", vg_out,
+          "--valgrad"])
+    v, g = deploy.load_artifact(vg_out)(raw)
+    assert v.shape == (3,) and g.shape == (3, 7)
 
 
 def test_artifact_calls_without_model_state(tmp_path, normalizer, rng):

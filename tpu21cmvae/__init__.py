@@ -103,10 +103,12 @@ from tpu21cmvae.deploy import (  # noqa: F401
     ExportedFn,
     export_loglik,
     export_predict,
+    export_valgrad,
     load_artifact,
     save_artifact,
     save_loglik_artifact,
     save_predict_artifact,
+    save_valgrad_artifact,
 )
 from tpu21cmvae.calibration import SBCResult, sbc  # noqa: F401
 from tpu21cmvae.models.direct import DirectEmulator  # noqa: F401

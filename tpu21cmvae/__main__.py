@@ -188,10 +188,20 @@ def cmd_export_artifact(args):
                   f"{len(specs)}", file=sys.stderr)
             return 2
         obs, noise_var = specs[0]
-        path = deploy.save_loglik_artifact(
-            model, args.out, obs, noise_var, platforms=platforms
-        )
-        kind = "loglik"
+        if args.valgrad:
+            path = deploy.save_valgrad_artifact(
+                model, args.out, obs, noise_var, platforms=platforms
+            )
+            kind = "value+gradient"
+        else:
+            path = deploy.save_loglik_artifact(
+                model, args.out, obs, noise_var, platforms=platforms
+            )
+            kind = "loglik"
+    elif args.valgrad:
+        print("--valgrad needs --obs (the likelihood is per-observation)",
+              file=sys.stderr)
+        return 2
     else:
         path = deploy.save_predict_artifact(
             model, args.out, platforms=platforms
@@ -699,6 +709,10 @@ def main(argv=None):
                    help="single-observation spec file (same formats as "
                         "serve --warmup-obs) — export the fused "
                         "log-likelihood for it instead of predict")
+    p.add_argument("--valgrad", action="store_true",
+                   help="with --obs: export the fused value+gradient "
+                        "likelihood (the HMC/NUTS inner loop for "
+                        "external gradient-based samplers)")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering targets (default "
                         "cpu,tpu — lowering for tpu needs no chip)")

@@ -44,7 +44,7 @@ Caveats stated up front:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 
@@ -129,6 +129,33 @@ def export_loglik(
     )
 
 
+def export_valgrad(
+    model,
+    obs,
+    noise_var=1.0,
+    *,
+    platforms: Sequence[str] = DEFAULT_PLATFORMS,
+    **valgrad_kwargs,
+):
+    """Export the fused value+gradient likelihood: signature
+    ``(b, n_params) float32 → ((b,) logL, (b, n_params) dlogL/draw)``.
+
+    This is the HMC/NUTS inner loop as one program — the artifact for
+    users who sample with an EXTERNAL gradient-based sampler (BlackJAX,
+    NumPyro, Stan-adjacent tooling): they get the emulator's analytic
+    gram backward (docs/PERF.md's measured winner) without importing
+    tpu21cmvae. ``valgrad_kwargs`` forward to the family's
+    ``loglik_and_grad_fn`` (``method=``, tier options, marginalized
+    noise specs).
+    """
+    vg = model.loglik_and_grad_fn(obs, noise_var, **valgrad_kwargs)
+    weights = model.params
+    n_in = int(model.config.n_params)
+    return _export_batched(
+        lambda raw: vg(weights, raw), n_in, platforms
+    )
+
+
 def save_artifact(exported, path: str) -> str:
     """Serialize an :class:`jax.export.Exported` to ``path`` atomically
     (write-then-rename — a crashed writer never leaves a torn artifact)."""
@@ -147,6 +174,13 @@ def save_loglik_artifact(model, path: str, obs, noise_var=1.0, **kwargs) -> str:
     """:func:`export_loglik` + :func:`save_artifact` in one call."""
     return save_artifact(
         export_loglik(model, obs, noise_var, **kwargs), path
+    )
+
+
+def save_valgrad_artifact(model, path: str, obs, noise_var=1.0, **kwargs) -> str:
+    """:func:`export_valgrad` + :func:`save_artifact` in one call."""
+    return save_artifact(
+        export_valgrad(model, obs, noise_var, **kwargs), path
     )
 
 
@@ -172,12 +206,18 @@ class ExportedFn:
     def n_in(self) -> int:
         return int(self.exported.in_avals[0].shape[1])
 
-    def __call__(self, raw_params) -> np.ndarray:
+    def __call__(self, raw_params):
         raw = np.asarray(raw_params, dtype=np.float32)
         single = raw.ndim == 1
         out = self.exported.call(np.atleast_2d(raw))
-        out = np.asarray(out)
-        return out[0] if single else out
+
+        def _host(a):
+            a = np.asarray(a)
+            return a[0] if single else a
+
+        # predict/loglik artifacts return one array; valgrad artifacts a
+        # (logL, grad) tuple — map over whatever structure comes back
+        return jax.tree_util.tree_map(_host, out)
 
 
 def load_artifact(path: str) -> ExportedFn:
