@@ -2187,23 +2187,24 @@ def _met_scale(met, v):
     """Metric-space momentum → y-space displacement (``L v``).
     ``met``: (D,) shared diagonal, (B, D) per-walker diagonal (the
     per-block metrics of the batched-observation samplers, expanded to
-    rows), (D, D) shared square root, or (B, D, D) per-walker square
-    roots."""
-    if met.ndim == 1 or met.shape == v.shape:
+    rows), or (1|B, D, D) square roots — shared dense carries a leading
+    broadcast axis (see :func:`_ens_metric_blocks`) because a bare
+    (D, D) would be indistinguishable from a per-walker diagonal
+    whenever ``n_walkers == D``. Rank alone now dispatches: ≤2 is
+    elementwise diagonal, 3 is a (batched or broadcast) matmul."""
+    if met.ndim <= 2:
         return v * met
-    if met.ndim == 2:
-        return v @ met.T
-    return jnp.einsum("bed,bd->be", met, v)
+    return jnp.squeeze(jnp.matmul(met, v[..., None]), -1)
 
 
 def _met_pull(met, g):
     """y-space gradient → metric-space force (``Lᵀ g``); shapes as in
     :func:`_met_scale`."""
-    if met.ndim == 1 or met.shape == g.shape:
+    if met.ndim <= 2:
         return g * met
-    if met.ndim == 2:
-        return g @ met
-    return jnp.einsum("bde,bd->be", met, g)
+    return jnp.squeeze(
+        jnp.matmul(jnp.swapaxes(met, -1, -2), g[..., None]), -1
+    )
 
 
 def _ens_metric_blocks(y, dense, n_blk):
@@ -2213,9 +2214,11 @@ def _ens_metric_blocks(y, dense, n_blk):
     measures the between-observation spread of the truths, not any
     posterior's geometry. Returns per-walker rows ((B, D) diagonals /
     (B, D, D) square roots) for the per-walker :func:`_met_scale` /
-    :func:`_met_pull` paths."""
+    :func:`_met_pull` paths; the ``n_blk == 1`` dense metric is lifted
+    to (1, D, D) so rank disambiguates it from a per-walker diagonal."""
     if n_blk == 1:
-        return _ens_metric(y, dense)
+        met = _ens_metric(y, dense)
+        return met[None] if dense else met
     w = y.shape[0] // n_blk
     yb = y.reshape(n_blk, w, y.shape[1])
     mets = jax.vmap(lambda yy: _ens_metric(yy, dense))(yb)
@@ -2446,7 +2449,7 @@ def sample_hmc(
                     params, y, lp, glp, sd, eps, warm1_ik
                 )
             if use_metric:
-                sd = _ens_metric(y, dense)
+                sd = _ens_metric_blocks(y, dense, 1)
                 y, lp, glp, eps = warm_phase(
                     params, y, lp, glp, sd, eps, warm2_ik
                 )
@@ -2744,7 +2747,7 @@ def sample_chees(
                     params, y, lp, glp, sd, eps, h, warm1_txk
                 )
             if use_metric:
-                sd = _ens_metric(y, dense)
+                sd = _ens_metric_blocks(y, dense, 1)
                 y, lp, glp, eps, h = warm_phase(
                     params, y, lp, glp, sd, eps, h, warm2_txk
                 )
