@@ -34,6 +34,22 @@ Methodology: warm up the compile, then time ``ITERS`` repeated calls on a
 resident device batch with ``block_until_ready``; fresh inputs per call
 are irrelevant (the computation is input-independent in structure and the
 batch stays on device, as it would inside a JAX-native MCMC loop).
+
+Wedge-proofing (the TPU tunnel can stall mid-run — CLAUDE.md; round 3
+lost its headline to exactly that, ``BENCH_r03.json`` rc=124):
+
+* candidates run EXPECTED-WINNER-FIRST (xla-high won r02 at 58.0M), so
+  the headline lands in the first timing slot;
+* every candidate outcome is appended to ``BENCH_partial.jsonl`` the
+  moment it lands — a killed run still leaves a usable record;
+* a provisional headline JSON line is printed (and flushed) as soon as
+  the first gate-passing candidate is timed, and re-printed whenever a
+  later candidate wins — consumers take the LAST line;
+* each candidate's gate+timing runs in a daemon worker thread bounded by
+  ``BENCH_CANDIDATE_TIMEOUT`` (default 300 s; first slot covers compile).
+  On timeout the device is presumed wedged: no further candidates are
+  attempted (they would hang on the same device) and the process exits
+  via ``os._exit`` so a hung runtime cannot block the recorded result.
 """
 
 from __future__ import annotations
@@ -47,11 +63,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _benchlib import append_partial, hard_exit, run_bounded
+
 BASELINE_SIGNALS_PER_SEC = 25.0  # reference: ~40 ms/signal, README.rst:11
 BATCH = 1 << 20
 ITERS = 20
 GATE_REL_TO_AMP = 1.5e-3
 _CHECK = 1 << 16  # rows used for the accuracy gate
+
+CANDIDATE_TIMEOUT_S = float(os.environ.get("BENCH_CANDIDATE_TIMEOUT", "300"))
+PARTIAL_PATH = os.environ.get("BENCH_PARTIAL", "BENCH_partial.jsonl")
 
 
 TRAIN_EPOCHS = 30  # fallback only: enough weight cancellation for the gate
@@ -91,10 +112,15 @@ def _build():
 
 
 def _candidates(model):
-    """(name, fn) pairs of jitted (params, raw)->signals implementations."""
+    """(name, fn) pairs of jitted (params, raw)->signals implementations.
+
+    Ordered expected-winner-first so a mid-run tunnel wedge cannot erase
+    the headline: xla-high won round 2 (58.0M vs 32.6M for the contract
+    tier — ``BENCH_r02.json``), so it is measured in the first slot.
+    """
     cands = [
-        ("xla-highest", model.predict_fn()),
         ("xla-high", model.predict_fn(precision=jax.lax.Precision.HIGH)),
+        ("xla-highest", model.predict_fn()),
         ("xla-default", model.predict_fn(precision=jax.lax.Precision.DEFAULT)),
     ]
     try:
@@ -117,8 +143,11 @@ def _candidates(model):
                 "vmem_limit_bytes": 110 * 1024 * 1024,
             },
         }
-        for tier, kw in tier_kwargs.items():
-            cands.append(
+        # fastest pallas tier (bf16x3) right after the expected winner;
+        # the exact-f32 kernel after the xla contract tier
+        for pos, tier in ((1, "high"), (3, "highest")):
+            cands.insert(
+                pos,
                 (
                     f"pallas-{tier}",
                     jax.jit(
@@ -127,10 +156,10 @@ def _candidates(model):
                             model.normalizer,
                             precision=tier,
                             weight_dtype=jnp.float32,
-                            **kw,
+                            **tier_kwargs[tier],
                         )
                     ),
-                )
+                ),
             )
     except Exception as e:  # pragma: no cover - kernel unavailable
         print(f"bench: pallas candidate unavailable: {e}", file=sys.stderr)
@@ -194,45 +223,103 @@ def _real_data_contract():
               f"{type(e).__name__}: {e}", file=sys.stderr)
 
 
+def _append_partial(rec: dict) -> None:
+    """Persist one candidate outcome immediately (crash/wedge survivable)."""
+    append_partial(PARTIAL_PATH, rec)
+
+
+def _emit_headline(best_name: str, sps: float) -> None:
+    """Print the metric JSON line NOW (provisional or final — consumers
+    take the last line printed)."""
+    print(
+        json.dumps(
+            {
+                "metric": f"signals_per_sec_batched_inference[{best_name}]",
+                "value": round(sps, 1),
+                "unit": "signals/s",
+                "vs_baseline": round(sps / BASELINE_SIGNALS_PER_SEC, 1),
+            }
+        ),
+        flush=True,
+    )
+
+
+def _measure(fn, params, x, ref, amp):
+    """Gate then time one candidate. Runs inside the bounded worker."""
+    err = float(
+        (np.abs(np.asarray(fn(params, x[:_CHECK])) - ref) / amp).max()
+    )
+    # NaN-safe: `not (err <= gate)` rejects NaN/Inf candidates,
+    # where `err > gate` would let them through (NaN > x is False)
+    if not (err <= GATE_REL_TO_AMP):
+        return {"err": err, "gate_rejected": True}
+    return {"err": err, "dt": _time_fn(fn, params, x)}
+
+
 def main():
     model, raw = _build()
     x = jnp.asarray(raw)
     params = model.params
 
-    ref = np.asarray(model.predict_fn()(params, x[:_CHECK]))
+    _append_partial({"event": "start", "batch": BATCH, "iters": ITERS})
+    status, ref = run_bounded(
+        lambda: np.asarray(model.predict_fn()(params, x[:_CHECK])),
+        CANDIDATE_TIMEOUT_S,
+    )
+    if status != "ok":
+        _append_partial({"event": "ref_failed", "status": status, "info": ref})
+        print(f"bench: contract reference computation {status} ({ref}) — "
+              "nothing can be gated", file=sys.stderr)
+        hard_exit(1)
     amp = np.abs(ref).max(axis=1, keepdims=True)
 
     best_name, best_dt = None, float("inf")
+    wedged = False
     for name, fn in _candidates(model):
-        try:
-            err = float(
-                (np.abs(np.asarray(fn(params, x[:_CHECK])) - ref) / amp).max()
-            )
-            # NaN-safe: `not (err <= gate)` rejects NaN/Inf candidates,
-            # where `err > gate` would let them through (NaN > x is False)
-            if not (err <= GATE_REL_TO_AMP):
-                print(
-                    f"bench: {name} gate-rejected "
-                    f"(err {err:.2e} > {GATE_REL_TO_AMP:.1e})",
-                    file=sys.stderr,
-                )
-                continue
-            dt = _time_fn(fn, params, x)
-            print(
-                f"bench: {name} err {err:.2e}, "
-                f"{BATCH / dt / 1e6:.1f}M signals/s",
-                file=sys.stderr,
-            )
-        except Exception as e:
-            print(f"bench: {name} failed: {e}", file=sys.stderr)
+        status, res = run_bounded(
+            lambda fn=fn: _measure(fn, params, x, ref, amp),
+            CANDIDATE_TIMEOUT_S,
+        )
+        if status == "timeout":
+            # device presumed wedged (CLAUDE.md tunnel failure mode) —
+            # further candidates would hang on the same device
+            _append_partial({"candidate": name, "outcome": "timeout",
+                             "timeout_s": CANDIDATE_TIMEOUT_S})
+            print(f"bench: {name} timed out after {CANDIDATE_TIMEOUT_S:.0f}s "
+                  "— device presumed wedged, stopping", file=sys.stderr)
+            wedged = True
+            break
+        if status == "error":
+            _append_partial({"candidate": name, "outcome": "error",
+                             "error": res})
+            print(f"bench: {name} failed: {res}", file=sys.stderr)
             continue
+        if res.get("gate_rejected"):
+            _append_partial({"candidate": name, "outcome": "gate_rejected",
+                             "err": res["err"]})
+            print(f"bench: {name} gate-rejected "
+                  f"(err {res['err']:.2e} > {GATE_REL_TO_AMP:.1e})",
+                  file=sys.stderr)
+            continue
+        dt = res["dt"]
+        _append_partial({"candidate": name, "outcome": "ok",
+                         "err": res["err"],
+                         "signals_per_sec": round(BATCH / dt, 1)})
+        print(f"bench: {name} err {res['err']:.2e}, "
+              f"{BATCH / dt / 1e6:.1f}M signals/s", file=sys.stderr)
         if dt < best_dt:
             best_name, best_dt = name, dt
+            # provisional headline the moment a gate-passing candidate
+            # lands — a later wedge can no longer erase the round
+            _emit_headline(best_name, BATCH / best_dt)
 
     if best_name is None:
-        raise RuntimeError(
-            "no benchmark candidate passed the accuracy gate and timing"
-        )
+        _append_partial({"event": "no_winner", "wedged": wedged})
+        print("bench: no candidate passed the accuracy gate and timing",
+              file=sys.stderr)
+        # a wedged runtime's atexit hooks can hang forever — hard-exit
+        hard_exit(1) if wedged else sys.exit(1)
+
     sps = BATCH / best_dt
     from tpu21cmvae.utils.profiling import matmul_flops_per_row, mfu_line
 
@@ -243,16 +330,13 @@ def main():
         ),
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": f"signals_per_sec_batched_inference[{best_name}]",
-                "value": round(sps, 1),
-                "unit": "signals/s",
-                "vs_baseline": round(sps / BASELINE_SIGNALS_PER_SEC, 1),
-            }
-        )
-    )
+    _append_partial({"event": "final", "winner": best_name,
+                     "signals_per_sec": round(sps, 1), "wedged": wedged})
+    _emit_headline(best_name, sps)  # final line == last line
+    if wedged:
+        # the headline is safe on stdout; do not let a hung runtime (or
+        # the real-data battery, which would also wedge) block exit
+        hard_exit(0)
     # after the metric line (never block it): prove the real-data golden
     # contract automatically in any environment that can supply the data
     _real_data_contract()

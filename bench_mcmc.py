@@ -70,6 +70,15 @@ Methodology matches bench.py: warm up the compile, then amortized
 repeated-call timing on a resident device batch with block_until_ready.
 ``--out PATH`` writes the full machine-readable tables (both sections)
 as JSON; stdout stays the driver's single selected-forward line.
+
+Wedge-proofing (shared with bench.py via :mod:`_benchlib`): candidates
+run expected-winner-first (xla-gram-high won r03 forward at 63.6M,
+pallas-gram-high won the grad table at 40.9M — ``BENCH_MCMC_r03.json``),
+every outcome lands in ``BENCH_MCMC_partial.jsonl`` immediately, a
+provisional headline prints as soon as a gate-passer is timed, each
+device-touching step is bounded by ``BENCH_CANDIDATE_TIMEOUT`` (300 s
+default), and on a presumed wedge the bench stops, writes whatever
+tables exist, re-prints the headline, and hard-exits.
 """
 
 from __future__ import annotations
@@ -83,6 +92,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _benchlib import append_partial, hard_exit, run_bounded
+
 BASELINE_LOGLIK_PER_SEC = 25.0  # reference: ~40 ms/signal, README.rst:11
 BATCH = 1 << 20
 ITERS = 20
@@ -93,6 +104,11 @@ GRAD_MAX_REL = 0.5  # hard per-row cap: rejects NaN/garbage, not kink rows
 _CHECK = 1 << 16  # far-field rows used for the accuracy gate
 _NEAR = 4096  # near-mode rows
 NOISE_VAR = 25.0  # mK² — a plausible radiometer noise level
+
+CANDIDATE_TIMEOUT_S = float(os.environ.get("BENCH_CANDIDATE_TIMEOUT", "300"))
+PARTIAL_PATH = os.environ.get(
+    "BENCH_MCMC_PARTIAL", "BENCH_MCMC_partial.jsonl"
+)
 
 PRETRAINED = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "pretrained", "direct_synthetic.npz"
@@ -132,6 +148,16 @@ def _build():
     return model, raw, near, jnp.asarray(obs, jnp.float32)
 
 
+#: expected-winner-first measurement order (BENCH_MCMC_r03.json) — the
+#: headline lands in the first timing slot so a tunnel wedge later in
+#: the sweep cannot erase the round
+_FWD_ORDER = (
+    "xla-gram-high", "pallas-gram-high", "xla-direct-high",
+    "xla-gram-highest", "pallas-gram-highest", "xla-direct-highest",
+    "pallas-direct-high", "pallas-direct-highest",
+)
+
+
 def _candidates(model, obs):
     from tpu21cmvae.ops.loglik import make_loglik
 
@@ -154,6 +180,8 @@ def _candidates(model, obs):
                     )
                     continue
                 cands.append((f"{backend}-{method}-{tier}", fn))
+    rank = {n: i for i, n in enumerate(_FWD_ORDER)}
+    cands.sort(key=lambda nf: rank.get(nf[0], len(_FWD_ORDER)))
     return cands
 
 
@@ -181,7 +209,23 @@ def _grad_candidates(model, obs):
     from tpu21cmvae.ops.loglik import make_loglik_and_grad
 
     specs = [
-        # autodiff baselines (backward tier == value tier by construction)
+        # expected-winner-first (pallas-gram-high won r03 at 40.9M) so a
+        # mid-sweep wedge cannot erase the grad headline
+        ("pallas-gram-high", dict(backend="pallas", precision="high")),
+        ("pallas-gram-high/gdefault", dict(backend="pallas",
+                                           precision="high",
+                                           grad_precision="default")),
+        # analytic gram backward (h@G reuse; independent backward tier)
+        ("xla-gram-an-high", dict(precision="high")),
+        ("xla-gram-an-high/gdefault", dict(precision="high",
+                                           grad_precision="default")),
+        ("xla-gram-an-highest", dict(precision="highest",
+                                     grad_precision="highest")),
+        # fused pallas exact-f32 tier
+        ("pallas-gram-highest", dict(backend="pallas", precision="highest",
+                                     grad_precision="highest")),
+        # autodiff baselines (backward tier == value tier by construction);
+        # xla-direct-ad-highest is the contract row the speedup quotes
         ("xla-direct-ad-highest", dict(method="direct", variant="autodiff",
                                        precision="highest")),
         ("xla-direct-ad-high", dict(method="direct", variant="autodiff",
@@ -190,19 +234,6 @@ def _grad_candidates(model, obs):
                                      precision="highest")),
         ("xla-gram-ad-high", dict(method="gram", variant="autodiff",
                                   precision="high")),
-        # analytic gram backward (h@G reuse; independent backward tier)
-        ("xla-gram-an-highest", dict(precision="highest",
-                                     grad_precision="highest")),
-        ("xla-gram-an-high", dict(precision="high")),
-        ("xla-gram-an-high/gdefault", dict(precision="high",
-                                           grad_precision="default")),
-        # fused pallas value+grad kernel (activations never leave VMEM)
-        ("pallas-gram-highest", dict(backend="pallas", precision="highest",
-                                     grad_precision="highest")),
-        ("pallas-gram-high", dict(backend="pallas", precision="high")),
-        ("pallas-gram-high/gdefault", dict(backend="pallas",
-                                           precision="high",
-                                           grad_precision="default")),
     ]
     cands = []
     for name, kw in specs:
@@ -226,6 +257,22 @@ def _time_fn(fn, params, x) -> float:
     return (time.perf_counter() - t0) / ITERS
 
 
+def _emit_headline(best_name: str, lps: float) -> None:
+    """Print the metric JSON line NOW (provisional or final — consumers
+    take the last line printed)."""
+    print(
+        json.dumps(
+            {
+                "metric": f"loglik_per_sec_batched[{best_name}]",
+                "value": round(lps, 1),
+                "unit": "loglik/s",
+                "vs_baseline": round(lps / BASELINE_LOGLIK_PER_SEC, 1),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main(out_path=None):
     model, raw, near, obs = _build()
     x = jnp.asarray(raw)
@@ -234,49 +281,91 @@ def main(out_path=None):
 
     from tpu21cmvae.ops.loglik import make_loglik, make_loglik_and_grad
 
+    append_partial(PARTIAL_PATH, {"event": "start", "batch": BATCH})
     contract = jax.jit(
         make_loglik(model.config, model.normalizer, obs, NOISE_VAR,
                     backend="xla", precision="highest")
     )
-    ref_far = np.asarray(contract(params, x[:_CHECK]))
-    ref_near = np.asarray(contract(params, xnear))
+    status, refs = run_bounded(
+        lambda: (np.asarray(contract(params, x[:_CHECK])),
+                 np.asarray(contract(params, xnear))),
+        CANDIDATE_TIMEOUT_S,
+    )
+    if status != "ok":
+        append_partial(PARTIAL_PATH,
+                       {"event": "ref_failed", "status": status,
+                        "info": refs})
+        print(f"bench_mcmc: contract reference computation {status} "
+              f"({refs}) — nothing can be gated", file=sys.stderr)
+        hard_exit(1)
+    ref_far, ref_near = refs
 
     rows = []
     best_name, best_dt = None, float("inf")
+    wedged = False
     for name, fn in _candidates(model, obs):
-        try:
+
+        def measure(fn=fn):
             viol = max(
                 _gate_violation(np.asarray(fn(params, x[:_CHECK])), ref_far),
                 _gate_violation(np.asarray(fn(params, xnear)), ref_near),
             )
             # NaN-safe: `not (viol <= 0)` rejects NaN/Inf candidates
             if not (viol <= 0.0):
-                print(
-                    f"bench_mcmc: {name} gate-rejected "
-                    f"(worst excess {viol:.2e} above allowance)",
-                    file=sys.stderr,
-                )
-                rows.append({"candidate": name, "gate_margin": round(-viol, 4),
-                             "rejected": True})
-                continue
-            dt = _time_fn(fn, params, x)
+                return {"viol": viol, "rejected": True}
+            return {"viol": viol, "dt": _time_fn(fn, params, x)}
+
+        status, res = run_bounded(measure, CANDIDATE_TIMEOUT_S)
+        if status == "timeout":
+            append_partial(PARTIAL_PATH,
+                           {"candidate": name, "outcome": "timeout",
+                            "timeout_s": CANDIDATE_TIMEOUT_S})
+            print(f"bench_mcmc: {name} timed out after "
+                  f"{CANDIDATE_TIMEOUT_S:.0f}s — device presumed wedged, "
+                  "stopping", file=sys.stderr)
+            wedged = True
+            break
+        if status == "error":
+            append_partial(PARTIAL_PATH, {"candidate": name,
+                                          "outcome": "error", "error": res})
+            print(f"bench_mcmc: {name} failed: {res}", file=sys.stderr)
+            continue
+        if res.get("rejected"):
+            viol = res["viol"]
             print(
-                f"bench_mcmc: {name} gate ok (margin {-viol:.2e}), "
-                f"{BATCH / dt / 1e6:.1f}M loglik/s",
+                f"bench_mcmc: {name} gate-rejected "
+                f"(worst excess {viol:.2e} above allowance)",
                 file=sys.stderr,
             )
+            append_partial(PARTIAL_PATH,
+                           {"candidate": name, "outcome": "gate_rejected",
+                            "gate_margin": round(-viol, 4)})
             rows.append({"candidate": name, "gate_margin": round(-viol, 4),
-                         "mloglik_per_s": round(BATCH / dt / 1e6, 1)})
-        except Exception as e:
-            print(f"bench_mcmc: {name} failed: {e}", file=sys.stderr)
+                         "rejected": True})
             continue
+        viol, dt = res["viol"], res["dt"]
+        print(
+            f"bench_mcmc: {name} gate ok (margin {-viol:.2e}), "
+            f"{BATCH / dt / 1e6:.1f}M loglik/s",
+            file=sys.stderr,
+        )
+        append_partial(PARTIAL_PATH,
+                       {"candidate": name, "outcome": "ok",
+                        "gate_margin": round(-viol, 4),
+                        "mloglik_per_s": round(BATCH / dt / 1e6, 1)})
+        rows.append({"candidate": name, "gate_margin": round(-viol, 4),
+                     "mloglik_per_s": round(BATCH / dt / 1e6, 1)})
         if dt < best_dt:
             best_name, best_dt = name, dt
+            # provisional headline — a later wedge cannot erase the round
+            _emit_headline(best_name, BATCH / best_dt)
 
     if best_name is None:
-        raise RuntimeError(
-            "no benchmark candidate passed the accuracy gate and timing"
-        )
+        append_partial(PARTIAL_PATH, {"event": "no_winner",
+                                      "wedged": wedged})
+        print("bench_mcmc: no candidate passed the accuracy gate and "
+              "timing", file=sys.stderr)
+        hard_exit(1) if wedged else sys.exit(1)
     lps = BATCH / best_dt
     from tpu21cmvae.utils.profiling import matmul_flops_per_row, mfu_line
 
@@ -292,55 +381,100 @@ def main(out_path=None):
     )
 
     # -- gradient table (∇logL — the HMC inner loop) ----------------------
-    grad_ref_fn = jax.jit(make_loglik_and_grad(
-        model.config, model.normalizer, obs, NOISE_VAR,
-        backend="xla", method="direct", variant="autodiff",
-        precision="highest",
-    ))
-    gref_far = tuple(np.asarray(a) for a in grad_ref_fn(params, x[:_CHECK]))
-    gref_near = tuple(np.asarray(a) for a in grad_ref_fn(params, xnear))
-
     grad_rows = []
     gbest_name, gbest_dt = None, float("inf")
-    for name, fn in _grad_candidates(model, obs):
-        try:
-            vf, gf = fn(params, x[:_CHECK])
-            vn, gn = fn(params, xnear)
-            v_viol = max(
-                _gate_violation(np.asarray(vf), gref_far[0]),
-                _gate_violation(np.asarray(vn), gref_near[0]),
-            )
-            g_viol = max(
-                _grad_gate_violation(np.asarray(gf), gref_far[1]),
-                _grad_gate_violation(np.asarray(gn), gref_near[1]),
-            )
-            if not (v_viol <= 0.0 and g_viol <= 0.0):
+    gref = None
+    if not wedged:
+        grad_ref_fn = jax.jit(make_loglik_and_grad(
+            model.config, model.normalizer, obs, NOISE_VAR,
+            backend="xla", method="direct", variant="autodiff",
+            precision="highest",
+        ))
+        status, gref = run_bounded(
+            lambda: (
+                tuple(np.asarray(a) for a in grad_ref_fn(params, x[:_CHECK])),
+                tuple(np.asarray(a) for a in grad_ref_fn(params, xnear)),
+            ),
+            CANDIDATE_TIMEOUT_S,
+        )
+        if status != "ok":
+            append_partial(PARTIAL_PATH,
+                           {"event": "grad_ref_failed", "status": status,
+                            "info": gref})
+            print(f"bench_mcmc: grad reference {status} ({gref}) — grad "
+                  "table skipped", file=sys.stderr)
+            wedged = wedged or status == "timeout"
+            gref = None
+    if gref is not None:
+        gref_far, gref_near = gref
+
+        for name, fn in _grad_candidates(model, obs):
+
+            def gmeasure(fn=fn):
+                vf, gf = fn(params, x[:_CHECK])
+                vn, gn = fn(params, xnear)
+                v_viol = max(
+                    _gate_violation(np.asarray(vf), gref_far[0]),
+                    _gate_violation(np.asarray(vn), gref_near[0]),
+                )
+                g_viol = max(
+                    _grad_gate_violation(np.asarray(gf), gref_far[1]),
+                    _grad_gate_violation(np.asarray(gn), gref_near[1]),
+                )
+                if not (v_viol <= 0.0 and g_viol <= 0.0):
+                    return {"v_viol": v_viol, "g_viol": g_viol,
+                            "rejected": True}
+                return {"v_viol": v_viol, "g_viol": g_viol,
+                        "dt": _time_fn(fn, params, x)}
+
+            status, res = run_bounded(gmeasure, CANDIDATE_TIMEOUT_S)
+            if status == "timeout":
+                append_partial(PARTIAL_PATH,
+                               {"candidate": f"grad:{name}",
+                                "outcome": "timeout",
+                                "timeout_s": CANDIDATE_TIMEOUT_S})
+                print(f"bench_mcmc: grad {name} timed out — device "
+                      "presumed wedged, stopping", file=sys.stderr)
+                wedged = True
+                break
+            if status == "error":
+                append_partial(PARTIAL_PATH,
+                               {"candidate": f"grad:{name}",
+                                "outcome": "error", "error": res})
+                print(f"bench_mcmc: grad {name} failed: {res}",
+                      file=sys.stderr)
+                continue
+            v_viol, g_viol = res["v_viol"], res["g_viol"]
+            if res.get("rejected"):
                 print(
                     f"bench_mcmc: grad {name} gate-rejected (value excess "
                     f"{v_viol:.2e}, grad excess {g_viol:.2e})",
                     file=sys.stderr,
                 )
+                append_partial(PARTIAL_PATH,
+                               {"candidate": f"grad:{name}",
+                                "outcome": "gate_rejected"})
                 grad_rows.append({
                     "candidate": name, "value_margin": round(-v_viol, 4),
                     "grad_margin": round(-g_viol, 4), "rejected": True,
                 })
                 continue
-            dt = _time_fn(fn, params, x)
+            dt = res["dt"]
             print(
                 f"bench_mcmc: grad {name} gates ok (value {-v_viol:.2e}, "
                 f"grad {-g_viol:.2e}), {BATCH / dt / 1e6:.1f}M valgrad/s",
                 file=sys.stderr,
             )
+            append_partial(PARTIAL_PATH,
+                           {"candidate": f"grad:{name}", "outcome": "ok",
+                            "mvalgrad_per_s": round(BATCH / dt / 1e6, 1)})
             grad_rows.append({
                 "candidate": name, "value_margin": round(-v_viol, 4),
                 "grad_margin": round(-g_viol, 4),
                 "mvalgrad_per_s": round(BATCH / dt / 1e6, 1),
             })
-        except Exception as e:
-            print(f"bench_mcmc: grad {name} failed: {e}", file=sys.stderr)
-            continue
-        if dt < gbest_dt:
-            gbest_name, gbest_dt = name, dt
+            if dt < gbest_dt:
+                gbest_name, gbest_dt = name, dt
 
     grad_section = None
     if gbest_name is not None:
@@ -390,6 +524,7 @@ def main(out_path=None):
             "hardware": f"{jax.devices()[0].device_kind} "
                         f"({len(jax.devices())} chip)",
             "batch": BATCH,
+            "wedged": wedged,
             "gate": (
                 f"|dlogL| <= {GATE_ATOL} + {GATE_RTOL} * depth-below-mode, "
                 "far + near sets"
@@ -398,16 +533,13 @@ def main(out_path=None):
         with open(out_path, "w") as f:
             json.dump(report, f, indent=1)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"loglik_per_sec_batched[{best_name}]",
-                "value": round(lps, 1),
-                "unit": "loglik/s",
-                "vs_baseline": round(lps / BASELINE_LOGLIK_PER_SEC, 1),
-            }
-        )
-    )
+    append_partial(PARTIAL_PATH, {"event": "final", "winner": best_name,
+                                  "mloglik_per_s": round(lps / 1e6, 1),
+                                  "grad_winner": gbest_name,
+                                  "wedged": wedged})
+    _emit_headline(best_name, lps)  # final line == last line
+    if wedged:
+        hard_exit(0)
 
 
 if __name__ == "__main__":

@@ -35,6 +35,10 @@ def main():
     )
     ap.add_argument("--out-dir", default=None,
                     help="where to write the artifacts (default: tmp)")
+    ap.add_argument("--obs", default=None, metavar="FILE",
+                    help="observation spec file (same formats as "
+                         "serve --warmup-obs); default: a synthetic "
+                         "noisy observation of the model itself")
     args = ap.parse_args()
 
     from tpu21cmvae import (
@@ -50,19 +54,27 @@ def main():
     os.makedirs(out, exist_ok=True)
 
     rng = np.random.default_rng(0)
-    theta = np.asarray(
-        [[0.1, 30.0, 1.0, 0.06, 1.2, 19.0, 30.0]], np.float32
-    )
-    obs = np.asarray(model.predict(theta[0]))
-    obs_noisy = obs + rng.normal(0.0, 5.0, obs.shape)
+    if args.obs is not None:
+        from tpu21cmvae.serve import load_obs_specs
+
+        specs = load_obs_specs(args.obs)
+        obs_noisy, noise_var = specs[0]
+        noise_var = float(noise_var)
+    else:
+        theta = np.asarray(
+            [[0.1, 30.0, 1.0, 0.06, 1.2, 19.0, 30.0]], np.float32
+        )
+        obs = np.asarray(model.predict(theta[0]))
+        obs_noisy = obs + rng.normal(0.0, 5.0, obs.shape)
+        noise_var = 25.0
 
     # --- producer side: three artifacts, one call each -----------------
     p_pred = save_predict_artifact(model, os.path.join(out, "predict.bin"))
     p_ll = save_loglik_artifact(
-        model, os.path.join(out, "loglik.bin"), obs_noisy, 25.0
+        model, os.path.join(out, "loglik.bin"), obs_noisy, noise_var
     )
     p_vg = save_valgrad_artifact(
-        model, os.path.join(out, "valgrad.bin"), obs_noisy, 25.0
+        model, os.path.join(out, "valgrad.bin"), obs_noisy, noise_var
     )
     for p in (p_pred, p_ll, p_vg):
         print(f"wrote {p} ({os.path.getsize(p):,} bytes)")

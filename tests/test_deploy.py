@@ -34,11 +34,13 @@ def test_predict_artifact_roundtrip(tmp_path, direct, rng):
     assert set(fn.platforms) == {"cpu", "tpu"}
     assert fn.n_in == 7
     # symbolic batch: one artifact, several batch sizes, no re-export
+    n_bins = direct.normalizer.signal_mean.shape[-1]
     for n in (1, 5, 13):
         raw = rng.uniform(0.2, 0.8, (n, 7)).astype(np.float32)
         got = fn(raw)
         want = direct.predict(raw)
-        assert got.shape == (n, 451) if n > 1 else True
+        # 2-D input is never squeezed, so this holds for n == 1 too
+        assert got.shape == (n, n_bins)
         np.testing.assert_allclose(got, np.atleast_2d(want), atol=1e-3)
 
 

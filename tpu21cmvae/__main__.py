@@ -178,7 +178,15 @@ def cmd_export_artifact(args):
     from tpu21cmvae import deploy
 
     model = _load_model(args.model)
-    platforms = tuple(p for p in args.platforms.split(",") if p)
+    platforms = tuple(
+        p.strip() for p in args.platforms.split(",") if p.strip()
+    )
+    known = {"cpu", "tpu", "cuda", "rocm"}
+    if not platforms or not set(platforms) <= known:
+        bad = sorted(set(platforms) - known) or ["(empty)"]
+        print(f"--platforms must be a comma-separated subset of "
+              f"{sorted(known)}; got {','.join(bad)}", file=sys.stderr)
+        return 2
     if args.obs is not None:
         from tpu21cmvae.serve import load_obs_specs
 
