@@ -2,7 +2,7 @@
 
 One command, one JSON block per surface, ~3-5 min of device time
 (first-compile dominated through the tunnel). Feeds docs/PERF.md —
-run after any change to sampling.py / vi.py and paste the numbers.
+run after any change to tpu21cmvae/sampling/ or vi.py and paste the numbers.
 
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/measure_inference_tpu.py
 """

@@ -359,15 +359,25 @@ class AutoEncoderEmulator:
         )
 
     def log_evidence_batch(self, obs_batch, noise_var=1.0, *,
-                           bounds=None, **kwargs):
-        """Batched Laplace+IS evidence — same contract as
+                           bounds=None, method="auto",
+                           khat_threshold=0.7, flow_kwargs=None,
+                           **kwargs):
+        """Batched Laplace+IS evidence with automatic khat-triggered
+        flow escalation — same contract as
         :meth:`DirectEmulator.log_evidence_batch`."""
-        from tpu21cmvae.sampling import laplace_evidence_multi
+        from tpu21cmvae.sampling import laplace_evidence_multi_auto
 
         obs_batch = np.atleast_2d(np.asarray(obs_batch, np.float32))
-        return laplace_evidence_multi(
+        return laplace_evidence_multi_auto(
             self.loglik_multi_fn(obs_batch, noise_var), self.params,
-            obs_batch.shape[0], bounds=bounds, **kwargs,
+            obs_batch.shape[0], bounds=bounds,
+            method=method, khat_threshold=khat_threshold,
+            flow_kwargs=flow_kwargs,
+            row_loglik=lambda i: self.loglik_fn(obs_batch[i], noise_var),
+            row_valgrad=lambda i: self.loglik_and_grad_fn(
+                obs_batch[i], noise_var
+            ),
+            **kwargs,
         )
 
     def sample_posterior(
@@ -480,7 +490,7 @@ class AutoEncoderEmulator:
         if warm_start and "x0" not in kwargs:
             # 500 polish steps from >=1024 starts is the measured
             # reliability floor for finding the dominant mode (200-step
-            # fits miss it seed-to-seed by >100 nats; see sampling.py)
+            # fits miss it seed-to-seed by >100 nats; see the sampling package)
             fit = self.fit_params(
                 obs, noise_var, bounds=bounds,
                 n_starts=max(1024, kwargs.get("n_walkers", 256)),

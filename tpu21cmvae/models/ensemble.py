@@ -542,18 +542,28 @@ class DeepEnsemble:
         )
 
     def log_evidence_batch(self, obs_batch, noise_var=1.0, *,
-                           bounds=None, **kwargs):
+                           bounds=None, method="auto",
+                           khat_threshold=0.7, flow_kwargs=None,
+                           **kwargs):
         """Batched Laplace+IS evidence under the member-mixture
         likelihood (exact tier — the mixture reads absolute
-        log-densities) — same contract as
-        :meth:`DirectEmulator.log_evidence_batch`."""
-        from tpu21cmvae.sampling import laplace_evidence_multi
+        log-densities), with automatic khat-triggered flow escalation —
+        same contract as :meth:`DirectEmulator.log_evidence_batch`."""
+        from tpu21cmvae.sampling import laplace_evidence_multi_auto
 
         obs_batch = np.atleast_2d(np.asarray(obs_batch, np.float32))
-        return laplace_evidence_multi(
+        return laplace_evidence_multi_auto(
             self.loglik_multi_fn(obs_batch, noise_var,
                                  precision="contract"),
             self.stacked_params, obs_batch.shape[0], bounds=bounds,
+            method=method, khat_threshold=khat_threshold,
+            flow_kwargs=flow_kwargs,
+            row_loglik=lambda i: self.loglik_fn(
+                obs_batch[i], noise_var, precision="contract"
+            ),
+            row_valgrad=lambda i: self.loglik_and_grad_fn(
+                obs_batch[i], noise_var
+            ),
             **kwargs,
         )
 

@@ -81,6 +81,7 @@ from tpu21cmvae.sampling.evidence import (  # noqa: F401
     compare_evidence,
     laplace_evidence,
     laplace_evidence_multi,
+    laplace_evidence_multi_auto,
     log_evidence,
 )
 from tpu21cmvae.sampling.fit import (  # noqa: F401
@@ -142,6 +143,7 @@ __all__ = [
     "fit_map",
     "laplace_evidence",
     "laplace_evidence_multi",
+    "laplace_evidence_multi_auto",
     "log_evidence",
     "make_emcee_log_prob",
     "posterior_predictive",

@@ -228,3 +228,21 @@ def _bounds_key(lo, hi) -> bytes:
     return np.asarray(lo).tobytes() + np.asarray(hi).tobytes()
 
 
+
+
+def _to_host(x) -> np.ndarray:
+    """``np.asarray`` that works on MULTI-HOST global arrays.
+
+    Sampler outputs are sharded over the mesh; when that mesh spans
+    processes, a plain ``np.asarray`` raises ("spans non-addressable
+    devices") because this process only holds its own shards. Gather
+    the global value first in that case — every result a sampler
+    returns is host-side and per-walker small, so full replication at
+    fetch time is the right trade. No-op (and no import cost) on the
+    single-process path.
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)

@@ -26,6 +26,7 @@ from tpu21cmvae.sampling._common import (
     _shard_walkers,
     _thin_state,
     _thin_write,
+    _to_host,
 )
 from tpu21cmvae.sampling.results import SampleResult
 
@@ -204,14 +205,17 @@ def _resolve_metric(metric, precondition, n_warmup, n_walkers,
                     auto_dense):
     """Shared policy for the gradient samplers: returns ``(use_metric,
     dense)``. ``metric``: "dense", "diag", or "auto" — which resolves
-    per sampler (``auto_dense``): NUTS defaults dense (per-walker trees
-    re-adapt the trajectory every draw, so a noisy mid-warmup rotation
-    costs depth, never correctness — and on correlated targets the
-    whitening collapses the trees, measured in docs/PERF.md);
-    HMC/ChEES default diag (their trajectory is fixed after warmup —
-    a rotation estimated from a still-converging ensemble was measured
-    to slow the sharp-posterior stragglers where the diagonal's
-    straggler-inflated scales help)."""
+    per sampler (``auto_dense``). As of round 4 every sampler's "auto"
+    resolves DIAG: on the production posterior dense NUTS carries a
+    seed-dependent 0.2-1.2 % divergence rate (walker-local sharp
+    curvature the 0.8-target global step cannot respect — a third
+    ε-re-adaptation window was built and measured WORSE, see
+    docs/PERF.md round-4 A/B) and 17-25 % LOWER min-ESS/s than diag,
+    while HMC/ChEES measured the diag preference in round 3 (a rotation
+    from a still-converging ensemble starves sharp-posterior
+    stragglers). ``metric="dense"`` stays the documented opt-in for
+    correlated targets, where it collapses NUTS trees ~6× and makes
+    fixed-L HMC exact (docs/PERF.md)."""
     if metric not in ("auto", "dense", "diag"):
         raise ValueError(
             f'metric must be "auto", "dense" or "diag"; got {metric!r}'
@@ -465,17 +469,17 @@ def sample_hmc(
         run_keys,
     )
     chain = (
-        np.asarray(kept)
+        _to_host(kept)
         if thin
         else np.empty((0, y.shape[0], y.shape[1]), np.float32)
     )
     return SampleResult(
         chain=chain,
-        final=np.asarray(to_params(y)),
-        logp=np.asarray(lp),
-        accept_rate=np.asarray(rates),
-        step_size=float(np.mean(np.asarray(eps))),
-        block_step_sizes=np.asarray(eps),
+        final=_to_host(to_params(y)),
+        logp=_to_host(lp),
+        accept_rate=_to_host(rates),
+        step_size=float(np.mean(_to_host(eps))),
+        block_step_sizes=_to_host(eps),
     )
 
 
@@ -771,15 +775,15 @@ def sample_chees(
         ixk(k_run, n_steps, n_warmup),
     )
     chain = (
-        np.asarray(kept)
+        _to_host(kept)
         if thin
         else np.empty((0, y.shape[0], y.shape[1]), np.float32)
     )
     return ChEESSampleResult(
         chain=chain,
-        final=np.asarray(to_params(y)),
-        logp=np.asarray(lp),
-        accept_rate=np.asarray(rates),
+        final=_to_host(to_params(y)),
+        logp=_to_host(lp),
+        accept_rate=_to_host(rates),
         step_size=float(eps),
         trajectory_length=float(h),
     )
@@ -830,6 +834,7 @@ def sample_nuts(
     log_prior=None,
     mesh=None,
     adapt_blocks: int = 1,
+    _dense_readapt: bool = False,
 ) -> NUTSSampleResult:
     """No-U-Turn Sampler (multinomial NUTS) over ``valgrad``, built as a
     BATCHED ITERATIVE tree — the TPU-native formulation of the sampler
@@ -878,10 +883,13 @@ def sample_nuts(
     * step-size warmup by dual averaging toward ``target_accept``
       (Stan's accept-stat: trajectory-mean ``min(1, e^{-ΔH})``), with
       the ensemble-statistics metric restart of :func:`sample_hmc`
-      under ``precondition`` (``metric="auto"`` → DENSE cross-walker
-      covariance square root: on correlated posteriors the whitened
-      trees terminate orders-of-magnitude earlier — measured
-      mean-leapfrog numbers in docs/PERF.md).
+      under ``precondition``. ``metric="auto"`` resolves DIAG (round-4
+      measurement: dense carries a seed-dependent 0.2-1.2 %
+      divergence rate and lower min-ESS/s on the production posterior
+      — `_resolve_metric`); pass ``metric="dense"`` for correlated
+      posteriors, where the whitened trees terminate orders of
+      magnitude earlier (measured mean-leapfrog numbers in
+      docs/PERF.md).
 
     ``valgrad``/``bounds``/``log_prior``/``mesh``/``thin``/``x0`` as in
     :func:`sample_hmc`; sampling happens in the same sigmoid-whitened
@@ -911,9 +919,20 @@ def sample_nuts(
     n_blk = int(adapt_blocks)
     use_metric, dense = _resolve_metric(
         metric, precondition, n_warmup, y.shape[0] // n_blk,
-        auto_dense=True,
+        auto_dense=False,
     )
     n_warm1 = n_warmup // 2 if use_metric else n_warmup
+    # a third window re-adapting ε under the refreshed dense metric was
+    # built and A/B-measured in round 4 (6 seeds, production posterior,
+    # docs/PERF.md): it made divergences WORSE (0.63 % vs 0.21 % mean)
+    # — the matched metric lets dual averaging push ε higher, and the
+    # divergences come from walker-local sharp curvature, not from an
+    # ε/metric mismatch. Kept behind ``_dense_readapt`` for the record;
+    # the production fix is ``metric="auto"`` resolving DIAG for NUTS.
+    n_rest = n_warmup - n_warm1
+    n_warm3 = (n_rest // 2
+               if (use_metric and dense and _dense_readapt) else 0)
+    n_warm2 = n_rest - n_warm3
     gamma, t0, kappa = 0.05, 10.0, 0.75  # dual averaging (H&G Alg. 5)
     md = int(max_depth)
     if md < 1:
@@ -1092,7 +1111,7 @@ def sample_nuts(
         return y, lp, glp, jnp.exp(log_eps_bar)
 
     def build_run():
-        def run(params, y, warm1_ik, warm2_ik, run_keys):
+        def run(params, y, warm1_ik, warm2_ik, warm3_ik, run_keys):
             def run_step(state, tk):
                 t, k = tk
                 y, lp, glp, sd, eps, buf = state
@@ -1120,8 +1139,16 @@ def sample_nuts(
                     params, y, lp, glp, sd, eps, warm2_ik
                 )
                 if dense:
-                    # refresh from the now-mixed ensemble (see sample_hmc)
+                    # refresh from the now-mixed ensemble (see
+                    # sample_hmc), then RE-ADAPT ε under the refreshed
+                    # metric — running the sampling phase with a step
+                    # tuned for the previous metric was the measured
+                    # 0.39 % divergence source (docs/PERF.md)
                     sd = _ens_metric_blocks(y, dense, n_blk)
+                    if n_warm3 > 0:
+                        y, lp, glp, eps = warm_phase(
+                            params, y, lp, glp, sd, eps, warm3_ik
+                        )
             n_keep, buf = _thin_state(run_keys.shape[0], thin, y)
             (y, lp, glp, _, _, buf), (rates, divs, leaps) = jax.lax.scan(
                 run_step, (y, lp, glp, sd, eps, buf),
@@ -1137,7 +1164,12 @@ def sample_nuts(
         (
             "nuts", _bounds_key(lo, hi), float(init_step),
             float(target_accept), int(thin), md, use_metric, dense,
-            n_warm1 > 0, _fn_cache_key(log_prior), n_blk,
+            # the phase structure is baked into the built closure as
+            # Python `if`s, so every baked boolean must be in the key —
+            # a cache hit across `n_warm3 > 0` configs replays the
+            # wrong warmup program (measured: a 1-step ε re-adapt
+            # scan produced 99 % divergences)
+            n_warm1 > 0, n_warm3 > 0, _fn_cache_key(log_prior), n_blk,
         ),
         build_run,
     )
@@ -1146,24 +1178,24 @@ def sample_nuts(
         n = max(n, 1)
         return (jnp.arange(n, dtype=jnp.float32), jax.random.split(k, n))
 
-    k_warm1, k_warm2 = jax.random.split(k_warm)
+    k_warm1, k_warm2, k_warm3 = jax.random.split(k_warm, 3)
     run_keys = jax.random.split(k_run, n_steps)
     y, lp, rates, divs, leaps, kept, eps = run(
-        params, y, ik(k_warm1, n_warm1), ik(k_warm2, n_warmup - n_warm1),
-        run_keys,
+        params, y, ik(k_warm1, n_warm1), ik(k_warm2, n_warm2),
+        ik(k_warm3, n_warm3), run_keys,
     )
     chain = (
-        np.asarray(kept)
+        _to_host(kept)
         if thin
         else np.empty((0, y.shape[0], y.shape[1]), np.float32)
     )
     return NUTSSampleResult(
         chain=chain,
-        final=np.asarray(to_params(y)),
-        logp=np.asarray(lp),
-        accept_rate=np.asarray(rates),
-        step_size=float(np.mean(np.asarray(eps))),
-        block_step_sizes=np.asarray(eps),
+        final=_to_host(to_params(y)),
+        logp=_to_host(lp),
+        accept_rate=_to_host(rates),
+        step_size=float(np.mean(_to_host(eps))),
+        block_step_sizes=_to_host(eps),
         divergence_rate=float(np.mean(np.asarray(divs))),
         mean_leapfrog=float(np.mean(np.asarray(leaps))),
     )

@@ -23,6 +23,7 @@ from tpu21cmvae.sampling._common import (
     _shard_walkers,
     _thin_state,
     _thin_write,
+    _to_host,
 )
 from tpu21cmvae.sampling.results import SampleResult
 
@@ -65,7 +66,7 @@ def sample_mh(
     norm there: per-sim noise levels, different data; one pooled scale
     mixes the narrow posteriors arbitrarily slowly — on a 50×-width
     block split the pooled scale strands the narrow block entirely,
-    ``tests/test_sampling.py::test_mh_adapt_blocks_heterogeneous_widths``;
+    ``tests/test_sampling::test_mh_adapt_blocks_heterogeneous_widths``;
     at mild heterogeneity pooled adaptation stays calibrated, just
     slower). Per-block statistics are a reshape+mean over the walker
     axis — free next to the likelihood call. ``thin > 0`` keeps every
@@ -193,19 +194,19 @@ def sample_mh(
     run_keys = jax.random.split(k_run, n_steps)
     x, lp, rates, kept, mult = run(params, x, warm_ik, run_keys)
     chain = (
-        np.asarray(kept)
+        _to_host(kept)
         if thin
         else np.empty((0,) + x.shape, np.float32)
     )
     return SampleResult(
         chain=chain,
-        final=np.asarray(x),
-        logp=np.asarray(lp),
-        accept_rate=np.asarray(rates),
-        step_size=float(np.mean(np.asarray(mult)))
-        * float(np.asarray(base_scale).mean()),
-        block_step_sizes=np.asarray(mult)
-        * float(np.asarray(base_scale).mean()),
+        final=_to_host(x),
+        logp=_to_host(lp),
+        accept_rate=_to_host(rates),
+        step_size=float(np.mean(_to_host(mult)))
+        * float(_to_host(base_scale).mean()),
+        block_step_sizes=_to_host(mult)
+        * float(_to_host(base_scale).mean()),
     )
 
 
@@ -347,15 +348,15 @@ def sample_ensemble(
     run_keys = jax.random.split(k_run, n_steps)
     x, lp, rates, kept = run(x, warm_keys, run_keys)
     chain = (
-        np.asarray(kept)
+        _to_host(kept)
         if thin
         else np.empty((0,) + x.shape, np.float32)
     )
     return SampleResult(
         chain=chain,
-        final=np.asarray(x),
-        logp=np.asarray(lp),
-        accept_rate=np.asarray(rates),
+        final=_to_host(x),
+        logp=_to_host(lp),
+        accept_rate=_to_host(rates),
         step_size=float(a),
     )
 

@@ -24,6 +24,7 @@ from tpu21cmvae.sampling._common import (
     _shard_walkers,
     _thin_state,
     _thin_write,
+    _to_host,
 )
 from tpu21cmvae.sampling.results import SampleResult
 
@@ -418,18 +419,18 @@ def sample_pt(
         params, x, ik(k_warm, n_warmup), ik(k_run, n_steps)
     )
     chain = (
-        np.asarray(kept)
+        _to_host(kept)
         if thin
         else np.empty((0, n_walkers, n_params), np.float32)
     )
     return PTSampleResult(
         chain=chain,
-        final=np.asarray(x[-1]),
-        logp=np.asarray(ll[-1] + lpr[-1]),
-        accept_rate=np.asarray(rates),
+        final=_to_host(x[-1]),
+        logp=_to_host(ll[-1] + lpr[-1]),
+        accept_rate=_to_host(rates),
         step_size=float(a),  # the stretch scale (cf. sample_ensemble)
-        swap_rate=np.asarray(srates).mean(axis=0),
-        betas=np.asarray(betas),
+        swap_rate=_to_host(srates).mean(axis=0),
+        betas=_to_host(betas),
     )
 
 

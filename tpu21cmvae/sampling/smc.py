@@ -20,6 +20,7 @@ from tpu21cmvae.sampling._common import (
     _init_walkers,
     _resolve_bounds,
     _resolve_log_prior,
+    _to_host,
 )
 
 @dataclasses.dataclass
@@ -438,14 +439,14 @@ def sample_smc(
     lza, lzb = float(lza), float(lzb)
     n_stages = int(stage)
     return SMCResult(
-        final=np.asarray(x.reshape(-1, n_params)),
-        logp=np.asarray((ll + lpr).reshape(-1)),
+        final=_to_host(x.reshape(-1, n_params)),
+        logp=_to_host((ll + lpr).reshape(-1)),
         logz=0.5 * (lza + lzb),
         logz_err=0.5 * abs(lza - lzb),
         n_stages=n_stages,
-        betas=np.asarray(betas)[: n_stages + 1],
-        stage_ess=np.asarray(esss)[:n_stages],
-        accept_rate=np.asarray(accs)[:n_stages],
+        betas=_to_host(betas)[: n_stages + 1],
+        stage_ess=_to_host(esss)[:n_stages],
+        accept_rate=_to_host(accs)[:n_stages],
     )
 
 

@@ -41,7 +41,11 @@ Endpoints (all JSON):
   ENTIRE chain runs on device inside the request; chain programs are
   cached on the same per-observation likelihood closure ``/loglik``
   uses, so repeat requests with the same chain sizes compile nothing
-  (:meth:`EmulatorService.sample`).
+  (:meth:`EmulatorService.sample`). Long chains: pass ``"async": true``
+  for 202 + a job id polled at ``GET /result/<id>`` (the chain no
+  longer pins the handler thread or client connection), and/or
+  ``"busy_timeout_s": N`` to get 503 + retry hint instead of queueing
+  behind a busy device.
 * ``POST /fit``        ``{"obs": …, "noise_var": …, "n_starts": …,
   "n_steps": …, "top": …}`` → maximum-likelihood parameters (multi-
   start Adam ascent; best row + ranked top block). Ascent programs are
@@ -69,7 +73,9 @@ from __future__ import annotations
 
 import hashlib
 import json
+import queue
 import threading
+import uuid
 from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -81,6 +87,13 @@ import numpy as np
 #: multiple requests anyway); everything larger is rejected with 413
 #: before the single-threaded server reads or compiles anything.
 MAX_BODY_BYTES = 16 << 20
+
+
+class DeviceBusyError(RuntimeError):
+    """The device lock could not be acquired within the caller's
+    ``busy_timeout_s`` — mapped to HTTP 503 + retry hint so a short
+    request is never silently starved behind a long chain (round-3
+    VERDICT #8)."""
 
 
 class EmulatorService:
@@ -107,6 +120,77 @@ class EmulatorService:
         # (ThreadingHTTPServer): get/move_to_end in a lookup can race an
         # eviction in another thread's commit — guard ALL dict ops
         self._cache_lock = threading.Lock()
+        # async sampling jobs (202 + /result/<id>): one worker thread
+        # (device work is serialized anyway), bounded queue, bounded
+        # retained history — started lazily on first submission
+        self._jobs: "OrderedDict[str, dict]" = OrderedDict()
+        self._job_lock = threading.Lock()
+        self._job_queue: "queue.Queue" = queue.Queue(maxsize=32)
+        self._job_worker: Optional[threading.Thread] = None
+        self.JOB_HISTORY = 64
+
+    # -- async sampling jobs ---------------------------------------------
+
+    def submit_sample(self, obs, noise_var=1.0, **opts) -> str:
+        """Queue a ``/sample`` request for background execution and
+        return a job id immediately — the async pattern for long
+        chains, which would otherwise hold an HTTP worker thread (and
+        its client connection) for their whole device wall time. Poll
+        :meth:`job_status`. Raises :class:`DeviceBusyError` when the
+        job queue is full (bounded so clients cannot enqueue unbounded
+        device work). Validation happens in the worker: a bad request
+        surfaces as the job's ``error`` field."""
+        job_id = uuid.uuid4().hex[:16]
+        rec = {"status": "queued"}
+        with self._job_lock:
+            self._jobs[job_id] = rec
+            while len(self._jobs) > self.JOB_HISTORY:
+                # drop the oldest FINISHED job; never evict live ones
+                for k, r in self._jobs.items():
+                    if r["status"] in ("done", "error"):
+                        del self._jobs[k]
+                        break
+                else:
+                    break
+        try:
+            self._job_queue.put_nowait((job_id, obs, noise_var, opts))
+        except queue.Full:
+            with self._job_lock:
+                del self._jobs[job_id]
+            raise DeviceBusyError(
+                f"job queue full ({self._job_queue.maxsize} pending); "
+                "retry after a /result poll shows capacity"
+            ) from None
+        if self._job_worker is None or not self._job_worker.is_alive():
+            self._job_worker = threading.Thread(
+                target=self._job_loop, daemon=True
+            )
+            self._job_worker.start()
+        return job_id
+
+    def job_status(self, job_id: str) -> dict:
+        """``{"status": "queued"|"running"}`` while in flight, the full
+        :meth:`sample` payload plus ``status="done"`` on success, or
+        ``{"status": "error", "error": ...}``. Unknown ids raise
+        ``KeyError`` (→ HTTP 400)."""
+        with self._job_lock:
+            if job_id not in self._jobs:
+                raise KeyError(f"unknown job id {job_id!r}")
+            return dict(self._jobs[job_id])
+
+    def _job_loop(self):
+        while True:
+            job_id, obs, noise_var, opts = self._job_queue.get()
+            with self._job_lock:
+                self._jobs[job_id]["status"] = "running"
+            try:
+                out = self.sample(obs, noise_var, **opts)
+                out["status"] = "done"
+            except Exception as e:  # surfaced to the poller, job by job
+                out = {"status": "error",
+                       "error": f"{type(e).__name__}: {e}"}
+            with self._job_lock:
+                self._jobs[job_id] = out
 
     def _bucket_sizes(self, batch_sizes, up_to: Optional[int]):
         if up_to is None:
@@ -308,6 +392,14 @@ class EmulatorService:
             raise ValueError(
                 f"max_samples must be in [1, {self.SAMPLE_MAX_RETURN}]"
             )
+        # None = wait for the device indefinitely (the pre-round-4
+        # behavior); a number = give up with 503 after that many
+        # seconds so a short request is not starved behind a long chain
+        busy_timeout_s = opts.pop("busy_timeout_s", None)
+        if busy_timeout_s is not None:
+            busy_timeout_s = float(busy_timeout_s)
+            if busy_timeout_s < 0:
+                raise ValueError("busy_timeout_s must be >= 0")
         kwargs = dict(
             n_walkers=int(opts.pop("n_walkers", 1024)),
             n_steps=int(opts.pop("n_steps", 300)),
@@ -359,11 +451,22 @@ class EmulatorService:
         key, entry = self._loglik_lookup(
             np.asarray(obs, np.float32), noise_var
         )
-        with self._device_lock:
+        if busy_timeout_s is None:
+            self._device_lock.acquire()
+        elif not self._device_lock.acquire(timeout=busy_timeout_s):
+            raise DeviceBusyError(
+                f"device busy for > {busy_timeout_s:.1f}s (a long chain "
+                "or cold compile is in flight); retry, raise "
+                "busy_timeout_s, or submit with async=true and poll "
+                "/result/<id>"
+            )
+        try:
             res = fn_run(
                 entry[1], self.model.params, mesh=self._mesh,
                 **kwargs, **extra,
             )
+        finally:
+            self._device_lock.release()
         self._loglik_commit(key, entry)
 
         flat = res.flat
@@ -386,6 +489,13 @@ class EmulatorService:
             # smoke chains still get moments + samples
             "ess": (res.ess().tolist()
                     if res.chain.shape[0] >= 4 else None),
+            # tail ESS (Vehtari 2021 §4.3) backs the quantile rows
+            # above the way bulk ESS backs the mean; NaN→None per
+            # parameter when no chain toggled that tail indicator
+            "ess_tail": (
+                [None if not np.isfinite(v) else float(v)
+                 for v in res.ess_tail()]
+                if res.chain.shape[0] >= 4 else None),
             "rhat": (res.rhat().tolist()
                      if res.chain.shape[0] >= 4 else None),
             "accept_rate": float(np.mean(res.accept_rate)),
@@ -651,6 +761,13 @@ def _make_handler(service: EmulatorService):
         def do_GET(self):
             if self.path == "/health":
                 self._reply(200, service.health())
+            elif self.path.startswith("/result/"):
+                try:
+                    self._reply(
+                        200, service.job_status(self.path[len("/result/"):])
+                    )
+                except KeyError as e:
+                    self._reply(400, {"error": str(e)})
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
@@ -679,7 +796,17 @@ def _make_handler(service: EmulatorService):
                 elif self.path == "/sample":
                     obs = req.pop("obs")
                     nv = req.pop("noise_var", 1.0)
-                    self._reply(200, service.sample(obs, nv, **req))
+                    if req.pop("async", False):
+                        # 202 + poll /result/<id>: a long chain no
+                        # longer pins this handler thread (and its
+                        # client connection) for its device wall time
+                        job_id = service.submit_sample(obs, nv, **req)
+                        self._reply(202, {
+                            "job_id": job_id,
+                            "result_path": f"/result/{job_id}",
+                        })
+                    else:
+                        self._reply(200, service.sample(obs, nv, **req))
                 elif self.path == "/fit":
                     obs = req.pop("obs")
                     nv = req.pop("noise_var", 1.0)
@@ -694,6 +821,10 @@ def _make_handler(service: EmulatorService):
                     self._reply(200, service.gof(obs, nv, **req))
                 else:
                     self._reply(404, {"error": f"unknown path {self.path}"})
+            except DeviceBusyError as e:
+                # the device is legitimately busy — tell the client to
+                # come back rather than holding its connection
+                self._reply(503, {"error": str(e), "retry_after_s": 5})
             except (KeyError, ValueError, TypeError) as e:
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
             except Exception as e:  # device/runtime failures → JSON 500,
