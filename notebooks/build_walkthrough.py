@@ -203,7 +203,7 @@ CELL_SAMPLING = """\
 # Posterior inference -- the emulator's intended end use (reference
 # README.rst:9-11), which the reference leaves to external samplers at
 # ~25 likelihood evaluations/s. Here the ENTIRE chain runs on device
-# (tpu21cmvae/sampling.py): observe a known signal + noise, then sample
+# (tpu21cmvae/sampling/): observe a known signal + noise, then sample
 # the 7 astrophysical parameters with adaptive Metropolis-Hastings.
 # (Gradient-based samplers are one keyword away: sampler="hmc" rides
 # the fused value+gradient kernel, sampler="chees" additionally adapts
@@ -338,7 +338,7 @@ CELL_PT = """\
 # replica exchange transports modes to the beta=1 chain, recovering the
 # WEIGHTS. (ptemcee's design as one device program: tempered stretch
 # moves per rung, an exact independence-sampler prior rung, geometric
-# beta-ladder, likelihood-free swap sweeps -- sampling.py::sample_pt.)
+# beta-ladder, likelihood-free swap sweeps -- sampling::sample_pt.)
 import jax.numpy as jnp
 
 from tpu21cmvae.sampling import sample_mh, sample_pt

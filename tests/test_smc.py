@@ -1,4 +1,4 @@
-"""Adaptive tempered SMC (tpu21cmvae/sampling.py::sample_smc).
+"""Adaptive tempered SMC (tpu21cmvae/sampling/::sample_smc).
 
 Checks against analytic evidences and moments, the 80/20 bimodal
 mode-weight target that freezes single-temperature samplers, agreement
