@@ -111,3 +111,20 @@ def test_adam_matches_keras_reference():
         ref_p = ref_p - lr_t * ref_m / (np.sqrt(ref_v) + eps)
     np.testing.assert_allclose(np.asarray(params["w"]), ref_p, rtol=1e-4, atol=1e-6)
     assert int(state.step) == 10
+
+
+def test_per_layer_precision_hook():
+    """`precision` accepts one entry per layer (the mixed-tier hook —
+    measured a dead end for the flagship, docs/PERF.md, but kept for
+    families with different sensitivity profiles): a uniform tuple
+    matches the scalar spelling exactly, and a wrong-length tuple is
+    refused with the expected count in the message."""
+    rng = np.random.default_rng(0)
+    params = init_mlp(jax.random.key(0), (7, 16, 12, 9))
+    x = jnp.asarray(rng.uniform(-1, 1, (32, 7)).astype(np.float32))
+    hi = jax.lax.Precision.HIGHEST
+    uniform = mlp_apply(params, x, precision=hi)
+    tupled = mlp_apply(params, x, precision=(hi, hi, hi))
+    np.testing.assert_array_equal(np.asarray(uniform), np.asarray(tupled))
+    with pytest.raises(ValueError, match="3 entries"):
+        mlp_apply(params, x, precision=(hi, hi))

@@ -103,14 +103,28 @@ def mlp_apply(
     effectively free here. A first layer with fan-in ≤
     :data:`SKINNY_DENSE_MAX_IN` runs as exact VPU broadcast-FMA at every
     tier (see :func:`skinny_dense`).
+
+    ``precision`` may also be a SEQUENCE of per-layer precisions (one
+    per layer, skinny first layer included for alignment though it
+    ignores its entry) — the mixed-tier hook: per-layer bf16
+    sensitivity is wildly uneven on trained weights (docs/PERF.md), so
+    a mixed assignment can buy back most of the single-pass-bf16 speed
+    while staying inside the accuracy gate.
     """
     act = resolve_activation(activation)
+    per_layer = isinstance(precision, (tuple, list))
+    if per_layer and len(precision) != len(params):
+        raise ValueError(
+            f"per-layer precision needs {len(params)} entries, "
+            f"got {len(precision)}"
+        )
     for i, layer in enumerate(params):
         w = layer["w"]
+        prec = precision[i] if per_layer else precision
         if i == 0 and x.ndim == 2 and w.shape[0] <= SKINNY_DENSE_MAX_IN:
             x = skinny_dense(x, w, layer["b"])
         else:
-            x = jnp.matmul(x, w, precision=precision) + layer["b"]
+            x = jnp.matmul(x, w, precision=prec) + layer["b"]
         if i < len(params) - 1:
             x = act(x)
     return x
