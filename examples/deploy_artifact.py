@@ -59,7 +59,10 @@ def main():
 
         specs = load_obs_specs(args.obs)
         obs_noisy, noise_var = specs[0]
-        noise_var = float(noise_var)
+        # keep per-bin noise arrays as-is (the artifact savers accept
+        # them directly); only scalars get the float conversion
+        if np.ndim(noise_var) == 0:
+            noise_var = float(noise_var)
     else:
         theta = np.asarray(
             [[0.1, 30.0, 1.0, 0.06, 1.2, 19.0, 30.0]], np.float32

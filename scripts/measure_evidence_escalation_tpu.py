@@ -51,14 +51,20 @@ def main():
 
     t0 = time.time()
     res = model.log_evidence_batch(obs, NOISE_VAR, method="auto",
+                                   final="nested",
+                                   final_kwargs=dict(n_live=1024),
                                    seed=SEED)
     t_auto = time.time() - t0
     khat1 = np.array([r.khat for r in res])
     used = [r.method_used for r in res]
     n_esc = sum(u == "flow" for u in used)
-    print(f"auto sweep: {t_auto:.1f}s total, {n_esc} rows escalated; "
-          f"post khat>=0.7 on {(khat1 >= 0.7).sum()}/{N_OBS} "
-          f"(median {np.median(khat1):.2f}, max {khat1.max():.2f})")
+    n_fin = sum(u == "nested" for u in used)
+    fin_ok = np.array([(k < 0.7) or (u == "nested")
+                       for k, u in zip(khat1, used)])
+    print(f"auto+nested sweep: {t_auto:.1f}s total, {n_esc} rows "
+          f"flow-adopted, {n_fin} rows nested-finalized; every row "
+          f"trustworthy-or-definitive: {fin_ok.all()} "
+          f"({fin_ok.sum()}/{N_OBS})")
 
     dz = np.array([r.logz - b.logz for r, b in zip(res, base)])
     esc = np.array([u == "flow" for u in used])
@@ -78,17 +84,23 @@ def main():
         "auto": {
             "wall_s": round(t_auto, 1),
             "escalated": int(n_esc),
+            "nested_finalized": int(n_fin),
+            "all_trustworthy_or_definitive": bool(fin_ok.all()),
             "khat_ge_07": int((khat1 >= 0.7).sum()),
-            "khat_median": round(float(np.median(khat1)), 3),
-            "khat_max": round(float(khat1.max()), 3),
+            "khat_median": round(float(np.nanmedian(khat1)), 3),
+            "khat_max": round(float(np.nanmax(khat1)), 3),
             "esc_dlogz_median": (round(float(np.median(np.abs(dz[esc]))), 3)
                                  if esc.any() else None),
             "esc_dlogz_max": (round(float(np.abs(dz[esc]).max()), 3)
                               if esc.any() else None),
         },
         "method_used": used,
-        "khat_before": [round(float(k), 3) for k in khat0],
-        "khat_after": [round(float(k), 3) for k in khat1],
+        # NaN (nested-finalized rows have no weight diagnostic) → None:
+        # literal NaN tokens are not valid JSON
+        "khat_before": [None if not np.isfinite(k) else round(float(k), 3)
+                        for k in khat0],
+        "khat_after": [None if not np.isfinite(k) else round(float(k), 3)
+                       for k in khat1],
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "evidence_escalation_tpu.json")

@@ -272,7 +272,8 @@ _SLOW_TESTS = frozenset([
     "test_sampling.py::test_model_sample_posterior_entry",
     "test_sampling.py::test_nuts_adapt_blocks_heterogeneous_geometry",
     "test_sampling.py::test_nuts_deep_trees_on_correlated_gaussian",
-    "test_sampling.py::test_nuts_dense_readapts_step_after_metric_refresh",
+    "test_sampling.py::test_nuts_metric_auto_policy_and_dense_phase_cache_key",
+    "test_sampling.py::test_tail_pathology_refused_where_plain_diagnostics_read_clean",
     "test_sampling.py::test_nuts_divergences_are_detected",
     "test_sampling.py::test_nuts_exact_on_analytic_anisotropic_gaussian",
     "test_sampling.py::test_nuts_model_entry_and_cache",

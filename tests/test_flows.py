@@ -469,3 +469,40 @@ def test_batched_evidence_khat_escalation_closes_the_loop():
             row_loglik=lambda i: row_loglik[i],
             row_valgrad=lambda i: row_valgrad[i],
         )
+
+    # the definitive last stage: with a threshold even the flow cannot
+    # clear, the still-failing row escalates to per-row SMC — no
+    # importance weights, khat honestly NaN, equal-weight draws behind
+    # posterior(), log Z within MC error of quadrature truth
+    fin = laplace_evidence_multi_auto(
+        multi_loglik, None, 2, bounds=_BOUNDS, method="auto",
+        khat_threshold=0.02,
+        flow_kwargs=dict(n_steps=400, n_mc=128),
+        final="smc",
+        final_kwargs=dict(n_particles=2048, n_mh=8),
+        row_loglik=lambda i: row_loglik[i],
+        row_valgrad=lambda i: row_valgrad[i], **lap_kw,
+    )
+    esc_rows = [r for r in fin if r.method_used == "smc"]
+    assert esc_rows, [r.method_used for r in fin]
+    for r in esc_rows:
+        assert r.final_result is not None
+        assert np.isnan(r.khat)
+        assert np.isfinite(r.logz) and np.isfinite(r.logz_err)
+        assert r.posterior(64, seed=0).shape == (64, 3)
+        # summary names the estimator that produced the headline and
+        # drops the now-moot "confirm with nested" hint
+        s = r.summary()
+        assert "definitive" in s and "Confirm with" not in s
+    banana_fin = fin[0]
+    if banana_fin.method_used == "smc":
+        assert abs(banana_fin.logz - _banana_logz_true()) < max(
+            6 * banana_fin.logz_err, 0.3
+        )
+
+    with pytest.raises(ValueError, match="'nested' or 'smc'"):
+        laplace_evidence_multi_auto(
+            multi_loglik, None, 2, bounds=_BOUNDS, final="typo",
+            row_loglik=lambda i: row_loglik[i],
+            row_valgrad=lambda i: row_valgrad[i],
+        )

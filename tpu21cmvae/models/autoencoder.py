@@ -361,7 +361,7 @@ class AutoEncoderEmulator:
     def log_evidence_batch(self, obs_batch, noise_var=1.0, *,
                            bounds=None, method="auto",
                            khat_threshold=0.7, flow_kwargs=None,
-                           **kwargs):
+                           final=None, final_kwargs=None, **kwargs):
         """Batched Laplace+IS evidence with automatic khat-triggered
         flow escalation — same contract as
         :meth:`DirectEmulator.log_evidence_batch`."""
@@ -372,7 +372,8 @@ class AutoEncoderEmulator:
             self.loglik_multi_fn(obs_batch, noise_var), self.params,
             obs_batch.shape[0], bounds=bounds,
             method=method, khat_threshold=khat_threshold,
-            flow_kwargs=flow_kwargs,
+            flow_kwargs=flow_kwargs, final=final,
+            final_kwargs=final_kwargs,
             row_loglik=lambda i: self.loglik_fn(obs_batch[i], noise_var),
             row_valgrad=lambda i: self.loglik_and_grad_fn(
                 obs_batch[i], noise_var

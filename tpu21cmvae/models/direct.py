@@ -647,7 +647,7 @@ class DirectEmulator:
     def log_evidence_batch(self, obs_batch, noise_var=1.0, *,
                            bounds=None, method="auto",
                            khat_threshold=0.7, flow_kwargs=None,
-                           **kwargs):
+                           final=None, final_kwargs=None, **kwargs):
         """Survey-scale model comparison: adaptive Laplace+IS ``log Z``
         for a BATCH of observed spectra, every stage batched over
         observations (:func:`tpu21cmvae.sampling.laplace_evidence_multi`
@@ -662,7 +662,12 @@ class DirectEmulator:
         Student-t saturates (on the real 64-observation batch, 48 % of
         rows; docs/PERF.md). ``method="laplace"`` skips escalation,
         ``method="flow"`` escalates every row; ``flow_kwargs`` forward
-        to the flow fit/IS sweep. Returns a list of
+        to the flow fit/IS sweep. ``final="nested"``/``"smc"`` settles
+        rows that STILL fail after the flow attempt with a per-row
+        definitive estimator (no importance weights — khat pathology
+        does not apply; ~10 s/row, which is why it is the last stage,
+        not the first): every row then ends trustworthy or definitively
+        estimated. Returns a list of
         :class:`~tpu21cmvae.sampling.LaplaceResult`, one per row, each
         reporting ``method_used`` (and, when escalated, the full
         :class:`~tpu21cmvae.flows.FlowEvidenceResult` in
@@ -679,7 +684,8 @@ class DirectEmulator:
                                  precision="contract"),
             self.params, obs_batch.shape[0], bounds=bounds,
             method=method, khat_threshold=khat_threshold,
-            flow_kwargs=flow_kwargs,
+            flow_kwargs=flow_kwargs, final=final,
+            final_kwargs=final_kwargs,
             row_loglik=lambda i: self.loglik_fn(
                 obs_batch[i], noise_var, precision="contract"
             ),

@@ -544,7 +544,7 @@ class DeepEnsemble:
     def log_evidence_batch(self, obs_batch, noise_var=1.0, *,
                            bounds=None, method="auto",
                            khat_threshold=0.7, flow_kwargs=None,
-                           **kwargs):
+                           final=None, final_kwargs=None, **kwargs):
         """Batched Laplace+IS evidence under the member-mixture
         likelihood (exact tier — the mixture reads absolute
         log-densities), with automatic khat-triggered flow escalation —
@@ -557,7 +557,8 @@ class DeepEnsemble:
                                  precision="contract"),
             self.stacked_params, obs_batch.shape[0], bounds=bounds,
             method=method, khat_threshold=khat_threshold,
-            flow_kwargs=flow_kwargs,
+            flow_kwargs=flow_kwargs, final=final,
+            final_kwargs=final_kwargs,
             row_loglik=lambda i: self.loglik_fn(
                 obs_batch[i], noise_var, precision="contract"
             ),

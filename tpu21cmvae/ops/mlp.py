@@ -107,9 +107,12 @@ def mlp_apply(
     ``precision`` may also be a SEQUENCE of per-layer precisions (one
     per layer, skinny first layer included for alignment though it
     ignores its entry) — the mixed-tier hook: per-layer bf16
-    sensitivity is wildly uneven on trained weights (docs/PERF.md), so
-    a mixed assignment can buy back most of the single-pass-bf16 speed
-    while staying inside the accuracy gate.
+    sensitivity is wildly uneven on trained weights (docs/PERF.md).
+    NOTE the deliberate convention clash with ``jnp.matmul``'s
+    ``(lhs, rhs)`` 2-tuple form: here a tuple/list ALWAYS means
+    per-layer (length must equal the layer count — enforced); to give
+    one layer a per-operand pair, nest it as that layer's entry, e.g.
+    ``((HIGH, HIGHEST), HIGH, HIGH)``.
     """
     act = resolve_activation(activation)
     per_layer = isinstance(precision, (tuple, list))

@@ -143,12 +143,16 @@ def sample_to_ess(
         if full.shape[0] >= 4:
             # gate on the WORSE of bulk and tail ESS (Vehtari et al.
             # 2021 §4.3): bulk alone can read converged while tail
-            # quantiles are still unmixed — round-3 VERDICT weak #3. A
-            # NaN tail (no chain toggled an indicator yet) counts as
-            # not-converged.
+            # quantiles are still unmixed — round-3 VERDICT weak #3.
+            # ANY per-parameter NaN tail (that parameter's chains never
+            # toggled the indicator — e.g. a chain pinned at a box
+            # bound) counts as not-converged: there is zero tail
+            # evidence for it, and certifying the run on the healthy
+            # parameters alone would be exactly the silent-tail failure
+            # this gate exists to refuse. max_chunks still bounds cost.
             tail = probe.ess_tail()
-            tail_min = np.nanmin(tail) if np.isfinite(tail).any() else 0.0
-            if min(probe.ess().min(), tail_min) >= target_ess:
+            if (np.isfinite(tail).all()
+                    and min(probe.ess().min(), tail.min()) >= target_ess):
                 break
         res = sample_mh(
             loglik, params, n_walkers=n_walkers, n_steps=chunk_steps,

@@ -355,6 +355,9 @@ class LaplaceResult:
     #: the full :class:`~tpu21cmvae.flows.FlowEvidenceResult`)
     method_used: str = "laplace"
     escalation: object = dataclasses.field(default=None, repr=False)
+    #: the definitive last-stage result (NestedResult / SMCResult) when
+    #: ``final=`` escalated this row — see laplace_evidence_multi_auto
+    final_result: object = dataclasses.field(default=None, repr=False)
     _y_map: np.ndarray = dataclasses.field(default=None, repr=False)
     _y_chol: np.ndarray = dataclasses.field(default=None, repr=False)
     _lo: np.ndarray = dataclasses.field(default=None, repr=False)
@@ -381,7 +384,23 @@ class LaplaceResult:
     def summary(self, labels=None) -> str:
         sd = np.sqrt(np.maximum(np.diag(self.cov), 0.0))
         labels = labels or [f"p{i}" for i in range(sd.shape[0])]
-        if np.isfinite(self.logz_err):
+        if self.method_used != "laplace":
+            # the headline fields were replaced by an escalation stage
+            # (laplace_evidence_multi_auto) — name the estimator that
+            # actually produced them
+            est = {"flow": "flow-IS escalation",
+                   "nested": "nested sampling (definitive)",
+                   "smc": "tempered SMC (definitive)"}.get(
+                self.method_used, self.method_used)
+            khat_s = (f", khat {self.khat:.2f}"
+                      if np.isfinite(self.khat) else "")
+            head = (
+                f"log Z = {self.logz:.4f} ± {self.logz_err:.4f}  "
+                f"({est}{khat_s}; Laplace saddle point "
+                f"{self.logz_laplace:.4f}, negative-definite Hessian: "
+                f"{self.pd})"
+            )
+        elif np.isfinite(self.logz_err):
             head = (
                 f"log Z = {self.logz:.4f} ± {self.logz_err:.4f}  "
                 f"(Laplace+IS; saddle point {self.logz_laplace:.4f}, "
@@ -401,9 +420,11 @@ class LaplaceResult:
             f"  {l:>8}: {m:12.5g} ± {s:10.4g}"
             for l, m, s in zip(labels, self.map_params, sd)
         ]
-        if self._is_logw is not None and (
-            (np.isfinite(self.khat) and self.khat > 0.7)
-            or self.is_ess < 0.02 * self._is_logw.shape[0]
+        if self.method_used not in ("nested", "smc") and (
+            self._is_logw is not None and (
+                (np.isfinite(self.khat) and self.khat > 0.7)
+                or self.is_ess < 0.02 * self._is_logw.shape[0]
+            )
         ):
             lines.append(
                 f"  WARNING: khat {self.khat:.2f} / weight ESS "
@@ -439,12 +460,11 @@ def _gpd_fit(x):
         return float("nan"), float("nan")
     # profile-likelihood weights w_i = 1/Σ_j e^{logl_j − logl_i} are
     # exactly softmax(logl); max-subtract so large spreads can't
-    # overflow the exp
+    # overflow the exp (the max is finite — checked above — so the
+    # weights sum to exactly 1 by construction)
     e = np.exp(logl - logl.max())
     w = e / e.sum()
-    if w.sum() <= 0:
-        return float("nan"), float("nan")
-    b_post = float(np.sum(b * w) / w.sum())
+    b_post = float(np.sum(b * w))
     k_post = float(np.mean(np.log1p(-b_post * x)))
     sigma = -k_post / b_post
     k_post = (n * k_post + 5.0) / (n + 10.0)
@@ -1032,6 +1052,8 @@ def laplace_evidence_multi_auto(
     method: str = "auto",
     khat_threshold: float = 0.7,
     flow_kwargs=None,
+    final=None,
+    final_kwargs=None,
     bounds=None,
     seed: int = 0,
     log_prior=None,
@@ -1062,6 +1084,21 @@ def laplace_evidence_multi_auto(
     ``khat`` is strictly better than the Laplace stage's — a diverged
     flow fit must never overwrite a finite estimate with garbage
     (measured: one unseeded real-batch fit landed 9×10⁴ nats off).
+
+    ``final``: optional DEFINITIVE last stage for rows that still fail
+    the khat bound after the flow attempt — the measured honestly-hard
+    tail (25/64 rows on the real batch; consistent with multimodality,
+    which importance proposals cannot fix). ``"nested"`` runs per-row
+    nested sampling, ``"smc"`` per-row adaptive tempered SMC — both
+    estimate ``log Z`` WITHOUT importance weights, so khat pathology
+    does not apply; their ~10 s/row cost is why they are the last
+    resort, not the first. The row's headline fields switch to the
+    definitive estimate (``khat`` → NaN — no weight diagnostic
+    applies), ``method_used`` records the stage, the full result lands
+    in ``final_result``, and the posterior cloud behind
+    :meth:`LaplaceResult.posterior` is replaced by the stage's
+    equal-weight draws. ``final_kwargs`` forward to the stage
+    (``n_live``/``n_mh``/… for nested, ``n_particles``/… for SMC).
     Returns a list of ``n_obs`` :class:`LaplaceResult`, each carrying
     an explicit per-row record: ``method_used`` names the estimator
     behind the headline fields, and ``escalation`` holds the full
@@ -1076,46 +1113,93 @@ def laplace_evidence_multi_auto(
         raise ValueError(
             f"method must be 'laplace', 'auto' or 'flow'; got {method!r}"
         )
+    if final not in (None, "nested", "smc"):
+        raise ValueError(
+            f"final must be None, 'nested' or 'smc'; got {final!r}"
+        )
     results = laplace_evidence_multi(
         loglik_multi, params, n_obs, bounds=bounds, seed=seed,
         log_prior=log_prior, **kwargs,
     )
-    if method == "laplace":
-        return results
-    flagged = (
-        range(n_obs) if method == "flow"
-        # NaN-safe: `not (khat < thr)` escalates rows with no khat
-        else [i for i, r in enumerate(results)
-              if not (r.khat < khat_threshold)]
-    )
-    if not flagged:
-        return results
-    from tpu21cmvae.flows import evidence_with_flow
-
-    for i in flagged:
-        r = results[i]
-        fk = dict(flow_kwargs or {})
-        # sharp posteriors need a warm start at the mode (measured:
-        # cold-started flows leave the IS weights unusable,
-        # docs/PERF.md) — the Laplace stage already found the MAP, so
-        # seed the flow's base there unless the caller overrode it
-        if "flow" not in fk:
-            fk.setdefault("x0", r.map_params)
-        fe = evidence_with_flow(
-            row_loglik(i), row_valgrad(i), params, bounds=bounds,
-            seed=seed + 104_729 * (i + 1), log_prior=log_prior, **fk,
+    if method != "laplace":
+        flagged = (
+            range(n_obs) if method == "flow"
+            # NaN-safe: `not (khat < thr)` escalates rows with no khat
+            else [i for i, r in enumerate(results)
+                  if not (r.khat < khat_threshold)]
         )
-        r.escalation = fe  # the attempt is on the record either way
-        # adopt the flow estimate only when its tail diagnostic is
-        # STRICTLY better — a diverged/collapsed flow fit must never
-        # overwrite a finite Laplace estimate with garbage (measured on
-        # the real batch: one unseeded fit landed 9e4 nats off)
-        if fe.khat < r.khat or (np.isfinite(fe.khat)
-                                and not np.isfinite(r.khat)):
-            r.method_used = "flow"
-            r.logz, r.logz_err = fe.logz, fe.logz_err
-            r.khat, r.is_ess = fe.khat, fe.is_ess
-            r._is_x, r._is_logw = fe._x, fe._logw
+        if flagged:
+            from tpu21cmvae.flows import evidence_with_flow
+
+        for i in flagged:
+            r = results[i]
+            fk = dict(flow_kwargs or {})
+            # sharp posteriors need a warm start at the mode (measured:
+            # cold-started flows leave the IS weights unusable,
+            # docs/PERF.md) — the Laplace stage already found the MAP,
+            # so seed the flow's base there unless the caller overrode
+            if "flow" not in fk:
+                fk.setdefault("x0", r.map_params)
+            fe = evidence_with_flow(
+                row_loglik(i), row_valgrad(i), params, bounds=bounds,
+                seed=seed + 104_729 * (i + 1), log_prior=log_prior,
+                **fk,
+            )
+            r.escalation = fe  # the attempt is on the record either way
+            # adopt the flow estimate only when its tail diagnostic is
+            # STRICTLY better — a diverged/collapsed flow fit must
+            # never overwrite a finite Laplace estimate with garbage
+            # (measured on the real batch: one unseeded fit landed
+            # 9e4 nats off)
+            if fe.khat < r.khat or (np.isfinite(fe.khat)
+                                    and not np.isfinite(r.khat)):
+                r.method_used = "flow"
+                r.logz, r.logz_err = fe.logz, fe.logz_err
+                r.khat, r.is_ess = fe.khat, fe.is_ess
+                r._is_x, r._is_logw = fe._x, fe._logw
+    if final is not None:
+        still = [i for i, r in enumerate(results)
+                 if not (r.khat < khat_threshold)]
+        for i in still:
+            r = results[i]
+            fkw = dict(final_kwargs or {})
+            fkw.setdefault("seed", seed + 15_485_863 * (i + 1))
+            if final == "nested":
+                from tpu21cmvae.nested import nested_sampling
+
+                if log_prior is not None and \
+                        "prior_transform" not in fkw:
+                    raise ValueError(
+                        "final='nested' under a log_prior needs the "
+                        "matching prior_transform in final_kwargs "
+                        "(nested sampling does exact volume "
+                        "bookkeeping through the transform, not a "
+                        "density — see tpu21cmvae.priors)"
+                    )
+                fr = nested_sampling(row_loglik(i), params,
+                                     bounds=bounds, **fkw)
+                if fr.truncated:
+                    # a truncated run's logz is only a LOWER bound
+                    # (NestedResult docstring) — record the attempt but
+                    # never adopt it as the definitive headline
+                    r.final_result = fr
+                    continue
+                draws = fr.posterior(4096, seed=fkw["seed"] + 1)
+            else:  # "smc"
+                from tpu21cmvae.sampling.smc import sample_smc
+
+                fr = sample_smc(row_loglik(i), params, bounds=bounds,
+                                log_prior=log_prior, **fkw)
+                draws = fr.final
+            r.final_result = fr
+            r.method_used = final
+            r.logz, r.logz_err = fr.logz, fr.logz_err
+            # no importance weights behind the definitive estimate —
+            # khat does not apply; equal-weight draws back posterior()
+            r.khat = float("nan")
+            r.is_ess = float(getattr(fr, "ess", draws.shape[0]))
+            r._is_x = np.asarray(draws)
+            r._is_logw = np.zeros(r._is_x.shape[0])
     return results
 
 

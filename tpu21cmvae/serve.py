@@ -161,11 +161,16 @@ class EmulatorService:
                 f"job queue full ({self._job_queue.maxsize} pending); "
                 "retry after a /result poll shows capacity"
             ) from None
-        if self._job_worker is None or not self._job_worker.is_alive():
-            self._job_worker = threading.Thread(
-                target=self._job_loop, daemon=True
-            )
-            self._job_worker.start()
+        with self._job_lock:
+            # start-check under the lock: two concurrent submissions
+            # must not each spawn a worker (two workers would run two
+            # jobs' device calls concurrently and complete jobs out of
+            # submission order)
+            if self._job_worker is None or not self._job_worker.is_alive():
+                self._job_worker = threading.Thread(
+                    target=self._job_loop, daemon=True
+                )
+                self._job_worker.start()
         return job_id
 
     def job_status(self, job_id: str) -> dict:
@@ -486,9 +491,14 @@ class EmulatorService:
                 for q in (0.16, 0.5, 0.84)
             },
             # need ≥4 kept steps for autocorrelation estimates; short
-            # smoke chains still get moments + samples
-            "ess": (res.ess().tolist()
-                    if res.chain.shape[0] >= 4 else None),
+            # smoke chains still get moments + samples. NaN (a zero-
+            # variance parameter under the rank-normalized estimator)
+            # → None per entry: literal NaN is not valid JSON and
+            # strict clients reject the whole payload
+            "ess": (
+                [None if not np.isfinite(v) else float(v)
+                 for v in res.ess()]
+                if res.chain.shape[0] >= 4 else None),
             # tail ESS (Vehtari 2021 §4.3) backs the quantile rows
             # above the way bulk ESS backs the mean; NaN→None per
             # parameter when no chain toggled that tail indicator
