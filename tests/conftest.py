@@ -111,6 +111,7 @@ _SLOW_TESTS = frozenset([
     "test_foregrounds.py::test_sampler_recovers_theta_under_foreground",
     "test_io_cli.py::test_cli_advi_and_profile",
     "test_io_cli.py::test_cli_evidence",
+    "test_io_cli.py::test_cli_evidence_batch_auto",
     "test_io_cli.py::test_cli_fit",
     "test_io_cli.py::test_cli_gof",
     "test_io_cli.py::test_cli_prior_flag",

@@ -622,3 +622,55 @@ def test_cli_gof(tmp_path, splits):
     # scale-marginal spec is refused with an actionable error (rc 2)
     assert main(["gof", ckpt, "--obs", obs_file, "--chain", chain,
                  "--marginalize-noise-scale"]) == 2
+
+
+def test_cli_evidence_batch_auto(tmp_path, splits, capsys):
+    """A MULTI-observation spec file routes `evidence` to the batched
+    khat-escalation pipeline (round 4): per-row table + npz with
+    method_used, --method auto accepted, per-obs-only methods refused,
+    mismatched per-row noise refused, and single-obs `--method auto`
+    refused with guidance."""
+    import json as _json
+
+    from tpu21cmvae.__main__ import main
+    from tpu21cmvae.models.direct import DirectEmulator
+    from tpu21cmvae.utils.config import DirectEmulatorConfig
+
+    model = DirectEmulator(
+        splits, config=DirectEmulatorConfig(hidden_dims=(16,))
+    )
+    ckpt = str(tmp_path / "m.npz")
+    model.save(ckpt)
+    rows = [np.asarray(model.predict(splits.par_test[i])).tolist()
+            for i in (0, 1)]
+    spec = str(tmp_path / "obs.json")
+    with open(spec, "w") as f:
+        _json.dump([{"obs": o, "noise_var": 25.0} for o in rows], f)
+    out = str(tmp_path / "evb.npz")
+    rc = main(["evidence", ckpt, "--obs", spec, "--method", "auto",
+               "--out", out])
+    assert rc == 0
+    blob = np.load(out)
+    assert blob["logz"].shape == (2,)
+    assert np.isfinite(blob["logz"]).all()
+    assert set(blob["method_used"]) <= {"laplace", "flow", "nested",
+                                        "smc"}
+    assert blob["map_params"].shape == (2, 7)
+    assert "method" in capsys.readouterr().out  # the per-row table
+
+    # per-observation method on a batch file → actionable refusal
+    assert main(["evidence", ckpt, "--obs", spec, "--method", "nested",
+                 "--out", out]) == 2
+    # mismatched per-row noise → refusal
+    spec2 = str(tmp_path / "obs2.json")
+    with open(spec2, "w") as f:
+        _json.dump([{"obs": rows[0], "noise_var": 25.0},
+                    {"obs": rows[1], "noise_var": 16.0}], f)
+    assert main(["evidence", ckpt, "--obs", spec2, "--method", "auto",
+                 "--out", out]) == 2
+    # --method auto on a SINGLE observation → refusal with guidance
+    spec1 = str(tmp_path / "obs1.json")
+    with open(spec1, "w") as f:
+        _json.dump({"obs": rows[0], "noise_var": 25.0}, f)
+    assert main(["evidence", ckpt, "--obs", spec1, "--method", "auto",
+                 "--out", out]) == 2

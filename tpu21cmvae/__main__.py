@@ -481,6 +481,59 @@ def cmd_profile(args):
     return 0
 
 
+def _cmd_evidence_batch(model, specs, args):
+    """The `evidence` command on a MULTI-observation spec file: one
+    batched Laplace+AMIS sweep with the khat escalation policy
+    (``--method auto|laplace|flow`` + optional ``--final nested|smc``)
+    — :meth:`DirectEmulator.log_evidence_batch`. All observations must
+    share one noise spec (the stacked likelihood folds a single
+    whitening into the shared trunk)."""
+    if args.method not in ("auto", "laplace", "flow"):
+        print(f"--method {args.method} is per-observation only; a "
+              "multi-observation spec runs the batched pipeline "
+              "(--method auto|laplace|flow, optionally --final "
+              "nested|smc for the still-failing rows)", file=sys.stderr)
+        return 2
+    nv0 = specs[0][1]
+    for i, (_, nv) in enumerate(specs[1:], 1):
+        if not np.array_equal(np.asarray(nv0), np.asarray(nv)):
+            print(f"batched evidence needs ONE shared noise spec; "
+                  f"observation {i} differs from observation 0 — run "
+                  "per-observation `evidence` calls instead",
+                  file=sys.stderr)
+            return 2
+    prior = _build_prior(args.prior)
+    obs_batch = np.stack([o for o, _ in specs])
+    noise_var = _apply_noise_marginals(model, args, nv0)
+    res = model.log_evidence_batch(
+        obs_batch, noise_var, method=args.method,
+        final=args.final, seed=args.seed,
+        log_prior=None if prior is None else prior.log_prior,
+    )
+    rows = []
+    print(f"{'row':>4} {'logz':>12} {'err':>8} {'khat':>6} method")
+    for i, r in enumerate(res):
+        k = f"{r.khat:.2f}" if np.isfinite(r.khat) else "—"
+        print(f"{i:>4} {r.logz:>12.4f} {r.logz_err:>8.4f} {k:>6} "
+              f"{r.method_used}")
+        rows.append((r.logz, r.logz_err, r.khat))
+    arr = np.asarray(rows)
+    np.savez_compressed(
+        args.out, logz=arr[:, 0], logz_err=arr[:, 1], khat=arr[:, 2],
+        method_used=np.asarray([r.method_used for r in res]),
+        map_params=np.stack([r.map_params for r in res]),
+    )
+    bad = [i for i, r in enumerate(res)
+           if r.method_used in ("laplace", "flow")
+           and not (r.khat < 0.7)]
+    if bad:
+        print(f"WARNING: rows {bad} end with khat >= 0.7 and no "
+              "definitive estimate — rerun with --final nested",
+              file=sys.stderr)
+    print(f"wrote {args.out} ({len(res)} evidences)")
+    return 0
+
+
 def cmd_evidence(args):
     from tpu21cmvae.models import load_model
     from tpu21cmvae.serve import load_obs_specs
@@ -488,10 +541,14 @@ def cmd_evidence(args):
     model = load_model(args.model)
     specs = load_obs_specs(args.obs)
     if len(specs) != 1:
-        print(f"--obs file must contain exactly one observation; got "
-              f"{len(specs)}", file=sys.stderr)
-        return 2
+        # multi-observation file → the survey-scale batched pipeline
+        return _cmd_evidence_batch(model, specs, args)
     obs, noise_var = specs[0]
+    if args.method == "auto":
+        print("--method auto is the BATCHED escalation policy; a "
+              "single-observation spec picks an explicit estimator "
+              "(nested/smc/laplace/flow/ladder)", file=sys.stderr)
+        return 2
     noise_var = _apply_noise_marginals(model, args, noise_var)
     prior = _build_prior(args.prior)
     if args.method == "nested":
@@ -877,7 +934,7 @@ def main(argv=None):
                         "serve.load_obs_specs format, exactly one entry)")
     p.add_argument("--method",
                    choices=("nested", "smc", "laplace", "flow",
-                            "ladder"),
+                            "ladder", "auto"),
                    default="nested",
                    help="nested sampling (robust default; measured "
                         "~0.04-nat seed spread on real posteriors), "
@@ -888,9 +945,17 @@ def main(argv=None):
                         "exact-tier MAP + Hessian, unimodal only), "
                         "flow (normalizing-flow importance sampling — "
                         "for curved/skewed unimodal posteriors; trust "
-                        "it when khat < 0.7) or the PT stepping-stone "
+                        "it when khat < 0.7), the PT stepping-stone "
                         "ladder (cross-check only — check its "
-                        "drift/err diagnostics)")
+                        "drift/err diagnostics), or auto (MULTI-"
+                        "observation spec files only: batched "
+                        "Laplace+AMIS with khat-triggered per-row "
+                        "flow escalation; add --final for a "
+                        "definitive last stage)")
+    p.add_argument("--final", choices=("nested", "smc"), default=None,
+                   help="batched (multi-observation) runs: settle rows "
+                        "still failing khat after the flow attempt "
+                        "with a per-row definitive estimator")
     p.add_argument("--live", type=int, default=2048,
                    help="nested: number of live points")
     p.add_argument("--mh-steps", type=int, default=24,
