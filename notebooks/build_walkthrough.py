@@ -228,7 +228,18 @@ res = model.sample_posterior(
 )
 print(res.summary(model.par_labels))
 print("truth:", np.round(truth, 4).tolist())
-print("split-Rhat:", np.round(res.rhat(), 2), " (1 = mixed)")
+
+# Convergence diagnostics (Vehtari et al. 2021 in full): rhat() is the
+# RANK-NORMALIZED split-Rhat max-combined with its folded variant --
+# chains that agree in mean/variance but differ in their TAILS read
+# 1.000 under the plain statistic and are flagged here. ess() is the
+# combined multi-chain bulk ESS (stuck walkers cannot fake it), and
+# ess_tail() is the sample size your 5%/95% credible-interval
+# endpoints actually rest on -- check it before quoting intervals.
+print("rank-normalized split-Rhat:", np.round(res.rhat(), 2),
+      " (1 = mixed)")
+print("bulk ESS:", np.round(res.ess()).astype(int),
+      " tail ESS:", np.round(res.ess_tail()).astype(int))
 
 fig, axes = plt.subplots(1, 3, figsize=(10, 3))
 for ax, dim in zip(axes, (3, 4, 6)):  # tau, alpha, Rmfp
@@ -327,6 +338,17 @@ comp = t21.compare_evidence(
     n_live=256 if FAST else 1024, n_mh=8 if FAST else 24, seed=0,
 )
 print(comp.summary())
+
+# Survey scale: model.log_evidence_batch(obs_batch) runs EVERY stage
+# batched over observations (64 evidences in ~33 s warm on v5e), and
+# its default method="auto" closes the reliability loop -- rows whose
+# PSIS khat fails the 0.7 trust bound are automatically re-estimated
+# through per-row flow proposals, and final="nested" settles whatever
+# remains, so every row ends trustworthy or definitively estimated
+# (per-row method_used on the record; measured end to end in
+# docs/PERF.md). Same policy from the shell: point
+# `python -m tpu21cmvae evidence --method auto --final nested` at a
+# multi-observation spec file.
 """
 
 CELL_PT = """\
