@@ -291,6 +291,7 @@ _SLOW_TESTS = frozenset([
     "test_scan_fit.py::test_scan_matches_fit_with_plateau",
     "test_scan_fit.py::test_scan_stochastic_loss",
     "test_scan_fit.py::test_tuner_device_loop",
+    "test_serve.py::test_async_jobs_generalize_to_evidence_and_fit",
     "test_serve.py::test_async_sample_job_keeps_server_live",
     "test_serve.py::test_evidence_endpoint",
     "test_serve.py::test_fit_endpoint",

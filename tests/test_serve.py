@@ -696,3 +696,51 @@ def test_async_sample_job_keeps_server_live(server, model, splits):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_async_jobs_generalize_to_evidence_and_fit(server, model, splits):
+    """Every long device-bound POST honors async=true (round 4): an
+    /evidence and a /fit submitted as jobs complete with the same
+    payload shape as the sync endpoints, and an invalid async job
+    surfaces its error through /result rather than killing the worker."""
+    import time
+    import urllib.request as _rq
+
+    obs = np.asarray(model.predict(splits.par_test[5]))
+
+    def run_job(path, payload):
+        sub = _post(server, path, {**payload, "async": True})
+        assert set(sub) == {"job_id", "result_path"}
+        for _ in range(600):
+            st = json.loads(_rq.urlopen(
+                _url(server, sub["result_path"]), timeout=10
+            ).read())
+            if st["status"] in ("done", "error"):
+                return st
+            time.sleep(0.1)
+        raise AssertionError(f"job did not finish: {st}")
+
+    ev = run_job("/evidence", {
+        "obs": obs.tolist(), "noise_var": 25.0, "method": "laplace",
+        "n_starts": 128, "n_steps": 200, "seed": 0,
+    })
+    assert ev["status"] == "done"
+    assert np.isfinite(ev["logz"])
+
+    fit = run_job("/fit", {
+        "obs": obs.tolist(), "noise_var": 25.0,
+        "n_starts": 64, "n_steps": 100, "seed": 0,
+    })
+    assert fit["status"] == "done"
+    assert len(fit["best"]) == model.config.n_params
+
+    bad = run_job("/fit", {
+        "obs": obs.tolist(), "noise_var": 25.0, "bogus_option": 1,
+    })
+    assert bad["status"] == "error" and "bogus_option" in bad["error"]
+    # ... and the worker survived: another good job still completes
+    ev2 = run_job("/evidence", {
+        "obs": obs.tolist(), "noise_var": 25.0, "method": "laplace",
+        "n_starts": 128, "n_steps": 200, "seed": 1,
+    })
+    assert ev2["status"] == "done"

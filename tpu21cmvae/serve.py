@@ -62,6 +62,11 @@ Endpoints (all JSON):
   (e.g. a ``/sample`` response's ``samples`` block) against the
   observation: p-value, q/dof, worst-bin z (one batched predict).
 
+``/sample``, ``/fit``, ``/evidence`` and ``/gof`` all honor
+``"async": true`` → 202 + ``GET /result/<id>`` (bounded job queue,
+single worker — long device work pins neither a handler thread nor the
+client connection).
+
 Device work is serialized by an explicit lock (one warm program
 saturates the chip at mega-batch sizes — docs/PERF.md; scale-out is
 more replicas behind a load balancer), but the server itself is
@@ -131,15 +136,31 @@ class EmulatorService:
 
     # -- async sampling jobs ---------------------------------------------
 
+    #: endpoints that honor ``"async": true`` (every long-running
+    #: device-bound POST — the starvation argument is identical)
+    ASYNC_KINDS = ("sample", "evidence", "fit", "gof")
+
     def submit_sample(self, obs, noise_var=1.0, **opts) -> str:
-        """Queue a ``/sample`` request for background execution and
-        return a job id immediately — the async pattern for long
-        chains, which would otherwise hold an HTTP worker thread (and
-        its client connection) for their whole device wall time. Poll
+        """Queue a ``/sample`` request for background execution —
+        see :meth:`submit_job`."""
+        return self.submit_job("sample", obs, noise_var, **opts)
+
+    def submit_job(self, kind: str, obs, noise_var=1.0, **opts) -> str:
+        """Queue a long device-bound request (``kind`` in
+        :data:`ASYNC_KINDS`) for background execution and return a job
+        id immediately — the async pattern for work that would
+        otherwise hold an HTTP worker thread (and its client
+        connection) for its whole device wall time: a long chain, a
+        nested-sampling evidence, a big multi-start fit. Poll
         :meth:`job_status`. Raises :class:`DeviceBusyError` when the
         job queue is full (bounded so clients cannot enqueue unbounded
         device work). Validation happens in the worker: a bad request
         surfaces as the job's ``error`` field."""
+        if kind not in self.ASYNC_KINDS:
+            raise ValueError(
+                f"async kind must be one of {self.ASYNC_KINDS}; "
+                f"got {kind!r}"
+            )
         job_id = uuid.uuid4().hex[:16]
         rec = {"status": "queued"}
         with self._job_lock:
@@ -153,7 +174,9 @@ class EmulatorService:
                 else:
                     break
         try:
-            self._job_queue.put_nowait((job_id, obs, noise_var, opts))
+            self._job_queue.put_nowait(
+                (job_id, kind, obs, noise_var, opts)
+            )
         except queue.Full:
             with self._job_lock:
                 del self._jobs[job_id]
@@ -185,11 +208,11 @@ class EmulatorService:
 
     def _job_loop(self):
         while True:
-            job_id, obs, noise_var, opts = self._job_queue.get()
+            job_id, kind, obs, noise_var, opts = self._job_queue.get()
             with self._job_lock:
                 self._jobs[job_id]["status"] = "running"
             try:
-                out = self.sample(obs, noise_var, **opts)
+                out = getattr(self, kind)(obs, noise_var, **opts)
                 out["status"] = "done"
             except Exception as e:  # surfaced to the poller, job by job
                 out = {"status": "error",
@@ -768,6 +791,22 @@ def _make_handler(service: EmulatorService):
             self.wfile.write(body)
             self.close_connection = True
 
+        def _device_post(self, kind, req):
+            """Shared body for the long device-bound POSTs: every one
+            honors ``"async": true`` (202 + /result/<id> poll — the
+            request no longer pins this handler thread or the client
+            connection for its device wall time)."""
+            obs = req.pop("obs")
+            nv = req.pop("noise_var", 1.0)
+            if req.pop("async", False):
+                job_id = service.submit_job(kind, obs, nv, **req)
+                self._reply(202, {
+                    "job_id": job_id,
+                    "result_path": f"/result/{job_id}",
+                })
+            else:
+                self._reply(200, getattr(service, kind)(obs, nv, **req))
+
         def do_GET(self):
             if self.path == "/health":
                 self._reply(200, service.health())
@@ -804,31 +843,13 @@ def _make_handler(service: EmulatorService):
                     out = service.loglik(params, obs, nv, **req)
                     self._reply(200, {"loglik": out.tolist()})
                 elif self.path == "/sample":
-                    obs = req.pop("obs")
-                    nv = req.pop("noise_var", 1.0)
-                    if req.pop("async", False):
-                        # 202 + poll /result/<id>: a long chain no
-                        # longer pins this handler thread (and its
-                        # client connection) for its device wall time
-                        job_id = service.submit_sample(obs, nv, **req)
-                        self._reply(202, {
-                            "job_id": job_id,
-                            "result_path": f"/result/{job_id}",
-                        })
-                    else:
-                        self._reply(200, service.sample(obs, nv, **req))
+                    self._device_post("sample", req)
                 elif self.path == "/fit":
-                    obs = req.pop("obs")
-                    nv = req.pop("noise_var", 1.0)
-                    self._reply(200, service.fit(obs, nv, **req))
+                    self._device_post("fit", req)
                 elif self.path == "/evidence":
-                    obs = req.pop("obs")
-                    nv = req.pop("noise_var", 1.0)
-                    self._reply(200, service.evidence(obs, nv, **req))
+                    self._device_post("evidence", req)
                 elif self.path == "/gof":
-                    obs = req.pop("obs")
-                    nv = req.pop("noise_var", 1.0)
-                    self._reply(200, service.gof(obs, nv, **req))
+                    self._device_post("gof", req)
                 else:
                     self._reply(404, {"error": f"unknown path {self.path}"})
             except DeviceBusyError as e:
