@@ -209,12 +209,12 @@ def _grad_candidates(model, obs):
     from tpu21cmvae.ops.loglik import make_loglik_and_grad
 
     specs = [
-        # expected-winner-first (pallas-gram-high won r03 at 40.9M) so a
-        # mid-sweep wedge cannot erase the grad headline
-        ("pallas-gram-high", dict(backend="pallas", precision="high")),
+        # expected-winner-first (pallas-gram-high/gdefault won r04 at
+        # 41.4M) so a mid-sweep wedge cannot erase the grad headline
         ("pallas-gram-high/gdefault", dict(backend="pallas",
                                            precision="high",
                                            grad_precision="default")),
+        ("pallas-gram-high", dict(backend="pallas", precision="high")),
         # analytic gram backward (h@G reuse; independent backward tier)
         ("xla-gram-an-high", dict(precision="high")),
         ("xla-gram-an-high/gdefault", dict(precision="high",
