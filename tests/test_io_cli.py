@@ -674,3 +674,24 @@ def test_cli_evidence_batch_auto(tmp_path, splits, capsys):
         _json.dump({"obs": rows[0], "noise_var": 25.0}, f)
     assert main(["evidence", ckpt, "--obs", spec1, "--method", "auto",
                  "--out", out]) == 2
+    # --final is batch-only too (on one obs: just --method nested)
+    assert main(["evidence", ckpt, "--obs", spec1,
+                 "--method", "laplace", "--final", "nested",
+                 "--out", out]) == 2
+    # empty and ragged spec files refuse cleanly, not with a traceback
+    spec_empty = str(tmp_path / "obs_empty.json")
+    with open(spec_empty, "w") as f:
+        _json.dump([], f)
+    assert main(["evidence", ckpt, "--obs", spec_empty,
+                 "--method", "auto", "--out", out]) == 2
+    # estimator-tuning flags reach the batched stages (cheap budgets
+    # must make this FASTER than defaults, and the prior's transform is
+    # wired through to the final nested stage instead of crashing)
+    from tpu21cmvae.priors import GaussianBoxPrior  # noqa: F401
+    rc = main(["evidence", ckpt, "--obs", spec, "--method", "auto",
+               "--final", "nested", "--fit-starts", "128",
+               "--fit-steps", "200", "--live", "128", "--mh-steps", "4",
+               "--prior", "3:0.06:0.02", "--out", out])
+    assert rc == 0
+    blob2 = np.load(out)
+    assert np.isfinite(blob2["logz"]).all()

@@ -488,6 +488,9 @@ def _cmd_evidence_batch(model, specs, args):
     — :meth:`DirectEmulator.log_evidence_batch`. All observations must
     share one noise spec (the stacked likelihood folds a single
     whitening into the shared trunk)."""
+    if not specs:
+        print("--obs file contains no observations", file=sys.stderr)
+        return 2
     if args.method not in ("auto", "laplace", "flow"):
         print(f"--method {args.method} is per-observation only; a "
               "multi-observation spec runs the batched pipeline "
@@ -502,13 +505,38 @@ def _cmd_evidence_batch(model, specs, args):
                   "per-observation `evidence` calls instead",
                   file=sys.stderr)
             return 2
+    try:
+        obs_batch = np.stack([o for o, _ in specs])
+    except ValueError as e:
+        print(f"observations do not stack into one batch ({e}); every "
+              "row must have the same length", file=sys.stderr)
+        return 2
     prior = _build_prior(args.prior)
-    obs_batch = np.stack([o for o, _ in specs])
     noise_var = _apply_noise_marginals(model, args, nv0)
+    # the estimator-tuning flags reach the same stages they tune on the
+    # per-observation path: --fit-starts/--fit-steps → the batched
+    # Laplace ascent, --live/--mh-steps → each per-row final nested
+    # run, --walkers → the final SMC particle count
+    lap_kw = {}
+    if args.fit_starts is not None:
+        lap_kw["n_starts"] = args.fit_starts
+    if args.fit_steps is not None:
+        lap_kw["n_steps"] = args.fit_steps
+    final_kwargs = None
+    if args.final == "nested":
+        final_kwargs = {"n_live": args.live, "n_mh": args.mh_steps}
+        if prior is not None:
+            # nested does exact volume bookkeeping through the
+            # transform, not a density (the single-obs path wires the
+            # same pair)
+            final_kwargs["prior_transform"] = prior.prior_transform
+    elif args.final == "smc":
+        final_kwargs = {"n_particles": args.walkers * 8}
     res = model.log_evidence_batch(
         obs_batch, noise_var, method=args.method,
-        final=args.final, seed=args.seed,
+        final=args.final, final_kwargs=final_kwargs, seed=args.seed,
         log_prior=None if prior is None else prior.log_prior,
+        **lap_kw,
     )
     rows = []
     print(f"{'row':>4} {'logz':>12} {'err':>8} {'khat':>6} method")
@@ -526,10 +554,18 @@ def _cmd_evidence_batch(model, specs, args):
     bad = [i for i, r in enumerate(res)
            if r.method_used in ("laplace", "flow")
            and not (r.khat < 0.7)]
+    truncated = [i for i in bad if res[i].final_result is not None]
+    bad = [i for i in bad if res[i].final_result is None]
+    if truncated:
+        print(f"WARNING: rows {truncated} ran the final nested stage "
+              "but it TRUNCATED (logz would only be a lower bound, so "
+              "it was not adopted) — raise --live or nested max_iters "
+              "for these rows", file=sys.stderr)
     if bad:
+        hint = ("rerun with --final nested" if args.final is None
+                else "raise the flow/nested budgets for these rows")
         print(f"WARNING: rows {bad} end with khat >= 0.7 and no "
-              "definitive estimate — rerun with --final nested",
-              file=sys.stderr)
+              f"definitive estimate — {hint}", file=sys.stderr)
     print(f"wrote {args.out} ({len(res)} evidences)")
     return 0
 
@@ -548,6 +584,11 @@ def cmd_evidence(args):
         print("--method auto is the BATCHED escalation policy; a "
               "single-observation spec picks an explicit estimator "
               "(nested/smc/laplace/flow/ladder)", file=sys.stderr)
+        return 2
+    if args.final is not None:
+        print("--final is the batched pipeline's definitive last "
+              "stage; on a single observation just run "
+              f"--method {args.final} directly", file=sys.stderr)
         return 2
     noise_var = _apply_noise_marginals(model, args, noise_var)
     prior = _build_prior(args.prior)
