@@ -80,6 +80,18 @@ TRAIN_EPOCHS = 30  # fallback only: enough weight cancellation for the gate
 PRETRAINED = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "pretrained", "direct_synthetic.npz"
 )
+# tier-NATIVE checkpoint: fine-tuned WITH the single-pass-bf16 forward
+# in its loss (scripts/finetune_bf16_tpu.py), so the golden accuracy
+# regime holds AT Precision.DEFAULT — gated below on accuracy-to-TRUTH
+# (test_error on the golden synthetic split), not on f32-agreement,
+# which is the wrong question for weights whose optimum IS the bf16
+# forward (round-4 VERDICT weak #5).
+PRETRAINED_NATIVE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "pretrained",
+    "direct_synthetic_bf16.npz",
+)
+GATE_GOLDEN_MEAN_PCT = 0.34  # the reference contract (README.rst:11)
+SHIP_REGIME_PCT = 0.20  # the shipped-checkpoint regime (pretrained/)
 
 
 def _build():
@@ -106,23 +118,70 @@ def _build():
             ),
             device_loop=True,
         )
+    native = None
+    if os.path.exists(PRETRAINED_NATIVE):
+        native = DirectEmulator.from_checkpoint(PRETRAINED_NATIVE)
+        if native.native_precision is None:  # pragma: no cover
+            print("bench: checkpoint at pretrained/direct_synthetic_bf16"
+                  ".npz carries no native_precision; ignoring",
+                  file=sys.stderr)
+            native = None
     rng = np.random.default_rng(0)
     raw = synthetic_params(BATCH, rng).astype(np.float32)
-    return model, raw
+    return model, native, raw
 
 
-def _candidates(model):
-    """(name, fn) pairs of jitted (params, raw)->signals implementations.
+def _golden_gate_native(native):
+    """Accuracy-to-TRUTH gate for the tier-native checkpoint: mean
+    relative test error on the golden synthetic split (the split of
+    ``tests/test_pretrained.py``) at the checkpoint's native tier must
+    hold the reference contract (0.34 %) — measured 0.174 % for the
+    shipped bf16 checkpoint (``scripts/finetune_bf16_tpu.json``). Runs
+    inside the bounded worker like every other gate."""
+    from tpu21cmvae.data import synthetic_dataset
+    from tpu21cmvae.utils.metrics import error
 
-    Ordered expected-winner-first so a mid-run tunnel wedge cannot erase
-    the headline: xla-high won round 2 (58.0M vs 32.6M for the contract
-    tier — ``BENCH_r02.json``), so it is measured in the first slot.
+    data = synthetic_dataset(n_train=26888, n_val=1704, n_test=1704,
+                             seed=0)
+    pred = np.asarray(
+        native.predict_fn(precision="native")(
+            native.params, jnp.asarray(data.par_test, jnp.float32)
+        )
+    )
+    err = error(data.signal_test, pred, relative=True,
+                nu_arr=native.frequencies)
+    return float(err.mean()), float(np.median(err))
+
+
+def _candidates(model, native):
+    """(name, fn, params, gate) rows of jitted (params, raw)->signals
+    implementations. ``gate`` is ``"f32"`` (max rel-to-amp agreement
+    with the contract path of the SAME weights) or ``"golden"`` (the
+    tier-native checkpoint: accuracy-to-truth on the golden split —
+    its weights differ, so f32-agreement is the wrong question).
+
+    Ordered expected-winner-first so a mid-run tunnel wedge cannot
+    erase the headline: the tier-native bf16 checkpoint measured
+    104-122M sig/s raw-tier in round 4 (docs/PERF.md) and holds the
+    golden regime (0.174 %), so it takes the first slot; xla-high
+    (58.3M, the r02-r04 winner) is the first same-weights slot.
     """
     cands = [
-        ("xla-high", model.predict_fn(precision=jax.lax.Precision.HIGH)),
-        ("xla-highest", model.predict_fn()),
-        ("xla-default", model.predict_fn(precision=jax.lax.Precision.DEFAULT)),
+        ("xla-high",
+         model.predict_fn(precision=jax.lax.Precision.HIGH),
+         model.params, "f32"),
+        ("xla-highest", model.predict_fn(), model.params, "f32"),
+        ("xla-default",
+         model.predict_fn(precision=jax.lax.Precision.DEFAULT),
+         model.params, "f32"),
     ]
+    if native is not None:
+        cands.insert(0, (
+            f"xla-native-{native.native_precision}",
+            native.predict_fn(precision="native"),
+            native.params,
+            "golden",
+        ))
     try:
         from tpu21cmvae.ops.pallas.fused_mlp import make_fused_emulate
 
@@ -143,9 +202,10 @@ def _candidates(model):
                 "vmem_limit_bytes": 110 * 1024 * 1024,
             },
         }
-        # fastest pallas tier (bf16x3) right after the expected winner;
-        # the exact-f32 kernel after the xla contract tier
-        for pos, tier in ((1, "high"), (3, "highest")):
+        # fastest pallas tier (bf16x3) right after the expected xla
+        # winner; the exact-f32 kernel after the xla contract tier
+        off = 1 if native is not None else 0
+        for pos, tier in ((1 + off, "high"), (3 + off, "highest")):
             cands.insert(
                 pos,
                 (
@@ -159,6 +219,8 @@ def _candidates(model):
                             **tier_kwargs[tier],
                         )
                     ),
+                    model.params,
+                    "f32",
                 ),
             )
     except Exception as e:  # pragma: no cover - kernel unavailable
@@ -245,7 +307,8 @@ def _emit_headline(best_name: str, sps: float) -> None:
 
 
 def _measure(fn, params, x, ref, amp):
-    """Gate then time one candidate. Runs inside the bounded worker."""
+    """f32-agreement gate then time one candidate. Runs inside the
+    bounded worker."""
     err = float(
         (np.abs(np.asarray(fn(params, x[:_CHECK])) - ref) / amp).max()
     )
@@ -256,8 +319,22 @@ def _measure(fn, params, x, ref, amp):
     return {"err": err, "dt": _time_fn(fn, params, x)}
 
 
+def _measure_native(fn, params, x, native):
+    """Golden accuracy-to-truth gate then time the tier-native
+    candidate. Runs inside the bounded worker."""
+    mean_pct, median_pct = _golden_gate_native(native)
+    if not (mean_pct <= GATE_GOLDEN_MEAN_PCT):
+        return {"golden_mean_pct": mean_pct, "gate_rejected": True}
+    return {
+        "golden_mean_pct": mean_pct,
+        "golden_median_pct": median_pct,
+        "ship_regime": bool(mean_pct <= SHIP_REGIME_PCT),
+        "dt": _time_fn(fn, params, x),
+    }
+
+
 def main():
-    model, raw = _build()
+    model, native, raw = _build()
     x = jnp.asarray(raw)
     params = model.params
 
@@ -275,11 +352,14 @@ def main():
 
     best_name, best_dt = None, float("inf")
     wedged = False
-    for name, fn in _candidates(model):
-        status, res = run_bounded(
-            lambda fn=fn: _measure(fn, params, x, ref, amp),
-            CANDIDATE_TIMEOUT_S,
-        )
+    for name, fn, cand_params, gate in _candidates(model, native):
+        if gate == "golden":
+            task = (lambda fn=fn, p=cand_params:
+                    _measure_native(fn, p, x, native))
+        else:
+            task = (lambda fn=fn, p=cand_params:
+                    _measure(fn, p, x, ref, amp))
+        status, res = run_bounded(task, CANDIDATE_TIMEOUT_S)
         if status == "timeout":
             # device presumed wedged (CLAUDE.md tunnel failure mode) —
             # further candidates would hang on the same device
@@ -295,17 +375,31 @@ def main():
             print(f"bench: {name} failed: {res}", file=sys.stderr)
             continue
         if res.get("gate_rejected"):
-            _append_partial({"candidate": name, "outcome": "gate_rejected",
-                             "err": res["err"]})
-            print(f"bench: {name} gate-rejected "
-                  f"(err {res['err']:.2e} > {GATE_REL_TO_AMP:.1e})",
+            rec = {"candidate": name, "outcome": "gate_rejected"}
+            rec.update({k: v for k, v in res.items()
+                        if k != "gate_rejected"})
+            _append_partial(rec)
+            detail = (
+                f"golden mean {res['golden_mean_pct']:.3f}% > "
+                f"{GATE_GOLDEN_MEAN_PCT}%"
+                if "golden_mean_pct" in res
+                else f"err {res['err']:.2e} > {GATE_REL_TO_AMP:.1e}"
+            )
+            print(f"bench: {name} gate-rejected ({detail})",
                   file=sys.stderr)
             continue
         dt = res["dt"]
-        _append_partial({"candidate": name, "outcome": "ok",
-                         "err": res["err"],
-                         "signals_per_sec": round(BATCH / dt, 1)})
-        print(f"bench: {name} err {res['err']:.2e}, "
+        rec = {"candidate": name, "outcome": "ok",
+               "signals_per_sec": round(BATCH / dt, 1)}
+        rec.update({k: v for k, v in res.items() if k != "dt"})
+        _append_partial(rec)
+        detail = (
+            f"golden mean {res['golden_mean_pct']:.3f}%/median "
+            f"{res['golden_median_pct']:.3f}%"
+            if "golden_mean_pct" in res
+            else f"err {res['err']:.2e}"
+        )
+        print(f"bench: {name} {detail}, "
               f"{BATCH / dt / 1e6:.1f}M signals/s", file=sys.stderr)
         if dt < best_dt:
             best_name, best_dt = name, dt

@@ -27,7 +27,7 @@ bench.CANDIDATE_TIMEOUT_S = 3.0
 bench.PARTIAL_PATH = sys.argv[1]
 
 
-def fake_candidates(model):
+def fake_candidates(model, native):
     good = model.predict_fn()
 
     def hang(params, x):
@@ -38,7 +38,9 @@ def fake_candidates(model):
 
     # winner first (provisional headline), then an error (recorded,
     # skipped), then a wedge (timeout -> stop + hard exit)
-    return [("winner", good), ("exploder", boom), ("wedger", hang)]
+    p = model.params
+    return [("winner", good, p, "f32"), ("exploder", boom, p, "f32"),
+            ("wedger", hang, p, "f32")]
 
 
 bench._candidates = fake_candidates
