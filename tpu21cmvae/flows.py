@@ -53,8 +53,6 @@ import numpy as np
 
 from tpu21cmvae.sampling import (
     _chain_program,
-    _fn_cache_key,
-    _bounds_key,
     _prior_log_box_mean,
     _psis,
     _resolve_bounds,
@@ -62,6 +60,7 @@ from tpu21cmvae.sampling import (
     _whitened_center,
     _whitened_vi_target,
 )
+from tpu21cmvae.sampling._common import _auto_key
 
 __all__ = ["FlowResult", "FlowEvidenceResult", "fit_flow",
            "flow_evidence", "evidence_with_flow"]
@@ -243,6 +242,113 @@ class FlowResult:
         return self.sample(n, seed).std(0)
 
 
+@dataclasses.dataclass(frozen=True)
+class _FlowFitProgram:
+    """Statics of :func:`_build_flow_fit_program`, keyed in full
+    (:func:`tpu21cmvae.sampling._common._auto_key`)."""
+
+    n_steps: int
+    n_mc: int
+    n_layers: int
+    width: int
+    learning_rate: float
+
+
+def _build_flow_fit_program(valgrad, log_prior, lo, hi, cfg):
+    """Module-level ELBO-ascent program builder for :func:`fit_flow` —
+    no free variables (the structural cache-key contract; see
+    ``sampling/_common.py::_auto_key``)."""
+    span = hi - lo
+    n_params = int(lo.shape[0])
+    n_steps, n_mc = cfg.n_steps, cfg.n_mc
+    learning_rate = cfg.learning_rate
+    masks = _masks(n_params, cfg.n_layers)
+    integrand_val_grad = _whitened_vi_target(
+        valgrad, lo, span, log_prior, span_jac=False
+    )
+    b1, b2, eps_adam = 0.9, 0.999, 1e-8
+    h_base = 0.5 * n_params * math.log(2.0 * math.pi * math.e)
+
+    def run(params, theta, keys):
+        # params is a RUN argument (not baked into the trace): the
+        # cached program must honor fresh weights when the same
+        # valgrad closure is reused after retraining
+        def step(state, tk):
+            t, k = tk
+            theta, m, v = state
+            z = jax.random.normal(k, (n_mc, n_params), jnp.float32)
+            (y, logdet), pull = jax.vjp(
+                lambda th: flow_forward(th, z, masks), theta
+            )
+            f, g_y = integrand_val_grad(params, y)
+            g_y = jnp.where(jnp.isfinite(g_y), g_y, 0.0)
+            # ∂/∂θ E[f(y) + logdet]: one pullback carries both the
+            # integrand cotangent and the logdet's (entropy ascent)
+            (g_th,) = pull((
+                g_y / n_mc, jnp.full((n_mc,), 1.0 / n_mc),
+            ))
+            elbo = f.mean() + logdet.mean() + h_base
+            m = jax.tree_util.tree_map(
+                lambda mm, gg: b1 * mm + (1 - b1) * gg, m, g_th
+            )
+            v = jax.tree_util.tree_map(
+                lambda vv, gg: b2 * vv + (1 - b2) * gg * gg, v, g_th
+            )
+            lr = learning_rate * (0.05 + 0.95 * 0.5 * (
+                1.0 + jnp.cos(jnp.pi * (t - 1.0) / n_steps)
+            ))
+            theta = jax.tree_util.tree_map(
+                lambda p, mm, vv: p + lr * (mm / (1 - b1**t)) / (
+                    jnp.sqrt(vv / (1 - b2**t)) + eps_adam
+                ),
+                theta, m, v,
+            )
+            return (theta, m, v), elbo
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, theta)
+        state = (theta, zeros, zeros)
+        (theta, _, _), elbo = jax.lax.scan(
+            step, state,
+            (jnp.arange(1, n_steps + 1, dtype=jnp.float32), keys),
+        )
+        return theta, elbo
+
+    return jax.jit(run)
+
+
+@dataclasses.dataclass(frozen=True)
+class _FlowISProgram:
+    """Statics of :func:`_build_flow_is_program`, keyed in full; the
+    flow's mask stack is keyed as an array extra."""
+
+    n_is: int
+
+
+def _build_flow_is_program(loglik, log_prior, lo, hi, masks, cfg):
+    """Module-level flow-IS program builder for :func:`flow_evidence`
+    — no free variables (see ``sampling/_common.py::_auto_key``)."""
+    span = hi - lo
+    n_params = int(lo.shape[0])
+    n_is = cfg.n_is
+
+    def run(params, theta, key):
+        z = jax.random.normal(key, (n_is, n_params), jnp.float32)
+        y, logdet = flow_forward(theta, z, masks)
+        logq = _base_logpdf(z) - logdet
+        s = jnp.clip(jax.nn.sigmoid(y), 1e-7, 1.0 - 1e-7)
+        xr = lo + span * s
+        ll = loglik(params, xr)
+        if log_prior is not None:
+            ll = ll + _resolve_log_prior(log_prior)(xr)
+        g = ll + jnp.sum(
+            jax.nn.log_sigmoid(y) + jax.nn.log_sigmoid(-y),
+            axis=-1,
+        )
+        return g - logq, xr
+
+    return jax.jit(run)
+
+
 def fit_flow(
     valgrad,
     params,
@@ -312,69 +418,17 @@ def fit_flow(
     theta0 = init_flow(k_init, n_params, n_layers=n_layers,
                        width=width, mu0=mu0, chol0=chol0)
 
-    # same target as fit_advi/laplace: logL (+ logπ) + sigmoid
-    # log-Jacobian (span-free convention), value and FIRST-order
-    # y-gradient — the shared variational integrand
-    integrand_val_grad = _whitened_vi_target(
-        valgrad, lo, span, log_prior, span_jac=False
+    fcfg = _FlowFitProgram(
+        n_steps=int(n_steps),
+        n_mc=int(n_mc),
+        n_layers=int(n_layers),
+        width=int(width),
+        learning_rate=float(learning_rate),
     )
-
-    b1, b2, eps_adam = 0.9, 0.999, 1e-8
-    h_base = 0.5 * n_params * math.log(2.0 * math.pi * math.e)
-
-    def build_run():
-        def run(params, theta, keys):
-            # params is a RUN argument (not baked into the trace): the
-            # cached program must honor fresh weights when the same
-            # valgrad closure is reused after retraining
-            def step(state, tk):
-                t, k = tk
-                theta, m, v = state
-                z = jax.random.normal(k, (n_mc, n_params), jnp.float32)
-                (y, logdet), pull = jax.vjp(
-                    lambda th: flow_forward(th, z, masks), theta
-                )
-                f, g_y = integrand_val_grad(params, y)
-                g_y = jnp.where(jnp.isfinite(g_y), g_y, 0.0)
-                # ∂/∂θ E[f(y) + logdet]: one pullback carries both the
-                # integrand cotangent and the logdet's (entropy ascent)
-                (g_th,) = pull((
-                    g_y / n_mc, jnp.full((n_mc,), 1.0 / n_mc),
-                ))
-                elbo = f.mean() + logdet.mean() + h_base
-                m = jax.tree_util.tree_map(
-                    lambda mm, gg: b1 * mm + (1 - b1) * gg, m, g_th
-                )
-                v = jax.tree_util.tree_map(
-                    lambda vv, gg: b2 * vv + (1 - b2) * gg * gg, v, g_th
-                )
-                lr = learning_rate * (0.05 + 0.95 * 0.5 * (
-                    1.0 + jnp.cos(jnp.pi * (t - 1.0) / n_steps)
-                ))
-                theta = jax.tree_util.tree_map(
-                    lambda p, mm, vv: p + lr * (mm / (1 - b1**t)) / (
-                        jnp.sqrt(vv / (1 - b2**t)) + eps_adam
-                    ),
-                    theta, m, v,
-                )
-                return (theta, m, v), elbo
-
-            zeros = jax.tree_util.tree_map(jnp.zeros_like, theta)
-            state = (theta, zeros, zeros)
-            (theta, _, _), elbo = jax.lax.scan(
-                step, state,
-                (jnp.arange(1, n_steps + 1, dtype=jnp.float32), keys),
-            )
-            return theta, elbo
-
-        return jax.jit(run)
-
     run = _chain_program(
         valgrad,
-        ("flow-fit", _bounds_key(lo, hi), int(n_steps), int(n_mc),
-         int(n_layers), int(width), float(learning_rate),
-         _fn_cache_key(log_prior)),
-        build_run,
+        _auto_key(fcfg, lo, hi, log_prior),
+        lambda: _build_flow_fit_program(valgrad, log_prior, lo, hi, fcfg),
     )
     theta, elbo = run(params, theta0, jax.random.split(k_fit, n_steps))
     return FlowResult(
@@ -504,32 +558,16 @@ def flow_evidence(
     masks = flow.masks
     theta = jax.tree_util.tree_map(jnp.asarray, flow.theta)
 
-    def build_is():
-        def run(params, theta, key):
-            z = jax.random.normal(key, (n_is, n_params), jnp.float32)
-            y, logdet = flow_forward(theta, z, masks)
-            logq = _base_logpdf(z) - logdet
-            s = jnp.clip(jax.nn.sigmoid(y), 1e-7, 1.0 - 1e-7)
-            xr = lo + span * s
-            ll = loglik(params, xr)
-            if log_prior is not None:
-                ll = ll + _resolve_log_prior(log_prior)(xr)
-            g = ll + jnp.sum(
-                jax.nn.log_sigmoid(y) + jax.nn.log_sigmoid(-y),
-                axis=-1,
-            )
-            return g - logq, xr
-
-        return jax.jit(run)
-
+    # masks keyed as an array extra: the program closes over the mask
+    # stack, so a flow with a different layer count/pattern must not
+    # hit a stale entry (zip would silently truncate the coupling stack)
+    icfg = _FlowISProgram(n_is=int(n_is))
     run = _chain_program(
         loglik,
-        # masks bytes: the program closes over the mask stack, so a
-        # flow with a different layer count/pattern must not hit a
-        # stale entry (zip would silently truncate the coupling stack)
-        ("flow-is", _bounds_key(lo, hi), int(n_is),
-         np.asarray(masks).tobytes(), _fn_cache_key(log_prior)),
-        build_is,
+        _auto_key(icfg, lo, hi, log_prior, np.asarray(masks)),
+        lambda: _build_flow_is_program(
+            loglik, log_prior, lo, hi, masks, icfg
+        ),
     )
     logw, xr = run(params, theta, jax.random.key(seed))
     logw = np.asarray(logw, np.float64)

@@ -16,14 +16,80 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu21cmvae.sampling._common import (
-    _bounds_key,
+    _auto_key,
     _chain_program,
-    _fn_cache_key,
     _init_walkers,
     _log_prior_val_grad,
     _resolve_bounds,
     _shard_walkers,
 )
+
+
+@dataclasses.dataclass(frozen=True)
+class _AscentProgram:
+    """Statics of :func:`_build_ascent_program`, keyed in full
+    (:func:`_auto_key`)."""
+
+    n_steps: int
+    learning_rate: float
+    jacobian: bool
+
+
+def _build_ascent_program(valgrad, log_prior, lo, hi, free, cfg):
+    """Module-level program builder for :func:`_whitened_adam_ascent`
+    — no free variables: statics from ``cfg``, everything else from
+    the keyed ``(lo, hi, log_prior, free)`` (see :func:`_auto_key`)."""
+    span = hi - lo
+    n_steps = cfg.n_steps
+
+    def ll_and_grad_y(params, y):
+        s = jax.nn.sigmoid(y)
+        xr = lo + span * s
+        ll, g_raw = valgrad(params, xr)
+        if log_prior is not None:
+            lpr, g_pr = _log_prior_val_grad(log_prior, xr)
+            ll = ll + lpr
+            g_raw = g_raw + g_pr
+        g_y = g_raw * (span * s * (1.0 - s))
+        if cfg.jacobian:
+            ll = ll + jnp.sum(
+                jax.nn.log_sigmoid(y) + jax.nn.log_sigmoid(-y), axis=-1
+            )
+            g_y = g_y + (1.0 - 2.0 * s)
+        if free is not None:
+            g_y = g_y * free
+        return ll, g_y
+
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def run(params, y):
+        def adam_step(state, t):
+            y, m, v = state
+            ll, g = ll_and_grad_y(params, y)
+            # dead start ≠ NaN poison
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            m = b1 * m + (1.0 - b1) * g
+            v = b2 * v + (1.0 - b2) * g * g
+            mh = m / (1.0 - b1 ** t)
+            vh = v / (1.0 - b2 ** t)
+            # cosine decay to 5% of the initial rate: large early
+            # steps to cross the rugged landscape, small late steps
+            # to polish the optimum below the Adam-jitter floor
+            lr = cfg.learning_rate * (0.05 + 0.95 * 0.5 * (
+                1.0 + jnp.cos(jnp.pi * (t - 1.0) / n_steps)
+            ))
+            y = y + lr * mh / (jnp.sqrt(vh) + eps)  # ascent
+            return (y, m, v), None
+
+        state = (y, jnp.zeros_like(y), jnp.zeros_like(y))
+        (y, _, _), _ = jax.lax.scan(
+            adam_step, state,
+            jnp.arange(1, n_steps + 1, dtype=jnp.float32),
+        )
+        ll, _ = ll_and_grad_y(params, y)
+        return lo + span * jax.nn.sigmoid(y), ll
+
+    return jax.jit(run)
 
 @dataclasses.dataclass
 class FitResult:
@@ -139,71 +205,25 @@ def _whitened_adam_ascent(
         frac = jnp.where(free.astype(bool), frac, pinned)
     y0 = jnp.log(frac / (1.0 - frac))
 
-    def ll_and_grad_y(params, y):
-        s = jax.nn.sigmoid(y)
-        xr = lo + span * s
-        ll, g_raw = valgrad(params, xr)
-        if log_prior is not None:
-            lpr, g_pr = _log_prior_val_grad(log_prior, xr)
-            ll = ll + lpr
-            g_raw = g_raw + g_pr
-        g_y = g_raw * (span * s * (1.0 - s))
-        if jacobian:
-            ll = ll + jnp.sum(
-                jax.nn.log_sigmoid(y) + jax.nn.log_sigmoid(-y), axis=-1
-            )
-            g_y = g_y + (1.0 - 2.0 * s)
-        if free is not None:
-            g_y = g_y * free
-        return ll, g_y
-
-    b1, b2, eps = 0.9, 0.999, 1e-8
-
-    def build_run():
-        def run(params, y):
-            def adam_step(state, t):
-                y, m, v = state
-                ll, g = ll_and_grad_y(params, y)
-                # dead start ≠ NaN poison
-                g = jnp.where(jnp.isfinite(g), g, 0.0)
-                m = b1 * m + (1.0 - b1) * g
-                v = b2 * v + (1.0 - b2) * g * g
-                mh = m / (1.0 - b1 ** t)
-                vh = v / (1.0 - b2 ** t)
-                # cosine decay to 5% of the initial rate: large early
-                # steps to cross the rugged landscape, small late steps
-                # to polish the optimum below the Adam-jitter floor
-                lr = learning_rate * (0.05 + 0.95 * 0.5 * (
-                    1.0 + jnp.cos(jnp.pi * (t - 1.0) / n_steps)
-                ))
-                y = y + lr * mh / (jnp.sqrt(vh) + eps)  # ascent
-                return (y, m, v), None
-
-            state = (y, jnp.zeros_like(y), jnp.zeros_like(y))
-            (y, _, _), _ = jax.lax.scan(
-                adam_step, state,
-                jnp.arange(1, n_steps + 1, dtype=jnp.float32),
-            )
-            ll, _ = ll_and_grad_y(params, y)
-            return lo + span * jax.nn.sigmoid(y), ll
-
-        return jax.jit(run)
-
     # cached on the valgrad closure (the sampler idiom,
     # _chain_program): repeated fits / profiles / Laplace runs / ladder
     # warm starts with the same statics reuse one compiled program —
     # through the tunnel that turns every warm call from a 5–20 s
     # retrace into milliseconds. ``params`` is a RUN argument, so a
     # retrained model's weights can never go stale in the cache.
+    cfg = _AscentProgram(
+        n_steps=int(n_steps),
+        learning_rate=float(learning_rate),
+        jacobian=bool(jacobian),
+    )
+    free_arr = None if free is None else np.asarray(free)
     run = _chain_program(
         valgrad,
-        (
-            "ascent", _bounds_key(lo, hi), int(n_steps),
-            float(learning_rate), _fn_cache_key(log_prior),
-            None if free is None else np.asarray(free).tobytes(),
-            bool(jacobian), tuple(np.shape(x)),
+        _auto_key(cfg, lo, hi, log_prior, free_arr, tuple(np.shape(x))),
+        lambda: _build_ascent_program(
+            valgrad, log_prior, lo, hi,
+            None if free_arr is None else jnp.asarray(free_arr), cfg,
         ),
-        build_run,
     )
     return run(params, y0)
 

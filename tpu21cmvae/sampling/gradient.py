@@ -17,9 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu21cmvae.sampling._common import (
-    _bounds_key,
+    _auto_key,
     _chain_program,
-    _fn_cache_key,
     _init_walkers,
     _log_prior_val_grad,
     _resolve_bounds,
@@ -225,6 +224,169 @@ def _resolve_metric(metric, precondition, n_warmup, n_walkers,
     return use_metric, use_metric and dense
 
 
+@dataclasses.dataclass(frozen=True)
+class _HmcProgram:
+    """Every static :func:`_build_hmc_program` bakes into its closure;
+    the cache key is ALL fields automatically (:func:`_auto_key`).
+    Phase structure (warmup split, metric use) is DERIVED from these
+    fields via :meth:`phases`, so it can never escape the key — the
+    round-4 bug class (a hand-assembled key missing one baked boolean,
+    measured at 99 % NUTS divergences) is structurally closed."""
+
+    n_walkers: int
+    n_warmup: int
+    n_leapfrog: int
+    target_accept: float
+    init_step: float
+    adapt_blocks: int
+    thin: int
+    jitter: bool
+    precondition: bool
+    metric: str
+
+    def phases(self):
+        use_metric, dense = _resolve_metric(
+            self.metric, self.precondition, self.n_warmup,
+            self.n_walkers, auto_dense=False,
+        )
+        n_warm1 = self.n_warmup // 2 if use_metric else self.n_warmup
+        return use_metric, dense, n_warm1
+
+
+def _build_hmc_program(valgrad, log_prior, lo, hi, cfg):
+    """Module-level program builder for :func:`sample_hmc` — no free
+    variables: every static comes from ``cfg`` or the keyed
+    ``(lo, hi, log_prior)``. Returns ``(to_params, run)``."""
+    span = hi - lo
+    to_params, logp_and_grad = _whitened_target(
+        valgrad, log_prior, lo, span
+    )
+    use_metric, dense, n_warm1 = cfg.phases()
+    n_blk = cfg.adapt_blocks
+    thin = cfg.thin
+    n_leapfrog = cfg.n_leapfrog
+    target_accept = cfg.target_accept
+    l_min = max(1, (n_leapfrog + 1) // 2)
+
+    def draw_l(k):
+        if not cfg.jitter or l_min == n_leapfrog:
+            return jnp.int32(n_leapfrog)
+        return jax.random.randint(k, (), l_min, n_leapfrog + 1)
+
+    def hmc_step(params, y, lp, glp, met, eps_blk, n_leap, k):
+        # ``eps_blk``: (adapt_blocks,) per-block steps, expanded to
+        # rows; ``met``: the ensemble metric (a (D,) diagonal or (D,D)
+        # dense square root — momenta live in the metric-whitened
+        # space, positions in ``y``, the standard mass-matrix
+        # equivalence); ``n_leap``: traced leapfrog count.
+        eps = jnp.repeat(eps_blk, y.shape[0] // n_blk)[:, None]
+        kp, ku = jax.random.split(k)
+        p0 = jax.random.normal(kp, y.shape, y.dtype)
+        p = p0 + 0.5 * eps * _met_pull(met, glp)
+
+        def leap(_, qpg):
+            q, p, g = qpg
+            q = q + eps * _met_scale(met, p)
+            _, g = logp_and_grad(params, q)
+            p = p + eps * _met_pull(met, g)
+            return q, p, g
+
+        q, p, g = jax.lax.fori_loop(0, n_leap - 1, leap, (y, p, glp))
+        q = q + eps * _met_scale(met, p)
+        lp_new, g_new = logp_and_grad(params, q)
+        p = p + 0.5 * eps * _met_pull(met, g_new)
+        dh = (lp_new - lp) - 0.5 * (jnp.sum(p**2, -1) - jnp.sum(p0**2, -1))
+        acc = jnp.log(jax.random.uniform(ku, (y.shape[0],))) < dh
+        # recover walkers with a non-finite current lp (see sample_mh)
+        acc = acc | (~jnp.isfinite(lp) & jnp.isfinite(lp_new))
+        y = jnp.where(acc[:, None], q, y)
+        lp = jnp.where(acc, lp_new, lp)
+        glp = jnp.where(acc[:, None], g_new, glp)
+        # per-block mean Metropolis probability (capped at 1; NaN dh —
+        # diverged trajectory — counts as 0) drives adaptation
+        a = jnp.where(
+            jnp.isfinite(dh), jnp.minimum(1.0, jnp.exp(dh)), 0.0
+        )
+        return y, lp, glp, a.reshape(n_blk, -1).mean(axis=1)
+
+    # dual averaging (Hoffman & Gelman 2014, Alg. 5) — all in-carry;
+    # ``mu`` is traced so a post-preconditioning restart can re-anchor
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+
+    def make_warm_step(params):
+        def warm_step(state, ik):
+            i, k = ik
+            kl, kh = jax.random.split(k)
+            y, lp, glp, sd, mu, log_eps, log_eps_bar, h_bar = state
+            y, lp, glp, a_mean = hmc_step(
+                params, y, lp, glp, sd, jnp.exp(log_eps), draw_l(kl), kh
+            )
+            t = i + 1.0
+            h_bar = (1.0 - 1.0 / (t + t0)) * h_bar + (
+                target_accept - a_mean
+            ) / (t + t0)
+            log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+            w = t ** (-kappa)
+            log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+            return (
+                y, lp, glp, sd, mu, log_eps, log_eps_bar, h_bar
+            ), a_mean
+
+        return warm_step
+
+    def warm_phase(params, y, lp, glp, sd, eps0, ik):
+        # ``eps0``: (adapt_blocks,) — the dual-averaging state is a
+        # per-block vector throughout (every update is elementwise)
+        state = (
+            y, lp, glp, sd, jnp.log(10.0 * eps0), jnp.log(eps0),
+            jnp.log(eps0), jnp.zeros_like(eps0),
+        )
+        state, _ = jax.lax.scan(make_warm_step(params), state, ik)
+        y, lp, glp, _, _, _, log_eps_bar, _ = state
+        return y, lp, glp, jnp.exp(log_eps_bar)
+
+    def run(params, y, warm1_ik, warm2_ik, run_keys):
+        def run_step(state, tk):
+            t, k = tk
+            y, lp, glp, sd, eps, buf = state
+            kl, kh = jax.random.split(k)
+            y, lp, glp, a_mean = hmc_step(
+                params, y, lp, glp, sd, eps, draw_l(kl), kh
+            )
+            if thin:
+                buf = _thin_write(
+                    buf, t, to_params(y), thin, n_keep
+                )
+            return (y, lp, glp, sd, eps, buf), jnp.mean(a_mean)
+
+        lp, glp = logp_and_grad(params, y)
+        sd = jnp.ones((y.shape[1],), y.dtype)
+        eps = jnp.full((n_blk,), cfg.init_step, jnp.float32)
+        if n_warm1 > 0:  # static — no hidden warmup on continuation
+            y, lp, glp, eps = warm_phase(
+                params, y, lp, glp, sd, eps, warm1_ik
+            )
+        if use_metric:
+            sd = _ens_metric_blocks(y, dense, 1)
+            y, lp, glp, eps = warm_phase(
+                params, y, lp, glp, sd, eps, warm2_ik
+            )
+            # (no post-warmup metric refresh here: with a FIXED
+            # trajectory length the step cannot re-adapt to the
+            # refreshed geometry — measured worse on the correlated
+            # Gaussian; ChEES/NUTS refresh because their
+            # trajectories adapt per step)
+        n_keep, buf = _thin_state(run_keys.shape[0], thin, y)
+        (y, lp, glp, _, _, buf), rates = jax.lax.scan(
+            run_step, (y, lp, glp, sd, eps, buf),
+            (jnp.arange(run_keys.shape[0], dtype=jnp.int32),
+             run_keys),
+        )
+        return y, lp, rates, buf[:n_keep], eps
+
+    return to_params, jax.jit(run)
+
+
 def sample_hmc(
     valgrad,
     params,
@@ -306,7 +468,6 @@ def sample_hmc(
             f"n_walkers ({n_walkers}) must divide into adapt_blocks "
             f"({adapt_blocks}) equal contiguous blocks"
         )
-    n_blk = int(adapt_blocks)
     key = jax.random.key(seed)
     k_init, k_warm, k_run = jax.random.split(key, 3)
     x = _shard_walkers(
@@ -316,146 +477,27 @@ def sample_hmc(
         mesh,
     )
     y = _whiten_init(x, lo, span)
-    to_params, logp_and_grad = _whitened_target(valgrad, log_prior, lo, span)
 
     # metric estimation needs enough walkers for a stable cross-walker
-    # spread and enough warmup for phase 2 to re-adapt the step
-    use_metric, dense = _resolve_metric(
-        metric, precondition, n_warmup, y.shape[0],
-        auto_dense=False,
+    # spread and enough warmup for phase 2 to re-adapt the step —
+    # all derived inside cfg.phases() from keyed fields
+    cfg = _HmcProgram(
+        n_walkers=int(y.shape[0]),
+        n_warmup=int(n_warmup),
+        n_leapfrog=int(n_leapfrog),
+        target_accept=float(target_accept),
+        init_step=float(init_step),
+        adapt_blocks=int(adapt_blocks),
+        thin=int(thin),
+        jitter=bool(jitter),
+        precondition=bool(precondition),
+        metric=str(metric),
     )
-    n_warm1 = n_warmup // 2 if use_metric else n_warmup
-
-    l_min = max(1, (n_leapfrog + 1) // 2)
-
-    def draw_l(k):
-        if not jitter or l_min == n_leapfrog:
-            return jnp.int32(n_leapfrog)
-        return jax.random.randint(k, (), l_min, n_leapfrog + 1)
-
-    def hmc_step(params, y, lp, glp, met, eps_blk, n_leap, k):
-        # ``eps_blk``: (adapt_blocks,) per-block steps, expanded to
-        # rows; ``met``: the ensemble metric (a (D,) diagonal or (D,D)
-        # dense square root — momenta live in the metric-whitened
-        # space, positions in ``y``, the standard mass-matrix
-        # equivalence); ``n_leap``: traced leapfrog count.
-        eps = jnp.repeat(eps_blk, y.shape[0] // n_blk)[:, None]
-        kp, ku = jax.random.split(k)
-        p0 = jax.random.normal(kp, y.shape, y.dtype)
-        p = p0 + 0.5 * eps * _met_pull(met, glp)
-
-        def leap(_, qpg):
-            q, p, g = qpg
-            q = q + eps * _met_scale(met, p)
-            _, g = logp_and_grad(params, q)
-            p = p + eps * _met_pull(met, g)
-            return q, p, g
-
-        q, p, g = jax.lax.fori_loop(0, n_leap - 1, leap, (y, p, glp))
-        q = q + eps * _met_scale(met, p)
-        lp_new, g_new = logp_and_grad(params, q)
-        p = p + 0.5 * eps * _met_pull(met, g_new)
-        dh = (lp_new - lp) - 0.5 * (jnp.sum(p**2, -1) - jnp.sum(p0**2, -1))
-        acc = jnp.log(jax.random.uniform(ku, (y.shape[0],))) < dh
-        # recover walkers with a non-finite current lp (see sample_mh)
-        acc = acc | (~jnp.isfinite(lp) & jnp.isfinite(lp_new))
-        y = jnp.where(acc[:, None], q, y)
-        lp = jnp.where(acc, lp_new, lp)
-        glp = jnp.where(acc[:, None], g_new, glp)
-        # per-block mean Metropolis probability (capped at 1; NaN dh —
-        # diverged trajectory — counts as 0) drives adaptation
-        a = jnp.where(
-            jnp.isfinite(dh), jnp.minimum(1.0, jnp.exp(dh)), 0.0
-        )
-        return y, lp, glp, a.reshape(n_blk, -1).mean(axis=1)
-
-    # dual averaging (Hoffman & Gelman 2014, Alg. 5) — all in-carry;
-    # ``mu`` is traced so a post-preconditioning restart can re-anchor
-    gamma, t0, kappa = 0.05, 10.0, 0.75
-
-    def make_warm_step(params):
-        def warm_step(state, ik):
-            i, k = ik
-            kl, kh = jax.random.split(k)
-            y, lp, glp, sd, mu, log_eps, log_eps_bar, h_bar = state
-            y, lp, glp, a_mean = hmc_step(
-                params, y, lp, glp, sd, jnp.exp(log_eps), draw_l(kl), kh
-            )
-            t = i + 1.0
-            h_bar = (1.0 - 1.0 / (t + t0)) * h_bar + (
-                target_accept - a_mean
-            ) / (t + t0)
-            log_eps = mu - jnp.sqrt(t) / gamma * h_bar
-            w = t ** (-kappa)
-            log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
-            return (
-                y, lp, glp, sd, mu, log_eps, log_eps_bar, h_bar
-            ), a_mean
-
-        return warm_step
-
-    def warm_phase(params, y, lp, glp, sd, eps0, ik):
-        # ``eps0``: (adapt_blocks,) — the dual-averaging state is a
-        # per-block vector throughout (every update is elementwise)
-        state = (
-            y, lp, glp, sd, jnp.log(10.0 * eps0), jnp.log(eps0),
-            jnp.log(eps0), jnp.zeros_like(eps0),
-        )
-        state, _ = jax.lax.scan(make_warm_step(params), state, ik)
-        y, lp, glp, _, _, _, log_eps_bar, _ = state
-        return y, lp, glp, jnp.exp(log_eps_bar)
-
-    def build_run():
-        def run(params, y, warm1_ik, warm2_ik, run_keys):
-            def run_step(state, tk):
-                t, k = tk
-                y, lp, glp, sd, eps, buf = state
-                kl, kh = jax.random.split(k)
-                y, lp, glp, a_mean = hmc_step(
-                    params, y, lp, glp, sd, eps, draw_l(kl), kh
-                )
-                if thin:
-                    buf = _thin_write(
-                        buf, t, to_params(y), thin, n_keep
-                    )
-                return (y, lp, glp, sd, eps, buf), jnp.mean(a_mean)
-
-            lp, glp = logp_and_grad(params, y)
-            sd = jnp.ones((y.shape[1],), y.dtype)
-            eps = jnp.full((n_blk,), init_step, jnp.float32)
-            if n_warm1 > 0:  # static — no hidden warmup on continuation
-                y, lp, glp, eps = warm_phase(
-                    params, y, lp, glp, sd, eps, warm1_ik
-                )
-            if use_metric:
-                sd = _ens_metric_blocks(y, dense, 1)
-                y, lp, glp, eps = warm_phase(
-                    params, y, lp, glp, sd, eps, warm2_ik
-                )
-                # (no post-warmup metric refresh here: with a FIXED
-                # trajectory length the step cannot re-adapt to the
-                # refreshed geometry — measured worse on the correlated
-                # Gaussian; ChEES/NUTS refresh because their
-                # trajectories adapt per step)
-            n_keep, buf = _thin_state(run_keys.shape[0], thin, y)
-            (y, lp, glp, _, _, buf), rates = jax.lax.scan(
-                run_step, (y, lp, glp, sd, eps, buf),
-                (jnp.arange(run_keys.shape[0], dtype=jnp.int32),
-                 run_keys),
-            )
-            return y, lp, rates, buf[:n_keep], eps
-
-        return jax.jit(run)
-
-    run = _chain_program(
+    _, _, n_warm1 = cfg.phases()  # validates `metric` eagerly too
+    to_params, run = _chain_program(
         valgrad,
-        (
-            "hmc", _bounds_key(lo, hi), float(init_step),
-            float(target_accept), bool(jitter), bool(precondition),
-            n_blk, int(thin), int(n_leapfrog), use_metric, dense,
-            n_warm1 > 0, _fn_cache_key(log_prior),
-        ),
-        build_run,
+        _auto_key(cfg, lo, hi, log_prior),
+        lambda: _build_hmc_program(valgrad, log_prior, lo, hi, cfg),
     )
 
     def ik(k, n):
@@ -513,94 +555,45 @@ class ChEESSampleResult(SampleResult):
     trajectory_length: float = 0.0
 
 
-def sample_chees(
-    valgrad,
-    params,
-    *,
-    n_walkers: int = 4096,
-    n_steps: int = 200,
-    n_warmup: int = 300,
-    bounds=None,
-    target_accept: float = 0.651,
-    init_step: float = 0.01,
-    init_traj: Optional[float] = None,
-    max_leapfrog: int = 128,
-    traj_lr: float = 0.05,
-    thin: int = 5,
-    seed: int = 0,
-    x0=None,
-    precondition: bool = True,
-    metric: str = "auto",
-    log_prior=None,
-    mesh=None,
-) -> ChEESSampleResult:
-    """ChEES-HMC: HMC with the trajectory length adapted from ensemble
-    statistics (Hoffman, Radul & Sountsov 2021, "An Adaptive-MCMC
-    Scheme for Setting Trajectory Lengths in Hamiltonian Monte Carlo")
-    — the accelerator-native answer to "how long should HMC integrate?".
+@dataclasses.dataclass(frozen=True)
+class _CheesProgram:
+    """Statics of :func:`_build_chees_program`, keyed in full
+    (:func:`_auto_key`); phase structure derives via :meth:`phases`
+    (see :class:`_HmcProgram`)."""
 
-    NUTS answers that question with per-chain dynamic tree building —
-    recursion, data-dependent trip counts, and early exits that are
-    hostile to batched SPMD execution (every walker would pay the
-    slowest tree, and the tree state is a stack). ChEES-HMC gets the
-    same adaptivity from the ensemble instead: all walkers share one
-    jittered trajectory per iteration, and warmup ascends the ChEES
-    criterion — the expected squared change of the squared distance
-    from the posterior mean, a proxy for maximizing ESS of second
-    moments — whose gradient with respect to the trajectory time has a
-    closed form in the endpoint momentum (their eq. 8). The result
-    keeps every iteration a fixed-shape batched leapfrog (MXU-friendly,
-    one compiled program) while matching NUTS-quality trajectory
-    tuning; the paper finds it competitive with or better than NUTS
-    across their benchmark posteriors.
+    n_walkers: int
+    n_warmup: int
+    target_accept: float
+    init_step: float
+    h0: float
+    max_leapfrog: int
+    traj_lr: float
+    thin: int
+    precondition: bool
+    metric: str
 
-    Mechanics (all inside two ``lax.scan`` programs, like
-    :func:`sample_hmc`):
+    def phases(self):
+        use_metric, dense = _resolve_metric(
+            self.metric, self.precondition, self.n_warmup,
+            self.n_walkers, auto_dense=False,
+        )
+        n_warm1 = self.n_warmup // 2 if use_metric else self.n_warmup
+        return use_metric, dense, n_warm1
 
-    * iteration ``i`` integrates for time ``u_i·τ`` where ``u_i`` is
-      the base-2 van der Corput (Halton) fraction of the global step
-      index — state-independent, so detailed balance is untouched —
-      and the leapfrog count is ``ceil(u_i·τ/ε)``, a traced dynamic
-      ``fori_loop`` trip count (no per-length retraces);
-    * warmup adapts ``ε`` by dual averaging toward ``target_accept``
-      (0.651 is the ChEES paper's choice) exactly as in
-      :func:`sample_hmc`, and ``log τ`` by Adam ascent (lr
-      ``traj_lr``) on the per-iteration ChEES gradient, iterate-
-      averaged with the same ``t^{-0.75}`` weights; ``τ`` is clamped
-      to ``[ε, ε·max_leapfrog]``;
-    * ``precondition``/``metric`` reuse the ensemble-statistics metric
-      (halfway restart) from :func:`sample_hmc`; ``metric="dense"``
-      opts into the covariance square root, so the trajectory
-      adaptation only has to learn the residual whitened geometry
-      (``"auto"`` stays diag here — see `_resolve_metric`).
 
-    ``valgrad``/``bounds``/``log_prior``/``mesh``/``thin`` as in
-    :func:`sample_hmc` (the ChEES gradient adds one cross-walker mean
-    per warmup iteration — a scalar-sized collective under ``mesh``).
-    Prefer this over :func:`sample_hmc` when the trajectory length is
-    unknown: on anisotropic targets a mistuned fixed ``n_leapfrog``
-    costs orders of magnitude in ESS, which is exactly what the
-    adaptation recovers (``tests/test_sampling.py``).
-    """
-    lo, hi = _resolve_bounds(bounds)
+def _build_chees_program(valgrad, log_prior, lo, hi, cfg):
+    """Module-level program builder for :func:`sample_chees` — no free
+    variables (see :func:`_auto_key`). Returns ``(to_params, run)``."""
     span = hi - lo
-    key = jax.random.key(seed)
-    k_init, k_warm, k_run = jax.random.split(key, 3)
-    x = _shard_walkers(
-        jnp.asarray(x0, jnp.float32)
-        if x0 is not None
-        else _init_walkers(k_init, n_walkers, lo, hi),
-        mesh,
+    to_params, logp_and_grad = _whitened_target(
+        valgrad, log_prior, lo, span
     )
-    y = _whiten_init(x, lo, span)
-    to_params, logp_and_grad = _whitened_target(valgrad, log_prior, lo, span)
-
-    use_metric, dense = _resolve_metric(
-        metric, precondition, n_warmup, y.shape[0],
-        auto_dense=False,
-    )
-    n_warm1 = n_warmup // 2 if use_metric else n_warmup
-    h0 = float(init_traj) if init_traj is not None else 8.0 * init_step
+    use_metric, dense, n_warm1 = cfg.phases()
+    thin = cfg.thin
+    n_warmup = cfg.n_warmup
+    max_leapfrog = cfg.max_leapfrog
+    target_accept = cfg.target_accept
+    traj_lr = cfg.traj_lr
     gamma, t0, kappa = 0.05, 10.0, 0.75  # dual averaging (H&G Alg. 5)
     b1, b2, adam_eps = 0.9, 0.99, 1e-8  # Adam on log τ
     log_cap = float(np.log(max_leapfrog))
@@ -700,58 +693,148 @@ def sample_chees(
         y, lp, glp = state[0], state[1], state[2]
         return y, lp, glp, jnp.exp(state[6]), jnp.exp(state[9])
 
-    def build_run():
-        def run(params, y, warm1_txk, warm2_txk, run_ixk):
-            def run_step(state, ixk):
-                i, k = ixk
-                y, lp, glp, sd, eps, h, buf = state
-                y, lp, glp, a_mean, _ = chees_step(
-                    params, y, lp, glp, sd, eps, h, _vdc(i), k, False
-                )
-                if thin:
-                    # i is the GLOBAL step index (warmup offset, for
-                    # the van-der-Corput jitter); thinning counts
-                    # post-warmup steps
-                    buf = _thin_write(
-                        buf, i - n_warmup, to_params(y), thin, n_keep
-                    )
-                return (y, lp, glp, sd, eps, h, buf), a_mean
-
-            lp, glp = logp_and_grad(params, y)
-            sd = jnp.ones((y.shape[1],), y.dtype)
-            eps = jnp.float32(init_step)
-            h = jnp.float32(h0)
-            if n_warm1 > 0:  # static — no hidden warmup on continuation
-                y, lp, glp, eps, h = warm_phase(
-                    params, y, lp, glp, sd, eps, h, warm1_txk
-                )
-            if use_metric:
-                sd = _ens_metric_blocks(y, dense, 1)
-                y, lp, glp, eps, h = warm_phase(
-                    params, y, lp, glp, sd, eps, h, warm2_txk
-                )
-                # (no post-warmup metric refresh: like sample_hmc, the
-                # adapted step+trajectory cannot re-tune to refreshed
-                # geometry — measured acceptance collapse on a sharp
-                # emulator posterior; NUTS refreshes because per-walker
-                # trees re-adapt the trajectory every draw)
-            n_keep, buf = _thin_state(run_ixk[0].shape[0], thin, y)
-            (y, lp, glp, _, _, _, buf), rates = jax.lax.scan(
-                run_step, (y, lp, glp, sd, eps, h, buf), run_ixk
+    def run(params, y, warm1_txk, warm2_txk, run_ixk):
+        def run_step(state, ixk):
+            i, k = ixk
+            y, lp, glp, sd, eps, h, buf = state
+            y, lp, glp, a_mean, _ = chees_step(
+                params, y, lp, glp, sd, eps, h, _vdc(i), k, False
             )
-            return y, lp, rates, buf[:n_keep], eps, h
+            if thin:
+                # i is the GLOBAL step index (warmup offset, for
+                # the van-der-Corput jitter); thinning counts
+                # post-warmup steps
+                buf = _thin_write(
+                    buf, i - n_warmup, to_params(y), thin, n_keep
+                )
+            return (y, lp, glp, sd, eps, h, buf), a_mean
 
-        return jax.jit(run)
+        lp, glp = logp_and_grad(params, y)
+        sd = jnp.ones((y.shape[1],), y.dtype)
+        eps = jnp.float32(cfg.init_step)
+        h = jnp.float32(cfg.h0)
+        if n_warm1 > 0:  # static — no hidden warmup on continuation
+            y, lp, glp, eps, h = warm_phase(
+                params, y, lp, glp, sd, eps, h, warm1_txk
+            )
+        if use_metric:
+            sd = _ens_metric_blocks(y, dense, 1)
+            y, lp, glp, eps, h = warm_phase(
+                params, y, lp, glp, sd, eps, h, warm2_txk
+            )
+            # (no post-warmup metric refresh: like sample_hmc, the
+            # adapted step+trajectory cannot re-tune to refreshed
+            # geometry — measured acceptance collapse on a sharp
+            # emulator posterior; NUTS refreshes because per-walker
+            # trees re-adapt the trajectory every draw)
+        n_keep, buf = _thin_state(run_ixk[0].shape[0], thin, y)
+        (y, lp, glp, _, _, _, buf), rates = jax.lax.scan(
+            run_step, (y, lp, glp, sd, eps, h, buf), run_ixk
+        )
+        return y, lp, rates, buf[:n_keep], eps, h
 
-    run = _chain_program(
+    return to_params, jax.jit(run)
+
+
+def sample_chees(
+    valgrad,
+    params,
+    *,
+    n_walkers: int = 4096,
+    n_steps: int = 200,
+    n_warmup: int = 300,
+    bounds=None,
+    target_accept: float = 0.651,
+    init_step: float = 0.01,
+    init_traj: Optional[float] = None,
+    max_leapfrog: int = 128,
+    traj_lr: float = 0.05,
+    thin: int = 5,
+    seed: int = 0,
+    x0=None,
+    precondition: bool = True,
+    metric: str = "auto",
+    log_prior=None,
+    mesh=None,
+) -> ChEESSampleResult:
+    """ChEES-HMC: HMC with the trajectory length adapted from ensemble
+    statistics (Hoffman, Radul & Sountsov 2021, "An Adaptive-MCMC
+    Scheme for Setting Trajectory Lengths in Hamiltonian Monte Carlo")
+    — the accelerator-native answer to "how long should HMC integrate?".
+
+    NUTS answers that question with per-chain dynamic tree building —
+    recursion, data-dependent trip counts, and early exits that are
+    hostile to batched SPMD execution (every walker would pay the
+    slowest tree, and the tree state is a stack). ChEES-HMC gets the
+    same adaptivity from the ensemble instead: all walkers share one
+    jittered trajectory per iteration, and warmup ascends the ChEES
+    criterion — the expected squared change of the squared distance
+    from the posterior mean, a proxy for maximizing ESS of second
+    moments — whose gradient with respect to the trajectory time has a
+    closed form in the endpoint momentum (their eq. 8). The result
+    keeps every iteration a fixed-shape batched leapfrog (MXU-friendly,
+    one compiled program) while matching NUTS-quality trajectory
+    tuning; the paper finds it competitive with or better than NUTS
+    across their benchmark posteriors.
+
+    Mechanics (all inside two ``lax.scan`` programs, like
+    :func:`sample_hmc`):
+
+    * iteration ``i`` integrates for time ``u_i·τ`` where ``u_i`` is
+      the base-2 van der Corput (Halton) fraction of the global step
+      index — state-independent, so detailed balance is untouched —
+      and the leapfrog count is ``ceil(u_i·τ/ε)``, a traced dynamic
+      ``fori_loop`` trip count (no per-length retraces);
+    * warmup adapts ``ε`` by dual averaging toward ``target_accept``
+      (0.651 is the ChEES paper's choice) exactly as in
+      :func:`sample_hmc`, and ``log τ`` by Adam ascent (lr
+      ``traj_lr``) on the per-iteration ChEES gradient, iterate-
+      averaged with the same ``t^{-0.75}`` weights; ``τ`` is clamped
+      to ``[ε, ε·max_leapfrog]``;
+    * ``precondition``/``metric`` reuse the ensemble-statistics metric
+      (halfway restart) from :func:`sample_hmc`; ``metric="dense"``
+      opts into the covariance square root, so the trajectory
+      adaptation only has to learn the residual whitened geometry
+      (``"auto"`` stays diag here — see `_resolve_metric`).
+
+    ``valgrad``/``bounds``/``log_prior``/``mesh``/``thin`` as in
+    :func:`sample_hmc` (the ChEES gradient adds one cross-walker mean
+    per warmup iteration — a scalar-sized collective under ``mesh``).
+    Prefer this over :func:`sample_hmc` when the trajectory length is
+    unknown: on anisotropic targets a mistuned fixed ``n_leapfrog``
+    costs orders of magnitude in ESS, which is exactly what the
+    adaptation recovers (``tests/test_sampling.py``).
+    """
+    lo, hi = _resolve_bounds(bounds)
+    span = hi - lo
+    key = jax.random.key(seed)
+    k_init, k_warm, k_run = jax.random.split(key, 3)
+    x = _shard_walkers(
+        jnp.asarray(x0, jnp.float32)
+        if x0 is not None
+        else _init_walkers(k_init, n_walkers, lo, hi),
+        mesh,
+    )
+    y = _whiten_init(x, lo, span)
+    h0 = float(init_traj) if init_traj is not None else 8.0 * init_step
+
+    cfg = _CheesProgram(
+        n_walkers=int(y.shape[0]),
+        n_warmup=int(n_warmup),
+        target_accept=float(target_accept),
+        init_step=float(init_step),
+        h0=float(h0),
+        max_leapfrog=int(max_leapfrog),
+        traj_lr=float(traj_lr),
+        thin=int(thin),
+        precondition=bool(precondition),
+        metric=str(metric),
+    )
+    _, _, n_warm1 = cfg.phases()  # validates `metric` eagerly too
+    to_params, run = _chain_program(
         valgrad,
-        (
-            "chees", _bounds_key(lo, hi), float(init_step), float(h0),
-            float(target_accept), float(traj_lr), int(thin),
-            int(max_leapfrog), use_metric, dense, n_warm1 > 0,
-            _fn_cache_key(log_prior),
-        ),
-        build_run,
+        _auto_key(cfg, lo, hi, log_prior),
+        lambda: _build_chees_program(valgrad, log_prior, lo, hi, cfg),
     )
 
     def txk(k, n, start):
@@ -815,128 +898,63 @@ class NUTSSampleResult(SampleResult):
     mean_leapfrog: float = 0.0
 
 
-def sample_nuts(
-    valgrad,
-    params,
-    *,
-    n_walkers: int = 4096,
-    n_steps: int = 200,
-    n_warmup: int = 300,
-    max_depth: int = 6,
-    bounds=None,
-    target_accept: float = 0.8,
-    init_step: float = 0.01,
-    thin: int = 5,
-    seed: int = 0,
-    x0=None,
-    precondition: bool = True,
-    metric: str = "auto",
-    log_prior=None,
-    mesh=None,
-    adapt_blocks: int = 1,
-    _dense_readapt: bool = False,
-) -> NUTSSampleResult:
-    """No-U-Turn Sampler (multinomial NUTS) over ``valgrad``, built as a
-    BATCHED ITERATIVE tree — the TPU-native formulation of the sampler
-    Stan/PyMC/NumPyro users expect.
+@dataclasses.dataclass(frozen=True)
+class _NutsProgram:
+    """Statics of :func:`_build_nuts_program`, keyed in full
+    (:func:`_auto_key`). The warmup-phase structure — including the
+    ``n_warm3 > 0`` boolean whose omission from the round-4 hand key
+    replayed the wrong compiled program at 99 % divergences — derives
+    from these fields via :meth:`phases`, so it cannot escape the key.
+    ``n_walkers`` is the ACTUAL walker-row count (x0 may override the
+    kwarg)."""
 
-    ``adapt_blocks=G``: keep G independent dual-averaged step sizes AND
-    G independent ensemble metrics, one per contiguous walker block —
-    the batched-observation mode (``sample_posterior_batch``), where
-    each block is one observation's posterior. Pooling would be wrong
-    twice over there: one step size compromises across heterogeneous
-    posterior widths (as in :func:`sample_hmc`), and a pooled
-    cross-walker metric measures the BETWEEN-observation spread of the
-    posterior locations, not any posterior's local geometry — the
-    per-block metric (:func:`_ens_metric_blocks`) is what makes
-    whitened per-walker trees meaningful per observation.
+    n_walkers: int
+    n_warmup: int
+    max_depth: int
+    target_accept: float
+    init_step: float
+    thin: int
+    precondition: bool
+    metric: str
+    adapt_blocks: int
+    dense_readapt: bool
 
-    Textbook NUTS is recursive with data-dependent trajectory lengths —
-    hostile to SPMD batching (see :func:`sample_chees`, which remains
-    the recommended adaptive sampler on TPU: measured numbers in
-    docs/PERF.md). This implementation removes the recursion, not the
-    algorithm: per draw, trajectory doubling ``d = 0 … max_depth-1``
-    runs as an unrolled loop of fixed-shape subtree builds (one
-    ``fori_loop`` of ``2**d`` leapfrog steps, each one batched MXU
-    call across all walkers), with
-
-    * **multinomial sampling** within and across subtrees (Betancourt
-      2017 §A.3): streaming categorical by cumulative ``logaddexp``
-      weight within a subtree, biased-progressive acceptance
-      ``min(1, w_subtree/w_tree)`` across subtrees;
-    * **sub-U-turn checks without recursion** via the checkpoint-stack
-      scheme (as in NumPyro's iterative NUTS): build-order leaf ``i``
-      stores its (momentum, cumulative-momentum-sum) at stack slot
-      ``popcount(i)`` when ``i`` is even, and when odd checks the
-      generalized U-turn criterion ``⟨ρ_seg, p_left⟩ ≤ 0 ∨
-      ⟨ρ_seg, p_right⟩ ≤ 0`` against slots ``[popcount(i) -
-      tz(i+1), popcount(i) - 1]`` — exactly the complete sub-subtrees
-      ending at leaf ``i``, with ``ρ_seg`` recovered from the stored
-      cumulative sums. ``max_depth`` stack slots suffice;
-    * **lockstep walkers with masked termination**: every walker runs
-      every doubling until ALL are done (then a ``lax.cond`` skips the
-      remaining depths); finished walkers' updates are ``where``-masked.
-      This lockstep cost — each draw pays the slowest walker's tree —
-      is exactly why ChEES wins on throughput; NUTS is here for
-      robustness (per-walker trajectory adaptation, divergence
-      diagnostics) and ecosystem parity;
-    * step-size warmup by dual averaging toward ``target_accept``
-      (Stan's accept-stat: trajectory-mean ``min(1, e^{-ΔH})``), with
-      the ensemble-statistics metric restart of :func:`sample_hmc`
-      under ``precondition``. ``metric="auto"`` resolves DIAG (round-4
-      measurement: dense carries a seed-dependent 0.2-1.2 %
-      divergence rate and lower min-ESS/s on the production posterior
-      — `_resolve_metric`); pass ``metric="dense"`` for correlated
-      posteriors, where the whitened trees terminate orders of
-      magnitude earlier (measured mean-leapfrog numbers in
-      docs/PERF.md).
-
-    ``valgrad``/``bounds``/``log_prior``/``mesh``/``thin``/``x0`` as in
-    :func:`sample_hmc`; sampling happens in the same sigmoid-whitened
-    ``y``-space. Divergences (ΔH > 1000, Stan's threshold) end the
-    walker's trajectory with the offending subtree discarded and are
-    reported in ``divergence_rate``. The reference leaves sampling to
-    external CPU samplers entirely (``README.rst:9-11``).
-    """
-    lo, hi = _resolve_bounds(bounds)
-    span = hi - lo
-    key = jax.random.key(seed)
-    k_init, k_warm, k_run = jax.random.split(key, 3)
-    x = _shard_walkers(
-        jnp.asarray(x0, jnp.float32)
-        if x0 is not None
-        else _init_walkers(k_init, n_walkers, lo, hi),
-        mesh,
-    )
-    y = _whiten_init(x, lo, span)
-    to_params, logp_and_grad = _whitened_target(valgrad, log_prior, lo, span)
-
-    if n_walkers % adapt_blocks:
-        raise ValueError(
-            f"n_walkers ({n_walkers}) must divide into adapt_blocks "
-            f"({adapt_blocks}) equal contiguous blocks"
+    def phases(self):
+        use_metric, dense = _resolve_metric(
+            self.metric, self.precondition, self.n_warmup,
+            self.n_walkers // self.adapt_blocks, auto_dense=False,
         )
-    n_blk = int(adapt_blocks)
-    use_metric, dense = _resolve_metric(
-        metric, precondition, n_warmup, y.shape[0] // n_blk,
-        auto_dense=False,
+        n_warm1 = self.n_warmup // 2 if use_metric else self.n_warmup
+        # a third window re-adapting eps under the refreshed dense
+        # metric was built and A/B-measured in round 4 (6 seeds,
+        # production posterior, docs/PERF.md): it made divergences
+        # WORSE (0.63 % vs 0.21 % mean) — the matched metric lets dual
+        # averaging push eps higher, and the divergences come from
+        # walker-local sharp curvature, not an eps/metric mismatch.
+        # Kept behind ``dense_readapt`` for the record; the production
+        # fix is ``metric="auto"`` resolving DIAG for NUTS.
+        n_rest = self.n_warmup - n_warm1
+        n_warm3 = (n_rest // 2
+                   if (use_metric and dense and self.dense_readapt)
+                   else 0)
+        n_warm2 = n_rest - n_warm3
+        return use_metric, dense, n_warm1, n_warm2, n_warm3
+
+
+def _build_nuts_program(valgrad, log_prior, lo, hi, cfg):
+    """Module-level program builder for :func:`sample_nuts` — no free
+    variables (see :func:`_auto_key`). Returns ``(to_params, run)``."""
+    span = hi - lo
+    to_params, logp_and_grad = _whitened_target(
+        valgrad, log_prior, lo, span
     )
-    n_warm1 = n_warmup // 2 if use_metric else n_warmup
-    # a third window re-adapting ε under the refreshed dense metric was
-    # built and A/B-measured in round 4 (6 seeds, production posterior,
-    # docs/PERF.md): it made divergences WORSE (0.63 % vs 0.21 % mean)
-    # — the matched metric lets dual averaging push ε higher, and the
-    # divergences come from walker-local sharp curvature, not from an
-    # ε/metric mismatch. Kept behind ``_dense_readapt`` for the record;
-    # the production fix is ``metric="auto"`` resolving DIAG for NUTS.
-    n_rest = n_warmup - n_warm1
-    n_warm3 = (n_rest // 2
-               if (use_metric and dense and _dense_readapt) else 0)
-    n_warm2 = n_rest - n_warm3
+    use_metric, dense, n_warm1, n_warm2, n_warm3 = cfg.phases()
+    n_blk = cfg.adapt_blocks
+    md = cfg.max_depth
+    thin = cfg.thin
+    target_accept = cfg.target_accept
+    init_step = cfg.init_step
     gamma, t0, kappa = 0.05, 10.0, 0.75  # dual averaging (H&G Alg. 5)
-    md = int(max_depth)
-    if md < 1:
-        raise ValueError(f"max_depth must be >= 1; got {max_depth}")
 
     def nuts_step(params, y, lp, glp, sd, eps_blk, k):
         B, D = y.shape
@@ -1110,68 +1128,175 @@ def sample_nuts(
         y, lp, glp, _, _, _, log_eps_bar, _ = state
         return y, lp, glp, jnp.exp(log_eps_bar)
 
-    def build_run():
-        def run(params, y, warm1_ik, warm2_ik, warm3_ik, run_keys):
-            def run_step(state, tk):
-                t, k = tk
-                y, lp, glp, sd, eps, buf = state
-                y, lp, glp, a_mean, dv, nl = nuts_step(
-                    params, y, lp, glp, sd, eps, k
-                )
-                if thin:
-                    buf = _thin_write(
-                        buf, t, to_params(y), thin, n_keep
-                    )
-                return (y, lp, glp, sd, eps, buf), (
-                    jnp.mean(a_mean), dv, nl
-                )
-
-            lp, glp = logp_and_grad(params, y)
-            sd = jnp.ones((y.shape[1],), y.dtype)
-            eps = jnp.full((n_blk,), init_step, jnp.float32)
-            if n_warm1 > 0:  # static — no hidden warmup on continuation
-                y, lp, glp, eps = warm_phase(
-                    params, y, lp, glp, sd, eps, warm1_ik
-                )
-            if use_metric:
-                sd = _ens_metric_blocks(y, dense, n_blk)
-                y, lp, glp, eps = warm_phase(
-                    params, y, lp, glp, sd, eps, warm2_ik
-                )
-                if dense:
-                    # refresh from the now-mixed ensemble (see
-                    # sample_hmc), then RE-ADAPT ε under the refreshed
-                    # metric — running the sampling phase with a step
-                    # tuned for the previous metric was the measured
-                    # 0.39 % divergence source (docs/PERF.md)
-                    sd = _ens_metric_blocks(y, dense, n_blk)
-                    if n_warm3 > 0:
-                        y, lp, glp, eps = warm_phase(
-                            params, y, lp, glp, sd, eps, warm3_ik
-                        )
-            n_keep, buf = _thin_state(run_keys.shape[0], thin, y)
-            (y, lp, glp, _, _, buf), (rates, divs, leaps) = jax.lax.scan(
-                run_step, (y, lp, glp, sd, eps, buf),
-                (jnp.arange(run_keys.shape[0], dtype=jnp.int32),
-                 run_keys),
+    def run(params, y, warm1_ik, warm2_ik, warm3_ik, run_keys):
+        def run_step(state, tk):
+            t, k = tk
+            y, lp, glp, sd, eps, buf = state
+            y, lp, glp, a_mean, dv, nl = nuts_step(
+                params, y, lp, glp, sd, eps, k
             )
-            return y, lp, rates, divs, leaps, buf[:n_keep], eps
+            if thin:
+                buf = _thin_write(
+                    buf, t, to_params(y), thin, n_keep
+                )
+            return (y, lp, glp, sd, eps, buf), (
+                jnp.mean(a_mean), dv, nl
+            )
 
-        return jax.jit(run)
+        lp, glp = logp_and_grad(params, y)
+        sd = jnp.ones((y.shape[1],), y.dtype)
+        eps = jnp.full((n_blk,), init_step, jnp.float32)
+        if n_warm1 > 0:  # static — no hidden warmup on continuation
+            y, lp, glp, eps = warm_phase(
+                params, y, lp, glp, sd, eps, warm1_ik
+            )
+        if use_metric:
+            sd = _ens_metric_blocks(y, dense, n_blk)
+            y, lp, glp, eps = warm_phase(
+                params, y, lp, glp, sd, eps, warm2_ik
+            )
+            if dense:
+                # refresh from the now-mixed ensemble (see
+                # sample_hmc), then RE-ADAPT ε under the refreshed
+                # metric — running the sampling phase with a step
+                # tuned for the previous metric was the measured
+                # 0.39 % divergence source (docs/PERF.md)
+                sd = _ens_metric_blocks(y, dense, n_blk)
+                if n_warm3 > 0:
+                    y, lp, glp, eps = warm_phase(
+                        params, y, lp, glp, sd, eps, warm3_ik
+                    )
+        n_keep, buf = _thin_state(run_keys.shape[0], thin, y)
+        (y, lp, glp, _, _, buf), (rates, divs, leaps) = jax.lax.scan(
+            run_step, (y, lp, glp, sd, eps, buf),
+            (jnp.arange(run_keys.shape[0], dtype=jnp.int32),
+             run_keys),
+        )
+        return y, lp, rates, divs, leaps, buf[:n_keep], eps
 
-    run = _chain_program(
+    return to_params, jax.jit(run)
+
+
+def sample_nuts(
+    valgrad,
+    params,
+    *,
+    n_walkers: int = 4096,
+    n_steps: int = 200,
+    n_warmup: int = 300,
+    max_depth: int = 6,
+    bounds=None,
+    target_accept: float = 0.8,
+    init_step: float = 0.01,
+    thin: int = 5,
+    seed: int = 0,
+    x0=None,
+    precondition: bool = True,
+    metric: str = "auto",
+    log_prior=None,
+    mesh=None,
+    adapt_blocks: int = 1,
+    _dense_readapt: bool = False,
+) -> NUTSSampleResult:
+    """No-U-Turn Sampler (multinomial NUTS) over ``valgrad``, built as a
+    BATCHED ITERATIVE tree — the TPU-native formulation of the sampler
+    Stan/PyMC/NumPyro users expect.
+
+    ``adapt_blocks=G``: keep G independent dual-averaged step sizes AND
+    G independent ensemble metrics, one per contiguous walker block —
+    the batched-observation mode (``sample_posterior_batch``), where
+    each block is one observation's posterior. Pooling would be wrong
+    twice over there: one step size compromises across heterogeneous
+    posterior widths (as in :func:`sample_hmc`), and a pooled
+    cross-walker metric measures the BETWEEN-observation spread of the
+    posterior locations, not any posterior's local geometry — the
+    per-block metric (:func:`_ens_metric_blocks`) is what makes
+    whitened per-walker trees meaningful per observation.
+
+    Textbook NUTS is recursive with data-dependent trajectory lengths —
+    hostile to SPMD batching (see :func:`sample_chees`, which remains
+    the recommended adaptive sampler on TPU: measured numbers in
+    docs/PERF.md). This implementation removes the recursion, not the
+    algorithm: per draw, trajectory doubling ``d = 0 … max_depth-1``
+    runs as an unrolled loop of fixed-shape subtree builds (one
+    ``fori_loop`` of ``2**d`` leapfrog steps, each one batched MXU
+    call across all walkers), with
+
+    * **multinomial sampling** within and across subtrees (Betancourt
+      2017 §A.3): streaming categorical by cumulative ``logaddexp``
+      weight within a subtree, biased-progressive acceptance
+      ``min(1, w_subtree/w_tree)`` across subtrees;
+    * **sub-U-turn checks without recursion** via the checkpoint-stack
+      scheme (as in NumPyro's iterative NUTS): build-order leaf ``i``
+      stores its (momentum, cumulative-momentum-sum) at stack slot
+      ``popcount(i)`` when ``i`` is even, and when odd checks the
+      generalized U-turn criterion ``⟨ρ_seg, p_left⟩ ≤ 0 ∨
+      ⟨ρ_seg, p_right⟩ ≤ 0`` against slots ``[popcount(i) -
+      tz(i+1), popcount(i) - 1]`` — exactly the complete sub-subtrees
+      ending at leaf ``i``, with ``ρ_seg`` recovered from the stored
+      cumulative sums. ``max_depth`` stack slots suffice;
+    * **lockstep walkers with masked termination**: every walker runs
+      every doubling until ALL are done (then a ``lax.cond`` skips the
+      remaining depths); finished walkers' updates are ``where``-masked.
+      This lockstep cost — each draw pays the slowest walker's tree —
+      is exactly why ChEES wins on throughput; NUTS is here for
+      robustness (per-walker trajectory adaptation, divergence
+      diagnostics) and ecosystem parity;
+    * step-size warmup by dual averaging toward ``target_accept``
+      (Stan's accept-stat: trajectory-mean ``min(1, e^{-ΔH})``), with
+      the ensemble-statistics metric restart of :func:`sample_hmc`
+      under ``precondition``. ``metric="auto"`` resolves DIAG (round-4
+      measurement: dense carries a seed-dependent 0.2-1.2 %
+      divergence rate and lower min-ESS/s on the production posterior
+      — `_resolve_metric`); pass ``metric="dense"`` for correlated
+      posteriors, where the whitened trees terminate orders of
+      magnitude earlier (measured mean-leapfrog numbers in
+      docs/PERF.md).
+
+    ``valgrad``/``bounds``/``log_prior``/``mesh``/``thin``/``x0`` as in
+    :func:`sample_hmc`; sampling happens in the same sigmoid-whitened
+    ``y``-space. Divergences (ΔH > 1000, Stan's threshold) end the
+    walker's trajectory with the offending subtree discarded and are
+    reported in ``divergence_rate``. The reference leaves sampling to
+    external CPU samplers entirely (``README.rst:9-11``).
+    """
+    lo, hi = _resolve_bounds(bounds)
+    span = hi - lo
+    key = jax.random.key(seed)
+    k_init, k_warm, k_run = jax.random.split(key, 3)
+    x = _shard_walkers(
+        jnp.asarray(x0, jnp.float32)
+        if x0 is not None
+        else _init_walkers(k_init, n_walkers, lo, hi),
+        mesh,
+    )
+    y = _whiten_init(x, lo, span)
+
+    if n_walkers % adapt_blocks:
+        raise ValueError(
+            f"n_walkers ({n_walkers}) must divide into adapt_blocks "
+            f"({adapt_blocks}) equal contiguous blocks"
+        )
+    md = int(max_depth)
+    if md < 1:
+        raise ValueError(f"max_depth must be >= 1; got {max_depth}")
+    cfg = _NutsProgram(
+        n_walkers=int(y.shape[0]),
+        n_warmup=int(n_warmup),
+        max_depth=md,
+        target_accept=float(target_accept),
+        init_step=float(init_step),
+        thin=int(thin),
+        precondition=bool(precondition),
+        metric=str(metric),
+        adapt_blocks=int(adapt_blocks),
+        dense_readapt=bool(_dense_readapt),
+    )
+    _, _, n_warm1, n_warm2, n_warm3 = cfg.phases()
+    to_params, run = _chain_program(
         valgrad,
-        (
-            "nuts", _bounds_key(lo, hi), float(init_step),
-            float(target_accept), int(thin), md, use_metric, dense,
-            # the phase structure is baked into the built closure as
-            # Python `if`s, so every baked boolean must be in the key —
-            # a cache hit across `n_warm3 > 0` configs replays the
-            # wrong warmup program (measured: a 1-step ε re-adapt
-            # scan produced 99 % divergences)
-            n_warm1 > 0, n_warm3 > 0, _fn_cache_key(log_prior), n_blk,
-        ),
-        build_run,
+        _auto_key(cfg, lo, hi, log_prior),
+        lambda: _build_nuts_program(valgrad, log_prior, lo, hi, cfg),
     )
 
     def ik(k, n):

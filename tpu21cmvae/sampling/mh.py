@@ -8,15 +8,16 @@ change; see the package ``__init__`` for the map.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from tpu21cmvae.sampling._common import (
-    _bounds_key,
+    _auto_key,
     _chain_program,
     _dual_averaging_consts,
-    _fn_cache_key,
     _init_walkers,
     _resolve_bounds,
     _resolve_log_prior,
@@ -26,6 +27,103 @@ from tpu21cmvae.sampling._common import (
     _to_host,
 )
 from tpu21cmvae.sampling.results import SampleResult
+
+
+@dataclasses.dataclass(frozen=True)
+class _MHProgram:
+    """Every static :func:`_build_mh_program` bakes into its closure.
+    The cache key is ALL fields automatically (:func:`_auto_key`)."""
+
+    step_frac: float
+    target_accept: float
+    adapt: bool
+    adapt_blocks: int
+    thin: int
+    n_warmup: int
+
+
+def _build_mh_program(loglik, log_prior, lo, hi, cfg):
+    """Module-level program builder for :func:`sample_mh` — zero free
+    variables by construction: every static comes from ``cfg`` (keyed
+    in full) or the explicitly-keyed ``(lo, hi, log_prior)``."""
+    log_prior = _resolve_log_prior(log_prior)
+    base_scale = cfg.step_frac * (hi - lo)
+    mid = (lo + hi) / 2.0
+    n_blk = cfg.adapt_blocks
+    thin = cfg.thin
+
+    def mh_step(params, x, lp, mult, k):
+        # ``mult``: (adapt_blocks,) per-block scale multipliers,
+        # expanded to rows (block = contiguous walker slab)
+        k1, k2 = jax.random.split(k)
+        m_row = jnp.repeat(mult, x.shape[0] // n_blk)[:, None]
+        prop = x + m_row * base_scale * jax.random.normal(
+            k1, x.shape, x.dtype
+        )
+        inside = ((prop >= lo) & (prop <= hi)).all(axis=1)
+        safe = jnp.where(inside[:, None], prop, mid)
+        lp_prop = loglik(params, safe) + log_prior(safe)
+        lp_prop = jnp.where(inside, lp_prop, -jnp.inf)
+        acc = jnp.log(jax.random.uniform(k2, (x.shape[0],))) < lp_prop - lp
+        # a walker whose current lp is non-finite (e.g. started
+        # outside the model's valid domain) would otherwise stick
+        # forever: every NaN comparison rejects. Always step it
+        # onto a finite proposal.
+        acc = acc | (~jnp.isfinite(lp) & jnp.isfinite(lp_prop))
+        x = jnp.where(acc[:, None], prop, x)
+        lp = jnp.where(acc, lp_prop, lp)
+        return x, lp, acc.reshape(n_blk, -1).mean(axis=1)
+
+    mu, gamma, t0, kappa = _dual_averaging_consts(1.0)
+
+    def run(params, x, warm_ik, run_keys):
+        def warm_step(state, ik):
+            i, k = ik
+            x, lp, log_m, log_m_bar, h_bar = state
+            x, lp, a = mh_step(params, x, lp, jnp.exp(log_m), k)
+            t = i + 1.0
+            h_bar = (1.0 - 1.0 / (t + t0)) * h_bar + (
+                cfg.target_accept - a
+            ) / (t + t0)
+            log_m = jnp.where(
+                cfg.adapt, mu - jnp.sqrt(t) / gamma * h_bar, log_m
+            )
+            w = t ** (-kappa)
+            log_m_bar = jnp.where(
+                cfg.adapt, w * log_m + (1.0 - w) * log_m_bar, log_m_bar
+            )
+            return (x, lp, log_m, log_m_bar, h_bar), a
+
+        def run_step(state, tk):
+            t, k = tk
+            x, lp, mult, buf = state
+            x, lp, a = mh_step(params, x, lp, mult, k)
+            if thin:
+                buf = _thin_write(buf, t, x, thin, n_keep)
+            return (x, lp, mult, buf), jnp.mean(a)
+
+        lp = loglik(params, x) + log_prior(x)
+        # warmup presence is static (part of the cache key): with
+        # 0, skip the warmup scan entirely — continuation runs via
+        # x0 must not take hidden extra steps
+        if cfg.n_warmup > 0:
+            zeros = jnp.zeros((n_blk,), jnp.float32)
+            state = (x, lp, zeros, zeros, zeros)
+            state, _ = jax.lax.scan(warm_step, state, warm_ik)
+            x, lp, _, log_m_bar, _ = state
+            mult = jnp.exp(log_m_bar)
+        else:
+            mult = jnp.ones((n_blk,), jnp.float32)
+        n_keep, buf = _thin_state(run_keys.shape[0], thin, x)
+        (x, lp, mult, buf), rates = jax.lax.scan(
+            run_step,
+            (x, lp, mult, buf),
+            (jnp.arange(run_keys.shape[0], dtype=jnp.int32),
+             run_keys),
+        )
+        return x, lp, rates, buf[:n_keep], mult
+
+    return jax.jit(run)
 
 def sample_mh(
     loglik,
@@ -82,17 +180,13 @@ def sample_mh(
     shards across its devices (walker count must divide evenly) and the
     whole chain runs as one SPMD program; see :func:`_shard_walkers`.
     """
-    raw_log_prior = log_prior
-    log_prior = _resolve_log_prior(log_prior)
     lo, hi = _resolve_bounds(bounds)
     base_scale = step_frac * (hi - lo)
-    mid = (lo + hi) / 2.0
     if n_walkers % adapt_blocks:
         raise ValueError(
             f"n_walkers ({n_walkers}) must divide into adapt_blocks "
             f"({adapt_blocks}) equal contiguous blocks"
         )
-    n_blk = int(adapt_blocks)
     key = jax.random.key(seed)
     k_init, k_warm, k_run = jax.random.split(key, 3)
     x = _shard_walkers(
@@ -103,89 +197,18 @@ def sample_mh(
         else _init_walkers(k_init, n_walkers, lo, hi),
         mesh,
     )
-
-    def build_run():
-        def mh_step(params, x, lp, mult, k):
-            # ``mult``: (adapt_blocks,) per-block scale multipliers,
-            # expanded to rows (block = contiguous walker slab)
-            k1, k2 = jax.random.split(k)
-            m_row = jnp.repeat(mult, x.shape[0] // n_blk)[:, None]
-            prop = x + m_row * base_scale * jax.random.normal(
-                k1, x.shape, x.dtype
-            )
-            inside = ((prop >= lo) & (prop <= hi)).all(axis=1)
-            safe = jnp.where(inside[:, None], prop, mid)
-            lp_prop = loglik(params, safe) + log_prior(safe)
-            lp_prop = jnp.where(inside, lp_prop, -jnp.inf)
-            acc = jnp.log(jax.random.uniform(k2, (x.shape[0],))) < lp_prop - lp
-            # a walker whose current lp is non-finite (e.g. started
-            # outside the model's valid domain) would otherwise stick
-            # forever: every NaN comparison rejects. Always step it
-            # onto a finite proposal.
-            acc = acc | (~jnp.isfinite(lp) & jnp.isfinite(lp_prop))
-            x = jnp.where(acc[:, None], prop, x)
-            lp = jnp.where(acc, lp_prop, lp)
-            return x, lp, acc.reshape(n_blk, -1).mean(axis=1)
-
-        mu, gamma, t0, kappa = _dual_averaging_consts(1.0)
-
-        def run(params, x, warm_ik, run_keys):
-            def warm_step(state, ik):
-                i, k = ik
-                x, lp, log_m, log_m_bar, h_bar = state
-                x, lp, a = mh_step(params, x, lp, jnp.exp(log_m), k)
-                t = i + 1.0
-                h_bar = (1.0 - 1.0 / (t + t0)) * h_bar + (
-                    target_accept - a
-                ) / (t + t0)
-                log_m = jnp.where(
-                    adapt, mu - jnp.sqrt(t) / gamma * h_bar, log_m
-                )
-                w = t ** (-kappa)
-                log_m_bar = jnp.where(
-                    adapt, w * log_m + (1.0 - w) * log_m_bar, log_m_bar
-                )
-                return (x, lp, log_m, log_m_bar, h_bar), a
-
-            def run_step(state, tk):
-                t, k = tk
-                x, lp, mult, buf = state
-                x, lp, a = mh_step(params, x, lp, mult, k)
-                if thin:
-                    buf = _thin_write(buf, t, x, thin, n_keep)
-                return (x, lp, mult, buf), jnp.mean(a)
-
-            lp = loglik(params, x) + log_prior(x)
-            # warmup presence is static (part of the cache key): with
-            # 0, skip the warmup scan entirely — continuation runs via
-            # x0 must not take hidden extra steps
-            if n_warmup > 0:
-                zeros = jnp.zeros((n_blk,), jnp.float32)
-                state = (x, lp, zeros, zeros, zeros)
-                state, _ = jax.lax.scan(warm_step, state, warm_ik)
-                x, lp, _, log_m_bar, _ = state
-                mult = jnp.exp(log_m_bar)
-            else:
-                mult = jnp.ones((n_blk,), jnp.float32)
-            n_keep, buf = _thin_state(run_keys.shape[0], thin, x)
-            (x, lp, mult, buf), rates = jax.lax.scan(
-                run_step,
-                (x, lp, mult, buf),
-                (jnp.arange(run_keys.shape[0], dtype=jnp.int32),
-                 run_keys),
-            )
-            return x, lp, rates, buf[:n_keep], mult
-
-        return jax.jit(run)
-
+    cfg = _MHProgram(
+        step_frac=float(step_frac),
+        target_accept=float(target_accept),
+        adapt=bool(adapt),
+        adapt_blocks=int(adapt_blocks),
+        thin=int(thin),
+        n_warmup=int(n_warmup),
+    )
     run = _chain_program(
         loglik,
-        (
-            "mh", _bounds_key(lo, hi), float(step_frac),
-            float(target_accept), bool(adapt), n_blk, int(thin),
-            n_warmup > 0, _fn_cache_key(raw_log_prior),
-        ),
-        build_run,
+        _auto_key(cfg, lo, hi, log_prior),
+        lambda: _build_mh_program(loglik, log_prior, lo, hi, cfg),
     )
     warm_ik = (
         jnp.arange(max(n_warmup, 1), dtype=jnp.float32),
@@ -208,6 +231,89 @@ def sample_mh(
         block_step_sizes=_to_host(mult)
         * float(_to_host(base_scale).mean()),
     )
+
+
+@dataclasses.dataclass(frozen=True)
+class _StretchProgram:
+    """Statics of :func:`_build_stretch_program`, keyed in full."""
+
+    a: float
+    n_walkers: int
+    thin: int
+    n_warmup: int
+
+
+def _build_stretch_program(loglik, log_prior, lo, hi, cfg):
+    """Module-level program builder for :func:`sample_ensemble` (no
+    free variables; see :func:`_auto_key`). Weights are a RUN argument
+    so retrained models never hit a stale compiled closure."""
+    log_prior = _resolve_log_prior(log_prior)
+    mid = (lo + hi) / 2.0
+    n_params = int(lo.shape[0])
+    half = cfg.n_walkers // 2
+    a = cfg.a
+    thin = cfg.thin
+
+    def safe_loglik(params, xs):
+        inside = ((xs >= lo) & (xs <= hi)).all(axis=1)
+        safe = jnp.where(inside[:, None], xs, mid)
+        lp = loglik(params, safe) + log_prior(safe)
+        return jnp.where(inside, lp, -jnp.inf)
+
+    def half_move(params, xa, lpa, xb, k):
+        kz, kj, ku = jax.random.split(k, 3)
+        # z ~ g(z) ∝ 1/√z on [1/a, a] via inverse CDF
+        u = jax.random.uniform(kz, (xa.shape[0],), xa.dtype)
+        z = ((a - 1.0) * u + 1.0) ** 2 / a
+        j = jax.random.randint(kj, (xa.shape[0],), 0, xb.shape[0])
+        xj = xb[j]
+        prop = xj + z[:, None] * (xa - xj)
+        lp_prop = safe_loglik(params, prop)
+        log_ratio = (n_params - 1.0) * jnp.log(z) + lp_prop - lpa
+        acc = jnp.log(jax.random.uniform(ku, (xa.shape[0],))) < log_ratio
+        # self-recover walkers with a non-finite current lp (see sample_mh)
+        acc = acc | (~jnp.isfinite(lpa) & jnp.isfinite(lp_prop))
+        xa = jnp.where(acc[:, None], prop, xa)
+        lpa = jnp.where(acc, lp_prop, lpa)
+        return xa, lpa, jnp.mean(acc)
+
+    def move(params, x, lp, k):
+        ka, kb = jax.random.split(k)
+        xa, lpa = x[:half], lp[:half]
+        xb, lpb = x[half:], lp[half:]
+        xa, lpa, ra = half_move(params, xa, lpa, xb, ka)
+        xb, lpb, rb = half_move(params, xb, lpb, xa, kb)
+        return (
+            jnp.concatenate([xa, xb]),
+            jnp.concatenate([lpa, lpb]),
+            0.5 * (ra + rb),
+        )
+
+    def run(params, x, warm_keys, run_keys):
+        def warm_step(state, k):
+            x, lp = state
+            x, lp, _ = move(params, x, lp, k)
+            return (x, lp), None
+
+        def run_step(state, tk):
+            t, k = tk
+            x, lp, buf = state
+            x, lp, r = move(params, x, lp, k)
+            if thin:
+                buf = _thin_write(buf, t, x, thin, n_keep)
+            return (x, lp, buf), r
+
+        lp = safe_loglik(params, x)
+        if cfg.n_warmup > 0:  # static — no hidden warmup on continuation
+            (x, lp), _ = jax.lax.scan(warm_step, (x, lp), warm_keys)
+        n_keep, buf = _thin_state(run_keys.shape[0], thin, x)
+        (x, lp, buf), rates = jax.lax.scan(
+            run_step, (x, lp, buf),
+            (jnp.arange(run_keys.shape[0], dtype=jnp.int32), run_keys),
+        )
+        return x, lp, rates, buf[:n_keep]
+
+    return jax.jit(run)
 
 
 def sample_ensemble(
@@ -257,7 +363,6 @@ def sample_ensemble(
     walkers shard across it (see :func:`sample_mh`); the cross-half
     pairing gathers only the tiny ``(n_walkers/2, n_params)`` block.
     """
-    log_prior = _resolve_log_prior(log_prior)
     lo, hi = _resolve_bounds(bounds)
     n_params = int(lo.shape[0])
     if n_walkers % 2:
@@ -269,7 +374,6 @@ def sample_ensemble(
         )
     if a <= 1.0:
         raise ValueError(f"stretch scale a must be > 1; got {a}")
-    mid = (lo + hi) / 2.0
     key = jax.random.key(seed)
     k_init, k_warm, k_run = jax.random.split(key, 3)
     x = _shard_walkers(
@@ -280,73 +384,20 @@ def sample_ensemble(
         else _init_walkers(k_init, n_walkers, lo, hi),
         mesh,
     )
-    half = n_walkers // 2
-
-    def safe_loglik(xs):
-        inside = ((xs >= lo) & (xs <= hi)).all(axis=1)
-        safe = jnp.where(inside[:, None], xs, mid)
-        lp = loglik(params, safe) + log_prior(safe)
-        return jnp.where(inside, lp, -jnp.inf)
-
-    def half_move(xa, lpa, xb, k):
-        kz, kj, ku = jax.random.split(k, 3)
-        # z ~ g(z) ∝ 1/√z on [1/a, a] via inverse CDF
-        u = jax.random.uniform(kz, (xa.shape[0],), xa.dtype)
-        z = ((a - 1.0) * u + 1.0) ** 2 / a
-        j = jax.random.randint(kj, (xa.shape[0],), 0, xb.shape[0])
-        xj = xb[j]
-        prop = xj + z[:, None] * (xa - xj)
-        lp_prop = safe_loglik(prop)
-        log_ratio = (n_params - 1.0) * jnp.log(z) + lp_prop - lpa
-        acc = jnp.log(jax.random.uniform(ku, (xa.shape[0],))) < log_ratio
-        # self-recover walkers with a non-finite current lp (see sample_mh)
-        acc = acc | (~jnp.isfinite(lpa) & jnp.isfinite(lp_prop))
-        xa = jnp.where(acc[:, None], prop, xa)
-        lpa = jnp.where(acc, lp_prop, lpa)
-        return xa, lpa, jnp.mean(acc)
-
-    def move(x, lp, k):
-        ka, kb = jax.random.split(k)
-        xa, lpa = x[:half], lp[:half]
-        xb, lpb = x[half:], lp[half:]
-        xa, lpa, ra = half_move(xa, lpa, xb, ka)
-        xb, lpb, rb = half_move(xb, lpb, xa, kb)
-        return (
-            jnp.concatenate([xa, xb]),
-            jnp.concatenate([lpa, lpb]),
-            0.5 * (ra + rb),
-        )
-
-    def warm_step(state, k):
-        x, lp = state
-        x, lp, _ = move(x, lp, k)
-        return (x, lp), None
-
-    def run_step(state, tk):
-        t, k = tk
-        x, lp, buf = state
-        x, lp, r = move(x, lp, k)
-        if thin:
-            buf = _thin_write(buf, t, x, thin, n_keep_steps)
-        return (x, lp, buf), r
-
-    n_keep_steps = n_steps // thin if thin else 0
-
-    @jax.jit
-    def run(x, warm_keys, run_keys):
-        lp = safe_loglik(x)
-        if n_warmup > 0:  # static — no hidden warmup step on continuation
-            (x, lp), _ = jax.lax.scan(warm_step, (x, lp), warm_keys)
-        _, buf = _thin_state(run_keys.shape[0], thin, x)
-        (x, lp, buf), rates = jax.lax.scan(
-            run_step, (x, lp, buf),
-            (jnp.arange(run_keys.shape[0], dtype=jnp.int32), run_keys),
-        )
-        return x, lp, rates, buf[:n_keep_steps]
-
+    cfg = _StretchProgram(
+        a=float(a),
+        n_walkers=int(n_walkers),
+        thin=int(thin),
+        n_warmup=int(n_warmup),
+    )
+    run = _chain_program(
+        loglik,
+        _auto_key(cfg, lo, hi, log_prior),
+        lambda: _build_stretch_program(loglik, log_prior, lo, hi, cfg),
+    )
     warm_keys = jax.random.split(k_warm, max(n_warmup, 1))
     run_keys = jax.random.split(k_run, n_steps)
-    x, lp, rates, kept = run(x, warm_keys, run_keys)
+    x, lp, rates, kept = run(params, x, warm_keys, run_keys)
     chain = (
         _to_host(kept)
         if thin

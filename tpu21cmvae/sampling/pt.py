@@ -15,9 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu21cmvae.sampling._common import (
-    _bounds_key,
+    _auto_key,
     _chain_program,
-    _fn_cache_key,
     _init_walkers,
     _resolve_bounds,
     _resolve_log_prior,
@@ -190,6 +189,114 @@ def _geometric_ladder(n_rungs, beta_min):
     return np.concatenate([[0.0], np.geomspace(beta_min, 1.0, n_rungs - 1)])
 
 
+@dataclasses.dataclass(frozen=True)
+class _PTProgram:
+    """Statics of :func:`_build_pt_program`, keyed in full
+    (:func:`_auto_key`)."""
+
+    n_rungs: int
+    n_walkers: int
+    a: float
+    beta_min: float
+    adapt_ladder: bool
+    n_sw: int
+    thin: int
+    n_warmup: int
+
+
+def _build_pt_program(loglik, log_prior, lo, hi, cfg):
+    """Module-level program builder for :func:`sample_pt` — no free
+    variables: every static comes from ``cfg`` or the keyed
+    ``(lo, hi, log_prior)`` (see :func:`_auto_key`)."""
+    log_prior = _resolve_log_prior(log_prior)
+    n_rungs, n_walkers = cfg.n_rungs, cfg.n_walkers
+    n_params = int(lo.shape[0])
+    thin = cfg.thin
+    # initial ladder; adaptation (if on) moves the interior gaps,
+    # endpoints β=0 / β=1 stay pinned
+    betas0 = _geometric_ladder(n_rungs, cfg.beta_min)
+    log_gaps0 = jnp.log(jnp.asarray(np.diff(betas0), jnp.float32))
+    # ladder-adaptation gain: decays like t0/(t+t0) so the ladder
+    # freezes well before the kept phase; t0 scales with the warmup
+    # length so short and long warmups both spend ~the first half
+    # moving
+    t0_ladder = max(float(cfg.n_warmup) / 10.0, 10.0)
+    t_adapt_start = float(cfg.n_warmup) / 3.0
+
+    def ladder(log_gaps):
+        g = jnp.exp(log_gaps)
+        c = jnp.cumsum(g)
+        # normalize by the cumsum's own tail so β[-1] is EXACTLY
+        # 1.0 (sum() may reduce in a different order → 1±1ulp)
+        return jnp.concatenate([jnp.zeros((1,), g.dtype), c / c[-1]])
+
+    eval_ll, sweep, swap_phase = _pt_kernel(
+        loglik, log_prior, lo, hi, n_rungs, n_walkers, cfg.a, cfg.n_sw
+    )
+
+    def run(params, x, warm_ik, run_ik):
+        def warm_step(state, ik):
+            i, k = ik
+            km, ks = jax.random.split(k)
+            x, ll, lpr, log_gaps, a_ema = state
+            betas = ladder(log_gaps)
+            x, ll, lpr, _ = sweep(params, x, ll, lpr, betas, km)
+            x, ll, lpr, s = swap_phase(x, ll, lpr, betas, i, ks)
+            if cfg.adapt_ladder and n_rungs > 2:
+                # Vousden-style: equalize per-edge swap rates.
+                # EMA the per-attempt acceptance, widen gaps
+                # whose edges swap more than the ladder average.
+                # GATED past the first third of warmup: while the
+                # rungs are still annealing from prior draws their
+                # logL levels are all similar, so every cold edge
+                # reports spuriously high acceptance — adapting on
+                # that transient coarsens the ladder bottom by
+                # orders of magnitude (measured: β₁ 1e-6 → 1e-3,
+                # choking the prior-rung supply to 1e-4)
+                t = i + 1.0
+                a_ema = 0.8 * a_ema + 0.2 * s
+                tt = jnp.maximum(t - t_adapt_start, 0.0)
+                gate = (t > t_adapt_start).astype(jnp.float32)
+                gain = gate * 0.3 * t0_ladder / (tt + t0_ladder)
+                log_gaps = log_gaps + gain * (a_ema - a_ema.mean())
+                log_gaps = log_gaps - jnp.mean(log_gaps)  # bounded
+            return (x, ll, lpr, log_gaps, a_ema), None
+
+        def run_step(state, ik):
+            i, k = ik
+            km, ks = jax.random.split(k)
+            x, ll, lpr, buf = state
+            x, ll, lpr, acc = sweep(params, x, ll, lpr, betas, km)
+            x, ll, lpr, s = swap_phase(x, ll, lpr, betas, i, ks)
+            if thin:  # β=1 rung only
+                buf = _thin_write(
+                    buf, i.astype(jnp.int32), x[-1], thin, n_keep
+                )
+            return (x, ll, lpr, buf), (jnp.mean(acc), s)
+
+        ll, lpr, _ = eval_ll(params, x.reshape(-1, n_params))
+        ll = ll.reshape(n_rungs, n_walkers)
+        lpr = lpr.reshape(n_rungs, n_walkers)
+        log_gaps = log_gaps0
+        if cfg.n_warmup > 0:
+            state = (
+                x, ll, lpr, log_gaps,
+                jnp.full((n_rungs - 1,), 0.25, jnp.float32),
+            )
+            state, _ = jax.lax.scan(warm_step, state, warm_ik)
+            x, ll, lpr, log_gaps, _ = state
+        betas = ladder(log_gaps)
+        n_keep, buf = _thin_state(
+            run_ik[0].shape[0], thin, x[-1]
+        )
+        (x, ll, lpr, buf), (rates, srates) = jax.lax.scan(
+            run_step, (x, ll, lpr, buf), run_ik
+        )
+        return x, ll, lpr, betas, rates, srates, buf[:n_keep]
+
+    return jax.jit(run)
+
+
 @dataclasses.dataclass
 class PTSampleResult(SampleResult):
     """:class:`SampleResult` for the cold (β=1) rung of a parallel-
@@ -294,21 +401,10 @@ def sample_pt(
     nothing (:func:`_chain_program`). ``n_walkers`` must be even and
     ≥ ``2·n_params + 2`` (red-black halves must span parameter space).
     """
-    raw_log_prior = log_prior
-    log_prior = _resolve_log_prior(log_prior)
     lo, hi = _resolve_bounds(bounds)
     n_params = int(lo.shape[0])
     _pt_sizes_check(n_rungs, n_walkers, n_params, a)
-    # initial ladder; adaptation (if on) moves the interior gaps,
-    # endpoints β=0 / β=1 stay pinned
-    betas0 = _geometric_ladder(n_rungs, beta_min)
-    log_gaps0 = jnp.log(jnp.asarray(np.diff(betas0), jnp.float32))
-    # ladder-adaptation gain: decays like t0/(t+t0) so the ladder
-    # freezes well before the kept phase; t0 scales with the warmup
-    # length so short and long warmups both spend ~the first half
-    # moving
-    t0_ladder = max(float(n_warmup) / 10.0, 10.0)
-    t_adapt_start = float(n_warmup) / 3.0
+    _geometric_ladder(n_rungs, beta_min)  # validate beta_min eagerly
     n_sw = _pt_swap_sweeps(swap_sweeps, n_rungs)
     key = jax.random.key(seed)
     k_init, k_warm, k_run = jax.random.split(key, 3)
@@ -326,89 +422,20 @@ def sample_pt(
         ).reshape(n_rungs, n_walkers, n_params)
     x = _shard_walkers(x, mesh)
 
-    def build_run():
-        def ladder(log_gaps):
-            g = jnp.exp(log_gaps)
-            c = jnp.cumsum(g)
-            # normalize by the cumsum's own tail so β[-1] is EXACTLY
-            # 1.0 (sum() may reduce in a different order → 1±1ulp)
-            return jnp.concatenate([jnp.zeros((1,), g.dtype), c / c[-1]])
-
-        eval_ll, sweep, swap_phase = _pt_kernel(
-            loglik, log_prior, lo, hi, n_rungs, n_walkers, a, n_sw
-        )
-
-        def run(params, x, warm_ik, run_ik):
-            def warm_step(state, ik):
-                i, k = ik
-                km, ks = jax.random.split(k)
-                x, ll, lpr, log_gaps, a_ema = state
-                betas = ladder(log_gaps)
-                x, ll, lpr, _ = sweep(params, x, ll, lpr, betas, km)
-                x, ll, lpr, s = swap_phase(x, ll, lpr, betas, i, ks)
-                if adapt_ladder and n_rungs > 2:
-                    # Vousden-style: equalize per-edge swap rates.
-                    # EMA the per-attempt acceptance, widen gaps
-                    # whose edges swap more than the ladder average.
-                    # GATED past the first third of warmup: while the
-                    # rungs are still annealing from prior draws their
-                    # logL levels are all similar, so every cold edge
-                    # reports spuriously high acceptance — adapting on
-                    # that transient coarsens the ladder bottom by
-                    # orders of magnitude (measured: β₁ 1e-6 → 1e-3,
-                    # choking the prior-rung supply to 1e-4)
-                    t = i + 1.0
-                    a_ema = 0.8 * a_ema + 0.2 * s
-                    tt = jnp.maximum(t - t_adapt_start, 0.0)
-                    gate = (t > t_adapt_start).astype(jnp.float32)
-                    gain = gate * 0.3 * t0_ladder / (tt + t0_ladder)
-                    log_gaps = log_gaps + gain * (a_ema - a_ema.mean())
-                    log_gaps = log_gaps - jnp.mean(log_gaps)  # bounded
-                return (x, ll, lpr, log_gaps, a_ema), None
-
-            def run_step(state, ik):
-                i, k = ik
-                km, ks = jax.random.split(k)
-                x, ll, lpr, buf = state
-                x, ll, lpr, acc = sweep(params, x, ll, lpr, betas, km)
-                x, ll, lpr, s = swap_phase(x, ll, lpr, betas, i, ks)
-                if thin:  # β=1 rung only
-                    buf = _thin_write(
-                        buf, i.astype(jnp.int32), x[-1], thin, n_keep
-                    )
-                return (x, ll, lpr, buf), (jnp.mean(acc), s)
-
-            ll, lpr, _ = eval_ll(params, x.reshape(-1, n_params))
-            ll = ll.reshape(n_rungs, n_walkers)
-            lpr = lpr.reshape(n_rungs, n_walkers)
-            log_gaps = log_gaps0
-            if n_warmup > 0:
-                state = (
-                    x, ll, lpr, log_gaps,
-                    jnp.full((n_rungs - 1,), 0.25, jnp.float32),
-                )
-                state, _ = jax.lax.scan(warm_step, state, warm_ik)
-                x, ll, lpr, log_gaps, _ = state
-            betas = ladder(log_gaps)
-            n_keep, buf = _thin_state(
-                run_ik[0].shape[0], thin, x[-1]
-            )
-            (x, ll, lpr, buf), (rates, srates) = jax.lax.scan(
-                run_step, (x, ll, lpr, buf), run_ik
-            )
-            return x, ll, lpr, betas, rates, srates, buf[:n_keep]
-
-        return jax.jit(run)
-
+    cfg = _PTProgram(
+        n_rungs=int(n_rungs),
+        n_walkers=int(n_walkers),
+        a=float(a),
+        beta_min=float(beta_min),
+        adapt_ladder=bool(adapt_ladder),
+        n_sw=int(n_sw),
+        thin=int(thin),
+        n_warmup=int(n_warmup),
+    )
     run = _chain_program(
         loglik,
-        (
-            "pt", _bounds_key(lo, hi), n_rungs, n_walkers, float(a),
-            float(beta_min),
-            bool(adapt_ladder), n_sw, int(thin), int(n_warmup),
-            _fn_cache_key(raw_log_prior),
-        ),
-        build_run,
+        _auto_key(cfg, lo, hi, log_prior),
+        lambda: _build_pt_program(loglik, log_prior, lo, hi, cfg),
     )
 
     def ik(k, n):
