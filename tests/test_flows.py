@@ -506,3 +506,90 @@ def test_batched_evidence_khat_escalation_closes_the_loop():
             row_loglik=lambda i: row_loglik[i],
             row_valgrad=lambda i: row_valgrad[i],
         )
+
+
+def test_flow_batch_matches_sequential_on_mixed_rows():
+    """Round-5 batched escalation: ``evidence_with_flow_batch`` fits
+    K independent flows as one program and must (a) reproduce the
+    closed-form evidence per row, (b) handle HETEROGENEOUS rows — one
+    Gaussian, one curved banana — because real escalation batches mix
+    easy and hard posteriors, and (c) agree with the sequential
+    per-row path row by row."""
+    from tpu21cmvae.flows import (
+        evidence_with_flow,
+        evidence_with_flow_batch,
+    )
+
+    mu_g = np.array([0.5, -1.0, 0.5], np.float32)
+    sig_g = np.array([0.4, 0.6, 0.3], np.float32)
+
+    def gauss_logp(x):
+        z = (x - mu_g) / sig_g
+        return -0.5 * jnp.sum(z * z, axis=-1)
+
+    def ll_multi(params, x):
+        xr = x.reshape(2, x.shape[0] // 2, 3)
+        return jnp.concatenate(
+            [gauss_logp(xr[0]), _banana_logp(xr[1])]
+        )
+
+    def vg_multi(params, x):
+        ll = ll_multi(params, x)
+        g = jax.grad(lambda q: jnp.sum(ll_multi(params, q)))(x)
+        return ll, g
+
+    kw = dict(bounds=_BOUNDS, n_steps=900, n_mc=128, n_is=8192)
+    batch = evidence_with_flow_batch(
+        ll_multi, vg_multi, None, 2, seed=0, **kw
+    )
+    assert len(batch) == 2
+
+    span = (_BOUNDS[:, 1] - _BOUNDS[:, 0]).astype(np.float64)
+    log_v = float(np.log(span).sum())
+    true_g = -log_v + sum(
+        math.log(s * math.sqrt(2 * math.pi)) for s in sig_g
+    )
+    true_b = _banana_logz_true()
+    for r, true in zip(batch, (true_g, true_b)):
+        assert abs(r.logz - true) < max(0.1, 4 * r.logz_err), (
+            r.logz, true
+        )
+        assert r.is_ess > 0.2 * r.n_draws
+        assert r.flow is not None
+
+    # row-by-row parity with the sequential estimator
+    def vg_banana(params, x):
+        return _banana_logp(x), jax.grad(
+            lambda q: _banana_logp(q).sum()
+        )(x)
+
+    seq = evidence_with_flow(
+        lambda p, x: _banana_logp(x), vg_banana, None, seed=11, **kw
+    )
+    assert abs(batch[1].logz - seq.logz) < max(
+        0.15, 4 * math.hypot(batch[1].logz_err, seq.logz_err)
+    )
+    # the batch draws a usable importance posterior per row
+    draws = batch[1].posterior(256, seed=5)
+    assert draws.shape == (256, 3)
+
+
+def test_fit_flow_batch_program_caches_on_the_likelihood():
+    """Two same-config batch fits share one compiled program (the
+    auto-keyed chain-program cache); a different row count compiles a
+    second one."""
+    from tpu21cmvae.flows import fit_flow_batch
+
+    def vg_multi(params, x):
+        xr = x.reshape(2, x.shape[0] // 2, 3)
+        mus = jnp.asarray([[0.0, 0.0, 0.0], [1.0, -1.0, 0.5]])
+        z = xr - mus[:, None, :]
+        ll = (-0.5 * jnp.sum(z * z, -1)).reshape(-1)
+        g = (-z).reshape(-1, 3)
+        return ll, g
+
+    kw = dict(bounds=_BOUNDS, n_steps=40, n_mc=32, warm_steps=20)
+    fit_flow_batch(vg_multi, None, 2, seed=0, **kw)
+    n0 = len(vg_multi._t21_chain_cache)
+    fit_flow_batch(vg_multi, None, 2, seed=1, **kw)
+    assert len(vg_multi._t21_chain_cache) == n0  # warm reuse

@@ -515,3 +515,123 @@ def test_laplace_prior_normalization_convention():
     )
     assert shifted.logz == pytest.approx(base.logz, abs=1e-3)
     assert abs(base.logz - res.logz) < 0.1
+
+
+def test_batch_matches_sequential():
+    """The batched definitive tier (round-5): per-row logz from
+    ``nested_sampling_batch`` agrees with the sequential path within
+    the combined statistical error, and with the closed form."""
+    from tpu21cmvae.nested import nested_sampling_batch
+
+    MUS = np.stack([
+        np.array([0.5, -1.0, 2.0]), np.array([-0.2, 0.4, 1.2]),
+        np.array([0.0, 0.0, 1.6]),
+    ]).astype(np.float32)
+    SIGS = np.stack([
+        np.array([0.3, 0.7, 0.2]), np.array([0.5, 0.2, 0.4]),
+        np.array([0.2, 0.3, 0.5]),
+    ]).astype(np.float32)
+    lo = MUS.min(0) - 3.0
+    hi = MUS.max(0) + 3.0
+    bounds = np.stack([lo, hi], 1)
+    log_v = float(np.log((hi - lo).astype(np.float64)).sum())
+
+    def loglik_multi(params, x):
+        xr = x.reshape(3, x.shape[0] // 3, 3)
+        z = (xr - MUS[:, None, :]) / SIGS[:, None, :]
+        return (-0.5 * jnp.sum(z * z, axis=-1)).reshape(-1)
+
+    kw = dict(bounds=bounds, n_live=512, n_batch=64, n_mh=16, seed=0)
+    batch = nested_sampling_batch(loglik_multi, None, 3, **kw)
+    assert len(batch) == 3
+    for o in range(3):
+        def row_ll(params, x, o=o):
+            z = (x - MUS[o]) / SIGS[o]
+            return -0.5 * jnp.sum(z * z, axis=-1)
+
+        seq = nested_sampling(row_ll, None,
+                              **{**kw, "seed": 17})
+        true = -log_v + sum(
+            math.log(s * math.sqrt(2 * math.pi)) for s in SIGS[o]
+        )  # erf factor negligible: box >> 3 sigma on every axis? no —
+        # keep the exact truncated form per axis
+        true = -log_v
+        for j in range(3):
+            t = (hi[j] - MUS[o][j]) / SIGS[o][j]
+            b = (lo[j] - MUS[o][j]) / SIGS[o][j]
+            true += math.log(SIGS[o][j] * math.sqrt(2 * math.pi)) + \
+                math.log(0.5 * (math.erf(t / math.sqrt(2))
+                                - math.erf(b / math.sqrt(2))))
+        assert not batch[o].truncated
+        tol = max(0.4, 3 * math.hypot(batch[o].logz_err, seq.logz_err))
+        assert abs(batch[o].logz - seq.logz) < tol
+        assert abs(batch[o].logz - true) < max(0.4, 4 * batch[o].logz_err)
+    # a batch program serves the single-obs path too: caching attaches
+    # to the likelihood closure with an auto-derived structural key
+    assert hasattr(loglik_multi, "_t21_chain_cache")
+
+
+def test_auto_escalation_routes_finals_through_the_batch(monkeypatch):
+    """``laplace_evidence_multi_auto(final='nested', rows_loglik=...)``
+    must settle ALL remaining hard rows via ONE
+    ``nested_sampling_batch`` call — never the per-row sequential
+    path (round-4 VERDICT item 1)."""
+    from tpu21cmvae.sampling import laplace_evidence_multi_auto
+    import tpu21cmvae.nested as nested_mod
+
+    MUS = np.stack([
+        np.array([0.5, -1.0, 2.0]), np.array([-0.5, 0.3, 1.0])
+    ]).astype(np.float32)
+    SIGB = np.array([0.3, 0.7, 0.2], np.float32)
+    lo, hi = MUS.min(0) - 6 * SIGB, MUS.max(0) + 6 * SIGB
+    bounds = np.stack([lo, hi], 1)
+
+    def make_multi(mus):
+        def loglik_multi(params, x):
+            xr = x.reshape(len(mus), x.shape[0] // len(mus), 3)
+            z = (xr - np.asarray(mus)[:, None, :]) / SIGB
+            return (-0.5 * jnp.sum(z * z, axis=-1)).reshape(-1)
+
+        return loglik_multi
+
+    def row_loglik(i):
+        def ll(params, x):
+            z = (x - MUS[i]) / SIGB
+            return -0.5 * jnp.sum(z * z, axis=-1)
+
+        return ll
+
+    calls = {"seq": 0}
+    real_seq = nested_mod.nested_sampling
+
+    def guard_seq(*a, **k):
+        calls["seq"] += 1
+        return real_seq(*a, **k)
+
+    monkeypatch.setattr(nested_mod, "nested_sampling", guard_seq)
+
+    # khat_threshold=-1: no row can pass (khat >= 0), so with
+    # method="laplace" every row lands in the definitive final stage
+    res = laplace_evidence_multi_auto(
+        make_multi(MUS), None, 2,
+        row_loglik=row_loglik,
+        row_valgrad=None,  # never reached with method="laplace"
+        rows_loglik=lambda idx: make_multi(MUS[np.asarray(idx)]),
+        method="laplace", khat_threshold=-1.0,
+        final="nested",
+        final_kwargs=dict(n_live=256, n_batch=32, n_mh=12),
+        bounds=bounds, n_starts=128, n_steps=200, n_is=1024, seed=0,
+    )
+    assert calls["seq"] == 0  # the batched tier, not per-row runs
+    import math as _m
+
+    true = -float(np.log((hi - lo).astype(np.float64)).sum()) + sum(
+        _m.log(s * _m.sqrt(2 * _m.pi)) for s in SIGB
+    )
+    for r in res:
+        assert r.method_used == "nested"
+        assert np.isnan(r.khat)
+        assert r.final_result is not None and not r.final_result.truncated
+        assert abs(r.logz - true) < max(0.5, 4 * r.logz_err)
+        draws = r.posterior(64, seed=3)
+        assert draws.shape == (64, 3)

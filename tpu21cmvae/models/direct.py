@@ -713,8 +713,23 @@ class DirectEmulator:
                 obs_batch[np.asarray(idx)], noise_var,
                 precision="contract",
             ),
+            rows_valgrad=self._rows_valgrad(obs_batch, noise_var),
             **kwargs,
         )
+
+    def _rows_valgrad(self, obs_batch, noise_var):
+        """Stacked value+gradient builder over an observation subset —
+        the batched flow escalation's fit path (the IS sweep still
+        scores through the contract-tier value function)."""
+        def build(idx):
+            from tpu21cmvae.ops.loglik import make_loglik_and_grad_multi
+
+            return jax.jit(make_loglik_and_grad_multi(
+                self.config, self.normalizer,
+                obs_batch[np.asarray(idx)], noise_var,
+            ))
+
+        return build
 
     def fit_params(self, obs, noise_var=1.0, *, bounds=None, **kwargs):
         """Maximum-likelihood fit of the 7 parameters to an observed

@@ -280,7 +280,10 @@ class VAEEmulator:
         """Batched Laplace+IS evidence with automatic khat-triggered
         flow escalation — same contract as
         :meth:`DirectEmulator.log_evidence_batch`."""
-        from tpu21cmvae.sampling import laplace_evidence_multi_auto
+        from tpu21cmvae.sampling import (
+            laplace_evidence_multi_auto,
+            valgrad_from_loglik,
+        )
 
         obs_batch = np.atleast_2d(np.asarray(obs_batch, np.float32))
         return laplace_evidence_multi_auto(
@@ -292,6 +295,13 @@ class VAEEmulator:
             row_loglik=lambda i: self.loglik_fn(obs_batch[i], noise_var),
             row_valgrad=lambda i: self.loglik_and_grad_fn(
                 obs_batch[i], noise_var
+            ),
+            rows_loglik=lambda idx: self.loglik_multi_fn(
+                obs_batch[np.asarray(idx)], noise_var
+            ),
+            rows_valgrad=lambda idx: valgrad_from_loglik(
+                self.loglik_multi_fn(obs_batch[np.asarray(idx)],
+                                     noise_var)
             ),
             **kwargs,
         )

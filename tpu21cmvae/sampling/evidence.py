@@ -18,9 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu21cmvae.sampling._common import (
-    _bounds_key,
+    _auto_key,
     _chain_program,
-    _fn_cache_key,
     _init_walkers,
     _resolve_bounds,
     _resolve_log_prior,
@@ -109,6 +108,81 @@ class EvidenceResult:
         )
 
 
+@dataclasses.dataclass(frozen=True)
+class _LadderProgram:
+    """Statics of :func:`_build_ladder_program` (the stepping-stone
+    ladder of :func:`log_evidence`), keyed in full (:func:`_auto_key`)."""
+
+    n_rungs: int
+    n_walkers: int
+    a: float
+    beta_min: float
+    n_sw: int
+    n_warmup: int
+
+
+def _build_ladder_program(loglik, log_prior, lo, hi, cfg):
+    """Module-level program builder for :func:`log_evidence` — no free
+    variables: every static comes from ``cfg`` or the keyed
+    ``(lo, hi, log_prior)`` (see :func:`_auto_key`)."""
+    log_prior = _resolve_log_prior(log_prior)
+    n_rungs, n_walkers = cfg.n_rungs, cfg.n_walkers
+    n_params = int(lo.shape[0])
+    n_warmup = cfg.n_warmup
+    betas = jnp.asarray(
+        _geometric_ladder(n_rungs, cfg.beta_min), jnp.float32
+    )
+    dbeta = betas[1:] - betas[:-1]  # (K-1,)
+    # half-density sub-ladder (every other rung, keeping β=1) for the
+    # drift alarm — its stepping-stone estimate reuses the same chains
+    coarse_idx = np.append(np.arange(0, n_rungs - 1, 2), n_rungs - 1)
+    coarse_src = jnp.asarray(coarse_idx[:-1])
+    coarse_dbeta = jnp.diff(betas[jnp.asarray(coarse_idx)])
+
+    eval_ll, sweep, swap_phase = _pt_kernel(
+        loglik, log_prior, lo, hi, n_rungs, n_walkers, cfg.a, cfg.n_sw
+    )
+
+    def run(params, x, warm_ik, run_ik):
+        def warm_step(state, ik):
+            i, k = ik
+            km, ks = jax.random.split(k)
+            x, ll, lpr = state
+            x, ll, lpr, _ = sweep(params, x, ll, lpr, betas, km)
+            x, ll, lpr, _ = swap_phase(x, ll, lpr, betas, i, ks)
+            return (x, ll, lpr), None
+
+        def run_step(state, ik):
+            i, k = ik
+            km, ks = jax.random.split(k)
+            x, ll, lpr = state
+            x, ll, lpr, acc = sweep(params, x, ll, lpr, betas, km)
+            x, ll, lpr, s = swap_phase(x, ll, lpr, betas, i, ks)
+            # per-step stepping-stone contribution: logsumexp over
+            # walkers of dβ_k · logL at rung k (pooled across steps
+            # on the host)
+            ss = jax.scipy.special.logsumexp(
+                dbeta[:, None] * ll[:-1], axis=1
+            )
+            ss_c = jax.scipy.special.logsumexp(
+                coarse_dbeta[:, None] * ll[coarse_src], axis=1
+            )
+            return (x, ll, lpr), (acc, s, ss, ss_c)
+
+        ll, lpr, _ = eval_ll(params, x.reshape(-1, n_params))
+        ll = ll.reshape(n_rungs, n_walkers)
+        lpr = lpr.reshape(n_rungs, n_walkers)
+        state = (x, ll, lpr)
+        if n_warmup > 0:
+            state, _ = jax.lax.scan(warm_step, state, warm_ik)
+        (x, ll, lpr), (rates, srates, ss, ss_c) = jax.lax.scan(
+            run_step, state, run_ik
+        )
+        return x, ll, rates, srates, ss, ss_c
+
+    return jax.jit(run)
+
+
 def log_evidence(
     loglik,
     params,
@@ -182,14 +256,11 @@ def log_evidence(
     (``n_rungs`` must divide evenly); replica exchange's neighbor roll
     lowers to a ``ppermute`` over ICI, everything else is rung-local.
     """
-    raw_log_prior = log_prior
-    log_prior = _resolve_log_prior(log_prior)
     lo, hi = _resolve_bounds(bounds)
     n_params = int(lo.shape[0])
     _pt_sizes_check(n_rungs, n_walkers, n_params, a)
     n_sw = _pt_swap_sweeps(swap_sweeps, n_rungs)
     betas = jnp.asarray(_geometric_ladder(n_rungs, beta_min), jnp.float32)
-    dbeta = betas[1:] - betas[:-1]  # (K-1,)
     key = jax.random.key(seed)
     k_init, k_warm, k_run = jax.random.split(key, 3)
     if x0 is not None:
@@ -210,64 +281,18 @@ def log_evidence(
     # the replica-exchange roll, which lowers to ppermute over ICI
     x = _shard_walkers(x, mesh)
 
-    # half-density sub-ladder (every other rung, keeping β=1) for the
-    # drift alarm — its stepping-stone estimate reuses the same chains
-    coarse_idx = np.append(np.arange(0, n_rungs - 1, 2), n_rungs - 1)
-    coarse_src = jnp.asarray(coarse_idx[:-1])
-    coarse_dbeta = jnp.diff(betas[jnp.asarray(coarse_idx)])
-
-    def build_run():
-        eval_ll, sweep, swap_phase = _pt_kernel(
-            loglik, log_prior, lo, hi, n_rungs, n_walkers, a, n_sw
-        )
-
-        def run(params, x, warm_ik, run_ik):
-            def warm_step(state, ik):
-                i, k = ik
-                km, ks = jax.random.split(k)
-                x, ll, lpr = state
-                x, ll, lpr, _ = sweep(params, x, ll, lpr, betas, km)
-                x, ll, lpr, _ = swap_phase(x, ll, lpr, betas, i, ks)
-                return (x, ll, lpr), None
-
-            def run_step(state, ik):
-                i, k = ik
-                km, ks = jax.random.split(k)
-                x, ll, lpr = state
-                x, ll, lpr, acc = sweep(params, x, ll, lpr, betas, km)
-                x, ll, lpr, s = swap_phase(x, ll, lpr, betas, i, ks)
-                # per-step stepping-stone contribution: logsumexp over
-                # walkers of dβ_k · logL at rung k (pooled across steps
-                # on the host)
-                ss = jax.scipy.special.logsumexp(
-                    dbeta[:, None] * ll[:-1], axis=1
-                )
-                ss_c = jax.scipy.special.logsumexp(
-                    coarse_dbeta[:, None] * ll[coarse_src], axis=1
-                )
-                return (x, ll, lpr), (acc, s, ss, ss_c)
-
-            ll, lpr, _ = eval_ll(params, x.reshape(-1, n_params))
-            ll = ll.reshape(n_rungs, n_walkers)
-            lpr = lpr.reshape(n_rungs, n_walkers)
-            state = (x, ll, lpr)
-            if n_warmup > 0:
-                state, _ = jax.lax.scan(warm_step, state, warm_ik)
-            (x, ll, lpr), (rates, srates, ss, ss_c) = jax.lax.scan(
-                run_step, state, run_ik
-            )
-            return x, ll, rates, srates, ss, ss_c
-
-        return jax.jit(run)
-
+    cfg = _LadderProgram(
+        n_rungs=int(n_rungs),
+        n_walkers=int(n_walkers),
+        a=float(a),
+        beta_min=float(beta_min),
+        n_sw=int(n_sw),
+        n_warmup=int(n_warmup),
+    )
     run = _chain_program(
         loglik,
-        (
-            "evidence", _bounds_key(lo, hi), n_rungs, n_walkers,
-            float(a), float(beta_min), n_sw, int(n_warmup),
-            _fn_cache_key(raw_log_prior),
-        ),
-        build_run,
+        _auto_key(cfg, lo, hi, log_prior),
+        lambda: _build_ladder_program(loglik, log_prior, lo, hi, cfg),
     )
     warm_ik = (
         jnp.arange(max(n_warmup, 1), dtype=jnp.float32),
@@ -310,6 +335,150 @@ def log_evidence(
         logp=np.asarray(ll[-1]),
     )
 
+
+
+@dataclasses.dataclass(frozen=True)
+class _LaplaceHessProgram:
+    """Field-less program config for :func:`_build_laplace_hess`; the
+    key carries ``(lo, hi, log_prior)`` as extras (:func:`_auto_key`)."""
+
+
+def _build_laplace_hess(loglik, log_prior, lo, hi, cfg):
+    """Single-observation whitened-Hessian program (no free vars)."""
+    span = hi - lo
+
+    def g_scalar(p, y):
+        xr = lo + span * jax.nn.sigmoid(y)
+        ll = loglik(p, xr[None])[0]
+        if log_prior is not None:
+            ll = ll + _resolve_log_prior(log_prior)(xr[None])[0]
+        return ll + jnp.sum(
+            jax.nn.log_sigmoid(y) + jax.nn.log_sigmoid(-y)
+        )
+
+    return jax.jit(jax.hessian(g_scalar, argnums=1))
+
+
+@dataclasses.dataclass(frozen=True)
+class _LaplaceISProgram:
+    """Statics of :func:`_build_laplace_is`, keyed in full."""
+
+    n_is: int
+
+
+def _build_laplace_is(loglik, log_prior, lo, hi, cfg):
+    """Single-observation Student-t IS draw+score program (no free
+    vars); ``df`` is the module constant ``_IS_DF``."""
+    span = hi - lo
+    n_is = cfg.n_is
+    df = _IS_DF
+
+    def run(params, y_c, scale_mat, key):
+        kz, ku = jax.random.split(key)
+        pdim = y_c.shape[0]
+        z = jax.random.normal(kz, (n_is, pdim))
+        u = 2.0 * jax.random.gamma(ku, df / 2.0, (n_is,))  # χ²_df
+        t = z * jnp.sqrt(df / u)[:, None]
+        y = y_c + t @ scale_mat.T
+        xr = lo + span * jax.nn.sigmoid(y)
+        ll = loglik(params, xr)
+        if log_prior is not None:
+            ll = ll + _resolve_log_prior(log_prior)(xr)
+        g = ll + jnp.sum(
+            jax.nn.log_sigmoid(y) + jax.nn.log_sigmoid(-y), axis=-1
+        )
+        return g, y
+
+    return jax.jit(run)
+
+
+def _g_rows_multi(loglik_multi, log_prior, lo, span):
+    """(O, P) -> (O,) whitened log-density rows shared by the batched
+    Laplace programs."""
+
+    def g_rows(params, y):
+        xr = lo + span * jax.nn.sigmoid(y)
+        ll = loglik_multi(params, xr)
+        if log_prior is not None:
+            ll = ll + _resolve_log_prior(log_prior)(xr)
+        return ll + jnp.sum(
+            jax.nn.log_sigmoid(y) + jax.nn.log_sigmoid(-y), axis=-1
+        )
+
+    return g_rows
+
+
+@dataclasses.dataclass(frozen=True)
+class _LaplaceHessMultiProgram:
+    """Statics of :func:`_build_laplace_hess_multi`, keyed in full."""
+
+    n_obs: int
+
+
+def _build_laplace_hess_multi(loglik_multi, log_prior, lo, hi, cfg):
+    """Batched whitened-Hessian program (no free vars)."""
+    span = hi - lo
+    p = int(lo.shape[0])
+    n_obs = cfg.n_obs
+    g_rows = _g_rows_multi(loglik_multi, log_prior, lo, span)
+
+    def grad_rows(params, y):
+        _, vjp = jax.vjp(lambda q: g_rows(params, q), y)
+        (g,) = vjp(jnp.ones((n_obs,), jnp.float32))
+        return g
+
+    def hess(params, y):
+        # column k of EVERY observation's Hessian at once: the
+        # cross-observation blocks are zero, so a tangent that
+        # perturbs coordinate k of all rows reads out each row's
+        # own column k
+        def col(e):
+            return jax.jvp(
+                lambda q: grad_rows(params, q), (y,),
+                (jnp.broadcast_to(e, y.shape),),
+            )[1]
+
+        cols = jax.vmap(col)(jnp.eye(p, dtype=y.dtype))  # (P, O, P)
+        return jnp.transpose(cols, (1, 0, 2))  # (O, P, P)
+
+    return jax.jit(hess)
+
+
+@dataclasses.dataclass(frozen=True)
+class _LaplaceISMultiProgram:
+    """Statics of :func:`_build_laplace_is_multi`, keyed in full."""
+
+    n_obs: int
+    n_is: int
+
+
+def _build_laplace_is_multi(loglik_multi, log_prior, lo, hi, cfg):
+    """Batched Student-t IS draw+score program (no free vars)."""
+    span = hi - lo
+    p = int(lo.shape[0])
+    n_obs, n_is = cfg.n_obs, cfg.n_is
+    df = _IS_DF
+
+    def run(params, y_c, scale_mats, key):
+        kz, ku = jax.random.split(key)
+        z = jax.random.normal(kz, (n_obs, n_is, p))
+        u = 2.0 * jax.random.gamma(ku, df / 2.0, (n_obs, n_is))
+        t = z * jnp.sqrt(df / u)[:, :, None]
+        y = y_c[:, None, :] + jnp.einsum(
+            "oik,ojk->oij", t, scale_mats
+        )
+        xr = (lo + span * jax.nn.sigmoid(y)).reshape(-1, p)
+        ll = loglik_multi(params, xr)
+        if log_prior is not None:
+            ll = ll + _resolve_log_prior(log_prior)(xr)
+        yf = y.reshape(-1, p)
+        g = ll + jnp.sum(
+            jax.nn.log_sigmoid(yf) + jax.nn.log_sigmoid(-yf),
+            axis=-1,
+        )
+        return g.reshape(n_obs, n_is), y
+
+    return jax.jit(run)
 
 
 @dataclasses.dataclass
@@ -751,22 +920,11 @@ def laplace_evidence(
                    1.0 - 1e-7)
     y_map = jnp.asarray(np.log(frac / (1.0 - frac)), jnp.float32)
 
-    def build_hess():
-        def g_scalar(p, y):
-            xr = lo + span * jax.nn.sigmoid(y)
-            ll = loglik(p, xr[None])[0]
-            if log_prior is not None:
-                ll = ll + _resolve_log_prior(log_prior)(xr[None])[0]
-            return ll + jnp.sum(
-                jax.nn.log_sigmoid(y) + jax.nn.log_sigmoid(-y)
-            )
-
-        return jax.jit(jax.hessian(g_scalar, argnums=1))
-
+    hcfg = _LaplaceHessProgram()
     hess = _chain_program(
         loglik,
-        ("laplace-hess", _bounds_key(lo, hi), _fn_cache_key(log_prior)),
-        build_hess,
+        _auto_key(hcfg, lo, hi, log_prior),
+        lambda: _build_laplace_hess(loglik, log_prior, lo, hi, hcfg),
     )
     h = np.asarray(hess(params, y_map), np.float64)
     h = 0.5 * (h + h.T)
@@ -812,32 +970,11 @@ def laplace_evidence(
     # With n_rounds > 1 the proposal ADAPTS (see _amis_sharpen): the
     # Hessian at the mode is measurably far sharper than the posterior
     # bulk, and moment-matched rounds lift the weight ESS ~10–100×.
-    df = _IS_DF
-
-    def build_is():
-        def run(params, y_c, scale_mat, key):
-            kz, ku = jax.random.split(key)
-            pdim = y_c.shape[0]
-            z = jax.random.normal(kz, (n_is, pdim))
-            u = 2.0 * jax.random.gamma(ku, df / 2.0, (n_is,))  # χ²_df
-            t = z * jnp.sqrt(df / u)[:, None]
-            y = y_c + t @ scale_mat.T
-            xr = lo + span * jax.nn.sigmoid(y)
-            ll = loglik(params, xr)
-            if log_prior is not None:
-                ll = ll + _resolve_log_prior(log_prior)(xr)
-            g = ll + jnp.sum(
-                jax.nn.log_sigmoid(y) + jax.nn.log_sigmoid(-y), axis=-1
-            )
-            return g, y
-
-        return jax.jit(run)
-
+    icfg = _LaplaceISProgram(n_is=int(n_is))
     run_is = _chain_program(
         loglik,
-        ("laplace-is2", _bounds_key(lo, hi), int(n_is),
-         _fn_cache_key(log_prior)),
-        build_is,
+        _auto_key(icfg, lo, hi, log_prior),
+        lambda: _build_laplace_is(loglik, log_prior, lo, hi, icfg),
     )
 
     def run_obs1(mu_f, L_f, key):
@@ -928,75 +1065,24 @@ def laplace_evidence_multi(
     )
     y_map = jnp.asarray(np.log(frac / (1.0 - frac)), jnp.float32)
 
-    def g_rows(params, y):  # (O, P) -> (O,) whitened log-density
-        xr = lo + span * jax.nn.sigmoid(y)
-        ll = loglik_multi(params, xr)
-        if log_prior is not None:
-            ll = ll + _resolve_log_prior(log_prior)(xr)
-        return ll + jnp.sum(
-            jax.nn.log_sigmoid(y) + jax.nn.log_sigmoid(-y), axis=-1
-        )
-
-    def build_hess():
-        def grad_rows(params, y):
-            _, vjp = jax.vjp(lambda q: g_rows(params, q), y)
-            (g,) = vjp(jnp.ones((n_obs,), jnp.float32))
-            return g
-
-        def hess(params, y):
-            # column k of EVERY observation's Hessian at once: the
-            # cross-observation blocks are zero, so a tangent that
-            # perturbs coordinate k of all rows reads out each row's
-            # own column k
-            def col(e):
-                return jax.jvp(
-                    lambda q: grad_rows(params, q), (y,),
-                    (jnp.broadcast_to(e, y.shape),),
-                )[1]
-
-            cols = jax.vmap(col)(jnp.eye(p, dtype=y.dtype))  # (P, O, P)
-            return jnp.transpose(cols, (1, 0, 2))  # (O, P, P)
-
-        return jax.jit(hess)
-
+    hcfg = _LaplaceHessMultiProgram(n_obs=int(n_obs))
     hess = _chain_program(
         loglik_multi,
-        ("laplace-hess-multi", _bounds_key(lo, hi), int(n_obs),
-         _fn_cache_key(log_prior)),
-        build_hess,
+        _auto_key(hcfg, lo, hi, log_prior),
+        lambda: _build_laplace_hess_multi(
+            loglik_multi, log_prior, lo, hi, hcfg
+        ),
     )
     h = np.asarray(hess(params, y_map), np.float64)
     h = 0.5 * (h + np.transpose(h, (0, 2, 1)))
 
-    df = _IS_DF
-
-    def build_is():
-        def run(params, y_c, scale_mats, key):
-            kz, ku = jax.random.split(key)
-            z = jax.random.normal(kz, (n_obs, n_is, p))
-            u = 2.0 * jax.random.gamma(ku, df / 2.0, (n_obs, n_is))
-            t = z * jnp.sqrt(df / u)[:, :, None]
-            y = y_c[:, None, :] + jnp.einsum(
-                "oik,ojk->oij", t, scale_mats
-            )
-            xr = (lo + span * jax.nn.sigmoid(y)).reshape(-1, p)
-            ll = loglik_multi(params, xr)
-            if log_prior is not None:
-                ll = ll + _resolve_log_prior(log_prior)(xr)
-            yf = y.reshape(-1, p)
-            g = ll + jnp.sum(
-                jax.nn.log_sigmoid(yf) + jax.nn.log_sigmoid(-yf),
-                axis=-1,
-            )
-            return g.reshape(n_obs, n_is), y
-
-        return jax.jit(run)
-
+    imcfg = _LaplaceISMultiProgram(n_obs=int(n_obs), n_is=int(n_is))
     run_is = _chain_program(
         loglik_multi,
-        ("laplace-is2-multi", _bounds_key(lo, hi), int(n_obs),
-         int(n_is), _fn_cache_key(log_prior)),
-        build_is,
+        _auto_key(imcfg, lo, hi, log_prior),
+        lambda: _build_laplace_is_multi(
+            loglik_multi, log_prior, lo, hi, imcfg
+        ),
     )
 
     evals_all = np.linalg.eigh(-h)
@@ -1049,6 +1135,8 @@ def laplace_evidence_multi_auto(
     *,
     row_loglik,
     row_valgrad,
+    rows_loglik=None,
+    rows_valgrad=None,
     method: str = "auto",
     khat_threshold: float = 0.7,
     flow_kwargs=None,
@@ -1075,7 +1163,14 @@ def laplace_evidence_multi_auto(
     single-observation likelihood / value+gradient builders for row
     ``i`` — the model families pass closures over their own
     ``loglik_fn`` / ``loglik_and_grad_fn``, which keeps this function
-    family-agnostic. ``flow_kwargs`` forward to the flow fit/IS sweep;
+    family-agnostic. ``rows_loglik(indices)``: optional builder of a
+    STACKED likelihood over the observation subset ``indices`` (the
+    families pass ``loglik_multi_fn(obs_batch[indices], ...)``) — when
+    present, the ``final="nested"`` definitive tier runs ALL remaining
+    hard rows as one :func:`tpu21cmvae.nested.nested_sampling_batch`
+    device program instead of per-row sequential runs (round-4 VERDICT
+    item 1: the un-batched finals were 95 % of the measured real-batch
+    escalation wall). ``flow_kwargs`` forward to the flow fit/IS sweep;
     unless overridden, each row's flow is warm-started at that row's
     Laplace MAP (``x0=map_params`` — measured necessary on sharp real
     posteriors, docs/PERF.md).
@@ -1122,13 +1217,49 @@ def laplace_evidence_multi_auto(
         log_prior=log_prior, **kwargs,
     )
     if method != "laplace":
-        flagged = (
+        flagged = list(
             range(n_obs) if method == "flow"
             # NaN-safe: `not (khat < thr)` escalates rows with no khat
             else [i for i, r in enumerate(results)
                   if not (r.khat < khat_threshold)]
         )
-        if flagged:
+
+        def consider(i, fe):
+            r = results[i]
+            r.escalation = fe  # the attempt is on the record either way
+            # adopt the flow estimate only when its tail diagnostic is
+            # STRICTLY better — a diverged/collapsed flow fit must
+            # never overwrite a finite Laplace estimate with garbage
+            # (measured on the real batch: one unseeded fit landed
+            # 9e4 nats off)
+            if fe.khat < r.khat or (np.isfinite(fe.khat)
+                                    and not np.isfinite(r.khat)):
+                r.method_used = "flow"
+                r.logz, r.logz_err = fe.logz, fe.logz_err
+                r.khat, r.is_ess = fe.khat, fe.is_ess
+                r._is_x, r._is_logw = fe._x, fe._logw
+
+        fk0 = dict(flow_kwargs or {})
+        if (rows_valgrad is not None and rows_loglik is not None
+                and len(flagged) > 1
+                and "flow" not in fk0 and "x0" not in fk0):
+            # batched escalation (round-4 VERDICT item 6): ALL flagged
+            # rows fit + importance-sweep as one device program; the
+            # per-row MAP warm start carries over as stacked centers
+            from tpu21cmvae.flows import evidence_with_flow_batch
+
+            fk0["x0"] = np.stack(
+                [results[i].map_params for i in flagged]
+            )
+            fes = evidence_with_flow_batch(
+                rows_loglik(flagged), rows_valgrad(flagged), params,
+                len(flagged), bounds=bounds, seed=seed + 104_729,
+                log_prior=log_prior, **fk0,
+            )
+            for i, fe in zip(flagged, fes):
+                consider(i, fe)
+            flagged = []
+        elif flagged:
             from tpu21cmvae.flows import evidence_with_flow
 
         for i in flagged:
@@ -1145,21 +1276,57 @@ def laplace_evidence_multi_auto(
                 seed=seed + 104_729 * (i + 1), log_prior=log_prior,
                 **fk,
             )
-            r.escalation = fe  # the attempt is on the record either way
-            # adopt the flow estimate only when its tail diagnostic is
-            # STRICTLY better — a diverged/collapsed flow fit must
-            # never overwrite a finite Laplace estimate with garbage
-            # (measured on the real batch: one unseeded fit landed
-            # 9e4 nats off)
-            if fe.khat < r.khat or (np.isfinite(fe.khat)
-                                    and not np.isfinite(r.khat)):
-                r.method_used = "flow"
-                r.logz, r.logz_err = fe.logz, fe.logz_err
-                r.khat, r.is_ess = fe.khat, fe.is_ess
-                r._is_x, r._is_logw = fe._x, fe._logw
+            consider(i, fe)
     if final is not None:
         still = [i for i, r in enumerate(results)
                  if not (r.khat < khat_threshold)]
+
+        def adopt(i, fr, draws):
+            r = results[i]
+            r.final_result = fr
+            r.method_used = final
+            r.logz, r.logz_err = fr.logz, fr.logz_err
+            # no importance weights behind the definitive estimate —
+            # khat does not apply; equal-weight draws back posterior()
+            r.khat = float("nan")
+            r.is_ess = float(getattr(fr, "ess", draws.shape[0]))
+            r._is_x = np.asarray(draws)
+            r._is_logw = np.zeros(r._is_x.shape[0])
+
+        if final == "nested" and log_prior is not None and \
+                "prior_transform" not in dict(final_kwargs or {}):
+            raise ValueError(
+                "final='nested' under a log_prior needs the "
+                "matching prior_transform in final_kwargs "
+                "(nested sampling does exact volume "
+                "bookkeeping through the transform, not a "
+                "density — see tpu21cmvae.priors)"
+            )
+        if final == "nested" and rows_loglik is not None and \
+                len(still) > 1:
+            # the batched definitive tier (round-4 VERDICT item 1):
+            # ALL remaining hard rows run as ONE stacked-observation
+            # nested program instead of len(still) sequential per-row
+            # runs — measured 95 % of the real-batch escalation wall
+            # (docs/PERF.md)
+            from tpu21cmvae.nested import nested_sampling_batch
+
+            fkw = dict(final_kwargs or {})
+            base_seed = fkw.pop("seed", seed + 15_485_863)
+            frs = nested_sampling_batch(
+                rows_loglik(list(still)), params, len(still),
+                bounds=bounds, seed=base_seed, **fkw,
+            )
+            for i, fr in zip(still, frs):
+                if fr.truncated:
+                    # a truncated run's logz is only a LOWER bound —
+                    # record the attempt, never adopt it as headline
+                    results[i].final_result = fr
+                    continue
+                adopt(i, fr, fr.posterior(
+                    4096, seed=base_seed + 31 * (i + 1)
+                ))
+            return results
         for i in still:
             r = results[i]
             fkw = dict(final_kwargs or {})
@@ -1167,15 +1334,6 @@ def laplace_evidence_multi_auto(
             if final == "nested":
                 from tpu21cmvae.nested import nested_sampling
 
-                if log_prior is not None and \
-                        "prior_transform" not in fkw:
-                    raise ValueError(
-                        "final='nested' under a log_prior needs the "
-                        "matching prior_transform in final_kwargs "
-                        "(nested sampling does exact volume "
-                        "bookkeeping through the transform, not a "
-                        "density — see tpu21cmvae.priors)"
-                    )
                 fr = nested_sampling(row_loglik(i), params,
                                      bounds=bounds, **fkw)
                 if fr.truncated:
@@ -1191,15 +1349,7 @@ def laplace_evidence_multi_auto(
                 fr = sample_smc(row_loglik(i), params, bounds=bounds,
                                 log_prior=log_prior, **fkw)
                 draws = fr.final
-            r.final_result = fr
-            r.method_used = final
-            r.logz, r.logz_err = fr.logz, fr.logz_err
-            # no importance weights behind the definitive estimate —
-            # khat does not apply; equal-weight draws back posterior()
-            r.khat = float("nan")
-            r.is_ess = float(getattr(fr, "ess", draws.shape[0]))
-            r._is_x = np.asarray(draws)
-            r._is_logw = np.zeros(r._is_x.shape[0])
+            adopt(i, fr, draws)
     return results
 
 
