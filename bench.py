@@ -90,6 +90,15 @@ PRETRAINED_NATIVE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "pretrained",
     "direct_synthetic_bf16.npz",
 )
+# MXU-128-aligned architecture (256,256,128,128,128 — throughput-aware
+# halving search over MXU_ALIGNED_SPACE, scripts/train_aligned_tpu.py):
+# 2.7x less padded MXU work than the reference shape at equal-accuracy-
+# class golden error (0.195 % at its native DEFAULT tier). Gated like
+# the native checkpoint: accuracy-to-truth.
+PRETRAINED_ALIGNED = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "pretrained",
+    "direct_aligned_bf16.npz",
+)
 GATE_GOLDEN_MEAN_PCT = 0.34  # the reference contract (README.rst:11)
 SHIP_REGIME_PCT = 0.20  # the shipped-checkpoint regime (pretrained/)
 
@@ -118,7 +127,7 @@ def _build():
             ),
             device_loop=True,
         )
-    native = None
+    native = aligned = None
     if os.path.exists(PRETRAINED_NATIVE):
         native = DirectEmulator.from_checkpoint(PRETRAINED_NATIVE)
         if native.native_precision is None:  # pragma: no cover
@@ -126,9 +135,13 @@ def _build():
                   ".npz carries no native_precision; ignoring",
                   file=sys.stderr)
             native = None
+    if os.path.exists(PRETRAINED_ALIGNED):
+        aligned = DirectEmulator.from_checkpoint(PRETRAINED_ALIGNED)
+        if aligned.native_precision is None:  # pragma: no cover
+            aligned = None
     rng = np.random.default_rng(0)
     raw = synthetic_params(BATCH, rng).astype(np.float32)
-    return model, native, raw
+    return model, native, aligned, raw
 
 
 def _golden_gate_native(native):
@@ -153,7 +166,7 @@ def _golden_gate_native(native):
     return float(err.mean()), float(np.median(err))
 
 
-def _candidates(model, native):
+def _candidates(model, native, aligned):
     """(name, fn, params, gate) rows of jitted (params, raw)->signals
     implementations. ``gate`` is ``"f32"`` (max rel-to-amp agreement
     with the contract path of the SAME weights) or ``"golden"`` (the
@@ -181,6 +194,15 @@ def _candidates(model, native):
             native.predict_fn(precision="native"),
             native.params,
             "golden",
+        ))
+    if aligned is not None:
+        # right after the reference-shape native tier: same gate, 2.7x
+        # less padded MXU work (its OWN model object carries the gate)
+        cands.insert(1 if native is not None else 0, (
+            f"xla-aligned-{aligned.native_precision}",
+            aligned.predict_fn(precision="native"),
+            aligned.params,
+            ("golden", aligned),
         ))
     try:
         from tpu21cmvae.ops.pallas.fused_mlp import make_fused_emulate
@@ -334,7 +356,7 @@ def _measure_native(fn, params, x, native):
 
 
 def main():
-    model, native, raw = _build()
+    model, native, aligned, raw = _build()
     x = jnp.asarray(raw)
     params = model.params
 
@@ -352,10 +374,12 @@ def main():
 
     best_name, best_dt = None, float("inf")
     wedged = False
-    for name, fn, cand_params, gate in _candidates(model, native):
-        if gate == "golden":
-            task = (lambda fn=fn, p=cand_params:
-                    _measure_native(fn, p, x, native))
+    for name, fn, cand_params, gate in _candidates(model, native,
+                                                   aligned):
+        if gate == "golden" or isinstance(gate, tuple):
+            gate_model = native if gate == "golden" else gate[1]
+            task = (lambda fn=fn, p=cand_params, gm=gate_model:
+                    _measure_native(fn, p, x, gm))
         else:
             task = (lambda fn=fn, p=cand_params:
                     _measure(fn, p, x, ref, amp))

@@ -27,7 +27,7 @@ bench.CANDIDATE_TIMEOUT_S = 3.0
 bench.PARTIAL_PATH = sys.argv[1]
 
 
-def fake_candidates(model, native):
+def fake_candidates(model, native, aligned):
     good = model.predict_fn()
 
     def hang(params, x):

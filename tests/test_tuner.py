@@ -9,6 +9,7 @@ architectures, and a retrainable winner.
 import dataclasses
 
 import numpy as np
+import pytest
 
 from tpu21cmvae.tuner import (
     LatentSearchSpace,
@@ -274,3 +275,35 @@ def test_tune_autoencoder_halving(splits):
     assert all(t.epochs_ran == 8 for t in res.trials)  # 2 rungs × 2 stages × 2
     errs = [t.val_error for t in res.trials]
     assert errs == sorted(errs) and np.isfinite(errs).all()
+
+
+def test_best_efficient_prefers_cheaper_mxu_within_slack():
+    """Round-5 throughput-aware selection: within the accuracy slack
+    the cheapest padded-MXU trial wins; outside it, accuracy rules."""
+    from tpu21cmvae.tuner import Trial, TuneResult
+    from tpu21cmvae.utils.config import DirectEmulatorConfig
+
+    ref = Trial(DirectEmulatorConfig(), 0.160, 0.0, 10, 1.0, 371907)
+    ali = Trial(
+        DirectEmulatorConfig(hidden_dims=(256, 384, 256, 128)),
+        0.170, 0.0, 10, 1.0, 300000,
+    )
+    # the reference stack pays ~78% more padded-MXU work than the
+    # aligned one (288->384, 352->384, 224->256 at the 128 lane)
+    assert ref.padded_flops_per_row > 1.7 * ali.padded_flops_per_row
+    res = TuneResult([ref, ali])
+    assert res.best is ref
+    assert res.best_efficient(slack=0.10) is ali
+    assert res.best_efficient(slack=0.01) is ref
+    with pytest.raises(ValueError):
+        res.best_efficient(slack=-0.1)
+
+
+def test_mxu_aligned_space_samples_are_tile_exact():
+    from tpu21cmvae.tuner import MXU_ALIGNED_SPACE
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        stack = MXU_ALIGNED_SPACE.sample(rng)
+        assert all(w % 128 == 0 for w in stack)
+        assert 3 <= len(stack) <= 5

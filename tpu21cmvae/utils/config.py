@@ -48,6 +48,23 @@ class DirectEmulatorConfig:
         return MLPConfig(self.n_params, self.hidden_dims, self.n_bins, self.activation)
 
 
+DIRECT_ALIGNED = DirectEmulatorConfig(
+    hidden_dims=(256, 256, 128, 128, 128)
+)
+"""MXU-128-aligned flagship architecture (round 5): every hidden width
+is a multiple of the MXU's 128-lane tile, so the padded MXU bill equals
+the logical one for the hidden stack — 393,216 padded FLOPs/row vs the
+reference shape's 1,048,576 (2.7× less), at 191,939 weights. Found by
+throughput-aware successive halving over
+:data:`tpu21cmvae.tuner.MXU_ALIGNED_SPACE`
+(``scripts/train_aligned_tpu.py``); strong-retrained to 0.177 % mean
+f32 test error and bf16-native fine-tuned to 0.195 % at
+``Precision.DEFAULT`` on the golden synthetic split — the
+equal-accuracy-class TPU-first counterpart of the reference's
+laptop-era 288/352/288/224 (reference ``emulator.py:196``). Shipped as
+``pretrained/direct_aligned_bf16.npz``."""
+
+
 @dataclasses.dataclass(frozen=True)
 class AutoEncoderConfig:
     """Autoencoder-based emulator architecture (reference
