@@ -92,6 +92,27 @@ plt.tight_layout()
 plt.show()
 """
 
+CELL_NATIVE_TIER = """\
+# Round-5 tier-native bf16 checkpoint: the golden accuracy contract
+# holds AT Precision.DEFAULT (single-pass bf16 MXU matmuls) because the
+# weights were fine-tuned WITH the bf16 forward in the loss
+# (scripts/finetune_bf16_tpu.py) - 128M signals/s on one v5e chip,
+# 0.174 % mean golden test error (docs/PERF.md). On CPU the DEFAULT
+# tier is plain f32, so this cell just demonstrates the API.
+bf16_path = os.path.join(ROOT, "pretrained", "direct_synthetic_bf16.npz")
+if os.path.exists(bf16_path):
+    native = t.DirectEmulator.from_checkpoint(bf16_path, data)
+    print("native tier:", native.native_precision)
+    fast_predict = native.predict_fn(precision="native")
+    sig = np.asarray(fast_predict(native.params,
+                                  data.par_test[:4].astype(np.float32)))
+    print("native-tier predictions:", sig.shape)
+    # the MXU-128-aligned preset (DIRECT_ALIGNED) ships the same way:
+    # pretrained/direct_aligned_bf16.npz - 2.7x less padded MXU work
+else:
+    print("bf16-native checkpoint not present")
+"""
+
 CELL_TEST_ERROR = """\
 # Test-set error (the paper's figure of merit, Eq. 1)
 rel = model.test_error(relative=True)
@@ -620,6 +641,7 @@ def build() -> nbf.NotebookNode:
         nbf.v4.new_markdown_cell(MD_INTRO),
         nbf.v4.new_code_cell(CELL_SETUP),
         nbf.v4.new_code_cell(CELL_LOAD_PREDICT),
+        nbf.v4.new_code_cell(CELL_NATIVE_TIER),
         nbf.v4.new_code_cell(CELL_TEST_ERROR),
         nbf.v4.new_code_cell(CELL_TRAIN),
         nbf.v4.new_code_cell(CELL_AE),
