@@ -144,18 +144,33 @@ def _build():
     return model, native, aligned, raw
 
 
-def _golden_gate_native(native):
-    """Accuracy-to-TRUTH gate for the tier-native checkpoint: mean
-    relative test error on the golden synthetic split (the split of
-    ``tests/test_pretrained.py``) at the checkpoint's native tier must
-    hold the reference contract (0.34 %) — measured 0.174 % for the
-    shipped bf16 checkpoint (``scripts/finetune_bf16_tpu.json``). Runs
-    inside the bounded worker like every other gate."""
+_GOLDEN_SPLIT = []
+
+
+def _golden_split():
+    """The golden synthetic split (the split of
+    ``tests/test_pretrained.py``), generated once per process — two
+    golden-gated candidates must not pay the ~30k-signal host-side
+    generation twice inside their bounded workers."""
     from tpu21cmvae.data import synthetic_dataset
+
+    if not _GOLDEN_SPLIT:
+        _GOLDEN_SPLIT.append(synthetic_dataset(
+            n_train=26888, n_val=1704, n_test=1704, seed=0
+        ))
+    return _GOLDEN_SPLIT[0]
+
+
+def _golden_gate_native(native):
+    """Accuracy-to-TRUTH gate for a tier-native checkpoint: mean
+    relative test error on the golden synthetic split at the
+    checkpoint's native tier must hold the reference contract (0.34 %)
+    — measured 0.174 % for the shipped reference-shape bf16 checkpoint
+    and 0.195 % for the aligned one (``scripts/*.json``). Runs inside
+    the bounded worker like every other gate."""
     from tpu21cmvae.utils.metrics import error
 
-    data = synthetic_dataset(n_train=26888, n_val=1704, n_test=1704,
-                             seed=0)
+    data = _golden_split()
     pred = np.asarray(
         native.predict_fn(precision="native")(
             native.params, jnp.asarray(data.par_test, jnp.float32)
