@@ -9,11 +9,15 @@ observations, ~0.5 s/evidence warm on v5e), and the round-4 policy
 makes the result trustworthy end to end:
 
 1. every row carries a PSIS ``khat`` reliability diagnostic;
-2. ``method="auto"`` re-estimates any row failing the 0.7 trust bound
+2. ``method="auto"`` re-estimates ALL rows failing the 0.7 trust bound
+   as ONE batched flow program (round 5: `evidence_with_flow_batch` —
+   K RealNVP fits under one Adam, stacked-likelihood scoring)
    through a per-row normalizing-flow proposal seeded at that row's
    MAP — adopted only when the diagnostic strictly improves, with the
    attempt on the record either way;
-3. ``final="nested"`` settles whatever still fails with per-row nested
+3. ``final="nested"`` settles whatever still fails as ONE
+   `nested_sampling_batch` device program (round 5; measured 25 hard
+   rows in 29.2 s vs 10.1 s/row sequential — docs/PERF.md)
    sampling (no importance weights — khat pathology does not apply).
 
 Measured on the real 64-observation batch: 64/64 rows end trustworthy
