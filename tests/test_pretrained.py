@@ -106,3 +106,39 @@ def test_pretrained_ensemble_golden(refdata):
     mean, std = ens.predict_with_uncertainty(refdata.par_test[:8])
     assert mean.shape == std.shape == (8, refdata.n_bins)
     assert np.isfinite(std).all() and std.max() > 0
+
+
+def test_pretrained_bf16_native_golden(refdata):
+    """Round-5 tier-native checkpoints: golden error at the checkpoint's
+    NATIVE tier (on CPU the DEFAULT tier lowers to f32, so this pins
+    the weights' accuracy and the native_precision plumbing; the
+    bf16-tier numbers are the TPU measurements in
+    scripts/finetune_bf16_tpu.json / train_aligned_tpu.json)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from tpu21cmvae.models.direct import DirectEmulator
+    from tpu21cmvae.utils.config import DIRECT_ALIGNED
+    from tpu21cmvae.utils.metrics import error
+
+    root = os.path.join(os.path.dirname(__file__), "..", "pretrained")
+    for fname, cfg_check, bound in (
+        ("direct_synthetic_bf16.npz", None, 0.20),
+        ("direct_aligned_bf16.npz", DIRECT_ALIGNED, 0.25),
+    ):
+        em = DirectEmulator.from_checkpoint(os.path.join(root, fname))
+        assert em.native_precision == "default"
+        if cfg_check is not None:
+            assert em.config == cfg_check
+        pred = np.asarray(em.predict_fn(precision="native")(
+            em.params, jnp.asarray(refdata.par_test, jnp.float32)
+        ))
+        err = error(refdata.signal_test, pred, relative=True,
+                    nu_arr=em.frequencies)
+        assert err.mean() < bound, (fname, err.mean())
+        # saving round-trips the native tier
+        out = os.path.join("/tmp", "rt_" + fname)
+        em.save(out)
+        em2 = DirectEmulator.from_checkpoint(out)
+        assert em2.native_precision == "default"
