@@ -72,6 +72,10 @@ GATE_REL_TO_AMP = 1.5e-3
 _CHECK = 1 << 16  # rows used for the accuracy gate
 
 CANDIDATE_TIMEOUT_S = float(os.environ.get("BENCH_CANDIDATE_TIMEOUT", "300"))
+# the model build (checkpoint load + device transfers + host-side
+# mega-batch generation) gets its own bound: it is slower than a
+# warm candidate but must still fail FAST on a wedged tunnel
+BUILD_TIMEOUT_S = float(os.environ.get("BENCH_BUILD_TIMEOUT", "300"))
 PARTIAL_PATH = os.environ.get("BENCH_PARTIAL", "BENCH_partial.jsonl")
 
 
@@ -371,7 +375,18 @@ def _measure_native(fn, params, x, native):
 
 
 def main():
-    model, native, aligned, raw = _build()
+    # _build touches the device (checkpoint arrays transfer at model
+    # construction) — a tunnel wedge here would hang BEFORE any partial
+    # record exists, reproducing the round-3 empty-capture failure one
+    # stage earlier. Bound it like everything else.
+    status, built = run_bounded(_build, BUILD_TIMEOUT_S)
+    if status != "ok":
+        _append_partial({"event": "build_failed", "status": status,
+                         "info": str(built)})
+        print(f"bench: model build {status} ({built}) — device "
+              "presumed wedged", file=sys.stderr)
+        hard_exit(1)
+    model, native, aligned, raw = built
     x = jnp.asarray(raw)
     params = model.params
 

@@ -106,6 +106,10 @@ _NEAR = 4096  # near-mode rows
 NOISE_VAR = 25.0  # mK² — a plausible radiometer noise level
 
 CANDIDATE_TIMEOUT_S = float(os.environ.get("BENCH_CANDIDATE_TIMEOUT", "300"))
+# the model build (checkpoint load + device transfers + host-side
+# mega-batch generation) gets its own bound: it is slower than a
+# warm candidate but must still fail FAST on a wedged tunnel
+BUILD_TIMEOUT_S = float(os.environ.get("BENCH_BUILD_TIMEOUT", "300"))
 PARTIAL_PATH = os.environ.get(
     "BENCH_MCMC_PARTIAL", "BENCH_MCMC_partial.jsonl"
 )
@@ -274,7 +278,17 @@ def _emit_headline(best_name: str, lps: float) -> None:
 
 
 def main(out_path=None):
-    model, raw, near, obs = _build()
+    # bound the device-touching build (see bench.py): a wedge here must
+    # leave a recorded failure, not an empty capture
+    status, built = run_bounded(_build, BUILD_TIMEOUT_S)
+    if status != "ok":
+        append_partial(PARTIAL_PATH, {"event": "build_failed",
+                                      "status": status,
+                                      "info": str(built)})
+        print(f"bench_mcmc: model build {status} ({built}) — device "
+              "presumed wedged", file=sys.stderr)
+        hard_exit(1)
+    model, raw, near, obs = built
     x = jnp.asarray(raw)
     xnear = jnp.asarray(near)
     params = model.params
