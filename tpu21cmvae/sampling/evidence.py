@@ -1170,7 +1170,14 @@ def laplace_evidence_multi_auto(
     hard rows as one :func:`tpu21cmvae.nested.nested_sampling_batch`
     device program instead of per-row sequential runs (round-4 VERDICT
     item 1: the un-batched finals were 95 % of the measured real-batch
-    escalation wall). ``flow_kwargs`` forward to the flow fit/IS sweep;
+    escalation wall). ``rows_valgrad(indices)``: the stacked
+    value+gradient companion — with BOTH builders present (and no
+    user-supplied ``flow``/``x0`` in ``flow_kwargs``), the flow
+    escalation itself runs batched too: all flagged rows fit as one
+    :func:`tpu21cmvae.flows.evidence_with_flow_batch` program,
+    warm-started at each row's MAP (measured 1,267.9 → 130.9 s cold on
+    the real 64-obs batch, docs/PERF.md). ``flow_kwargs`` forward to
+    the flow fit/IS sweep (either path);
     unless overridden, each row's flow is warm-started at that row's
     Laplace MAP (``x0=map_params`` — measured necessary on sharp real
     posteriors, docs/PERF.md).
