@@ -77,14 +77,25 @@ from tpu21cmvae.sampling import (  # noqa: F401
     WeightedPosterior,
     reweight,
 )
-from tpu21cmvae.nested import NestedResult, nested_sampling  # noqa: F401
-from tpu21cmvae.vi import ADVIResult, fit_advi  # noqa: F401
+from tpu21cmvae.nested import (  # noqa: F401
+    NestedResult,
+    nested_sampling,
+    nested_sampling_batch,
+)
+from tpu21cmvae.vi import (  # noqa: F401
+    ADVIResult,
+    fit_advi,
+    fit_advi_batch,
+)
 from tpu21cmvae.flows import (  # noqa: F401
     FlowEvidenceResult,
     FlowResult,
     evidence_with_flow,
+    evidence_with_flow_batch,
     fit_flow,
+    fit_flow_batch,
     flow_evidence,
+    flow_evidence_batch,
 )
 from tpu21cmvae.foregrounds import (  # noqa: F401
     MarginalizedNoise,

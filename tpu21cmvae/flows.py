@@ -62,7 +62,7 @@ from tpu21cmvae.sampling import (
 )
 from tpu21cmvae.sampling._common import _auto_key
 
-__all__ = ["FlowResult", "FlowEvidenceResult", "fit_flow",
+__all__ = ["FlowResult", "FlowEvidenceResult", "fit_flow", "fit_flow_batch", "flow_evidence_batch", "evidence_with_flow_batch",
            "flow_evidence", "evidence_with_flow"]
 
 #: scale clamp for the coupling log-scales: s = CAP·tanh(raw/CAP) keeps

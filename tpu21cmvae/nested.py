@@ -44,7 +44,7 @@ import numpy as np
 
 from tpu21cmvae.sampling import _init_walkers, _resolve_bounds
 
-__all__ = ["NestedResult", "nested_sampling"]
+__all__ = ["NestedResult", "nested_sampling", "nested_sampling_batch"]
 
 
 def _log1mexp(neg_delta: np.ndarray) -> np.ndarray:
