@@ -944,7 +944,7 @@ def main(argv=None):
 
     p = sub.add_parser(
         "profile",
-        help="profile likelihood of one parameter (Wilks 68/95% "
+        help="profile likelihood of one parameter (Wilks 68/95%% "
              "confidence intervals; the whole grid of constrained "
              "refits as one device program)",
     )
