@@ -695,3 +695,21 @@ def test_cli_evidence_batch_auto(tmp_path, splits, capsys):
     assert rc == 0
     blob2 = np.load(out)
     assert np.isfinite(blob2["logz"]).all()
+
+
+def test_cli_top_level_help_renders(capsys):
+    """`python -m tpu21cmvae --help` must render: argparse interpolates
+    EVERY subcommand's help string when the top-level help formats, so
+    one unescaped % anywhere crashes it (the profile subcommand's
+    'Wilks 68/95%' did exactly that — found by driving --help, which no
+    subcommand-level test exercises)."""
+    import pytest
+
+    from tpu21cmvae.__main__ import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["--help"])
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    for cmd in ("train", "sample", "evidence", "profile", "serve"):
+        assert cmd in out
