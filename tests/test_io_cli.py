@@ -713,3 +713,12 @@ def test_cli_top_level_help_renders(capsys):
     out = capsys.readouterr().out
     for cmd in ("train", "sample", "evidence", "profile", "serve"):
         assert cmd in out
+    # every subcommand's OWN help formats different strings — render all
+    for cmd in ("download", "train", "evaluate", "predict", "tune",
+                "sample", "fit", "advi", "profile", "evidence", "sbc",
+                "gof", "serve", "verify", "export-h5",
+                "export-artifact"):
+        with pytest.raises(SystemExit) as e:
+            main([cmd, "--help"])
+        assert e.value.code == 0, cmd
+        capsys.readouterr()
