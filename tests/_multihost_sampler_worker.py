@@ -69,6 +69,27 @@ def main():
         pt.swap_rate, ref["pt_swap"], atol=1e-5
     )
 
+    # round-5: batched nested sampling, live axis sharded over the
+    # 4-device global mesh — per-row logz must match the single-process
+    # reference (sharding distributes live points, not results)
+    from tpu21cmvae.nested import nested_sampling_batch
+
+    mus2 = ref["mus2"]
+
+    def loglik_multi(params, x):
+        xr = jnp.asarray(x).reshape(2, -1, 3)
+        z = (xr - mus2[:, None, :]) / sig
+        return (-0.5 * jnp.sum(z * z, axis=-1)).reshape(-1)
+
+    nb = nested_sampling_batch(
+        loglik_multi, None, 2, bounds=bounds, n_live=32, n_batch=4,
+        n_mh=6, max_iters=256, iters_per_chunk=16, seed=9, mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.array([r.logz for r in nb]), ref["nb_logz"], atol=1e-3
+    )
+    assert [r.n_iters for r in nb] == list(ref["nb_iters"])
+
     print(f"SAMPLER-OK {pid}", flush=True)
 
 

@@ -90,12 +90,30 @@ def test_two_process_sampler_collectives(tmp_path):
                     n_warmup=40, thin=5, bounds=bounds, seed=5)
     pt = sample_pt(loglik, None, n_rungs=4, n_walkers=8, n_steps=40,
                    n_warmup=30, thin=5, bounds=bounds, seed=7)
+
+    # round-5: the batched definitive evidence tier over the same mesh
+    # (two observations, live axis sharded)
+    from tpu21cmvae.nested import nested_sampling_batch
+
+    mus2 = np.stack([mu, mu + 0.5 * sig]).astype(np.float32)
+
+    def loglik_multi(params, x):
+        xr = jnp.asarray(x).reshape(2, -1, 3)
+        z = (xr - mus2[:, None, :]) / sig
+        return (-0.5 * jnp.sum(z * z, axis=-1)).reshape(-1)
+
+    nb = nested_sampling_batch(
+        loglik_multi, None, 2, bounds=bounds, n_live=32, n_batch=4,
+        n_mh=6, max_iters=256, iters_per_chunk=16, seed=9,
+    )
     ref_path = tmp_path / "ref.npz"
     np.savez(
-        ref_path, mu=mu, sig=sig, bounds=bounds,
+        ref_path, mu=mu, sig=sig, bounds=bounds, mus2=mus2,
         mh_chain=res.chain, mh_final=res.final, mh_logp=res.logp,
         mh_accept=res.accept_rate,
         pt_chain=pt.chain, pt_final=pt.final, pt_swap=pt.swap_rate,
+        nb_logz=np.array([r.logz for r in nb]),
+        nb_iters=np.array([r.n_iters for r in nb]),
     )
 
     port = _free_port()

@@ -43,6 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu21cmvae.sampling import _init_walkers, _resolve_bounds
+from tpu21cmvae.sampling._common import _to_host
 
 __all__ = ["NestedResult", "nested_sampling", "nested_sampling_batch"]
 
@@ -364,15 +365,15 @@ def nested_sampling_batch(
         x, ll, log_scale, dll, dx, accs = run_chunk(
             params, x, ll, log_scale, keys
         )
-        dead_ll_chunks.append(np.asarray(dll, np.float64))
-        dead_x_chunks.append(np.asarray(dx))
-        acc_chunks.append(np.asarray(accs))
+        dead_ll_chunks.append(_to_host(dll).astype(np.float64))
+        dead_x_chunks.append(_to_host(dx))
+        acc_chunks.append(_to_host(accs))
         n_done += iters_per_chunk
         # per-observation stop test: can the live set still move the
         # total? The chunk loop continues until EVERY row passes.
         dead_flat = np.concatenate(dead_ll_chunks)  # (iters, O, B)
         logx_now = -n_done * batch_shrink
-        ll_host = np.asarray(ll, np.float64)  # (O, L)
+        ll_host = _to_host(ll).astype(np.float64)  # (O, L)
         remainder = (
             logx_now
             + np.logaddexp.reduce(ll_host, axis=1)
@@ -406,8 +407,8 @@ def nested_sampling_batch(
     logx_final = logx[-1] if n_iters else 0.0
     log_dx_live = np.full(n_live, logx_final - np.log(n_live))
 
-    ll_live = np.asarray(ll, np.float64)  # (O, L)
-    x_live = np.asarray(x)
+    ll_live = _to_host(ll).astype(np.float64)  # (O, L)
+    x_live = _to_host(x)
     theta_fn = None
     if prior_transform is not None:
         theta_fn = jax.jit(to_theta)
